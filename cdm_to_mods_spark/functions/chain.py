@@ -1,0 +1,46 @@
+"""Transform-chain configuration — the ``alias_xslts`` analog.
+
+The reference sequences per-collection transforms as an ordered list of
+stylesheet names (alias_xslts/{alias}.txt, executed one directory-pass per
+stylesheet, convert_cdm_to_mods.py:338-373). Here a chain is an ordered
+list of ``(column, Column -> Column)`` steps composed into ONE select —
+Catalyst fuses the whole chain into a single whole-stage-codegen pass (plus
+one ArrowEvalPython node for the pandas-UDF date cascade), so nothing
+materializes between stages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dates import canonicalize_ts
+from .remap import remap_role, remap_tool
+from .text import normalize_text
+
+Step = tuple[str, Callable[[Column], Column]]
+
+# The default transcript chain (the 'collection config' for conversations):
+# normalize text, remap role/tool to the authorized vocabulary, canonicalize
+# the raw timestamp into the typed ``ts`` column.
+DEFAULT_CHAIN: list[Step] = [
+    ("text", normalize_text),
+    ("role", remap_role),
+    ("tool", remap_tool),
+]
+
+
+def apply_chain(df: DataFrame, chain: list[Step] | None = None, *, ts_from: str = "ts_raw") -> DataFrame:
+    """Apply an ordered transform chain; derive ``ts`` from ``ts_from`` if
+    present. All steps land in one projection."""
+    chain = DEFAULT_CHAIN if chain is None else chain
+    cols: dict[str, Column] = {}
+    for name, fn in chain:
+        if name in df.columns:
+            src = cols.get(name, F.col(name))
+            cols[name] = fn(src)
+    out = df.withColumns(cols)
+    if ts_from in df.columns:
+        out = out.withColumn("ts", canonicalize_ts(F.col(ts_from))).drop(ts_from)
+    return out
