@@ -1,0 +1,195 @@
+"""LakeTable semantics: exactly-once batches, cross-batch seq guard,
+tombstones, schema evolution, snapshot time travel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdm_to_mods_spark.functions.chain import apply_chain
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA, SchemaEvolutionError, evolve_schema
+from pyspark.sql import types as T
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts_raw string, ingest_ts timestamp"
+)
+
+
+def _events(spark, rows, ddl=EVENT_DDL):
+    return spark.createDataFrame(rows, ddl)
+
+
+@pytest.fixture()
+def table(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=8)
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def _state(table):
+    return {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in table.read().collect()
+    }
+
+
+def test_insert_update_delete(spark, table):
+    table.apply_changes(
+        _events(
+            spark,
+            [
+                ("I", 1, "c1", 0, "human", "hello ;", "none", "1999", None),
+                ("I", 2, "c1", 1, "AI", "hi<br>there", "calc", "07/04/1999", None),
+                ("I", 3, "c2", 0, "user", "x", None, None, None),
+            ],
+        ),
+        batch_id=0,
+        transform=apply_chain,
+    )
+    assert _state(table) == {
+        ("c1", 0): ("user", "hello", None),
+        ("c1", 1): ("assistant", "hi; there", "calculator"),
+        ("c2", 0): ("user", "x", None),
+    }
+    table.apply_changes(
+        _events(
+            spark,
+            [
+                ("U", 4, "c1", 0, "user", "hello v2", None, "1999", None),
+                ("D", 5, "c2", 0, None, None, None, None, None),
+            ],
+        ),
+        batch_id=1,
+        transform=apply_chain,
+    )
+    assert _state(table) == {
+        ("c1", 0): ("user", "hello v2", None),
+        ("c1", 1): ("assistant", "hi; there", "calculator"),
+    }
+
+
+def test_exactly_once_batch_skip(spark, table):
+    ev = _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)])
+    m1 = table.apply_changes(ev, batch_id=0, transform=apply_chain)
+    assert not m1.get("skipped")
+    v = table.latest_version()
+    m2 = table.apply_changes(ev, batch_id=0, transform=apply_chain)
+    assert m2["skipped"] and table.latest_version() == v
+
+
+def test_replay_same_events_converges(spark, table):
+    ev = _events(
+        spark,
+        [
+            ("I", 1, "c1", 0, "user", "v1", None, None, None),
+            ("U", 2, "c1", 0, "user", "v2", None, None, None),
+        ],
+    )
+    table.apply_changes(ev, batch_id=0, transform=apply_chain)
+    s1 = _state(table)
+    # restart scenario: same events under a NEW batch id (e.g. checkpoint
+    # lost) — max-seq merge keeps the state identical.
+    table.apply_changes(ev, batch_id=1, transform=apply_chain)
+    assert _state(table) == s1
+
+
+def test_out_of_order_seq_guard(spark, table):
+    table.apply_changes(
+        _events(spark, [("U", 10, "c1", 0, "user", "new", None, None, None)]),
+        batch_id=0,
+        transform=apply_chain,
+    )
+    # late, stale event arrives in a later batch
+    table.apply_changes(
+        _events(spark, [("U", 5, "c1", 0, "user", "stale", None, None, None)]),
+        batch_id=1,
+        transform=apply_chain,
+    )
+    assert _state(table)[("c1", 0)][1] == "new"
+
+
+def test_tombstone_blocks_resurrection(spark, table):
+    table.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    table.apply_changes(
+        _events(spark, [("D", 10, "c1", 0, None, None, None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    table.apply_changes(
+        _events(spark, [("U", 5, "c1", 0, "user", "zombie", None, None, None)]),
+        batch_id=2, transform=apply_chain,
+    )
+    assert ("c1", 0) not in _state(table)
+
+
+def test_schema_evolution_new_column_and_widening(spark, table):
+    table.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, "1999", None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    ddl2 = EVENT_DDL + ", model string, score int"
+    table.apply_changes(
+        _events(
+            spark,
+            [("I", 2, "c9", 0, "user", "v2", None, "2000", None, "m-1", 7)],
+            ddl2,
+        ),
+        batch_id=1, transform=apply_chain,
+    )
+    names = [f.name for f in table.schema().fields]
+    assert names == ["conv_id", "turn_idx", "role", "text", "tool", "ts", "model", "score"]
+    rows = {r.conv_id: r for r in table.read().collect()}
+    assert rows["c9"].model == "m-1" and rows["c9"].score == 7
+    assert rows["c1"].model is None and rows["c1"].score is None
+    # widening: score int → long
+    ddl3 = EVENT_DDL + ", model string, score long"
+    table.apply_changes(
+        _events(
+            spark,
+            [("I", 3, "c9", 1, "user", "v3", None, "2000", None, "m-1", 2**40)],
+            ddl3,
+        ),
+        batch_id=2, transform=apply_chain,
+    )
+    assert dict(table.read().dtypes)["score"] == "bigint"
+    assert {r.score for r in table.read().filter("conv_id='c9'").collect()} == {7, 2**40}
+
+
+def test_incompatible_schema_change_rejected():
+    a = T.StructType([T.StructField("x", T.StringType())])
+    b = T.StructType([T.StructField("x", T.IntegerType())])
+    with pytest.raises(SchemaEvolutionError):
+        evolve_schema(a, b)
+
+
+def test_time_travel_read(spark, table):
+    table.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    table.apply_changes(
+        _events(spark, [("U", 2, "c1", 0, "user", "v2", None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    assert table.read(version=1).collect()[0].text == "v1"
+    assert table.read().collect()[0].text == "v2"
+
+
+def test_bucket_pruning_only_rewrites_touched_buckets(spark, table):
+    # fill several buckets
+    rows = [("I", i, f"conv-{i}", 0, "user", f"t{i}", None, None, None) for i in range(20)]
+    table.apply_changes(_events(spark, rows), batch_id=0, transform=apply_chain)
+    man0 = table.manifest()
+    # touch exactly one conversation → exactly one bucket rewritten
+    m = table.apply_changes(
+        _events(spark, [("U", 100, "conv-3", 0, "user", "t3b", None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    assert m["n_buckets_touched"] == 1
+    man1 = table.manifest()
+    changed = [b for b in man1["buckets"] if man1["buckets"][b] != man0["buckets"].get(b)]
+    assert len(changed) == 1

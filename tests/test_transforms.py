@@ -1,0 +1,111 @@
+"""Golden-transform unit tests — one case table per XSLT family
+(SURVEY.md §2.7), mirroring the reference stylesheets' documented cases."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cdm_to_mods_spark.functions import text as TX
+from cdm_to_mods_spark.functions.dates import canonicalize_ts, ts_qualifier
+from cdm_to_mods_spark.functions.remap import remap_role, remap_tool
+
+
+def _apply(spark, fn, values):
+    df = spark.createDataFrame([Row(v=v) for v in values])
+    return [r.out for r in df.select(fn(F.col("v")).alias("out")).collect()]
+
+
+# ---------------------------------------------------------- text family
+TEXT_CASES = [
+    # (fn, input, expected)
+    (TX.xml_escape, 'a & b "c" <d>', "a &amp; b &quot;c&quot; &lt;d&gt;"),
+    (TX.xml_unescape, "a &amp; &lt;b&gt;", "a & <b>"),
+    (TX.br_to_semicolon, "x<br>y<BR/>z", "x; y; z"),
+    (TX.at_symbols_to_quote, "he said @@@hi@@@", 'he said "hi"'),
+    (TX.emdash_to_double_hyphen, "a—b–c", "a--b--c"),
+    (TX.normalize_whitespace, "  a \t b\n c  ", "a b c"),
+    (TX.strip_trailing_punct, "value; ", "value"),
+    (TX.strip_trailing_punct, "value...", "value"),
+    (TX.alnum_squeeze, "First Name (nick)!", "FirstNamenick"),
+    (TX.normalize_text, "  alpha<br>beta @@@g@@@ ;", 'alpha; beta "g"'),
+]
+
+
+@pytest.mark.parametrize("fn,inp,want", TEXT_CASES, ids=lambda x: str(x)[:30])
+def test_text_functions(spark, fn, inp, want):
+    assert _apply(spark, fn, [inp]) == [want]
+
+
+def test_sentinel_scrub(spark):
+    got = _apply(spark, TX.null_if_sentinel, ["ok", " Unknown ", "NA", "none", "", "  "])
+    assert got == ["ok", None, None, None, None, None]
+
+
+def test_split_multivalue(spark):
+    got = _apply(spark, TX.split_multivalue, ["a; b ;; c ;"])
+    assert got == [["a", "b", "c"]]
+
+
+def test_split_hierarchical(spark):
+    # xsl/subjectSplit.xsl: capitalize first letter, strip trailing period
+    got = _apply(spark, TX.split_hierarchical, ["history--louisiana--new orleans."])
+    assert got == [["History", "Louisiana", "New orleans"]]
+
+
+def test_title_nonsort(spark):
+    got = _apply(spark, TX.title_nonsort, ["The Great Flood", "An apple", "Plain title"])
+    assert [(g.non_sort, g.title) for g in got] == [
+        ("The", "Great Flood"),
+        ("An", "apple"),
+        ("", "Plain title"),
+    ]
+
+
+# ---------------------------------------------------------- remap family
+def test_remap_role(spark):
+    got = _apply(spark, remap_role, ["AI", " human", "Bot ", "user", "narrator", None])
+    assert got == ["assistant", "user", "assistant", "user", "narrator", None]
+
+
+def test_remap_tool(spark):
+    got = _apply(spark, remap_tool, ["CALC", "Search ", "none", "", "widget"])
+    assert got == ["calculator", "search", None, None, "widget"]
+
+
+# ---------------------------------------------------------- date cascade
+DATE_CASES = [
+    ("2001-02-03", datetime.datetime(2001, 2, 3)),
+    ("2001-02-03 04:05:06", datetime.datetime(2001, 2, 3, 4, 5, 6)),
+    ("2001-02-03 04:05", datetime.datetime(2001, 2, 3, 4, 5)),
+    ("7/4/1999", datetime.datetime(1999, 7, 4)),
+    ("07/04/1999", datetime.datetime(1999, 7, 4)),
+    ("12/31/2020 9:30", datetime.datetime(2020, 12, 31, 9, 30)),
+    ("2001-02", datetime.datetime(2001, 2, 1)),
+    ("[1936]", datetime.datetime(1936, 1, 1)),
+    ("[1936-05]", datetime.datetime(1936, 5, 1)),
+    ("ca. 1920", datetime.datetime(1920, 1, 1)),
+    ("Circa 1920", datetime.datetime(1920, 1, 1)),
+    ("1972?", datetime.datetime(1972, 1, 1)),
+    ("1918-1920", datetime.datetime(1918, 1, 1)),
+    ("between 1918 and 1920", datetime.datetime(1918, 1, 1)),
+    ("1930s", datetime.datetime(1930, 1, 1)),
+    ("193-", datetime.datetime(1930, 1, 1)),
+    ("1999", datetime.datetime(1999, 1, 1)),
+    ("not a date", None),
+    (None, None),
+]
+
+
+def test_date_cascade(spark):
+    inputs = [c[0] for c in DATE_CASES]
+    got = _apply(spark, canonicalize_ts, inputs)
+    for (inp, want), g in zip(DATE_CASES, got):
+        assert g == want, f"{inp!r}: got {g}, want {want}"
+
+
+def test_ts_qualifier(spark):
+    got = _apply(spark, ts_qualifier, ["ca. 1920", "[1936]", "1972?", "1999"])
+    assert got == ["approximate", "inferred", "questionable", None]
