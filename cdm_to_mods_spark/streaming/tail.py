@@ -1,0 +1,111 @@
+"""Structured Streaming change-stream tail.
+
+The reference's re-runnable batch export loop (wipe-and-redo,
+convert_cdm_to_mods.py:142-148; per-stage materialized pipeline
+:352-373) becomes a checkpointed micro-batch tail: a file source over
+binlog segment directories feeds ``foreachBatch``, and every micro-batch
+goes through the SAME ``LakeTable.apply_changes`` the batch replay uses —
+one code path, two drivers.
+
+Exactly-once: Spark's checkpoint gives at-least-once delivery of each
+micro-batch to ``foreachBatch``; the lake's ``last_batch_id`` ledger makes
+the apply idempotent, so the composition is exactly-once (the reference's
+IsCountsCorrect reconciliation, post_cdm_cleanup.py:15-37, upgraded from
+"abort on mismatch" to "cannot mismatch").
+
+Resume-from-checkpoint: restart with the same ``checkpoint_dir`` and the
+stream continues from the last committed source offsets; already-applied
+batches are skipped by the ledger (tested in tests/test_streaming.py by
+killing mid-replay and restarting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.chain import apply_chain
+from ..plans.lake import LakeTable
+from ..schemas import EVENT_SCHEMA, TRANSCRIPT_SCHEMA
+
+
+class StreamingReplay:
+    """Tail a directory of event files into a LakeTable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        table_path: str,
+        checkpoint_dir: str,
+        *,
+        num_buckets: int = 32,
+        transform: Callable[[DataFrame], DataFrame] | None = apply_chain,
+        metrics_path: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.transform = transform
+        self.metrics_path = metrics_path
+        self.max_files_per_trigger = max_files_per_trigger
+        self.table = LakeTable(spark, table_path, num_buckets=num_buckets)
+        if not self.table.exists():
+            self.table.create(TRANSCRIPT_SCHEMA)
+        self.batch_metrics: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        metrics = self.table.apply_changes(
+            batch_df,
+            batch_id=batch_id,
+            transform=self.transform,
+            source=f"stream:{self.events_dir}",
+        )
+        metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+        self.batch_metrics.append(metrics)
+        if self.metrics_path:
+            with open(self.metrics_path, "a") as fh:
+                fh.write(json.dumps(metrics) + "\n")
+
+    def start(self, *, available_now: bool = True):
+        """Start the tail. ``available_now`` processes the current backlog
+        then stops (the replay mode); False runs continuously."""
+        reader = (
+            self.spark.readStream.schema(EVENT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+        )
+        if self.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+        events = reader.parquet(self.events_dir)
+
+        writer = (
+            events.writeStream.foreachBatch(self._on_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName("cdc-replay")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, timeout_sec: float = 600.0) -> LakeTable:
+        """Process the full backlog and return the converged table."""
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+        return self.table
+
+
+def resume_offsets(checkpoint_dir: str) -> list[str]:
+    """Debug helper: which offset files has the checkpoint committed?"""
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return []
+    return sorted(f for f in os.listdir(commits) if not f.startswith("."))
