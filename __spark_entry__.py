@@ -1,38 +1,74 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship CDC replay — derive a deterministic change log from the
+sf0.001 ``events`` table, replay it through the LakeTable MERGE engine, and
+return the converged transcripts state.
+
+``queries``/``oracle_sql``: the SURVEY.md §2 operator inventory plus the
+training-data pipeline operators, each over /root/testdata parquet with a
+DuckDB-portable oracle where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdm_to_mods_spark import pipeline as _pipeline  # noqa: E402  (registers queries)
+from cdm_to_mods_spark import queries as _queries  # noqa: E402
+from cdm_to_mods_spark.functions.chain import apply_chain  # noqa: E402
+from cdm_to_mods_spark.replay import replay_in_batches  # noqa: E402
+
+
+def events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically reshape the testdata ``events`` table into the
+    engine's change-event schema: event_id → seq, user_id → conversation,
+    hash-derived turn/op, props → text payload."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    op = (
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 7, F.lit("I"))
+        .when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 9, F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    return ev.select(
+        op.alias("op"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat_ws(" ", "event_type", F.col("props")).alias("text"),
+        F.lit("search").alias("tool"),
+        F.date_format("ts", "MM/dd/yyyy HH:mm:ss").alias("ts_raw"),
+        F.col("ts").alias("ingest_ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC replay of a 10k-event change log → converged table."""
+    sf_dir = "/root/testdata/sf0.001"
+    changelog = events_as_changelog(spark, sf_dir)
+    max_seq = changelog.agg(F.max("seq")).collect()[0][0] + 1
+    table_path = tempfile.mkdtemp(prefix="cdc-flagship-")
+    table = replay_in_batches(
+        spark,
+        changelog,
+        os.path.join(table_path, "transcripts"),
+        n_batches=4,
+        max_seq=int(max_seq),
+        num_buckets=16,
+    )
+    return table.read().orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_queries.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_queries.ORACLE)

@@ -1,0 +1,421 @@
+"""Training-data pipeline operators over documents/embeddings — the
+large-scale data-curation surface (dedup, similarity search, text analysis,
+multimodal plumbing). First-class alongside the SURVEY §2 inventory.
+
+Registered into the same QUERIES/ORACLE dicts as queries.py. Entries
+without an oracle are genuinely non-SQL-portable (hash-function-dependent
+sketches, approximate ANN) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+from .queries import ORACLE, QUERIES, _q, _t
+
+# ---------------------------------------------------------------------
+# Shared shingling (word 3-grams), identical definition in both engines.
+# ---------------------------------------------------------------------
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct word-n-gram set (array column). Native exprs only:
+    split → sequence → transform → array_distinct."""
+    words = F.split(F.lower("text"), r"\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        )
+    )
+    return df.filter(F.size(words) >= n).select("doc_id", sh.alias("shingles"))
+
+
+_DUCK_SHINGLES = (
+    "WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') words "
+    "FROM documents), sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, len(words)-1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]"
+    ")) shingles FROM w WHERE len(words) >= 3)"
+)
+
+
+# ---------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------
+@_q(
+    "d1_exact_dedup",
+    "SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keeper_id, "
+    "count(*) AS n_copies FROM documents GROUP BY 1",
+)
+def d1_exact_dedup(spark, sf_dir):
+    """exact dedup by content hash (hash-groupBy): one keeper per distinct
+    normalized text. Map-side partial agg; at 100 TB this is the cheap
+    first pass before any near-dup sketching."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@_q(
+    "d2_ngram_jaccard_pairs",
+    _DUCK_SHINGLES + ", ex AS (SELECT doc_id, unnest(shingles) sh FROM sh), "
+    "sizes AS (SELECT doc_id, len(shingles) sz FROM sh), "
+    "pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter FROM ex a "
+    "JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, round(inter*1.0/(sa.sz+sb.sz-inter), 4) AS jaccard "
+    "FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id "
+    "JOIN sizes sb ON p.doc_b = sb.doc_id "
+    "WHERE inter*1.0/(sa.sz+sb.sz-inter) >= 0.6",
+)
+def d2_ngram_jaccard_pairs(spark, sf_dir):
+    """exact n-gram-Jaccard near-dup pairs (threshold 0.6): explode
+    shingles, self-equi-join on shingle, count intersections, Jaccard from
+    set sizes. The shingle join is the shuffle; hot shingles (stopword
+    n-grams) are the skew risk — AQE skew-join handles it here, and at
+    100 TB you'd drop top-frequency shingles (they can't create high-
+    Jaccard pairs on their own) before the join."""
+    sh = _shingles(_t(spark, sf_dir, "documents")).cache()
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@_q("d3_minhash_lsh_pairs")  # rows-only: minhash permutations aren't SQL-portable
+def d3_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH near-dup candidates, exact-verified.
+
+    shingle → 32 minhashes via (a_i * xxhash64(sh) + b_i) mod p → 8 bands
+    of 4 → band-hash bucket join → candidate pairs → exact Jaccard filter
+    (≥0.6). At scale the band-bucket join replaces d2's all-shingles join:
+    cost O(candidates), not O(shared-shingle pairs). Verified subset of d2
+    in tests/test_pipeline.py."""
+    n_perm, bands, rows_per_band = 32, 8, 4
+    p = 2_147_483_647
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh")).withColumn(
+        "h", F.pmod(F.xxhash64("sh"), F.lit(p))
+    )
+    # 32 permutation mins per doc, one aggregate pass.
+    aggs = [
+        F.min(F.pmod(F.lit(2 * i + 1) * F.col("h") + F.lit(i * 7919 + 1), F.lit(p))).alias(
+            f"m{i}"
+        )
+        for i in range(n_perm)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    # band hashes → (band, bucket) keys.
+    band_cols = [
+        F.xxhash64(*[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify candidates only.
+    sz = sh.select("doc_id", F.size("shingles").alias("sz"))
+    pair_sh = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("shingles", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return pair_sh.filter(jac >= 0.6).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@_q("d4_simhash")  # rows-only: hash-function-dependent sketch
+def d4_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprint per document: per-word xxhash64, signed
+    bit votes summed per doc, sign → bit. All native exprs: explode + 64
+    conditional sums + bit assembly (no UDF)."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter("w <> ''")
+        .withColumn("h", F.xxhash64("w"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(63)
+    ]
+    sig = words.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(63):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return sig.select("doc_id", fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------
+_COS_DUCK = (
+    "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+)
+
+
+@_q(
+    "e1_knn_bruteforce",
+    "SELECT query_id, neighbor_id, rk FROM ("
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    + _COS_DUCK
+    + " DESC, c.vec_id) AS rk "
+    "FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id) "
+    "WHERE rk <= 3",
+)
+def e1_knn_bruteforce(spark, sf_dir):
+    """brute-force cosine top-k (the exactness baseline for ANN): broadcast
+    the query set, zip_with/aggregate dot products JVM-side, window top-k.
+    At 100 TB the candidate side stays partitioned; only queries move."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    sim = dot / (norm(F.col("qv")) * norm(F.col("cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+
+@_q("e2_ann_lsh_bucketed")  # rows-only: approximate by construction
+def e2_ann_lsh_bucketed(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path): 8 deterministic random-hyperplane
+    sign bits (hyperplane components derived from xxhash64(plane, dim), no
+    RNG) → bucket; candidates searched only within the query's bucket.
+    Recall vs e1 is measured in tests/test_pipeline.py."""
+    n_planes, dim = 8, 64
+    spark_df = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def plane_component(p: int, d: F.Column) -> F.Column:
+        # deterministic ±1 hyperplane entries
+        return F.when(
+            F.pmod(F.xxhash64(F.lit(p), d), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    def sign_bit(p: int) -> F.Column:
+        dot = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.element_at("v", (i + 1).cast("int")) * plane_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = None
+    for p in range(n_planes):
+        term = F.shiftleft(sign_bit(p).cast("long"), p)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    bucketed = spark_df.withColumn("bucket", bucket)
+
+    q = bucketed.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = bucketed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------
+_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+_SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+@_q(
+    "t1_langid_heuristic",
+    "SELECT doc_id, CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'other' END AS "
+    "pred_lang, round(sw_ratio, 4) AS stopword_ratio FROM ("
+    "SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    f"w -> w IN {_SW_SQL}))*1.0 / greatest(len(regexp_split_to_array(lower(text), "
+    "'\\s+')), 1) AS sw_ratio FROM documents)",
+)
+def t1_langid_heuristic(spark, sf_dir):
+    """language-ID heuristic: stopword-hit ratio over whitespace tokens.
+    (A real n-gram model plugs into the same shape; the contract here is
+    the distributed computation, not linguistic accuracy.)"""
+    words = F.split(F.lower("text"), r"\s+")
+    hits = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    ratio = hits / F.greatest(F.size(words), F.lit(1))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+    )
+
+
+@_q(
+    "t2_quality_score",
+    "SELECT doc_id, n_tokens, round(punct_ratio, 4) AS punct_ratio, "
+    "round(0.5*least(n_tokens/100.0, 1.0) + 0.5*(1.0-punct_ratio), 4) AS quality "
+    "FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+    "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))*1.0 / "
+    "greatest(length(text), 1) AS punct_ratio FROM documents)",
+)
+def t2_quality_score(spark, sf_dir):
+    """quality scoring: token count + punctuation ratio → [0,1] score
+    (the C4/Gopher-style rule shape as pure column math)."""
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ) / F.greatest(F.length("text"), F.lit(1))
+    quality = 0.5 * F.least(n_tokens / 100.0, F.lit(1.0)) + 0.5 * (1.0 - punct)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@_q(
+    "t3_token_count",
+    "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+    "len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_distinct "
+    "FROM documents",
+)
+def t3_token_count(spark, sf_dir):
+    """token counting (whitespace tokenizer; a BPE-ish regex drops in the
+    same slot)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias(
+            "n_distinct"
+        ),
+    )
+
+
+@_q(
+    "t4_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "AS fingerprint FROM documents",
+)
+def t4_fingerprint(spark, sf_dir):
+    """document fingerprint: md5 of whitespace-normalized lowercased text
+    (cross-engine-stable content address)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Arrow-batched decode stubs)
+# ---------------------------------------------------------------------
+@_q(
+    "m1_binary_feature_extract",
+    "SELECT doc_id, octet_length(encode(text)) AS byte_len, "
+    "length(text) AS char_len FROM documents",
+)
+def m1_binary_feature_extract(spark, sf_dir):
+    """multimodal column plumbing: an opaque binary payload goes through an
+    Arrow-batched mapInPandas 'decode + feature-extract' operator. The
+    decode itself is a deterministic stand-in (real image/audio libs are
+    absent here — see decode_image_stub), but the schema, batching and
+    partition shape are the real thing."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"), F.length("text").alias("char_len")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "char_len": pdf["char_len"],
+                }
+            )
+
+    return df.mapInPandas(extract, schema="doc_id long, byte_len long, char_len long")
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Where a real image decoder would plug in (PIL/torchvision are not in
+    this container). The Spark-side contract — binary in, typed struct out,
+    Arrow batch transfer — is exercised by m1_binary_feature_extract."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this environment"
+    )
+
+
+__all__ = ["QUERIES", "ORACLE"]

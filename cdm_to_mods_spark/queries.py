@@ -1,0 +1,763 @@
+"""Driver-contract query inventory — SURVEY.md §2 re-expressed Spark-first.
+
+Each entry is a named (spark, sf_dir) -> DataFrame callable plus (where
+SQL-expressible) a DuckDB oracle string with IDENTICAL output column names.
+Conventions that keep the value-hash comparison exact across engines:
+
+* money/double aggregates go through ``decimal(18,2)`` (exact associative
+  arithmetic on both engines) and are cast to double only at the end;
+* ratios are integer-division-derived doubles (deterministic IEEE);
+* every computed column is aliased the same on both sides.
+
+Scale notes are attached per query: which side broadcasts, where the
+shuffle is, what AQE handles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .functions.dates import canonicalize_ts
+from .functions.text import xml_escape
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(c, alias: str):
+    """Exact cross-engine money sum: decimal accumulate, double out."""
+    return F.sum(F.col(c).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# =====================================================================
+# §2.1 Scans — S1/S2: projection + predicate pushdown to the parquet scan.
+# =====================================================================
+@_q(
+    "s1_scan_pushdown",
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE event_type = 'click' AND value > 50",
+)
+def s1_scan_pushdown(spark, sf_dir):
+    """Filter+projection reach the scan (PushedFilters in .explain);
+    reference: predicate-gated walks, convert_cdm_to_mods.py:121-125."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter((F.col("event_type") == "click") & (F.col("value") > 50))
+    )
+
+
+@_q(
+    "s2_index_scan",
+    "SELECT p_partkey AS part_id, p_type AS filetype FROM part WHERE p_size >= 40",
+)
+def s2_index_scan(spark, sf_dir):
+    """Pointer+filetype index listing (post_cdm_cleanup.py:39-65)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select(F.col("p_partkey").alias("part_id"), F.col("p_type").alias("filetype"))
+    )
+
+
+# =====================================================================
+# §2.2 Projections / filters
+# =====================================================================
+@_q(
+    "p1_rename_project",
+    "SELECT c_custkey AS cust_id, c_name AS cust_name, c_mktsegment AS segment "
+    "FROM customer",
+)
+def p1_rename_project(spark, sf_dir):
+    """nick→proper-name projection (convert_cdm_to_mods.py:183-188)."""
+    m = {"c_custkey": "cust_id", "c_name": "cust_name", "c_mktsegment": "segment"}
+    df = _t(spark, sf_dir, "customer")
+    return df.select([F.col(k).alias(v) for k, v in m.items()])
+
+
+@_q(
+    "p2_template_substitution",
+    "SELECT p_partkey AS part_id, '<title>' || "
+    "replace(replace(replace(replace(p_name,'&','&amp;'),'\"','&quot;'),'<','&lt;'),'>','&gt;')"
+    " || '</title>' AS mods_title FROM part",
+)
+def p2_template_substitution(spark, sf_dir):
+    """%value% template substitution with XML escape
+    (convert_cdm_to_mods.py:198-211) — all codegen'd string ops."""
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        F.concat(F.lit("<title>"), xml_escape(F.col("p_name")), F.lit("</title>")).alias(
+            "mods_title"
+        ),
+    )
+
+
+@_q(
+    "p3_constant_injection",
+    "SELECT r_name AS region_name, 'Louisiana Digital Library' AS institution "
+    "FROM region",
+)
+def p3_constant_injection(spark, sf_dir):
+    """null*-key constant columns (convert_cdm_to_mods.py:212-216)."""
+    return _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("region_name"),
+        F.lit("Louisiana Digital Library").alias("institution"),
+    )
+
+
+@_q(
+    "p5_empty_filter",
+    "SELECT doc_id, n_chars FROM documents "
+    "WHERE text IS NOT NULL AND trim(text) <> '' AND n_chars >= 200",
+)
+def p5_empty_filter(spark, sf_dir):
+    """blank-node scrub (xsl/blankNodes.xsl:18-20)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.trim("text") != "")
+            & (F.col("n_chars") >= 200)
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
+@_q(
+    "p6_sentinel_filter",
+    "SELECT event_id, event_type FROM events "
+    "WHERE upper(trim(event_type)) NOT IN ('ERROR','NONE','NA','UNKNOWN')",
+)
+def p6_sentinel_filter(spark, sf_dir):
+    """sentinel-value delete (xsl/blankNamePart.xsl:18 et al.)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(~F.upper(F.trim("event_type")).isin("ERROR", "NONE", "NA", "UNKNOWN"))
+        .select("event_id", "event_type")
+    )
+
+
+@_q(
+    "p8_type_dispatch",
+    "SELECT CASE WHEN o_orderstatus='F' THEN 'finished' "
+    "WHEN o_orderstatus='O' THEN 'open' ELSE 'other' END AS status_class, "
+    "count(*) AS n FROM orders GROUP BY 1",
+)
+def p8_type_dispatch(spark, sf_dir):
+    """compound-vs-simple routing predicate (convert_cdm_to_mods.py:133-138)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderstatus") == "F", "finished")
+            .when(F.col("o_orderstatus") == "O", "open")
+            .otherwise("other")
+            .alias("status_class")
+        )
+        .groupBy("status_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# §2.3 Joins
+# =====================================================================
+@_q(
+    "j1_broadcast_dim_join",
+    "SELECT p.p_brand AS brand, cast(sum(cast(l.l_extendedprice AS decimal(18,2)))"
+    " AS double) AS revenue, count(*) AS n_items "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1",
+)
+def j1_broadcast_dim_join(spark, sf_dir):
+    """record ⋈ field-dictionary (convert_cdm_to_mods.py:183-188) as an
+    explicit broadcast: dim is small, fact never shuffles for the join —
+    only the final partial+final hash agg exchanges."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(_dec_sum("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@_q(
+    "j2_mapping_table_join",
+    "SELECT m.label AS flag_label, count(*) AS n FROM lineitem l "
+    "JOIN (VALUES ('A','accepted'),('N','new'),('R','returned')) m(flag,label) "
+    "ON l.l_returnflag = m.flag GROUP BY 1",
+)
+def j2_mapping_table_join(spark, sf_dir):
+    """record ⋈ mapping-CSV (convert_cdm_to_mods.py:198-216): the 2-column
+    mapping table is a literal broadcast DataFrame."""
+    mapping = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")], "flag string, label string"
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(mapping), F.col("l_returnflag") == F.col("flag"))
+        .groupBy(F.col("label").alias("flag_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "j3_left_coalesce_join",
+    "SELECT o.o_orderkey AS order_id, coalesce(c.c_name, 'UNKNOWN') AS cust_name "
+    "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey",
+)
+def j3_left_coalesce_join(spark, sf_dir):
+    """pointer ⋈ expanded-title dict with dict.get fallback
+    (convert_cdm_to_mods.py:201-203)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("cust_name"),
+    )
+
+
+@_q(
+    "j4_parent_children",
+    "SELECT o.o_orderkey AS parent_id, count(*) AS n_children, "
+    "max(l.l_linenumber) AS max_child_pos FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1",
+)
+def j4_parent_children(spark, sf_dir):
+    """compound parent ⋈ ordered children (convert_cdm_to_mods.py:111-118).
+    Both sides shuffle on the key; at scale bucket both by the key to make
+    this a co-located join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderkey").alias("parent_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.max("l_linenumber").alias("max_child_pos"),
+        )
+    )
+
+
+@_q(
+    "j5_anti_join_orphans",
+    "SELECT o_orderkey AS order_id FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+)
+def j5_anti_join_orphans(spark, sf_dir):
+    """orphan detection (post_cdm_cleanup.py:105-110 missing-binary abort)
+    as a left-anti join: orders with no lineitems (non-empty at sf0.01)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        F.col("o_orderkey").alias("order_id")
+    )
+
+
+@_q(
+    "j6_full_outer_reconcile",
+    "SELECT coalesce(c.c_custkey, o.o_custkey) AS cust_id, "
+    "coalesce(o.n_orders, 0) AS n_orders, c.c_custkey IS NOT NULL AS known_customer "
+    "FROM customer c FULL OUTER JOIN "
+    "(SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o "
+    "ON c.c_custkey = o.o_custkey",
+)
+def j6_full_outer_reconcile(spark, sf_dir):
+    """expected ⋈ observed count reconciliation (post_cdm_cleanup.py:15-37)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("cust_id"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("c_custkey").isNotNull().alias("known_customer"),
+    )
+
+
+@_q(
+    "j7_institution_lookup",
+    "SELECT n.n_name AS nation_name, r.r_name AS region_name "
+    "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey",
+)
+def j7_institution_lookup(spark, sf_dir):
+    """alias ⋈ institution constant dict (post_cdm_cleanup.py:282-307)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name")
+    )
+
+
+@_q(
+    "j8_regex_extract_join",
+    "SELECT m.label AS priority_label, count(*) AS n FROM "
+    "(SELECT cast(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS int) AS pri "
+    "FROM orders) o JOIN (VALUES (1,'top'),(2,'high'),(3,'mid'),(4,'low'),(5,'none')) "
+    "m(pri,label) ON o.pri = m.pri GROUP BY 1",
+)
+def j8_regex_extract_join(spark, sf_dir):
+    """regex-extracted key join (prep_zip_package_for_islandora_crud.py:52-63)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int").alias("pri")
+    )
+    dim = spark.createDataFrame(
+        [(1, "top"), (2, "high"), (3, "mid"), (4, "low"), (5, "none")],
+        "pri int, label string",
+    )
+    return (
+        o.join(F.broadcast(dim), "pri")
+        .groupBy(F.col("label").alias("priority_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# =====================================================================
+# §2.4 Aggregations
+# =====================================================================
+@_q(
+    "a1_counts_per_class",
+    "SELECT o_orderstatus AS status, count(*) AS n, "
+    "sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_large "
+    "FROM orders GROUP BY 1",
+)
+def a1_counts_per_class(spark, sf_dir):
+    """expected/observed per-class counts (post_cdm_cleanup.py:20-26)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias(
+                "n_large"
+            ),
+        )
+    )
+
+
+@_q(
+    "a2_distinct_consistency",
+    "SELECT count(DISTINCT event_type) AS n_types, "
+    "count(DISTINCT user_id) AS n_users FROM events",
+)
+def a2_distinct_consistency(spark, sf_dir):
+    """cross-page total consistency (post_cdm_cleanup.py:44-54)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_q("a3_distinct_collect", "SELECT DISTINCT event_type FROM events")
+def a3_distinct_collect(spark, sf_dir):
+    """distinct extension collection (post_cdm_cleanup.py:221-236)."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@_q(
+    "a4_duplicate_keys",
+    "SELECT o_custkey AS cust_id, count(*) AS n FROM orders "
+    "GROUP BY 1 HAVING count(*) > 1",
+)
+def a4_duplicate_keys(spark, sf_dir):
+    """duplicate-pointer detection (convert_cdm_to_mods.py:136-138)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@_q(
+    "a5_group_adjacent_merge",
+    "SELECT l_orderkey AS order_id, "
+    "string_agg(l_linenumber::varchar, ';' ORDER BY l_linenumber) AS merged_lines "
+    "FROM lineitem GROUP BY 1",
+)
+def a5_group_adjacent_merge(spark, sf_dir):
+    """merge_same_fields sibling concat (convert_cdm_to_mods.py:239-245)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ";",
+            ).alias("merged_lines")
+        )
+    )
+
+
+@_q(
+    "a6_hierarchical_title",
+    "SELECT r.r_name || ' - ' || n.n_name AS node_title FROM nation n "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey",
+)
+def a6_hierarchical_title(spark, sf_dir):
+    """monograph title rollup '{node} - {page}' (utilities.py:197-210)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.concat_ws(" - ", "r_name", "n_name").alias("node_title")
+    )
+
+
+@_q(
+    "a7_last_write_wins",
+    "SELECT user_id, event_id, event_type, value FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn "
+    "FROM events) WHERE rn = 1",
+)
+def a7_last_write_wins(spark, sf_dir):
+    """THE core CDC dedup (re-run latest-export-wins,
+    convert_cdm_to_mods.py:142-148): window max over the event sequence.
+    One shuffle on the key; at replay scale this partitioning is reused by
+    the MERGE that follows."""
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@_q(
+    "a8_sessionize",
+    "SELECT user_id, count(*) AS n_sessions FROM ("
+    "SELECT user_id, CASE WHEN prev_ts IS NULL "
+    "OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_start FROM ("
+    "SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev_ts FROM events)) WHERE is_start = 1 GROUP BY 1",
+)
+def a8_sessionize(spark, sf_dir):
+    """group-into-sessions stateful scan (utilities.py:111-151): lag + gap
+    threshold; count session starts per user."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_start",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .filter("is_start = 1")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+# =====================================================================
+# §2.5 Windows / ordering
+# =====================================================================
+@_q(
+    "w2_rank_in_group",
+    "SELECT c_custkey AS cust_id, c_mktsegment AS segment, "
+    "row_number() OVER (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal DESC, c_custkey) AS bal_rank FROM customer",
+)
+def w2_rank_in_group(spark, sf_dir):
+    """rank-by-dictionary reorder (convert_cdm_to_mods.py:280-309)."""
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.row_number().over(w).alias("bal_rank"),
+    )
+
+
+@_q(
+    "w3_first_last_per_group",
+    "SELECT user_id, arg_min(value, event_id) AS first_value, "
+    "arg_max(value, event_id) AS last_value FROM events GROUP BY 1",
+)
+def w3_first_last_per_group(spark, sf_dir):
+    """first/last element of ordered group (convert_cdm_to_mods.py:116;
+    dateCreatedSplit first+last year)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", "event_id").alias("first_value"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+    )
+
+
+@_q(
+    "w4_positional_index",
+    "SELECT l_orderkey AS conv_key, l_linenumber, "
+    "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 "
+    "AS turn_idx FROM lineitem",
+)
+def w4_positional_index(spark, sf_dir):
+    """page order within compound → turn_idx (convert_cdm_to_mods.py:111-118)."""
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("conv_key"),
+        "l_linenumber",
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+    )
+
+
+@_q(
+    "o6_topk_per_group",
+    "SELECT * FROM (SELECT o_custkey AS cust_id, o_orderkey AS order_id, "
+    "row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 3",
+)
+def o6_topk_per_group(spark, sf_dir):
+    """top-k per group — window + row_number ≤ k."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter("rk <= 3")
+    )
+
+
+# =====================================================================
+# §2.6 Set ops
+# =====================================================================
+@_q(
+    "o3_union_distinct",
+    "SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 9000",
+)
+def o3_union_distinct(spark, sf_dir):
+    """union of partial scans (convert_cdm_to_mods.py:128-139)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter("c_mktsegment = 'BUILDING'").select(F.col("c_custkey").alias("cust_id"))
+    b = c.filter("c_acctbal > 9000").select(F.col("c_custkey").alias("cust_id"))
+    return a.unionByName(b).distinct()
+
+
+@_q(
+    "o4_except_reconcile",
+    "SELECT o_orderkey AS order_id FROM orders "
+    "EXCEPT SELECT l_orderkey FROM lineitem",
+)
+def o4_except_reconcile(spark, sf_dir):
+    """expected-minus-observed (IsCountsCorrect failure set,
+    post_cdm_cleanup.py:27-36): expected order keys minus observed
+    lineitem order keys (non-empty at sf0.01)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("order_id"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("order_id"))
+    return o.exceptAll(li).distinct()
+
+
+@_q(
+    "o5_semi_membership",
+    "SELECT c_custkey AS cust_id FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def o5_semi_membership(spark, sf_dir):
+    """'pointer in sourcefiles' membership (post_cdm_cleanup.py:105)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("cust_id")
+    )
+
+
+# =====================================================================
+# §2.7 Scalar function families
+# =====================================================================
+@_q(
+    "f2_split_explode_wordcount",
+    "SELECT word, count(*) AS n FROM (SELECT unnest("
+    "regexp_split_to_array(lower(text), '\\s+')) AS word FROM documents) "
+    "WHERE word <> '' GROUP BY 1 HAVING count(*) >= 50",
+)
+def f2_split_explode_wordcount(spark, sf_dir):
+    """split-and-explode on separator (careful_tag_split,
+    convert_cdm_to_mods.py:248-269) at corpus scale."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n >= 50")
+    )
+
+
+@_q(
+    "f7_ts_canonicalize_roundtrip",
+    "SELECT year(l_shipdate) AS ship_year, count(*) AS n FROM lineitem GROUP BY 1",
+)
+def f7_ts_canonicalize_roundtrip(spark, sf_dir):
+    """date cascade (xsl/normalizeDate.xsl:21-79): shipdate → messy
+    MM/DD/YYYY string → canonicalize_ts pandas UDF → year. The oracle reads
+    the year directly, so the round-trip must be lossless."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            canonicalize_ts(F.date_format("l_shipdate", "MM/dd/yyyy")).alias("canon")
+        )
+        .select(F.year("canon").alias("ship_year"))
+        .groupBy("ship_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "f8_dictionary_remap",
+    "SELECT CASE lower(trim(event_type)) WHEN 'click' THEN 'interaction' "
+    "WHEN 'view' THEN 'interaction' WHEN 'purchase' THEN 'conversion' "
+    "WHEN 'error' THEN 'fault' ELSE lower(trim(event_type)) END AS event_class, "
+    "count(*) AS n FROM events GROUP BY 1",
+)
+def f8_dictionary_remap(spark, sf_dir):
+    """authorized-vocabulary remap with fallthrough
+    (xsl/typeOfResource.xsl:18-51) via constant create_map lookup."""
+    from .functions.remap import remap
+
+    mapping = {
+        "click": "interaction",
+        "view": "interaction",
+        "purchase": "conversion",
+        "error": "fault",
+    }
+    return (
+        _t(spark, sf_dir, "events")
+        .select(remap(F.col("event_type"), mapping).alias("event_class"))
+        .groupBy("event_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "f10_title_nonsort",
+    "SELECT p_partkey AS part_id, "
+    "trim(regexp_extract(p_name, '^((?i)(?:the|an|a)\\s+)', 1)) AS non_sort, "
+    "CASE WHEN regexp_extract(p_name, '^((?i)(?:the|an|a)\\s+)', 1) = '' THEN p_name "
+    "ELSE p_name[len(regexp_extract(p_name, '^((?i)(?:the|an|a)\\s+)', 1))+1:] END "
+    "AS title FROM part",
+)
+def f10_title_nonsort(spark, sf_dir):
+    """leading-article extraction (xsl/titleNonSort.xsl:18-66)."""
+    from .functions.text import title_nonsort
+
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        title_nonsort(F.col("p_name")).alias("t"),
+    ).select("part_id", F.col("t.non_sort").alias("non_sort"), F.col("t.title").alias("title"))
+
+
+@_q(
+    "f11_date_format_group",
+    "SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n, "
+    "cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total "
+    "FROM orders GROUP BY 1",
+)
+def f11_date_format_group(spark, sf_dir):
+    """date formatting (convert_xlsx_to_mods.py:108-109)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("o_totalprice", "total"))
+    )
+
+
+@_q(
+    "f12_coalesce_cast",
+    "SELECT cast(p_partkey AS varchar) AS part_id, "
+    "coalesce(nullif(trim(p_type), ''), 'UNKNOWN') AS type_norm FROM part",
+)
+def f12_coalesce_cast(spark, sf_dir):
+    """key coalesce + cast (convert_cdm_to_mods.py:132)."""
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("part_id"),
+        F.coalesce(F.nullif(F.trim("p_type"), F.lit("")), F.lit("UNKNOWN")).alias(
+            "type_norm"
+        ),
+    )
+
+
+@_q(
+    "f13_json_extract",
+    "SELECT cast(props->>'$.k' AS int) AS k, count(*) AS n FROM events GROUP BY 1",
+)
+def f13_json_extract(spark, sf_dir):
+    """embedded-JSON field extraction (post_cdm_cleanup.py:202-206)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "f14_alnum_squeeze",
+    "SELECT p_partkey AS part_id, regexp_replace(p_name, '[^A-Za-z0-9]', '', 'g') "
+    "AS squeezed FROM part",
+)
+def f14_alnum_squeeze(spark, sf_dir):
+    """header-name squeeze (utilities.py:67-68)."""
+    from .functions.text import alnum_squeeze
+
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        alnum_squeeze(F.col("p_name")).alias("squeezed"),
+    )
+
+
+@_q(
+    "f15_substring_index",
+    "SELECT p_partkey AS part_id, split_part(p_name, ' ', 1) AS first_word FROM part",
+)
+def f15_substring_index(spark, sf_dir):
+    """path/string splits (post_cdm_cleanup.py:276-279)."""
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        F.substring_index("p_name", " ", 1).alias("first_word"),
+    )
+
+
+# =====================================================================
+# CDC-shaped queries over the events stream table
+# =====================================================================
+@_q(
+    "cdc_window_counts",
+    "SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS n, "
+    "cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value "
+    "FROM events GROUP BY 1",
+)
+def cdc_window_counts(spark, sf_dir):
+    """per-micro-batch metrics shape: tumbling-window counts."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value", "total_value"))
+    )
