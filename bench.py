@@ -1,0 +1,145 @@
+"""Round bench — headline CDC replay throughput + representative queries.
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "cdc": {"n_events": N, "events_per_sec": R, ...}}
+
+The headline job is the engine's reason to exist (BASELINE.json:2): replay a
+deterministic synthetic change log (insert/update/delete binlog over
+multi-turn transcripts, hot-key skewed) through dedup → vectorized transform
+chain → bucketed MERGE into the snapshot-ledgered lake table, as contiguous
+micro-batches. Event count scales with sf so the per-round numbers are
+comparable across rounds. The representative query set covers each SURVEY.md
+§2 family (scan/join/agg/window/setop/scalar + training-data ops) at sf.
+
+``--scaling`` mode (see tools/scaling_bench.py) re-runs the same replay at
+two parallelism levels for the N→4N efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative per-family queries (full inventory runs in the driver's
+# correctness harness; bench keeps one per family so the timing signal is
+# readable round over round).
+BENCH_QUERIES = [
+    "s1_scan_pushdown",
+    "j1_broadcast_dim_join",
+    "j6_full_outer_reconcile",
+    "a7_last_write_wins",
+    "a8_sessionize",
+    "w4_positional_index",
+    "o6_topk_per_group",
+    "f7_ts_canonicalize_roundtrip",
+    "f8_dictionary_remap",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "e1_knn_bruteforce",
+    "t2_quality_score",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
+    """Headline: synth event log scaled to sf, replayed through the engine."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.replay import replay_in_batches
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    n_events = max(100_000, int(20_000_000 * sf))  # sf0.1 → 2M events
+    n_convs = max(1_000, n_events // 100)
+    table_dir = tempfile.mkdtemp(prefix="bench-cdc-")
+    try:
+        events = synth_events(
+            spark, n_events, n_convs, seed=42, hot_frac=0.05
+        )
+        t0 = time.monotonic()
+        table = replay_in_batches(
+            spark,
+            events,
+            os.path.join(table_dir, "transcripts"),
+            n_batches=n_batches,
+            max_seq=n_events,
+            num_buckets=64,
+        )
+        n_final = table.read().count()
+        elapsed = time.monotonic() - t0
+        return {
+            "n_events": n_events,
+            "n_batches": n_batches,
+            "final_rows": n_final,
+            "elapsed_sec": round(elapsed, 3),
+            "events_per_sec": round(n_events / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_from_dir(sf_dir)
+
+    from cdm_to_mods_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    cdc = run_cdc_replay(spark, sf)
+    timings["cdc_replay"] = cdc["elapsed_sec"]
+    total += cdc["elapsed_sec"]
+
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        _ = n
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_query_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc": cdc,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

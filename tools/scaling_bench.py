@@ -1,0 +1,112 @@
+"""Two-cluster-size scaling evidence (north rule, BASELINE.json:14).
+
+No real multi-executor cluster exists in this sandbox, so per the driver's
+protocol we run the SAME CDC replay job on the SAME deterministic input at
+two parallelism levels — ``local[8]`` (N) and ``local[32]`` (4N) — in fresh
+JVMs, and report throughput at both plus scaling efficiency::
+
+    efficiency = (events_per_sec @ 32 cores) / (4 * events_per_sec @ 8 cores)
+
+Target: >= 0.8 (BASELINE.json:2). Results are appended to BASELINE.md.
+
+Usage:
+    python tools/scaling_bench.py [n_events]          # parent: runs both
+    python tools/scaling_bench.py --child CPUS N      # child: one level
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def child(cpus: int, n_events: int) -> None:
+    import shutil
+    import tempfile
+    import time
+
+    from cdm_to_mods_spark.replay import replay_in_batches
+    from cdm_to_mods_spark.session import get_spark
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]")
+    n_convs = max(1_000, n_events // 100)
+    events = synth_events(spark, n_events, n_convs, seed=42, hot_frac=0.05)
+    table_dir = tempfile.mkdtemp(prefix=f"scaling-{cpus}-")
+    try:
+        t0 = time.monotonic()
+        table = replay_in_batches(
+            spark,
+            events,
+            os.path.join(table_dir, "transcripts"),
+            n_batches=4,
+            max_seq=n_events,
+            num_buckets=64,
+        )
+        rows = table.read().count()
+        elapsed = time.monotonic() - t0
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_events": n_events,
+                "final_rows": rows,
+                "elapsed_sec": round(elapsed, 3),
+                "events_per_sec": round(n_events / elapsed, 1),
+            }
+        )
+    )
+
+
+def run_level(cpus: int, n_events: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(n_events)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]))
+        return
+
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    lo = run_level(8, n_events)
+    hi = run_level(32, n_events)
+    eff = hi["events_per_sec"] / (4 * lo["events_per_sec"])
+    result = {
+        "job": "CDC replay (synth binlog, hot_frac=0.05, 4 micro-batches, 64 buckets)",
+        "n_events": n_events,
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "final_rows_match": lo["final_rows"] == hi["final_rows"],
+    }
+    print(json.dumps(result, indent=2))
+    # Record the evidence in BASELINE.md.
+    with open(os.path.join(REPO, "BASELINE.md"), "a") as fh:
+        fh.write(
+            "\n## Scaling evidence (sandbox protocol: local[8] vs local[32])\n\n"
+            f"- job: {result['job']}\n"
+            f"- input: {n_events:,} deterministic events (seed=42), identical at both levels;"
+            f" final rows match: {result['final_rows_match']}\n"
+            f"- local[8]:  {lo['elapsed_sec']} s → {lo['events_per_sec']:,} events/sec\n"
+            f"- local[32]: {hi['elapsed_sec']} s → {hi['events_per_sec']:,} events/sec\n"
+            f"- scaling efficiency (T32/T8)/4 = **{result['scaling_efficiency_8_to_32']}**"
+            " (target ≥ 0.8 per BASELINE.json)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
