@@ -73,6 +73,18 @@ def run_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
         events = synth_events(
             spark, n_events, n_convs, seed=42, hot_frac=0.05
         )
+        # Warm the JVM (codegen JIT, Arrow runtime, shuffle services) on a
+        # small throwaway replay so the timed region measures steady-state
+        # throughput, not first-job initialization.
+        warm_dir = os.path.join(table_dir, "warmup")
+        replay_in_batches(
+            spark,
+            synth_events(spark, 5_000, 100, seed=7),
+            warm_dir,
+            n_batches=1,
+            max_seq=5_000,
+            num_buckets=8,
+        ).read().count()
         t0 = time.monotonic()
         table = replay_in_batches(
             spark,

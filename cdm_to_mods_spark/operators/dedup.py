@@ -3,12 +3,15 @@
 The reference's implicit rule: re-runs delete previous outputs and the
 latest export wins (convert_cdm_to_mods.py:142-148); duplicate pointers are
 detected and flagged (convert_cdm_to_mods.py:136-138,
-post_cdm_cleanup.py:126-128). The engine makes it explicit:
-``row_number() over (partition by key order by seq desc) = 1``.
+post_cdm_cleanup.py:126-128).
 
-Scale note: this is the one required shuffle per micro-batch (hash by key).
-Within a replay the same hash partitioning is reused by the merge that
-follows, so Catalyst/AQE plans a single exchange for both.
+Scale note: the hot path uses ``max_by`` hash aggregation, not a
+``row_number`` window. A window must shuffle EVERY event for a key to one
+partition and sort it, so a hot conversation key straggles; hash aggregation
+gets map-side partial combine for free, so 10^8 updates to one key reduce to
+one candidate row per map task before the shuffle — skew-tolerant without
+salting. ``latest_per_key_window`` keeps the window formulation for the
+query-inventory surface (W-family) and as a differential-test oracle.
 """
 
 from __future__ import annotations
@@ -23,8 +26,29 @@ def latest_per_key(
     keys: Sequence[str] = ("conv_id", "turn_idx"),
     seq_col: str = "seq",
 ) -> DataFrame:
-    """Keep only the highest-``seq`` event per key (ties broken by op desc
-    then deterministic hash so output is stable under any partitioning)."""
+    """Keep only the highest-``seq`` row per key via partial-aggregating
+    ``max_by`` (ties broken by op desc — 'U' > 'I' > 'D' lexically — then by
+    the full payload struct, so output is deterministic under any
+    partitioning)."""
+    payload = [c for c in df.columns if c not in keys]
+    rank = F.struct(
+        F.col(seq_col),
+        F.col("op") if "op" in df.columns else F.lit(0),
+        *[F.col(c) for c in payload if c not in (seq_col, "op")],
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), rank).alias("_latest"))
+        .select(*keys, "_latest.*")
+    )
+
+
+def latest_per_key_window(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Window formulation of :func:`latest_per_key` (same result set)."""
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(),
         F.col("op").desc() if "op" in df.columns else F.xxhash64(*keys).asc(),

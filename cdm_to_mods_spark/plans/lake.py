@@ -40,7 +40,8 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from ..operators.dedup import latest_per_key
 from ..schemas import (
@@ -233,7 +234,20 @@ class LakeTable:
 
         new_version = man["version"] + 1
 
-        # 1. in-batch dedup: last event per key wins.
+        # 0. observe op-mix metrics inline — no separate count job over the
+        # raw events (at 10^10 events a metrics-only rescan is real money).
+        obs_in = Observation()
+        events = events.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.when(F.col("op") == o, 1).otherwise(0)).alias(o)
+                for o in ("I", "U", "D")
+            ],
+        )
+
+        # 1. in-batch dedup: last event per key wins (partial-agg max_by —
+        # map-side combine absorbs hot-key skew before the shuffle).
         batch = latest_per_key(events, self.key_cols, "seq")
         # 2. vectorized transform chain (the XSLT-library analog).
         if transform is not None:
@@ -268,10 +282,20 @@ class LakeTable:
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
         )
 
-        # 5. bucket pruning: only touched buckets are read + rewritten.
-        affected = sorted(
-            r["_bucket"] for r in changes.select("_bucket").distinct().collect()
+        # 5. one job over the (cached) change set yields BOTH the touched
+        # buckets (pruning) and per-bucket lineage; the cache is then reused
+        # by the merge write so dedup+transform run exactly once per batch.
+        changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+        lineage_rows = (
+            changes.groupBy("_bucket")
+            .agg(
+                F.max(SEQ_COL).alias("max_seq"),
+                F.min(SEQ_COL).alias("min_seq"),
+                F.count(F.lit(1)).alias("n_changes"),
+            )
+            .collect()
         )
+        affected = sorted(r["_bucket"] for r in lineage_rows)
         target = self._read_raw(man, buckets=affected, canon=canon).withColumn(
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
         )
@@ -297,24 +321,18 @@ class LakeTable:
         vdir = os.path.join(self.path, data_rel)
         n_written = 0
         if affected:
+            obs_out = Observation()
             (
-                merged.repartition(max(len(affected), 1), "_bucket")
+                merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+                .repartition(max(len(affected), 1), "_bucket")
                 .write.partitionBy("_bucket")
                 .mode("overwrite")
                 .parquet(vdir)
             )
-            n_written = self.spark.read.parquet(vdir).count()
+            # row count observed during the write job — no read-back scan.
+            n_written = int(obs_out.get["rows"])
 
         # 8. lineage: source offsets (per-bucket max seq + rows) → snapshot.
-        lineage_rows = (
-            changes.groupBy("_bucket")
-            .agg(
-                F.max(SEQ_COL).alias("max_seq"),
-                F.min(SEQ_COL).alias("min_seq"),
-                F.count(F.lit(1)).alias("n_changes"),
-            )
-            .collect()
-        )
         lineage = dict(man.get("lineage", {}))
         for r in lineage_rows:
             lineage[str(r["_bucket"])] = {
@@ -325,8 +343,12 @@ class LakeTable:
                 "source": source,
             }
 
-        op_counts = {r["op"]: r["count"] for r in events.groupBy("op").count().collect()}
-        n_events = int(sum(op_counts.values()))
+        observed = obs_in.get
+        n_events = int(observed["n"] or 0)
+        op_counts = {
+            o: int(observed[o]) for o in ("I", "U", "D") if observed[o]
+        }
+        changes.unpersist(blocking=False)
         elapsed = time.monotonic() - t0
         metrics = {
             "batch_id": batch_id,
