@@ -54,6 +54,18 @@ from ..schemas import (
 _NON_PAYLOAD_EVENT_COLS = {"op", "seq", "ingest_ts"}
 
 
+def _observed(obs: Observation) -> dict | None:
+    """Fail-safe ``Observation.get``: when the observed node never executed
+    (zero-partition empty micro-batch, or the job was interrupted by a
+    streaming stop) the JVM holds an empty row and ``toPyRow`` raises — in
+    that case return None and let the caller fall back to an explicit
+    aggregation."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return None
+
+
 def _bucket_expr(key_col: str, num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
@@ -68,12 +80,29 @@ class LakeTable:
         key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         bucket_col: str = "conv_id",
         num_buckets: int = 32,
+        merge_mode: str = "cow",
+        compact_deltas: int = 8,
     ) -> None:
+        """``merge_mode``:
+
+        * ``"cow"`` (copy-on-write): each batch rewrites the buckets it
+          touches — cheapest reads, but per-batch cost is O(affected
+          buckets), i.e. O(table) once changes spray across all buckets.
+        * ``"mor"`` (merge-on-read): each batch appends bucket-partitioned
+          DELTA files — per-batch cost is O(batch) regardless of table
+          size, the shape that survives 10^10-event replays. Readers merge
+          base+deltas by max ``_seq``; a bucket whose delta chain exceeds
+          ``compact_deltas`` is compacted back to a base file inline, so
+          read amplification stays bounded.
+        """
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = tuple(key_cols)
         self.bucket_col = bucket_col
         self.num_buckets = num_buckets
+        assert merge_mode in ("cow", "mor"), merge_mode
+        self.merge_mode = merge_mode
+        self.compact_deltas = compact_deltas
         self._ledger = os.path.join(self.path, "_ledger")
 
     # ------------------------------------------------------------- ledger
@@ -155,16 +184,27 @@ class LakeTable:
         )
         return self.spark.createDataFrame([], full)
 
+    @staticmethod
+    def _bucket_files(entry: dict) -> list[dict]:
+        """Normalize a manifest bucket entry to a list of file-set dicts
+        ``{"path", "schema_id"}`` (base first, then the delta chain)."""
+        if "path" in entry:  # pre-MoR manifest shape: base only
+            return [entry]
+        out = [entry["base"]] if entry.get("base") else []
+        out.extend(entry.get("deltas", []))
+        return out
+
     def _read_raw(
         self,
         man: dict,
         buckets: list[int] | None = None,
         canon: T.StructType | None = None,
     ) -> DataFrame:
-        """Assemble stored rows (incl. tombstones + hidden cols) at the
+        """Assemble stored rows (incl. tombstones + hidden cols, and — for
+        buckets with delta chains — superseded row versions) at the
         canonical schema (``canon`` overrides — used mid-merge when the
-        change batch just evolved it), casting old-schema buckets up and
-        null-filling newly added columns. Buckets are grouped by recorded
+        change batch just evolved it), casting old-schema file sets up and
+        null-filling newly added columns. File sets are grouped by recorded
         schema_id so we build O(#schema-versions) DataFrames, not
         O(#buckets)."""
         if canon is None:
@@ -177,9 +217,12 @@ class LakeTable:
 
         by_schema: dict[int, list[str]] = {}
         for e in entries.values():
-            by_schema.setdefault(e["schema_id"], []).append(
-                os.path.join(self.path, e["path"])
-            )
+            for fs in self._bucket_files(e):
+                by_schema.setdefault(fs["schema_id"], []).append(
+                    os.path.join(self.path, fs["path"])
+                )
+        if not by_schema:
+            return self._empty(canon, hidden=True)
         parts: list[DataFrame] = []
         for sid, paths in by_schema.items():
             stored = schema_from_json(man["schemas"][sid])
@@ -198,9 +241,16 @@ class LakeTable:
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
-        """User-visible table state: live rows, canonical schema."""
+        """User-visible table state: live rows, canonical schema. Buckets
+        carrying delta chains are merged on read (max ``_seq`` per key);
+        pure-base snapshots skip the resolution shuffle entirely."""
         man = self.manifest(version)
         raw = self._read_raw(man)
+        has_deltas = any(
+            len(self._bucket_files(e)) > 1 for e in man["buckets"].values()
+        )
+        if has_deltas:
+            raw = latest_per_key(raw, self.key_cols, SEQ_COL)
         return raw.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
 
     def schema(self) -> T.StructType:
@@ -296,31 +346,97 @@ class LakeTable:
             .collect()
         )
         affected = sorted(r["_bucket"] for r in lineage_rows)
-        target = self._read_raw(man, buckets=affected, canon=canon).withColumn(
-            "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
-        )
 
-        # 6. cross-batch last-write-wins (the MERGE): max _seq per key,
-        # tombstone-preferring tie-break for determinism.
-        merged = (
-            target.unionByName(changes)
-            .transform(
-                lambda d: latest_per_key(
-                    d.withColumn("op", F.when(F.col(DELETED_COL), "D").otherwise("U")),
-                    self.key_cols,
-                    SEQ_COL,
-                )
-            )
-            .drop("op")
-        )
-
-        # 7. rewrite affected buckets under the new snapshot dir. One file
-        # per bucket per shuffle partition; hash-repartition on _bucket so
-        # writers are balanced.
         data_rel = f"data/v{new_version:08d}"
         vdir = os.path.join(self.path, data_rel)
+        buckets = {
+            k: (e if "path" not in e else {"base": e, "deltas": []})
+            for k, e in man["buckets"].items()
+        }
         n_written = 0
-        if affected:
+        n_compacted = 0
+
+        if affected and self.merge_mode == "mor":
+            # 6-mor. append bucket-partitioned DELTA files: the batch itself
+            # is the only data written — O(batch) per commit, table size
+            # irrelevant. Readers resolve by max _seq.
+            obs_out = Observation()
+            (
+                changes.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+                .repartition(max(len(affected), 1), "_bucket")
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(vdir)
+            )
+            _w = _observed(obs_out)
+            n_written = (
+                int(_w["rows"]) if _w is not None
+                else self.spark.read.parquet(vdir).count()  # fallback
+            )
+            for b in affected:
+                e = buckets.setdefault(str(b), {"base": None, "deltas": []})
+                e["deltas"].append(
+                    {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+                )
+            # inline compaction: buckets whose delta chain hit the bound are
+            # folded back into a base file (bounded read amplification).
+            to_compact = sorted(
+                int(b)
+                for b, e in buckets.items()
+                if len(e["deltas"]) >= self.compact_deltas
+            )
+            if to_compact:
+                n_compacted = len(to_compact)
+                tmp_man = {
+                    "schemas": schemas,
+                    "buckets": {str(b): buckets[str(b)] for b in to_compact},
+                }
+                compacted = latest_per_key(
+                    self._read_raw(tmp_man, canon=canon).withColumn(
+                        "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+                    ),
+                    self.key_cols,
+                    SEQ_COL,
+                ).drop("op").withColumn(
+                    "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
+                )
+                cdir_rel = f"{data_rel}-compact"
+                (
+                    compacted.repartition(max(n_compacted, 1), "_bucket")
+                    .write.partitionBy("_bucket")
+                    .mode("overwrite")
+                    .parquet(os.path.join(self.path, cdir_rel))
+                )
+                for b in to_compact:
+                    buckets[str(b)] = {
+                        "base": {
+                            "path": f"{cdir_rel}/_bucket={b}",
+                            "schema_id": schema_id,
+                        },
+                        "deltas": [],
+                    }
+        elif affected:
+            # 6-cow. cross-batch last-write-wins (the MERGE): union affected
+            # target buckets with the change set, max _seq per key
+            # (tombstone-preferring tie-break), rewrite those buckets under
+            # the new snapshot dir — one file per bucket, hash-repartitioned
+            # on _bucket so writers are balanced.
+            target = self._read_raw(man, buckets=affected, canon=canon).withColumn(
+                "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
+            )
+            merged = (
+                target.unionByName(changes)
+                .transform(
+                    lambda d: latest_per_key(
+                        d.withColumn(
+                            "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+                        ),
+                        self.key_cols,
+                        SEQ_COL,
+                    )
+                )
+                .drop("op")
+            )
             obs_out = Observation()
             (
                 merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
@@ -330,7 +446,16 @@ class LakeTable:
                 .parquet(vdir)
             )
             # row count observed during the write job — no read-back scan.
-            n_written = int(obs_out.get["rows"])
+            _w = _observed(obs_out)
+            n_written = (
+                int(_w["rows"]) if _w is not None
+                else self.spark.read.parquet(vdir).count()  # fallback
+            )
+            for b in affected:
+                buckets[str(b)] = {
+                    "base": {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id},
+                    "deltas": [],
+                }
 
         # 8. lineage: source offsets (per-bucket max seq + rows) → snapshot.
         lineage = dict(man.get("lineage", {}))
@@ -343,7 +468,19 @@ class LakeTable:
                 "source": source,
             }
 
-        observed = obs_in.get
+        observed = _observed(obs_in)
+        if observed is None:  # rare fallback path — one explicit agg job
+            observed = (
+                events.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.when(F.col("op") == o, 1).otherwise(0)).alias(o)
+                        for o in ("I", "U", "D")
+                    ],
+                )
+                .first()
+                .asDict()
+            )
         n_events = int(observed["n"] or 0)
         op_counts = {
             o: int(observed[o]) for o in ("I", "U", "D") if observed[o]
@@ -352,17 +489,15 @@ class LakeTable:
         elapsed = time.monotonic() - t0
         metrics = {
             "batch_id": batch_id,
+            "mode": self.merge_mode,
             "n_events": n_events,
             "op_counts": op_counts,
             "n_buckets_touched": len(affected),
-            "rows_in_touched_buckets": n_written,
+            "n_buckets_compacted": n_compacted,
+            "rows_written": n_written,
             "elapsed_sec": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed, 1) if elapsed > 0 else None,
         }
-
-        buckets = dict(man["buckets"])
-        for b in affected:
-            buckets[str(b)] = {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
 
         self._commit(
             {

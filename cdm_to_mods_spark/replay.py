@@ -18,9 +18,12 @@ from .schemas import TRANSCRIPT_SCHEMA
 
 
 def open_or_create(
-    spark: SparkSession, table_path: str, num_buckets: int = 32
+    spark: SparkSession,
+    table_path: str,
+    num_buckets: int = 32,
+    merge_mode: str = "cow",
 ) -> LakeTable:
-    table = LakeTable(spark, table_path, num_buckets=num_buckets)
+    table = LakeTable(spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode)
     if not table.exists():
         table.create(TRANSCRIPT_SCHEMA)
     return table
@@ -32,9 +35,10 @@ def replay_once(
     table_path: str,
     *,
     num_buckets: int = 32,
+    merge_mode: str = "cow",
     batch_id: int | None = 0,
 ) -> LakeTable:
-    table = open_or_create(spark, table_path, num_buckets)
+    table = open_or_create(spark, table_path, num_buckets, merge_mode)
     table.apply_changes(events, batch_id=batch_id, transform=apply_chain)
     return table
 
@@ -47,9 +51,10 @@ def replay_in_batches(
     n_batches: int,
     max_seq: int,
     num_buckets: int = 32,
+    merge_mode: str = "cow",
 ) -> LakeTable:
     """Replay as n contiguous-seq micro-batches (binlog segments)."""
-    table = open_or_create(spark, table_path, num_buckets)
+    table = open_or_create(spark, table_path, num_buckets, merge_mode)
     per = (max_seq + n_batches) // n_batches
     for b in range(n_batches):
         lo, hi = b * per, (b + 1) * per

@@ -44,6 +44,7 @@ class StreamingReplay:
         checkpoint_dir: str,
         *,
         num_buckets: int = 32,
+        merge_mode: str = "cow",
         transform: Callable[[DataFrame], DataFrame] | None = apply_chain,
         metrics_path: str | None = None,
         max_files_per_trigger: int | None = None,
@@ -54,7 +55,9 @@ class StreamingReplay:
         self.transform = transform
         self.metrics_path = metrics_path
         self.max_files_per_trigger = max_files_per_trigger
-        self.table = LakeTable(spark, table_path, num_buckets=num_buckets)
+        self.table = LakeTable(
+            spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode
+        )
         if not self.table.exists():
             self.table.create(TRANSCRIPT_SCHEMA)
         self.batch_metrics: list[dict] = []

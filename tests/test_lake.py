@@ -21,9 +21,11 @@ def _events(spark, rows, ddl=EVENT_DDL):
     return spark.createDataFrame(rows, ddl)
 
 
-@pytest.fixture()
-def table(spark, tmp_table):
-    t = LakeTable(spark, tmp_table, num_buckets=8)
+@pytest.fixture(params=["cow", "mor"])
+def table(spark, tmp_table, request):
+    """Every semantic test runs under BOTH merge modes — copy-on-write and
+    merge-on-read must be observationally identical."""
+    t = LakeTable(spark, tmp_table, num_buckets=8, merge_mode=request.param)
     t.create(TRANSCRIPT_SCHEMA)
     return t
 
@@ -177,6 +179,48 @@ def test_time_travel_read(spark, table):
     )
     assert table.read(version=1).collect()[0].text == "v1"
     assert table.read().collect()[0].text == "v2"
+
+
+def test_mor_compaction_bounds_delta_chain(spark, tmp_table):
+    t = LakeTable(
+        spark, tmp_table, num_buckets=2, merge_mode="mor", compact_deltas=3
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    for b in range(5):
+        rows = [
+            ("I" if b == 0 else "U", b * 10 + i, f"c{i}", 0, "user", f"v{b}-{i}", None, None, None)
+            for i in range(6)
+        ]
+        t.apply_changes(_events(spark, rows), batch_id=b, transform=apply_chain)
+    man = t.manifest()
+    # no bucket's delta chain may reach the compaction bound
+    for e in man["buckets"].values():
+        assert len(e["deltas"]) < 3 and (e["base"] or e["deltas"])
+    # state is still last-write-wins
+    assert _state(t) == {(f"c{i}", 0): ("user", f"v4-{i}", None) for i in range(6)}
+
+
+def test_cow_and_mor_converge_identically(spark, tmp_path):
+    batches = [
+        [("I", 1, "a", 0, "user", "x", None, None, None),
+         ("I", 2, "b", 0, "AI", "y<br>z", "calc", "07/04/1999", None)],
+        [("U", 3, "a", 0, "user", "x2", None, None, None),
+         ("D", 4, "b", 0, None, None, None, None, None),
+         ("I", 5, "c", 9, "human", "w ;", "Search ", "ca. 2001", None)],
+        [("U", 2, "a", 0, "user", "stale", None, None, None)],
+    ]
+    states = []
+    for mode in ("cow", "mor"):
+        t = LakeTable(
+            spark, str(tmp_path / mode), num_buckets=4, merge_mode=mode, compact_deltas=2
+        )
+        t.create(TRANSCRIPT_SCHEMA)
+        for i, rows in enumerate(batches):
+            t.apply_changes(_events(spark, rows), batch_id=i, transform=apply_chain)
+        states.append(
+            sorted(map(tuple, t.read().collect()))
+        )
+    assert states[0] == states[1]
 
 
 def test_bucket_pruning_only_rewrites_touched_buckets(spark, table):

@@ -49,6 +49,29 @@ def test_replay_in_batches_converges_to_same_state(spark, tmp_table):
     assert table.latest_version() == 5
 
 
+def test_hot_key_skewed_replay_matches_oracle(spark, tmp_table):
+    """Scale/skew invariant (SURVEY.md §5): a conversation holding ~30% of
+    all events (the reference's 1000-page compound analog) must still
+    converge exactly. Skew is absorbed by partial-agg dedup, not salting."""
+    events = synth_events(spark, N_EVENTS, N_CONVS, seed=42, hot_frac=0.3)
+    events_pdf = events.toPandas()
+    table = replay_in_batches(
+        spark, events, tmp_table, n_batches=4, max_seq=N_EVENTS, merge_mode="mor"
+    )
+    _assert_matches_oracle(events_pdf, _final_state(table))
+    hot = events_pdf[events_pdf.conv_id == "conv-00000000"]
+    assert len(hot) > 0.25 * N_EVENTS  # the skew actually exists
+
+
+def test_replay_mor_matches_oracle(spark, tmp_table):
+    events = synth_events(spark, N_EVENTS, N_CONVS, seed=42)
+    events_pdf = events.toPandas()
+    table = replay_in_batches(
+        spark, events, tmp_table, n_batches=6, max_seq=N_EVENTS, merge_mode="mor"
+    )
+    _assert_matches_oracle(events_pdf, _final_state(table))
+
+
 def test_deterministic_synth(spark):
     a = synth_events(spark, 500, 10, seed=7).toPandas()
     b = synth_events(spark, 500, 10, seed=7).toPandas()

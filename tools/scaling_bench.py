@@ -47,6 +47,7 @@ def child(cpus: int, n_events: int) -> None:
             n_batches=4,
             max_seq=n_events,
             num_buckets=64,
+            merge_mode="mor",
         )
         rows = table.read().count()
         elapsed = time.monotonic() - t0
@@ -86,7 +87,7 @@ def main() -> None:
     hi = run_level(32, n_events)
     eff = hi["events_per_sec"] / (4 * lo["events_per_sec"])
     result = {
-        "job": "CDC replay (synth binlog, hot_frac=0.05, 4 micro-batches, 64 buckets)",
+        "job": "CDC replay (synth binlog, hot_frac=0.05, 4 micro-batches, 64 buckets, merge-on-read)",
         "n_events": n_events,
         "local8": lo,
         "local32": hi,
