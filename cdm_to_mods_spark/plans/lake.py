@@ -253,6 +253,36 @@ class LakeTable:
             raw = latest_per_key(raw, self.key_cols, SEQ_COL)
         return raw.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
 
+    def read_keys(self, bucket_keys: list, version: int | None = None) -> DataFrame:
+        """Bucket-pruned point read: rows whose ``bucket_col`` is in
+        ``bucket_keys``, touching ONLY those keys' buckets (manifest-level
+        file pruning — the lake-format analog of partition pruning, on top
+        of the parquet predicate pushdown Catalyst already does). At 100 TB
+        this turns a conversation lookup into an O(|keys|)-file-sets scan."""
+        man = self.manifest(version)
+        keys_df = self.spark.createDataFrame(
+            [(k,) for k in bucket_keys], f"{self.bucket_col} string"
+        )
+        needed = sorted(
+            r["_b"]
+            for r in keys_df.select(
+                _bucket_expr(self.bucket_col, self.num_buckets).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        raw = self._read_raw(man, buckets=needed).filter(
+            F.col(self.bucket_col).isin(bucket_keys)
+        )
+        has_deltas = any(
+            len(self._bucket_files(man["buckets"][str(b)])) > 1
+            for b in needed
+            if str(b) in man["buckets"]
+        )
+        if has_deltas:
+            raw = latest_per_key(raw, self.key_cols, SEQ_COL)
+        return raw.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
+
     def schema(self) -> T.StructType:
         return self._canonical_schema(self.manifest())
 

@@ -181,6 +181,30 @@ def test_time_travel_read(spark, table):
     assert table.read().collect()[0].text == "v2"
 
 
+def test_read_keys_bucket_pruned_lookup(spark, table):
+    rows = [("I", i, f"conv-{i}", j, "user", f"t{i}.{j}", None, None, None)
+            for i in range(12) for j in range(2)]
+    table.apply_changes(_events(spark, rows), batch_id=0, transform=apply_chain)
+    table.apply_changes(
+        _events(spark, [("U", 100, "conv-3", 1, "user", "t3.1b", None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in table.read_keys(["conv-3", "conv-7"]).collect()
+    )
+    assert got == [
+        ("conv-3", 0, "t3.0"), ("conv-3", 1, "t3.1b"),
+        ("conv-7", 0, "t7.0"), ("conv-7", 1, "t7.1"),
+    ]
+    # pruning equivalence with the full-scan path
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in table.read().filter(F.col("conv_id").isin("conv-3", "conv-7")).collect()
+    )
+    assert got == want
+
+
 def test_mor_compaction_bounds_delta_chain(spark, tmp_table):
     t = LakeTable(
         spark, tmp_table, num_buckets=2, merge_mode="mor", compact_deltas=3
