@@ -70,6 +70,42 @@ def _bucket_expr(key_col: str, num_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
 
+def _footer_stats(vdir: str, seq_col: str) -> dict[int, dict]:
+    """Per-bucket (min/max ``seq_col``, row count) from parquet FOOTER
+    metadata under ``vdir/_bucket=N/`` — driver-side, no Spark job. This is
+    how lake formats (Iceberg manifests, Delta stats) track per-file
+    lineage; on HDFS/S3 the same footers are range-read via the FileSystem
+    API."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, dict] = {}
+    if not os.path.isdir(vdir):
+        return out
+    for d in os.listdir(vdir):
+        if not d.startswith("_bucket="):
+            continue
+        b = int(d.split("=", 1)[1])
+        mn = mx = None
+        n = 0
+        for f in os.listdir(os.path.join(vdir, d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(vdir, d, f)).metadata
+            n += md.num_rows
+            seq_idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == seq_col
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(seq_idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+        if n > 0:
+            out[b] = {"max_seq": mx, "min_seq": mn, "n_changes": n}
+    return out
+
+
 class LakeTable:
     """A keyed lake table with snapshot ledger + idempotent MERGE."""
 
@@ -362,21 +398,6 @@ class LakeTable:
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
         )
 
-        # 5. one job over the (cached) change set yields BOTH the touched
-        # buckets (pruning) and per-bucket lineage; the cache is then reused
-        # by the merge write so dedup+transform run exactly once per batch.
-        changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
-        lineage_rows = (
-            changes.groupBy("_bucket")
-            .agg(
-                F.max(SEQ_COL).alias("max_seq"),
-                F.min(SEQ_COL).alias("min_seq"),
-                F.count(F.lit(1)).alias("n_changes"),
-            )
-            .collect()
-        )
-        affected = sorted(r["_bucket"] for r in lineage_rows)
-
         data_rel = f"data/v{new_version:08d}"
         vdir = os.path.join(self.path, data_rel)
         buckets = {
@@ -385,24 +406,25 @@ class LakeTable:
         }
         n_written = 0
         n_compacted = 0
+        lineage_stats: dict[int, dict] = {}
 
-        if affected and self.merge_mode == "mor":
-            # 6-mor. append bucket-partitioned DELTA files: the batch itself
-            # is the only data written — O(batch) per commit, table size
-            # irrelevant. Readers resolve by max _seq.
-            obs_out = Observation()
+        if self.merge_mode == "mor":
+            # 5/6-mor. ONE Spark job: dedup → transform → bucket-partitioned
+            # DELTA write. The batch itself is the only data computed and
+            # written — O(batch) per commit, table size irrelevant. Touched
+            # buckets come from the written directory layout and per-bucket
+            # lineage (min/max _seq, rows) from parquet footer statistics —
+            # driver-side metadata reads, the same way Iceberg/Delta carry
+            # per-file stats in manifests, so no second job and no cache.
             (
-                changes.observe(obs_out, F.count(F.lit(1)).alias("rows"))
-                .repartition(max(len(affected), 1), "_bucket")
+                changes.repartition(self.num_buckets, "_bucket")
                 .write.partitionBy("_bucket")
                 .mode("overwrite")
                 .parquet(vdir)
             )
-            _w = _observed(obs_out)
-            n_written = (
-                int(_w["rows"]) if _w is not None
-                else self.spark.read.parquet(vdir).count()  # fallback
-            )
+            lineage_stats = _footer_stats(vdir, SEQ_COL)
+            affected = sorted(lineage_stats)
+            n_written = sum(s["n_changes"] for s in lineage_stats.values())
             for b in affected:
                 e = buckets.setdefault(str(b), {"base": None, "deltas": []})
                 e["deltas"].append(
@@ -445,55 +467,83 @@ class LakeTable:
                         },
                         "deltas": [],
                     }
-        elif affected:
-            # 6-cow. cross-batch last-write-wins (the MERGE): union affected
-            # target buckets with the change set, max _seq per key
-            # (tombstone-preferring tie-break), rewrite those buckets under
-            # the new snapshot dir — one file per bucket, hash-repartitioned
-            # on _bucket so writers are balanced.
-            target = self._read_raw(man, buckets=affected, canon=canon).withColumn(
-                "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
-            )
-            merged = (
-                target.unionByName(changes)
-                .transform(
-                    lambda d: latest_per_key(
-                        d.withColumn(
-                            "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-                        ),
-                        self.key_cols,
-                        SEQ_COL,
-                    )
+        else:
+            # 5-cow. one job over the (cached) change set yields BOTH the
+            # touched buckets (pruning) and per-bucket lineage; the cache is
+            # then reused by the merge write so dedup+transform run exactly
+            # once per batch.
+            changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+            lineage_rows = (
+                changes.groupBy("_bucket")
+                .agg(
+                    F.max(SEQ_COL).alias("max_seq"),
+                    F.min(SEQ_COL).alias("min_seq"),
+                    F.count(F.lit(1)).alias("n_changes"),
                 )
-                .drop("op")
+                .collect()
             )
-            obs_out = Observation()
-            (
-                merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
-                .repartition(max(len(affected), 1), "_bucket")
-                .write.partitionBy("_bucket")
-                .mode("overwrite")
-                .parquet(vdir)
-            )
-            # row count observed during the write job — no read-back scan.
-            _w = _observed(obs_out)
-            n_written = (
-                int(_w["rows"]) if _w is not None
-                else self.spark.read.parquet(vdir).count()  # fallback
-            )
-            for b in affected:
-                buckets[str(b)] = {
-                    "base": {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id},
-                    "deltas": [],
+            lineage_stats = {
+                r["_bucket"]: {
+                    "max_seq": r["max_seq"],
+                    "min_seq": r["min_seq"],
+                    "n_changes": r["n_changes"],
                 }
+                for r in lineage_rows
+            }
+            affected = sorted(lineage_stats)
+            if affected:
+                # 6-cow. cross-batch last-write-wins (the MERGE): union
+                # affected target buckets with the change set, max _seq per
+                # key (tombstone-preferring tie-break), rewrite those buckets
+                # under the new snapshot dir — one file per bucket,
+                # hash-repartitioned on _bucket so writers are balanced.
+                target = self._read_raw(
+                    man, buckets=affected, canon=canon
+                ).withColumn("_bucket", _bucket_expr(self.bucket_col, self.num_buckets))
+                merged = (
+                    target.unionByName(changes)
+                    .transform(
+                        lambda d: latest_per_key(
+                            d.withColumn(
+                                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+                            ),
+                            self.key_cols,
+                            SEQ_COL,
+                        )
+                    )
+                    .drop("op")
+                )
+                obs_out = Observation()
+                (
+                    merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+                    .repartition(max(len(affected), 1), "_bucket")
+                    .write.partitionBy("_bucket")
+                    .mode("overwrite")
+                    .parquet(vdir)
+                )
+                # row count observed during the write job — no read-back scan.
+                _w = _observed(obs_out)
+                n_written = (
+                    int(_w["rows"]) if _w is not None
+                    else self.spark.read.parquet(vdir).count()  # fallback
+                )
+                for b in affected:
+                    buckets[str(b)] = {
+                        "base": {
+                            "path": f"{data_rel}/_bucket={b}",
+                            "schema_id": schema_id,
+                        },
+                        "deltas": [],
+                    }
+            changes.unpersist(blocking=False)
 
         # 8. lineage: source offsets (per-bucket max seq + rows) → snapshot.
         lineage = dict(man.get("lineage", {}))
-        for r in lineage_rows:
-            lineage[str(r["_bucket"])] = {
-                "max_seq": r["max_seq"],
-                "min_seq_in_batch": r["min_seq"],
-                "n_changes": r["n_changes"],
+        for b, s in lineage_stats.items():
+            lineage[str(b)] = {
+                "max_seq": s["max_seq"],
+                "min_seq_in_batch": s["min_seq"],
+                "n_changes": s["n_changes"],
                 "snapshot": new_version,
                 "source": source,
             }
@@ -515,7 +565,6 @@ class LakeTable:
         op_counts = {
             o: int(observed[o]) for o in ("I", "U", "D") if observed[o]
         }
-        changes.unpersist(blocking=False)
         elapsed = time.monotonic() - t0
         metrics = {
             "batch_id": batch_id,
