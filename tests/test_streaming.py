@@ -44,6 +44,30 @@ def test_stream_replay_matches_oracle(spark, tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_stream_replay_mor_matches_oracle(spark, tmp_path):
+    """Merge-on-read under the streaming tail: same convergence, with
+    compaction firing mid-stream (compact_deltas < n segments)."""
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, N_EVENTS, N_CONVS, n_batches=6, seed=42)
+    events_pdf = synth_events(spark, N_EVENTS, N_CONVS, seed=42).toPandas()
+
+    sr = StreamingReplay(
+        spark,
+        events_dir,
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        num_buckets=8,
+        merge_mode="mor",
+    )
+    sr.table.compact_deltas = 3
+    table = sr.run_to_completion()
+    pd.testing.assert_frame_equal(
+        _final(table), replay_oracle(events_pdf), check_dtype=False
+    )
+    man = table.manifest()
+    assert all(len(e["deltas"]) < 3 for e in man["buckets"].values())
+
+
 def test_kill_and_resume_from_checkpoint(spark, tmp_path):
     events_dir = str(tmp_path / "events")
     ckpt = str(tmp_path / "ckpt")
