@@ -409,6 +409,54 @@ def m1_binary_feature_extract(spark, sf_dir):
     return df.mapInPandas(extract, schema="doc_id long, byte_len long, char_len long")
 
 
+_M2_META_SQL = (
+    "SELECT doc_id, "
+    "CASE octet_length(encode(text)) % 4 WHEN 0 THEN 'image/jpeg' "
+    "WHEN 1 THEN 'image/png' WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, "
+    "octet_length(encode(text)) AS byte_len, "
+    "cast(64 + octet_length(encode(text)) % 961 AS int) AS width, "
+    "cast(64 + (length(text) * 7) % 961 AS int) AS height, "
+    "cast(1 + octet_length(encode(text)) % 30 AS int) AS n_frames, "
+    "cast(8000 + (octet_length(encode(text)) * 13) % 40000 AS int) AS sample_rate "
+    "FROM documents"
+)
+
+
+def _media_meta(spark, sf_dir):
+    from .functions.multimodal import extract_media_meta
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length("text").alias("char_len"),
+    )
+    return extract_media_meta(df)
+
+
+@_q("m2_media_metadata", _M2_META_SQL)
+def m2_media_metadata(spark, sf_dir):
+    """typed media metadata via Arrow mapInPandas decode (deterministic
+    stand-in decode — see functions/multimodal.py); the oracle reproduces
+    the arithmetic in SQL, so the WHOLE Arrow path is value-checked."""
+    return _media_meta(spark, sf_dir)
+
+
+@_q(
+    "m3_frame_sample",
+    "WITH meta AS (" + _M2_META_SQL + ") "
+    "SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx "
+    "FROM meta WHERE mime = 'video/mp4'",
+)
+def m3_frame_sample(spark, sf_dir):
+    """frame-sampling fan-out for video payloads (every 4th frame):
+    sequence + explode, a pure JVM generator after the Arrow decode."""
+    from .functions.multimodal import sample_frames
+
+    return sample_frames(_media_meta(spark, sf_dir), every=4).select(
+        "doc_id", "n_frames", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
 def decode_image_stub(payload: bytes) -> dict:
     """Where a real image decoder would plug in (PIL/torchvision are not in
     this container). The Spark-side contract — binary in, typed struct out,

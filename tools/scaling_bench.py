@@ -34,10 +34,19 @@ def child(cpus: int, n_events: int) -> None:
     from cdm_to_mods_spark.session import get_spark
     from cdm_to_mods_spark.sources.synth import synth_events
 
-    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]")
+    # Shuffle and table I/O go to tmpfs: on a real cluster, storage and
+    # shuffle bandwidth scale with executor count (each node brings its own
+    # disks/NICs), but this sandbox has ONE virtual disk shared by all
+    # threads — leaving I/O on it measures the disk, not the engine.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    spark = get_spark(
+        f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.local.dir": f"{shm}/spark-local-{cpus}"} if shm else None,
+    )
     n_convs = max(1_000, n_events // 100)
     events = synth_events(spark, n_events, n_convs, seed=42, hot_frac=0.05)
-    table_dir = tempfile.mkdtemp(prefix=f"scaling-{cpus}-")
+    table_dir = tempfile.mkdtemp(prefix=f"scaling-{cpus}-", dir=shm)
     try:
         t0 = time.monotonic()
         table = replay_in_batches(
