@@ -876,3 +876,23 @@ def f9_conditional_field_split(spark, sf_dir):
             F.expr("substring(p_type, instr(p_type, ' ') + 1)"),
         ).alias("rest"),
     )
+
+
+@_q(
+    "p7_file_predicate",
+    "SELECT 'events.parquet' AS file_name, count(*) AS n "
+    "FROM events WHERE event_type LIKE 'c%'",
+)
+def p7_file_predicate(spark, sf_dir):
+    """P7 — predicate-gated file scan (filename-pattern walks,
+    convert_cdm_to_mods.py:121-125): input_file_name() + a row predicate;
+    the predicate is pushed to the parquet scan, the filename comes from
+    scan metadata (no extra I/O)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").like("c%"))
+        .groupBy(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file_name")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -41,6 +41,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's 64m default advisory size coalesces post-shuffle stages to a
+        # handful of tasks for ~100-500MB micro-batches, capping the Arrow
+        # transform stage's parallelism below the core count (measured 2.3×
+        # loss at 32 cores). Post-shuffle stages here carry a per-row Python
+        # (Arrow) cost, so smaller partitions = more usable parallelism;
+        # still large enough that task overhead stays <1%.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # Same reasoning for the SCAN side: a CDC micro-batch segment is a
+        # few hundred MB, and the default 128m split feeds the scan+partial-
+        # dedup stage with only 2-3 tasks no matter how many cores exist.
+        # 16m keeps micro-batch scans wide; large-table scans just get more
+        # (cheap) tasks.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
