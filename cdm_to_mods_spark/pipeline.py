@@ -19,17 +19,25 @@ from .queries import ORACLE, QUERIES, _q, _t
 # ---------------------------------------------------------------------
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → distinct word-n-gram set (array column). Native exprs only:
-    split → sequence → transform → array_distinct."""
-    words = F.split(F.lower("text"), r"\s+")
+    split → sequence → transform → array_distinct.
+
+    The word array is materialized as its OWN projection first: expressions
+    referenced inside a ``transform`` lambda are re-evaluated per element
+    (no common-subexpression elimination across the lambda boundary), so
+    inlining ``split()`` here costs O(shingles) splits per row — measured
+    7× slower on sf0.1."""
+    words_col = F.split(F.lower("text"), r"\s+")
+    tokenized = df.select("doc_id", words_col.alias("words"))
+    w = F.col("words")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
+            F.sequence(F.lit(0), F.size(w) - n),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]
+                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
             ),
         )
     )
-    return df.filter(F.size(words) >= n).select("doc_id", sh.alias("shingles"))
+    return tokenized.filter(F.size(w) >= n).select("doc_id", sh.alias("shingles"))
 
 
 _DUCK_SHINGLES = (
@@ -110,7 +118,8 @@ def d3_minhash_lsh_pairs(spark, sf_dir):
     in tests/test_pipeline.py."""
     n_perm, bands, rows_per_band = 32, 8, 4
     p = 2_147_483_647
-    sh = _shingles(_t(spark, sf_dir, "documents"))
+    # cached: consumed twice (signature pass + exact-verify join)
+    sh = _shingles(_t(spark, sf_dir, "documents")).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("sh")).withColumn(
         "h", F.pmod(F.xxhash64("sh"), F.lit(p))
     )

@@ -122,3 +122,44 @@ def test_late_segment_arrival(spark, tmp_path):
 
     want = replay_oracle(all_events.toPandas())
     pd.testing.assert_frame_equal(_final(table), want, check_dtype=False)
+
+
+def test_stateful_out_of_order_audit(spark, tmp_path):
+    """applyInPandasWithState audit: events whose seq does not exceed the
+    per-conversation running max (i.e. what the MERGE seq-guard rejects)
+    are emitted, with state carried across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.schemas import EVENT_SCHEMA
+    from cdm_to_mods_spark.streaming.stateful import out_of_order_audit
+
+    events_dir = str(tmp_path / "events")
+    rows1 = [("I", s, "cA", 0, "user", f"t{s}", None, None, None) for s in (1, 5, 9)]
+    rows1 += [("I", s, "cB", 0, "user", f"t{s}", None, None, None) for s in (2, 4)]
+    rows2 = [("U", 3, "cA", 0, "user", "late", None, None, None),   # late: 3 <= 9
+             ("U", 12, "cA", 0, "user", "ok", None, None, None),
+             ("U", 4, "cB", 0, "user", "dup", None, None, None)]    # late: 4 <= 4
+    ddl = ("op string, seq long, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts_raw string, ingest_ts timestamp")
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.parquet(f"{events_dir}/seg-0")
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.parquet(f"{events_dir}/seg-1")
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "audit"), str(tmp_path / "ckpt")
+    q = (
+        out_of_order_audit(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.conv_id, r.seq) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("cA", 3), ("cB", 4)}
