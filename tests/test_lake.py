@@ -261,3 +261,31 @@ def test_bucket_pruning_only_rewrites_touched_buckets(spark, table):
     man1 = table.manifest()
     changed = [b for b in man1["buckets"] if man1["buckets"][b] != man0["buckets"].get(b)]
     assert len(changed) == 1
+
+
+def test_torn_write_without_manifest_is_invisible(spark, table):
+    table.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    s_before = _state(table)
+    v_before = table.latest_version()
+    # simulate a crash AFTER data files land but BEFORE the manifest rename:
+    # orphan data under a new version dir, no ledger entry.
+    import os
+    orphan = os.path.join(table.path, f"data/v{v_before + 1:08d}", "_bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-zzz.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    assert table.latest_version() == v_before
+    assert _state(table) == s_before  # readers never see unreferenced files
+
+
+def test_concurrent_commit_conflict_detected(spark, table):
+    table.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    man = table.manifest()
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        table._commit({**man, "version": man["version"]})

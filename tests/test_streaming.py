@@ -163,3 +163,56 @@ def test_stateful_out_of_order_audit(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.conv_id, r.seq) for r in spark.read.parquet(out_dir).collect()}
     assert got == {("cA", 3), ("cB", 4)}
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    """Tumbling event-time windows with a watermark over the binlog tail:
+    append mode emits a window once the watermark passes it; a too-late
+    event (behind the watermark) is dropped from the metric stream."""
+    from cdm_to_mods_spark.schemas import EVENT_SCHEMA
+    from cdm_to_mods_spark.streaming.windows import windowed_event_counts
+
+    events_dir = str(tmp_path / "events")
+    ddl = ("op string, seq long, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts_raw string, ingest_ts timestamp")
+    import datetime as dt
+    t = lambda m, s=0: dt.datetime(2026, 1, 1, 10, m, s)  # noqa: E731
+    import time as _time
+    seg0 = [("I", 1, "cA", 0, None, None, None, None, t(0, 10)),
+            ("I", 2, "cA", 1, None, None, None, None, t(0, 40)),
+            ("U", 3, "cB", 0, None, None, None, None, t(1, 10))]
+    seg1 = [("I", 4, "cC", 0, None, None, None, None, t(30))]  # advances watermark
+    seg2 = [("I", 6, "cC", 1, None, None, None, None, t(31))]
+    # the late-row filter uses the PREVIOUS batch's watermark, so the
+    # too-late event must arrive two batches after the watermark advanced
+    seg3 = [("U", 5, "cB", 1, None, None, None, None, t(0, 50))]  # dropped
+    for i, seg in enumerate((seg0, seg1, seg2, seg3)):
+        spark.createDataFrame(seg, ddl).coalesce(1).write.parquet(f"{events_dir}/seg-{i}")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "win"), str(tmp_path / "ckpt")
+    q = (
+        windowed_event_counts(stream, window="1 minute", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.minute, r.op): r.n_events
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # windows 10:00 and 10:01 are closed by the 10:30/10:31 events;
+    # the late seg-1 event for 10:00 was behind the watermark -> not counted.
+    assert got[(0, "I")] == 2
+    assert got[(1, "U")] == 1
+    assert (0, "U") not in got
