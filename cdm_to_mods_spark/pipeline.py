@@ -249,11 +249,13 @@ def e1_knn_bruteforce(spark, sf_dir):
 
 @_q("e2_ann_lsh_bucketed")  # rows-only: approximate by construction
 def e2_ann_lsh_bucketed(spark, sf_dir):
-    """LSH-bucketed ANN (the scale path): 8 deterministic random-hyperplane
-    sign bits (hyperplane components derived from xxhash64(plane, dim), no
-    RNG) → bucket; candidates searched only within the query's bucket.
-    Recall vs e1 is measured in tests/test_pipeline.py."""
-    n_planes, dim = 8, 64
+    """LSH-bucketed ANN (scale path #1, beside e3's IVF): deterministic
+    random-hyperplane sign bits (components from xxhash64(plane, dim), no
+    RNG), OR-amplified — ``n_bands`` bands of ``band_bits`` bits each; a
+    candidate is searched if it shares ANY band bucket with the query
+    (classic banding: AND within a band for precision, OR across bands for
+    recall). Recall vs brute-force e1 is pinned in tests/test_pipeline.py."""
+    n_bands, band_bits, dim = 4, 3, 64
     spark_df = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -275,27 +277,121 @@ def e2_ann_lsh_bucketed(spark, sf_dir):
         )
         return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
-    bucket = None
-    for p in range(n_planes):
-        term = F.shiftleft(sign_bit(p).cast("long"), p)
-        bucket = term if bucket is None else bucket.bitwiseOR(term)
-    bucketed = spark_df.withColumn("bucket", bucket)
+    band_cols = []
+    for b in range(n_bands):
+        bucket = None
+        for r in range(band_bits):
+            p = b * band_bits + r
+            term = F.shiftleft(sign_bit(p).cast("long"), r)
+            bucket = term if bucket is None else bucket.bitwiseOR(term)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket")).alias(f"bb{b}")
+        )
+    bucketed = spark_df.select(
+        "vec_id", "v", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("vec_id", "v", "bb.band", "bb.bucket")
 
     q = bucketed.filter("vec_id < 5").select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band", "bucket"
     )
-    c = bucketed.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "band", "bucket"
+    )
     dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
     norm = lambda col: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()  # a pair may share several bands
         .withColumn("sim", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
         .withColumn("rk", F.row_number().over(w))
         .filter("rk <= 3")
+        .select("query_id", "neighbor_id", "rk")
+    )
+_COS = {
+    "dot": lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    ),
+    "norm": lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    ),
+}
+
+
+@_q("e3_ann_ivf")  # rows-only: approximate + iterative (not SQL-portable)
+def e3_ann_ivf(spark, sf_dir):
+    """IVF ANN (the other scale path beside e2's LSH): deterministic k-means
+    coarse quantizer (seeds = lowest vec_ids, 2 Lloyd iterations — all
+    native exprs, no RNG), then queries probe only their NPROBE nearest
+    cells. At 100 TB: centroids are a broadcast table, the assignment is a
+    narrow map over the (bucketed) embedding table, and each query touches
+    |probed cells| / K of the data. Recall vs brute-force e1 is pinned in
+    tests/test_pipeline.py."""
+    K, NPROBE, TOPK, ITERS = 16, 4, 3, 2
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot, norm = _COS["dot"], _COS["norm"]
+    sim_qc = dot("qv", "cv") / (norm(F.col("qv")) * norm(F.col("cv")))
+
+    cent = emb.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def assign(points, cent):
+        """each point → nearest centroid (broadcast K×dim, max_by sim)."""
+        j = points.crossJoin(F.broadcast(cent))
+        s = dot("v", "cv") / (norm(F.col("v")) * norm(F.col("cv")))
+        return (
+            j.select("vec_id", "v", "cid", s.alias("s"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by("cid", F.struct("s", (-F.col("cid")).alias("t"))).alias("cluster"),
+                F.first("v").alias("v"),
+            )
+        )
+
+    for _ in range(ITERS):
+        assigned = assign(emb, cent)
+        cent = (
+            assigned.select("cluster", F.posexplode("v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform("dm", lambda e: e["m"]).alias("cv"),
+            )
+        )
+    assigned = assign(emb, cent)
+
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.col("cs").desc(), "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cs", sim_qc)
+        .withColumn("prk", F.row_number().over(probe_w))
+        .filter(F.col("prk") <= NPROBE)
+        .select("query_id", "qv", F.col("cid").alias("cluster"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "cluster"
+    )
+    sim = dot("qv", "nv") / (norm(F.col("qv")) * norm(F.col("nv")))
+    return (
+        cand.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK)
         .select("query_id", "neighbor_id", "rk")
     )
 

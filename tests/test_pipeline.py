@@ -1,0 +1,63 @@
+"""Training-data pipeline invariants that the DuckDB oracle can't check:
+ANN recall vs the brute-force baseline, and sketch-vs-exact dedup
+containment. All inputs and hash functions are deterministic, so the
+asserted floors are stable, not flaky."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def q():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def _pairs(df, *cols):
+    return {tuple(getattr(r, c) for c in cols) for r in df.collect()}
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, q):
+    truth = _pairs(q["e1_knn_bruteforce"](spark, SF), "query_id", "neighbor_id")
+    ivf = _pairs(q["e3_ann_ivf"](spark, SF), "query_id", "neighbor_id")
+    assert len(truth) == 15
+    # nprobe=4 of 16 cells recovers (deterministically) all true top-3 here
+    assert len(truth & ivf) >= 14
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, q):
+    truth = _pairs(q["e1_knn_bruteforce"](spark, SF), "query_id", "neighbor_id")
+    lsh = _pairs(q["e2_ann_lsh_bucketed"](spark, SF), "query_id", "neighbor_id")
+    # banded OR-amplification: deterministic recall 9/15 on this data —
+    # near-random embeddings are LSH's worst case; the floor guards against
+    # regressions back to single-band (which recalled 0).
+    assert len(truth & lsh) >= 8
+
+
+def test_minhash_lsh_pairs_subset_of_exact(spark, q):
+    exact = _pairs(q["d2_ngram_jaccard_pairs"](spark, SF), "doc_a", "doc_b")
+    sketch = _pairs(q["d3_minhash_lsh_pairs"](spark, SF), "doc_a", "doc_b")
+    # every LSH-surfaced pair is exact-verified -> must be a subset...
+    assert sketch <= exact
+    # ...and the bands recover nearly all true near-dup pairs
+    assert len(sketch) >= 0.9 * len(exact)
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, q):
+    from pyspark.sql import functions as F
+
+    sim = q["d4_simhash"](spark, SF)
+    near = q["d2_ngram_jaccard_pairs"](spark, SF)
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    joined = near.join(a, "doc_a").join(b, "doc_b").select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    )
+    rows = [r.hamming for r in joined.collect()]
+    assert rows, "expected at least one exact near-dup pair"
+    # near-duplicate docs agree on most simhash bits
+    assert max(rows) <= 16
