@@ -62,6 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
         n_batches=4,
         max_seq=int(max_seq),
         num_buckets=16,
+        merge_mode="mor",
     )
     return table.read().orderBy("conv_id", "turn_idx")
 

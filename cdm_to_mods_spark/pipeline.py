@@ -449,21 +449,27 @@ def t2_quality_score(spark, sf_dir):
     )
 
 
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
 @_q(
     "t3_token_count",
     "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
-    "len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_distinct "
+    "len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_distinct, "
+    "len(regexp_extract_all(text, '" + _BPE_RE + "')) AS n_bpe_tokens "
     "FROM documents",
 )
 def t3_token_count(spark, sf_dir):
-    """token counting (whitespace tokenizer; a BPE-ish regex drops in the
-    same slot)."""
+    """token counting: whitespace tokenizer plus a GPT-2-style BPE
+    pretokenizer regex (letters / digits / punctuation runs with optional
+    leading space) — the unit a training pipeline budgets by."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
         F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias(
             "n_distinct"
         ),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("n_bpe_tokens"),
     )
 
 
@@ -572,3 +578,34 @@ def decode_image_stub(payload: bytes) -> dict:
 
 
 __all__ = ["QUERIES", "ORACLE"]
+
+
+@_q(
+    "d5_embedding_cosine_neardup",
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5",
+)
+def d5_embedding_cosine_neardup(spark, sf_dir):
+    """embedding-cosine near-dup pairs (threshold 0.5): the semantic-dedup
+    primitive. Shown here as the exact all-pairs baseline (self-join with
+    id ordering); at 100 TB you run it per IVF cell / LSH band (e2/e3) so
+    the join is block-diagonal instead of full cross. Oracle-checked
+    against DuckDB's list_cosine_similarity."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
