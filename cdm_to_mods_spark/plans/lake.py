@@ -322,6 +322,130 @@ class LakeTable:
     def schema(self) -> T.StructType:
         return self._canonical_schema(self.manifest())
 
+    # ------------------------------------------------------- change feed
+    def changes(self, since_version: int, until_version: int | None = None) -> DataFrame:
+        """Change-data-feed read: the change rows committed in versions
+        ``(since_version, until_version]`` — what a downstream incremental
+        consumer tails instead of re-diffing snapshots. Available because
+        merge-on-read commits materialize exactly the batch's resolved
+        change rows as that version's delta files; copy-on-write versions
+        rewrite whole buckets and are rejected. Output carries the hidden
+        ``_seq`` (ordering) and ``_deleted`` (tombstone) columns."""
+        man = self.manifest()
+        hi = man["version"] if until_version is None else until_version
+        canon = self._canonical_schema(man)
+        paths: list[str] = []
+        for v in range(since_version + 1, hi + 1):
+            m = self.manifest(v)
+            if m.get("batch_id") is None:
+                continue
+            if m.get("metrics", {}).get("mode") == "cow":
+                raise ValueError(
+                    f"version {v} was a copy-on-write commit; the change feed "
+                    "requires merge-on-read commits"
+                )
+            rel = f"data/v{v:08d}"
+            for e in m["buckets"].values():
+                for fs in self._bucket_files(e):
+                    if fs["path"].startswith(rel + "/"):
+                        paths.append(os.path.join(self.path, fs["path"]))
+        if not paths:
+            return self._empty(canon, hidden=True)
+        raw = self.spark.read.parquet(*paths)
+        cols = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in raw.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in canon.fields
+        ] + [F.col(SEQ_COL), F.col(DELETED_COL)]
+        return raw.select(cols)
+
+    # ------------------------------------------------------- maintenance
+    def compact(self, version_note: str | None = None) -> dict:
+        """Fold every delta chain back into per-bucket base files (one
+        maintenance commit). Equivalent to the inline compaction that fires
+        at ``compact_deltas``, but on demand — run it before read-heavy
+        phases or after a replay finishes."""
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        buckets = {
+            k: (e if "path" not in e else {"base": e, "deltas": []})
+            for k, e in man["buckets"].items()
+        }
+        todo = sorted(int(b) for b, e in buckets.items() if e["deltas"])
+        if not todo:
+            return {"compacted": 0}
+        new_version = man["version"] + 1
+        cdir_rel = f"data/v{new_version:08d}-compact"
+        tmp_man = {
+            "schemas": man["schemas"],
+            "buckets": {str(b): buckets[str(b)] for b in todo},
+        }
+        folded = latest_per_key(
+            self._read_raw(tmp_man, canon=canon).withColumn(
+                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+            ),
+            self.key_cols,
+            SEQ_COL,
+        ).drop("op").withColumn(
+            "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
+        )
+        (
+            folded.repartition(max(len(todo), 1), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, cdir_rel))
+        )
+        schema_id = len(man["schemas"]) - 1
+        for b in todo:
+            buckets[str(b)] = {
+                "base": {"path": f"{cdir_rel}/_bucket={b}", "schema_id": schema_id},
+                "deltas": [],
+            }
+        self._commit(
+            {
+                **man,
+                "version": new_version,
+                "batch_id": None,
+                "buckets": buckets,
+                "metrics": {"maintenance": "compact", "n_buckets": len(todo),
+                            "note": version_note},
+            }
+        )
+        return {"compacted": len(todo), "version": new_version}
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        data directories no kept snapshot references (time travel shrinks
+        to the kept window). The active snapshot's files are never touched
+        — bases written under old versions stay as long as any kept
+        manifest points at them."""
+        import shutil
+
+        versions = self._versions()
+        keep = versions[-keep_last:]
+        drop = [v for v in versions if v not in keep]
+        referenced: set[str] = set()
+        for v in keep:
+            m = self.manifest(v)
+            for e in m["buckets"].values():
+                for fs in self._bucket_files(e):
+                    # reference at version-directory granularity
+                    referenced.add(fs["path"].split("/_bucket=")[0])
+        data_root = os.path.join(self.path, "data")
+        removed_dirs = 0
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if f"data/{d}" not in referenced:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                    removed_dirs += 1
+        for v in drop:
+            os.remove(os.path.join(self._ledger, f"v{v:08d}.json"))
+        return {"expired_manifests": len(drop), "removed_data_dirs": removed_dirs,
+                "kept": keep}
+
     # -------------------------------------------------------------- merge
     def apply_changes(
         self,

@@ -289,3 +289,46 @@ def test_concurrent_commit_conflict_detected(spark, table):
     man = table.manifest()
     with pytest.raises(RuntimeError, match="concurrent commit"):
         table._commit({**man, "version": man["version"]})
+
+
+def test_change_feed_between_versions(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None),
+                        ("I", 2, "c2", 0, "user", "w1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    v1 = t.latest_version()
+    t.apply_changes(
+        _events(spark, [("U", 3, "c1", 0, "user", "v2", None, None, None),
+                        ("D", 4, "c2", 0, None, None, None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    feed = {(r.conv_id, r._seq, r._deleted, r.text) for r in t.changes(v1).collect()}
+    assert feed == {("c1", 3, False, "v2"), ("c2", 4, True, None)}
+    # full-history feed
+    assert {r._seq for r in t.changes(0).collect()} == {1, 2, 3, 4}
+
+
+def test_compact_and_expire_snapshots(spark, tmp_table):
+    import os
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor", compact_deltas=99)
+    t.create(TRANSCRIPT_SCHEMA)
+    for b in range(3):
+        rows = [("I" if b == 0 else "U", b * 10 + i, f"c{i}", 0, "user",
+                 f"v{b}-{i}", None, None, None) for i in range(4)]
+        t.apply_changes(_events(spark, rows), batch_id=b, transform=apply_chain)
+    s_before = _state(t)
+    man = t.manifest()
+    assert any(e["deltas"] for e in man["buckets"].values())
+    res = t.compact()
+    assert res["compacted"] > 0
+    assert all(not e["deltas"] for e in t.manifest()["buckets"].values())
+    assert _state(t) == s_before
+    # expire everything but the compacted snapshot
+    n_dirs_before = len(os.listdir(os.path.join(t.path, "data")))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_manifests"] == 4  # v0..v3 dropped, v4 kept
+    assert len(os.listdir(os.path.join(t.path, "data"))) < n_dirs_before
+    assert _state(t) == s_before  # live snapshot untouched
