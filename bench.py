@@ -46,7 +46,11 @@ BENCH_QUERIES = [
     "f8_dictionary_remap",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
+    # d5 (exact all-pairs cosine) is deliberately NOT benched: it is the
+    # O(n^2) correctness baseline; e3 is the scale path.
     "e1_knn_bruteforce",
+    "e3_ann_ivf",
+    "m2_media_metadata",
     "t2_quality_score",
 ]
 
