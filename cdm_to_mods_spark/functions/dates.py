@@ -23,13 +23,19 @@ _MONTH_PAD = r"0?(\d{1,2})"
 
 def _canonical_date_str(s: pd.Series) -> pd.Series:
     """Vectorized regex cascade: messy date string → 'YYYY-MM-DD HH:MM:SS'
-    (or NaN when unparseable). Mirrors the dateCreatedSplit case table."""
+    (or NaN when unparseable). Mirrors the dateCreatedSplit case table.
+
+    Each case's regex runs only on the rows every EARLIER case failed to
+    match (``s`` is re-subset after each fill) — the cascade cost is the
+    sum of shrinking remainders, not n_cases × n_rows."""
     s = s.astype("string").str.strip()
     out = pd.Series(pd.NA, index=s.index, dtype="string")
 
     def fill(mask: pd.Series, values: pd.Series) -> None:
-        todo = out.isna() & mask.fillna(False)
-        out[todo] = values[todo]
+        nonlocal s
+        todo = mask.fillna(False)
+        out[s.index[todo]] = values[todo]
+        s = s[~todo]
 
     # 1. ISO datetime: YYYY-MM-DD[ HH:MM[:SS]]
     m = s.str.extract(r"^(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2})(?::(\d{2}))?$")
