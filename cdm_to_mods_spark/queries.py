@@ -37,6 +37,10 @@ def _q(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The DuckDB oracle compares naive timestamps; a non-UTC session TZ on
+    # the caller's SparkSession would shift every timestamp column. Runtime
+    # conf, idempotent, safe to assert here.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
