@@ -49,11 +49,46 @@ def events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _max_col_from_footers(path: str, col: str) -> int | None:
+    """Max of ``col`` from parquet FOOTER statistics — driver-side metadata
+    read, no Spark job (at 10^10 events a max-only pre-scan is a real job;
+    lake formats keep these bounds in manifests for exactly this reason)."""
+    import pyarrow.parquet as pq
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    )
+    mx = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        idx = next(
+            (i for i in range(md.num_columns) if md.schema.column(i).name == col),
+            None,
+        )
+        if idx is None:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: CDC replay of a 10k-event change log → converged table."""
     sf_dir = "/root/testdata/sf0.001"
     changelog = events_as_changelog(spark, sf_dir)
-    max_seq = changelog.agg(F.max("seq")).collect()[0][0] + 1
+    # seq == event_id: bound the replay from footer metadata, not a scan.
+    hi = _max_col_from_footers(f"{sf_dir}/events.parquet", "event_id")
+    if hi is None:  # stats missing → one explicit agg job (fallback)
+        hi = changelog.agg(F.max("seq")).collect()[0][0]
+    max_seq = int(hi) + 1
     table_path = tempfile.mkdtemp(prefix="cdc-flagship-")
     table = replay_in_batches(
         spark,

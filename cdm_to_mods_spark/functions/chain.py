@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dates import canonicalize_ts
+from .dates import canonicalize_ts_col
 from .remap import remap_role, remap_tool
 from .text import normalize_text
 
@@ -42,5 +42,5 @@ def apply_chain(df: DataFrame, chain: list[Step] | None = None, *, ts_from: str 
             cols[name] = fn(src)
     out = df.withColumns(cols)
     if ts_from in df.columns:
-        out = out.withColumn("ts", canonicalize_ts(F.col(ts_from))).drop(ts_from)
+        out = out.withColumn("ts", canonicalize_ts_col(F.col(ts_from))).drop(ts_from)
     return out

@@ -90,6 +90,53 @@ def canonicalize_ts(s: pd.Series) -> pd.Series:
     return pd.to_datetime(canon, format="%Y-%m-%d %H:%M:%S", errors="coerce")
 
 
+def canonicalize_ts_col(c: Column) -> Column:
+    """Hybrid date cascade: the regular shapes (ISO datetime/date, US
+    M/d/yyyy with optional time, year-month, bare year — in practice ~all
+    of a real change stream) parse JVM-side inside whole-stage codegen via
+    rlike-guarded ``try_to_timestamp``; ONLY the residue (circa / brackets
+    / ranges / decades) reaches the Arrow-batched pandas cascade, and the
+    UDF's input is masked to null for fast-path rows so the Python worker
+    does no regex work (and near-zero Arrow decode) on them.
+
+    Semantics are identical to :func:`canonicalize_ts` on every shape both
+    paths claim: the rlike guards mirror the cascade's case regexes, and a
+    guard-matched string that fails strict parsing (e.g. month 13) yields
+    null on both paths (``try_to_timestamp`` null == pandas coerce NaT).
+    Parity is pinned in tests/test_transforms.py over the full case table.
+    """
+    s = F.trim(c.cast("string"))
+    iso_dt = s.rlike(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(:\d{2})?$")
+    iso_d = s.rlike(r"^\d{4}-\d{2}-\d{2}$")
+    us = s.rlike(r"^\d{1,2}/\d{1,2}/\d{4}(\s+\d{1,2}:\d{2}(:\d{2})?)?$")
+    iso_ym = s.rlike(r"^\d{4}-\d{2}$")
+    year = s.rlike(r"^\d{4}$")
+    t_sep = F.translate(s, "T", " ")
+    fast = (
+        F.when(
+            iso_dt,
+            F.coalesce(
+                F.try_to_timestamp(t_sep, F.lit("yyyy-MM-dd HH:mm:ss")),
+                F.try_to_timestamp(t_sep, F.lit("yyyy-MM-dd HH:mm")),
+            ),
+        )
+        .when(iso_d, F.try_to_timestamp(s, F.lit("yyyy-MM-dd")))
+        .when(
+            us,
+            F.coalesce(
+                F.try_to_timestamp(s, F.lit("M/d/yyyy H:mm:ss")),
+                F.try_to_timestamp(s, F.lit("M/d/yyyy H:mm")),
+                F.try_to_timestamp(s, F.lit("M/d/yyyy")),
+            ),
+        )
+        .when(iso_ym, F.try_to_timestamp(F.concat(s, F.lit("-01")), F.lit("yyyy-MM-dd")))
+        .when(year, F.try_to_timestamp(F.concat(s, F.lit("-01-01")), F.lit("yyyy-MM-dd")))
+    )
+    handled = iso_dt | iso_d | us | iso_ym | year
+    residue = F.when(handled, F.lit(None).cast("string")).otherwise(s)
+    return F.when(handled, fast).otherwise(canonicalize_ts(residue))
+
+
 @F.pandas_udf(T.StringType())
 def ts_qualifier(s: pd.Series) -> pd.Series:
     """MODS date-qualifier analog: approximate / inferred / questionable."""

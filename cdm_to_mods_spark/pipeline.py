@@ -357,7 +357,7 @@ def e3_ann_ivf(spark, sf_dir):
 
     for _ in range(ITERS):
         assigned = assign(emb, cent)
-        cent = (
+        new_cent = (
             assigned.select("cluster", F.posexplode("v").alias("d", "x"))
             .groupBy("cluster", "d")
             .agg(F.avg("x").alias("m"))
@@ -367,6 +367,13 @@ def e3_ann_ivf(spark, sf_dir):
                 F.col("cluster").alias("cid"),
                 F.transform("dm", lambda e: e["m"]).alias("cv"),
             )
+        )
+        # materialize the K tiny centroid rows per iteration: without this
+        # the final plan re-derives assign(emb, cent) once PER Lloyd
+        # iteration inside one DAG (multiplicative recompute); collected
+        # centroids truncate the lineage and broadcast as literals.
+        cent = spark.createDataFrame(
+            new_cent.collect(), "cid int, cv array<double>"
         )
     assigned = assign(emb, cent)
 

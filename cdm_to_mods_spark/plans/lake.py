@@ -37,8 +37,10 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
@@ -52,6 +54,35 @@ from ..schemas import (
 )
 
 _NON_PAYLOAD_EVENT_COLS = {"op", "seq", "ingest_ts"}
+
+# refcounted, race-safe scoping of the session-global AQE flag: the first
+# apply on a session saves the original and flips it off, nested/concurrent
+# applies just bump the depth, and the LAST one out restores the original —
+# interleaved applies can no longer strand the session with AQE disabled.
+_AQE_LOCK = threading.Lock()
+_AQE_DEPTH: dict[int, list] = {}  # id(session) -> [depth, saved_value]
+
+
+@contextmanager
+def _aqe_disabled(spark: SparkSession):
+    key = id(spark)
+    with _AQE_LOCK:
+        st = _AQE_DEPTH.get(key)
+        if st is None:
+            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            _AQE_DEPTH[key] = [1, saved]
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        else:
+            st[0] += 1
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            st = _AQE_DEPTH[key]
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", st[1])
+                del _AQE_DEPTH[key]
 
 
 def _observed(obs: Observation) -> dict | None:
@@ -296,9 +327,12 @@ class LakeTable:
         of the parquet predicate pushdown Catalyst already does). At 100 TB
         this turns a conversation lookup into an O(|keys|)-file-sets scan."""
         man = self.manifest(version)
+        # probe at the table's native bucket-column type — hashing string
+        # forms of a non-string key would select the wrong buckets.
+        key_type = self._canonical_schema(man)[self.bucket_col].dataType
         keys_df = self.spark.createDataFrame(
-            [(k,) for k in bucket_keys], f"{self.bucket_col} string"
-        )
+            [(k,) for k in bucket_keys], [self.bucket_col]
+        ).select(F.col(self.bucket_col).cast(key_type).alias(self.bucket_col))
         needed = sorted(
             r["_b"]
             for r in keys_df.select(
@@ -330,11 +364,19 @@ class LakeTable:
         merge-on-read commits materialize exactly the batch's resolved
         change rows as that version's delta files; copy-on-write versions
         rewrite whole buckets and are rejected. Output carries the hidden
-        ``_seq`` (ordering) and ``_deleted`` (tombstone) columns."""
+        ``_seq`` (ordering) and ``_deleted`` (tombstone) columns.
+
+        Discovery reads each version's ``cdf`` manifest list — recorded at
+        commit time BEFORE inline compaction may fold the delta references
+        into a ``-compact`` base — so the feed stays complete even when a
+        bucket hit ``compact_deltas`` during that very commit. Files are
+        grouped by their recorded ``schema_id`` and cast per-group to the
+        canonical schema, so a schema evolution inside the requested range
+        cannot drop mid-range columns to an arbitrary inferred schema."""
         man = self.manifest()
         hi = man["version"] if until_version is None else until_version
         canon = self._canonical_schema(man)
-        paths: list[str] = []
+        by_schema: dict[int, list[str]] = {}
         for v in range(since_version + 1, hi + 1):
             m = self.manifest(v)
             if m.get("batch_id") is None:
@@ -344,23 +386,39 @@ class LakeTable:
                     f"version {v} was a copy-on-write commit; the change feed "
                     "requires merge-on-read commits"
                 )
-            rel = f"data/v{v:08d}"
-            for e in m["buckets"].values():
-                for fs in self._bucket_files(e):
-                    if fs["path"].startswith(rel + "/"):
-                        paths.append(os.path.join(self.path, fs["path"]))
-        if not paths:
+            if "cdf" in m:
+                entries = m["cdf"]
+            else:  # pre-cdf manifests: delta refs still under data/vN/
+                rel = f"data/v{v:08d}"
+                entries = [
+                    fs
+                    for e in m["buckets"].values()
+                    for fs in self._bucket_files(e)
+                    if fs["path"].startswith(rel + "/")
+                ]
+            for fs in entries:
+                by_schema.setdefault(fs["schema_id"], []).append(
+                    os.path.join(self.path, fs["path"])
+                )
+        if not by_schema:
             return self._empty(canon, hidden=True)
-        raw = self.spark.read.parquet(*paths)
-        cols = [
-            (
-                F.col(f.name).cast(f.dataType)
-                if f.name in raw.columns
-                else F.lit(None).cast(f.dataType)
-            ).alias(f.name)
-            for f in canon.fields
-        ] + [F.col(SEQ_COL), F.col(DELETED_COL)]
-        return raw.select(cols)
+        parts: list[DataFrame] = []
+        for sid, paths in by_schema.items():
+            stored = schema_from_json(man["schemas"][sid])
+            raw = self.spark.read.parquet(*paths)
+            cols = [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in stored.fieldNames()
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in canon.fields
+            ] + [F.col(SEQ_COL), F.col(DELETED_COL)]
+            parts.append(raw.select(cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------- maintenance
     def compact(self, version_note: str | None = None) -> dict:
@@ -434,6 +492,9 @@ class LakeTable:
                 for fs in self._bucket_files(e):
                     # reference at version-directory granularity
                     referenced.add(fs["path"].split("/_bucket=")[0])
+            # kept manifests' change-feed files stay readable too
+            for fs in m.get("cdf", []):
+                referenced.add(fs["path"].split("/_bucket=")[0])
         data_root = os.path.join(self.path, "data")
         removed_dirs = 0
         if os.path.isdir(data_root):
@@ -475,15 +536,13 @@ class LakeTable:
         # transform → bucket repartition → write; no joins), so AQE's
         # per-stage driver re-planning buys nothing and costs ~20% wall at
         # micro-batch sizes. Scope it off for this batch; skew is handled by
-        # the partial-agg dedup, and general queries keep AQE.
-        aqe_before = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
+        # the partial-agg dedup, and general queries keep AQE. The toggle is
+        # refcounted per-session (lock + depth), so interleaved applies on
+        # one SparkSession cannot race the save/restore and strand AQE off.
+        with _aqe_disabled(self.spark):
             return self._apply_changes_inner(
                 events, man, batch_id, transform, source, t0
             )
-        finally:
-            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
     def _apply_changes_inner(
         self,
@@ -554,6 +613,7 @@ class LakeTable:
         n_written = 0
         n_compacted = 0
         lineage_stats: dict[int, dict] = {}
+        cdf: list[dict] = []
 
         if self.merge_mode == "mor":
             # 5/6-mor. ONE Spark job: dedup → transform → bucket-partitioned
@@ -572,6 +632,12 @@ class LakeTable:
             lineage_stats = _footer_stats(vdir, SEQ_COL)
             affected = sorted(lineage_stats)
             n_written = sum(s["n_changes"] for s in lineage_stats.values())
+            # change-data-feed record: this version's delta files, pinned
+            # BEFORE inline compaction may fold the bucket references away.
+            cdf = [
+                {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+                for b in affected
+            ]
             for b in affected:
                 e = buckets.setdefault(str(b), {"base": None, "deltas": []})
                 e["deltas"].append(
@@ -735,6 +801,7 @@ class LakeTable:
                 "num_buckets": self.num_buckets,
                 "key_cols": list(self.key_cols),
                 "bucket_col": self.bucket_col,
+                "cdf": cdf,
                 "lineage": lineage,
                 "metrics": metrics,
             }

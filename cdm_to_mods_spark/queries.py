@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .functions.dates import canonicalize_ts
+from .functions.dates import canonicalize_ts_col
 from .functions.text import xml_escape
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -339,7 +339,7 @@ def j8_regex_extract_join(spark, sf_dir):
 @_q(
     "a1_counts_per_class",
     "SELECT o_orderstatus AS status, count(*) AS n, "
-    "sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_large "
+    "sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::bigint AS n_large "
     "FROM orders GROUP BY 1",
 )
 def a1_counts_per_class(spark, sf_dir):
@@ -424,6 +424,50 @@ def a6_hierarchical_title(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         F.concat_ws(" - ", "r_name", "n_name").alias("node_title")
+    )
+
+
+@_q(
+    "a6r_recursive_rollup",
+    "WITH RECURSIVE r(id, path) AS ("
+    " SELECT p_partkey, p_name FROM part WHERE p_partkey <= 1"
+    " UNION ALL"
+    " SELECT p.p_partkey, r.path || ' - ' || p.p_name"
+    " FROM part p JOIN r ON r.id = CAST(floor(p.p_partkey / 2) AS BIGINT)"
+    " WHERE p.p_partkey > 1) "
+    "SELECT CAST(id AS BIGINT) AS node_id, path AS title_path FROM r",
+)
+def a6r_recursive_rollup(spark, sf_dir):
+    """ARBITRARY-depth hierarchy rollup — the Monograph node-tree walk
+    (reference utilities.py:154-233; child title '{nodetitle} - {pagetitle}'
+    at :197-210) over a parent-pointer table (node i's parent is i//2 for
+    i>1; 0 and 1 are roots — a deterministic binary forest over ``part``). Spark has no
+    recursive CTE, so the rollup is POINTER DOUBLING: each round joins every
+    node's chain-prefix to its current highest known ancestor's prefix,
+    halving the unresolved ancestor distance — depth-D trees finish in
+    ceil(log2 D) self-join rounds (6 rounds covers depth 64, i.e. ~1.8e19
+    nodes), not D sequential joins. Each round is one co-partitioned
+    shuffle join on id; at 100 TB you bucket the node table by id so the
+    rounds reuse the layout."""
+    nodes = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.when(
+            F.col("p_partkey") > 1, F.floor(F.col("p_partkey") / 2).cast("long")
+        ).alias("anc"),
+        F.col("p_name").alias("path"),
+    )
+    df = nodes
+    for _ in range(6):
+        a, b = df.alias("a"), df.alias("b")
+        df = a.join(b, F.col("a.anc") == F.col("b.id"), "left").select(
+            F.col("a.id").alias("id"),
+            F.col("b.anc").alias("anc"),
+            F.when(F.col("b.id").isNull(), F.col("a.path"))
+            .otherwise(F.concat(F.col("b.path"), F.lit(" - "), F.col("a.path")))
+            .alias("path"),
+        )
+    return df.select(
+        F.col("id").alias("node_id"), F.col("path").alias("title_path")
     )
 
 
@@ -621,12 +665,13 @@ def f2_split_explode_wordcount(spark, sf_dir):
 )
 def f7_ts_canonicalize_roundtrip(spark, sf_dir):
     """date cascade (xsl/normalizeDate.xsl:21-79): shipdate → messy
-    MM/DD/YYYY string → canonicalize_ts pandas UDF → year. The oracle reads
-    the year directly, so the round-trip must be lossless."""
+    MM/DD/YYYY string → hybrid cascade (JVM fast path + Arrow residue) →
+    year. The oracle reads the year directly, so the round-trip must be
+    lossless."""
     return (
         _t(spark, sf_dir, "lineitem")
         .select(
-            canonicalize_ts(F.date_format("l_shipdate", "MM/dd/yyyy")).alias("canon")
+            canonicalize_ts_col(F.date_format("l_shipdate", "MM/dd/yyyy")).alias("canon")
         )
         .select(F.year("canon").alias("ship_year"))
         .groupBy("ship_year")
@@ -823,6 +868,39 @@ def f1_xml_escape(spark, sf_dir):
     raw = F.concat(F.lit("<"), F.col("p_name"), F.lit(' & "co">'))
     return _t(spark, sf_dir, "part").select(
         "p_partkey", xml_escape(raw).alias("escaped")
+    )
+
+
+@_q(
+    "f6_global_replace",
+    "SELECT p_partkey AS part_id, "
+    "replace(regexp_replace(regexp_replace("
+    "p_name || '<br>' || CAST(p_size AS VARCHAR) || '<BR/>@@@' || p_brand || '@@@—' || p_type, "
+    "'(?i)<br\\s*/?>', '; ', 'g'), '[—–]', '--', 'g'), '@@@', '\"') AS cleaned "
+    "FROM part",
+)
+def f6_global_replace(spark, sf_dir):
+    """F6 — the global find/replace family in one pass: <br>→'; '
+    (xsl/brToSemicolon.xsl:19-24), @@@→'"'
+    (xsl/replaceAtSymbolsGlobal.xsl:18-20), em/en-dash→'--'
+    (xsl/subjectDashReplace.xsl). Messy input is built deterministically
+    from part columns so both engines transform the same strings; all three
+    replaces fuse into one whole-stage-codegen projection."""
+    from .functions.text import (
+        at_symbols_to_quote,
+        br_to_semicolon,
+        emdash_to_double_hyphen,
+    )
+
+    messy = F.concat(
+        F.col("p_name"), F.lit("<br>"), F.col("p_size").cast("string"), F.lit("<BR/>@@@"),
+        F.col("p_brand"), F.lit("@@@—"), F.col("p_type"),
+    )
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part_id"),
+        at_symbols_to_quote(emdash_to_double_hyphen(br_to_semicolon(messy))).alias(
+            "cleaned"
+        ),
     )
 
 

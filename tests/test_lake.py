@@ -311,6 +311,50 @@ def test_change_feed_between_versions(spark, tmp_table):
     assert {r._seq for r in t.changes(0).collect()} == {1, 2, 3, 4}
 
 
+def test_change_feed_survives_inline_compaction(spark, tmp_table):
+    """Inline compaction replaces a bucket's delta refs with a -compact base
+    inside the SAME commit; the feed must still surface that version's
+    change rows (they are pinned in the manifest's cdf list)."""
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode="mor",
+                  compact_deltas=2)
+    t.create(TRANSCRIPT_SCHEMA)
+    for b in range(4):  # same key every batch → delta chain hits the bound
+        t.apply_changes(
+            _events(spark, [("I" if b == 0 else "U", b + 1, "c1", 0, "user",
+                             f"v{b}", None, None, None)]),
+            batch_id=b, transform=apply_chain,
+        )
+    assert any(
+        m["n_buckets_compacted"] > 0
+        for m in (t.manifest(v).get("metrics", {}) for v in range(1, 5))
+        if m
+    ), "test setup: inline compaction never fired"
+    # every batch's change row is visible, including compaction versions
+    assert {r._seq for r in t.changes(0).collect()} == {1, 2, 3, 4}
+    for v in range(1, 5):
+        assert {r._seq for r in t.changes(v - 1, v).collect()} == {v}
+
+
+def test_change_feed_schema_evolution_mid_range(spark, tmp_table):
+    """A feed spanning a schema evolution must carry the added column's
+    values for post-evolution versions (per-schema cast union, not a single
+    arbitrary inferred read)."""
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    ddl2 = EVENT_DDL + ", score int"
+    t.apply_changes(
+        _events(spark, [("I", 2, "c2", 0, "user", "v2", None, None, None, 7)], ddl2),
+        batch_id=1, transform=apply_chain,
+    )
+    feed = {r.conv_id: r for r in t.changes(0).collect()}
+    assert feed["c1"].score is None
+    assert feed["c2"].score == 7
+
+
 def test_compact_and_expire_snapshots(spark, tmp_table):
     import os
     t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor", compact_deltas=99)

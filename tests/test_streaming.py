@@ -82,8 +82,11 @@ def test_kill_and_resume_from_checkpoint(spark, tmp_path):
     import time as _t
 
     q = sr1.start(available_now=False)
+    # Poll the actual postcondition — a committed checkpoint offset file —
+    # not batch_metrics: Spark writes commits/ AFTER foreachBatch returns,
+    # so stopping on batch_metrics can race the commit write.
     deadline = _t.monotonic() + 120
-    while not sr1.batch_metrics and _t.monotonic() < deadline:
+    while not resume_offsets(ckpt) and _t.monotonic() < deadline:
         _t.sleep(0.2)
     q.stop()
     q.awaitTermination(60)

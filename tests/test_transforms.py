@@ -9,7 +9,11 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from cdm_to_mods_spark.functions import text as TX
-from cdm_to_mods_spark.functions.dates import canonicalize_ts, ts_qualifier
+from cdm_to_mods_spark.functions.dates import (
+    canonicalize_ts,
+    canonicalize_ts_col,
+    ts_qualifier,
+)
 from cdm_to_mods_spark.functions.remap import remap_role, remap_tool
 
 
@@ -104,6 +108,18 @@ def test_date_cascade(spark):
     got = _apply(spark, canonicalize_ts, inputs)
     for (inp, want), g in zip(DATE_CASES, got):
         assert g == want, f"{inp!r}: got {g}, want {want}"
+
+
+def test_date_cascade_hybrid_parity(spark):
+    """The JVM-fast-path + Arrow-residue hybrid must agree with the pure
+    pandas cascade on every case (including the strict-parse failures)."""
+    extra = ["13/01/2020", "02/30/2020", "2020-13", "2020-02-30",
+             "2001-02-03T04:05:06", "1:5", " 7/4/1999 "]
+    inputs = [c[0] for c in DATE_CASES] + extra
+    got_udf = _apply(spark, canonicalize_ts, inputs)
+    got_hybrid = _apply(spark, canonicalize_ts_col, inputs)
+    for inp, u, h in zip(inputs, got_udf, got_hybrid):
+        assert u == h, f"{inp!r}: udf {u}, hybrid {h}"
 
 
 def test_ts_qualifier(spark):
