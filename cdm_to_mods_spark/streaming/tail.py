@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.chain import apply_chain
 from ..plans.lake import LakeTable
 from ..schemas import EVENT_SCHEMA, TRANSCRIPT_SCHEMA
+from ..sources.events import read_events
 
 
 class StreamingReplay:
@@ -48,6 +49,7 @@ class StreamingReplay:
         transform: Callable[[DataFrame], DataFrame] | None = apply_chain,
         metrics_path: str | None = None,
         max_files_per_trigger: int | None = None,
+        source_format: str = "parquet",
     ) -> None:
         self.spark = spark
         self.events_dir = events_dir
@@ -55,6 +57,7 @@ class StreamingReplay:
         self.transform = transform
         self.metrics_path = metrics_path
         self.max_files_per_trigger = max_files_per_trigger
+        self.source_format = source_format
         self.table = LakeTable(
             spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode
         )
@@ -80,13 +83,14 @@ class StreamingReplay:
     def start(self, *, available_now: bool = True):
         """Start the tail. ``available_now`` processes the current backlog
         then stops (the replay mode); False runs continuously."""
-        reader = (
-            self.spark.readStream.schema(EVENT_SCHEMA)
-            .option("recursiveFileLookup", "true")
+        events = read_events(
+            self.spark,
+            self.events_dir,
+            fmt=self.source_format,
+            streaming=True,
+            schema=EVENT_SCHEMA,
+            max_files_per_trigger=self.max_files_per_trigger,
         )
-        if self.max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
-        events = reader.parquet(self.events_dir)
 
         writer = (
             events.writeStream.foreachBatch(self._on_batch)
