@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "s1_scan_pushdown",
     "j1_broadcast_dim_join",
     "j6_full_outer_reconcile",
+    "a6r_recursive_rollup",
     "a7_last_write_wins",
     "a8_sessionize",
     "w4_positional_index",
@@ -76,7 +77,10 @@ def run_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
 
     n_events = max(100_000, int(20_000_000 * sf))  # sf0.1 → 2M events
     n_convs = max(1_000, n_events // 100)
-    table_dir = tempfile.mkdtemp(prefix="bench-cdc-")
+    # tmpfs: the single virtual disk serializes shuffle/table I/O and adds
+    # ±25% wall noise (same policy as tools/scaling_bench.py).
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    table_dir = tempfile.mkdtemp(prefix="bench-cdc-", dir=shm)
     try:
         # Materialize binlog segments outside the timed region (the job
         # under measurement is the CDC apply, and segments arriving from
@@ -142,7 +146,12 @@ def main() -> None:
 
     from cdm_to_mods_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.local.dir": f"{shm}/bench-spark-local"} if shm else None,
+    )
 
     import __spark_entry__ as entry
 

@@ -30,6 +30,13 @@ def _canonical_date_str(s: pd.Series) -> pd.Series:
     sum of shrinking remainders, not n_cases × n_rows."""
     s = s.astype("string").str.strip()
     out = pd.Series(pd.NA, index=s.index, dtype="string")
+    # Drop nulls up front: pandas str.extract pays near-full regex cost on
+    # <NA> rows, and the hybrid fast path feeds this cascade a mostly-null
+    # residue — after this subset every extract below runs only on rows
+    # that can still match (empty series when the JVM path handled all).
+    s = s[s.notna()]
+    if s.empty:
+        return out
 
     def fill(mask: pd.Series, values: pd.Series) -> None:
         nonlocal s
@@ -106,33 +113,41 @@ def canonicalize_ts_col(c: Column) -> Column:
     Parity is pinned in tests/test_transforms.py over the full case table.
     """
     s = F.trim(c.cast("string"))
-    iso_dt = s.rlike(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}(:\d{2})?$")
-    iso_d = s.rlike(r"^\d{4}-\d{2}-\d{2}$")
-    us = s.rlike(r"^\d{1,2}/\d{1,2}/\d{4}(\s+\d{1,2}:\d{2}(:\d{2})?)?$")
-    iso_ym = s.rlike(r"^\d{4}-\d{2}$")
-    year = s.rlike(r"^\d{4}$")
     t_sep = F.translate(s, "T", " ")
+    # Shape dispatch is fully regex-free: a digit→'#' translate mask makes
+    # every guard a plain string equality / small-set membership. Each
+    # claimed row then evaluates exactly ONE try_to_timestamp whose
+    # pattern is shape-compatible — a looser guard + coalesce of formats
+    # makes the JVM parser throw-and-swallow per non-matching format per
+    # row (measured ~3s/600k rows of pure exception overhead), and
+    # per-format rlike guards pay ~8 regex evals/row (~0.4s each/600k on
+    # this box). This layout: two translates, string compares, one parse.
+    mask = F.translate(t_sep, "0123456789", "##########")
+    iso_dt_s = mask == "####-##-## ##:##:##"
+    iso_dt_m = mask == "####-##-## ##:##"
+    iso_d = mask == "####-##-##"
+    iso_ym = mask == "####-##"
+    year = mask == "####"
+    # US family: enumerate the exact single-space mask shapes (a hash-set
+    # membership test). Multi-space / exotic-whitespace variants simply
+    # stay UNCLAIMED and flow to the pandas cascade, which handles them —
+    # falling through is always safe; only claiming a row the cascade
+    # would value differently is not.
+    _us_dates = [f"{m}/{d}/####" for m in ("#", "##") for d in ("#", "##")]
+    us_d = mask.isin(_us_dates)
+    us_m = mask.isin([f"{b} {h}:##" for b in _us_dates for h in ("#", "##")])
+    us_s = mask.isin([f"{b} {h}:##:##" for b in _us_dates for h in ("#", "##")])
     fast = (
-        F.when(
-            iso_dt,
-            F.coalesce(
-                F.try_to_timestamp(t_sep, F.lit("yyyy-MM-dd HH:mm:ss")),
-                F.try_to_timestamp(t_sep, F.lit("yyyy-MM-dd HH:mm")),
-            ),
-        )
-        .when(iso_d, F.try_to_timestamp(s, F.lit("yyyy-MM-dd")))
-        .when(
-            us,
-            F.coalesce(
-                F.try_to_timestamp(s, F.lit("M/d/yyyy H:mm:ss")),
-                F.try_to_timestamp(s, F.lit("M/d/yyyy H:mm")),
-                F.try_to_timestamp(s, F.lit("M/d/yyyy")),
-            ),
-        )
-        .when(iso_ym, F.try_to_timestamp(F.concat(s, F.lit("-01")), F.lit("yyyy-MM-dd")))
-        .when(year, F.try_to_timestamp(F.concat(s, F.lit("-01-01")), F.lit("yyyy-MM-dd")))
+        F.when(iso_dt_s, F.try_to_timestamp(t_sep, F.lit("yyyy-MM-dd HH:mm:ss")))
+        .when(iso_dt_m, F.try_to_timestamp(t_sep, F.lit("yyyy-MM-dd HH:mm")))
+        .when(iso_d, F.try_to_timestamp(t_sep, F.lit("yyyy-MM-dd")))
+        .when(iso_ym, F.try_to_timestamp(F.concat(t_sep, F.lit("-01")), F.lit("yyyy-MM-dd")))
+        .when(year, F.try_to_timestamp(F.concat(t_sep, F.lit("-01-01")), F.lit("yyyy-MM-dd")))
+        .when(us_s, F.try_to_timestamp(s, F.lit("M/d/yyyy H:mm:ss")))
+        .when(us_m, F.try_to_timestamp(s, F.lit("M/d/yyyy H:mm")))
+        .when(us_d, F.try_to_timestamp(s, F.lit("M/d/yyyy")))
     )
-    handled = iso_dt | iso_d | us | iso_ym | year
+    handled = iso_dt_s | iso_dt_m | iso_d | iso_ym | year | us_s | us_m | us_d
     residue = F.when(handled, F.lit(None).cast("string")).otherwise(s)
     return F.when(handled, fast).otherwise(canonicalize_ts(residue))
 

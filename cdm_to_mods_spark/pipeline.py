@@ -325,21 +325,39 @@ _COS = {
 @_q("e3_ann_ivf")  # rows-only: approximate + iterative (not SQL-portable)
 def e3_ann_ivf(spark, sf_dir):
     """IVF ANN (the other scale path beside e2's LSH): deterministic k-means
-    coarse quantizer (seeds = lowest vec_ids, 2 Lloyd iterations — all
-    native exprs, no RNG), then queries probe only their NPROBE nearest
-    cells. At 100 TB: centroids are a broadcast table, the assignment is a
-    narrow map over the (bucketed) embedding table, and each query touches
-    |probed cells| / K of the data. Recall vs brute-force e1 is pinned in
-    tests/test_pipeline.py."""
-    K, NPROBE, TOPK, ITERS = 16, 4, 3, 2
+    coarse quantizer trained DRIVER-SIDE on a bounded sample (lowest
+    SAMPLE_N vec_ids, seeds = first K, 2 numpy Lloyd iterations — the
+    faiss-style shape: quantizer training is O(sample), never a per-
+    iteration cluster job), then ONE distributed pass assigns every vector
+    to its nearest broadcast centroid and queries probe only their NPROBE
+    nearest cells. At 100 TB: centroids are a broadcast literal, the
+    assignment is a narrow map over the (bucketed) embedding table, and
+    each query touches |probed cells| / K of the data. Recall vs brute-
+    force e1 is pinned in tests/test_pipeline.py."""
+    import numpy as np
+
+    K, NPROBE, TOPK, ITERS, SAMPLE_N = 16, 4, 3, 2, 4096
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dot, norm = _COS["dot"], _COS["norm"]
     sim_qc = dot("qv", "cv") / (norm(F.col("qv")) * norm(F.col("cv")))
 
-    cent = emb.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    # --- quantizer training: one bounded-sample collect + numpy Lloyd ---
+    sample = np.array(
+        [r["v"] for r in emb.filter(F.col("vec_id") < SAMPLE_N).collect()]
+    )
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent_m = sample[:K].copy()
+    for _ in range(ITERS):
+        cn = cent_m / np.linalg.norm(cent_m, axis=1, keepdims=True)
+        lab = np.argmax(sn @ cn.T, axis=1)  # ties → lowest cid (argmax)
+        for k in range(K):
+            if (lab == k).any():
+                cent_m[k] = sample[lab == k].mean(axis=0)
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in cent_m[i]]) for i in range(K)],
+        "cid int, cv array<double>",
     )
 
     def assign(points, cent):
@@ -355,26 +373,6 @@ def e3_ann_ivf(spark, sf_dir):
             )
         )
 
-    for _ in range(ITERS):
-        assigned = assign(emb, cent)
-        new_cent = (
-            assigned.select("cluster", F.posexplode("v").alias("d", "x"))
-            .groupBy("cluster", "d")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
-            .select(
-                F.col("cluster").alias("cid"),
-                F.transform("dm", lambda e: e["m"]).alias("cv"),
-            )
-        )
-        # materialize the K tiny centroid rows per iteration: without this
-        # the final plan re-derives assign(emb, cent) once PER Lloyd
-        # iteration inside one DAG (multiplicative recompute); collected
-        # centroids truncate the lineage and broadcast as literals.
-        cent = spark.createDataFrame(
-            new_cent.collect(), "cid int, cv array<double>"
-        )
     assigned = assign(emb, cent)
 
     q = emb.filter("vec_id < 5").select(

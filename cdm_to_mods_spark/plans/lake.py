@@ -31,6 +31,14 @@ same contract from scratch on partitioned parquet + an atomic JSON ledger:
 The reference analog for the whole class: the per-pointer output directory
 tree + IsCountsCorrect reconciliation (convert_cdm_to_mods.py:151-171,
 post_cdm_cleanup.py:15-37), made transactional and incremental.
+
+Ledger scaling note (the known 10^10-events caveat): each commit rewrites
+one whole manifest, O(num_buckets) JSON. That is fine to ~10^4 buckets ×
+~10^5 commits; past that, the Iceberg evolution is a manifest LIST — the
+version file points at per-bucket-range manifest files and a commit
+rewrites only the ranges it touched plus the (small) list. The
+``cdf``/``buckets`` entries here are already path+schema_id file sets, so
+that refactor changes the ledger layout, not the read/merge planes.
 """
 
 from __future__ import annotations
