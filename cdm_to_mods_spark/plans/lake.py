@@ -157,6 +157,7 @@ class LakeTable:
         num_buckets: int = 32,
         merge_mode: str = "cow",
         compact_deltas: int = 8,
+        cow_change_feed: bool = False,
     ) -> None:
         """``merge_mode``:
 
@@ -169,6 +170,13 @@ class LakeTable:
           base+deltas by max ``_seq``; a bucket whose delta chain exceeds
           ``compact_deltas`` is compacted back to a base file inline, so
           read amplification stays bounded.
+
+        ``cow_change_feed``: merge-on-read gets the change feed for free
+        (its delta files ARE the change rows); copy-on-write rewrites
+        whole buckets, so with this flag each CoW commit also writes the
+        resolved change rows as side files (the Delta-CDF pattern, one
+        extra O(batch) write per commit), making ``changes()`` work under
+        both modes.
         """
         self.spark = spark
         self.path = path.rstrip("/")
@@ -178,6 +186,7 @@ class LakeTable:
         assert merge_mode in ("cow", "mor"), merge_mode
         self.merge_mode = merge_mode
         self.compact_deltas = compact_deltas
+        self.cow_change_feed = cow_change_feed
         self._ledger = os.path.join(self.path, "_ledger")
 
     # ------------------------------------------------------------- ledger
@@ -223,6 +232,43 @@ class LakeTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel: the highest version committed at or
+        before unix-time ``ts`` (each manifest records its ``commit_ts``).
+        Pair with ``read(version=...)`` — the Iceberg ``TIMESTAMP AS OF``
+        contract."""
+        best = None
+        for v in self._versions():
+            m = self.manifest(v)
+            cts = m.get("commit_ts")
+            if cts is not None and cts <= ts:
+                best = v
+        if best is None:
+            raise LookupError(f"no snapshot committed at or before {ts}")
+        return best
+
+    def rollback(self, version: int) -> dict:
+        """Roll the table back to ``version`` by committing a NEW manifest
+        that references that snapshot's file sets (nothing is rewritten or
+        deleted — time travel forward remains possible until
+        ``expire_snapshots``). ``last_batch_id`` reverts too, so replaying
+        the undone batches converges the table exactly as the first time.
+        """
+        man = self.manifest(version)
+        cur = self.manifest()
+        new_version = cur["version"] + 1
+        self._commit(
+            {
+                **man,
+                "version": new_version,
+                "batch_id": None,
+                "cdf": [],
+                "metrics": {"maintenance": "rollback", "to_version": version},
+                "commit_ts": time.time(),
+            }
+        )
+        return {"rolled_back_to": version, "version": new_version}
+
     # ------------------------------------------------------------- create
     def create(self, schema: T.StructType) -> None:
         """Initialize an empty table at schema (snapshot v0, no data)."""
@@ -238,6 +284,7 @@ class LakeTable:
                 "bucket_col": self.bucket_col,
                 "lineage": {},
                 "metrics": {},
+                "commit_ts": time.time(),
             }
         )
 
@@ -389,10 +436,10 @@ class LakeTable:
             m = self.manifest(v)
             if m.get("batch_id") is None:
                 continue
-            if m.get("metrics", {}).get("mode") == "cow":
+            if m.get("metrics", {}).get("mode") == "cow" and not m.get("cdf"):
                 raise ValueError(
-                    f"version {v} was a copy-on-write commit; the change feed "
-                    "requires merge-on-read commits"
+                    f"version {v} was a copy-on-write commit without change-"
+                    "data files; use merge-on-read or cow_change_feed=True"
                 )
             if "cdf" in m:
                 entries = m["cdf"]
@@ -475,9 +522,11 @@ class LakeTable:
                 **man,
                 "version": new_version,
                 "batch_id": None,
+                "cdf": [],
                 "buckets": buckets,
                 "metrics": {"maintenance": "compact", "n_buckets": len(todo),
                             "note": version_note},
+                "commit_ts": time.time(),
             }
         )
         return {"compacted": len(todo), "version": new_version}
@@ -756,6 +805,15 @@ class LakeTable:
                         },
                         "deltas": [],
                     }
+                if self.cow_change_feed:
+                    # Delta-CDF pattern: materialize the resolved change
+                    # rows beside the rewritten buckets (reuses the cached
+                    # change set — one extra O(batch) write).
+                    cdf_rel = f"{data_rel}-cdf"
+                    changes.write.mode("overwrite").parquet(
+                        os.path.join(self.path, cdf_rel)
+                    )
+                    cdf = [{"path": cdf_rel, "schema_id": schema_id}]
             changes.unpersist(blocking=False)
 
         # 8. lineage: source offsets (per-bucket max seq + rows) → snapshot.
@@ -812,6 +870,7 @@ class LakeTable:
                 "cdf": cdf,
                 "lineage": lineage,
                 "metrics": metrics,
+                "commit_ts": time.time(),
             }
         )
         return metrics

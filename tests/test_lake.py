@@ -355,6 +355,68 @@ def test_change_feed_schema_evolution_mid_range(spark, tmp_table):
     assert feed["c2"].score == 7
 
 
+def test_cow_change_feed_side_files(spark, tmp_table):
+    """With cow_change_feed=True, copy-on-write commits write the resolved
+    change rows as side files and changes() works exactly as under mor."""
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="cow",
+                  cow_change_feed=True)
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None),
+                        ("I", 2, "c2", 0, "user", "w1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    v1 = t.latest_version()
+    t.apply_changes(
+        _events(spark, [("U", 3, "c1", 0, "user", "v2", None, None, None),
+                        ("D", 4, "c2", 0, None, None, None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    feed = {(r.conv_id, r._seq, r._deleted, r.text) for r in t.changes(v1).collect()}
+    assert feed == {("c1", 3, False, "v2"), ("c2", 4, True, None)}
+    assert {r._seq for r in t.changes(0).collect()} == {1, 2, 3, 4}
+    # without the flag, cow commits still reject the feed
+    t2 = LakeTable(spark, tmp_table + "-noflag", num_buckets=4, merge_mode="cow")
+    t2.create(TRANSCRIPT_SCHEMA)
+    t2.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    with pytest.raises(ValueError, match="copy-on-write"):
+        t2.changes(0).collect()
+
+
+def test_rollback_and_timestamp_travel(spark, tmp_table):
+    import time as _time
+
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    ts_after_b0 = _time.time()
+    v_b0 = t.latest_version()
+    t.apply_changes(
+        _events(spark, [("U", 2, "c1", 0, "user", "v2", None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    assert _state(t)[("c1", 0)][1] == "v2"
+    # timestamp time travel resolves the version committed before ts
+    assert t.version_as_of(ts_after_b0) == v_b0
+    assert t.read(t.version_as_of(ts_after_b0)).collect()[0].text == "v1"
+    # rollback: new manifest, old state, batch 1 replayable again
+    out = t.rollback(v_b0)
+    assert out["version"] == t.latest_version()
+    assert _state(t)[("c1", 0)][1] == "v1"
+    m = t.apply_changes(
+        _events(spark, [("U", 2, "c1", 0, "user", "v2", None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    assert not m.get("skipped")
+    assert _state(t)[("c1", 0)][1] == "v2"
+
+
 def test_compact_and_expire_snapshots(spark, tmp_table):
     import os
     t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor", compact_deltas=99)
