@@ -114,25 +114,33 @@ def canonicalize_ts_col(c: Column) -> Column:
     """
     s = F.trim(c.cast("string"))
     t_sep = F.translate(s, "T", " ")
-    # Shape dispatch is fully regex-free: a digit→'#' translate mask makes
-    # every guard a plain string equality / small-set membership. Each
-    # claimed row then evaluates exactly ONE try_to_timestamp whose
-    # pattern is shape-compatible — a looser guard + coalesce of formats
-    # makes the JVM parser throw-and-swallow per non-matching format per
-    # row (measured ~3s/600k rows of pure exception overhead), and
-    # per-format rlike guards pay ~8 regex evals/row (~0.4s each/600k on
-    # this box). This layout: two translates, string compares, one parse.
     mask = F.translate(t_sep, "0123456789", "##########")
+    handled, fast = _mask_dispatch(s, t_sep, mask)
+    residue = F.when(handled, F.lit(None).cast("string")).otherwise(s)
+    return F.when(handled, fast).otherwise(canonicalize_ts(residue))
+
+
+def _mask_dispatch(s: Column, t_sep: Column, mask: Column):
+    """(handled, fast) for the given prepared columns.
+
+    Shape dispatch is fully regex-free: the digit→'#' translate mask makes
+    every guard a plain string equality / small-set membership. Each
+    claimed row then evaluates exactly ONE try_to_timestamp whose pattern
+    is shape-compatible — a looser guard + coalesce of formats makes the
+    JVM parser throw-and-swallow per non-matching format per row (measured
+    ~3s/600k rows of pure exception overhead), and per-format rlike guards
+    pay ~8 regex evals/row (~0.4s each/600k on this box).
+
+    The US family enumerates exact single-space mask shapes (hash-set
+    membership). Multi-space / exotic-whitespace variants simply stay
+    UNCLAIMED and flow to the pandas cascade, which handles them — falling
+    through is always safe; only claiming a row the cascade would value
+    differently is not."""
     iso_dt_s = mask == "####-##-## ##:##:##"
     iso_dt_m = mask == "####-##-## ##:##"
     iso_d = mask == "####-##-##"
     iso_ym = mask == "####-##"
     year = mask == "####"
-    # US family: enumerate the exact single-space mask shapes (a hash-set
-    # membership test). Multi-space / exotic-whitespace variants simply
-    # stay UNCLAIMED and flow to the pandas cascade, which handles them —
-    # falling through is always safe; only claiming a row the cascade
-    # would value differently is not.
     _us_dates = [f"{m}/{d}/####" for m in ("#", "##") for d in ("#", "##")]
     us_d = mask.isin(_us_dates)
     us_m = mask.isin([f"{b} {h}:##" for b in _us_dates for h in ("#", "##")])
@@ -148,8 +156,32 @@ def canonicalize_ts_col(c: Column) -> Column:
         .when(us_d, F.try_to_timestamp(s, F.lit("M/d/yyyy")))
     )
     handled = iso_dt_s | iso_dt_m | iso_d | iso_ym | year | us_s | us_m | us_d
+    return handled, fast
+
+
+def with_canonical_ts(df, src_col: str, out_col: str = "ts", drop_src: bool = True):
+    """DataFrame-level hybrid cascade: materializes the trimmed string,
+    T-normalized form and digit mask as their own projection so each is
+    computed ONCE per row. The single-Column form above repeats the mask
+    inside every guard, and the repeats land in BOTH the ArrowEvalPython
+    input projection and the output projection — codegen subexpression
+    elimination does not span that node boundary (~20 extra translate
+    evals/row in the replay chain, a measured ~10% apply-throughput loss).
+    CollapseProject keeps the prep projection separate because the temp
+    columns are referenced many times by non-cheap expressions."""
+    d = (
+        df.withColumn("__cts_s", F.trim(F.col(src_col).cast("string")))
+        .withColumn("__cts_t", F.translate(F.col("__cts_s"), "T", " "))
+        .withColumn(
+            "__cts_m", F.translate(F.col("__cts_t"), "0123456789", "##########")
+        )
+    )
+    s, t_sep, mask = F.col("__cts_s"), F.col("__cts_t"), F.col("__cts_m")
+    handled, fast = _mask_dispatch(s, t_sep, mask)
     residue = F.when(handled, F.lit(None).cast("string")).otherwise(s)
-    return F.when(handled, fast).otherwise(canonicalize_ts(residue))
+    out = F.when(handled, fast).otherwise(canonicalize_ts(residue))
+    d = d.withColumn(out_col, out).drop("__cts_s", "__cts_t", "__cts_m")
+    return d.drop(src_col) if drop_src and src_col != out_col else d
 
 
 @F.pandas_udf(T.StringType())

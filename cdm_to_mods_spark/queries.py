@@ -19,7 +19,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .functions.dates import canonicalize_ts_col
 from .functions.text import xml_escape
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -665,14 +664,17 @@ def f2_split_explode_wordcount(spark, sf_dir):
 )
 def f7_ts_canonicalize_roundtrip(spark, sf_dir):
     """date cascade (xsl/normalizeDate.xsl:21-79): shipdate → messy
-    MM/DD/YYYY string → hybrid cascade (JVM fast path + Arrow residue) →
+    MM/DD/YYYY string → hybrid cascade (JVM translate-mask fast path +
+    Arrow residue; the DataFrame form computes the mask once per row) →
     year. The oracle reads the year directly, so the round-trip must be
     lossless."""
+    from .functions.dates import with_canonical_ts
+
+    df = _t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "MM/dd/yyyy").alias("raw")
+    )
     return (
-        _t(spark, sf_dir, "lineitem")
-        .select(
-            canonicalize_ts_col(F.date_format("l_shipdate", "MM/dd/yyyy")).alias("canon")
-        )
+        with_canonical_ts(df, "raw", "canon")
         .select(F.year("canon").alias("ship_year"))
         .groupBy("ship_year")
         .agg(F.count(F.lit(1)).alias("n"))

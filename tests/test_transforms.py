@@ -13,6 +13,7 @@ from cdm_to_mods_spark.functions.dates import (
     canonicalize_ts,
     canonicalize_ts_col,
     ts_qualifier,
+    with_canonical_ts,
 )
 from cdm_to_mods_spark.functions.remap import remap_role, remap_tool
 
@@ -111,15 +112,20 @@ def test_date_cascade(spark):
 
 
 def test_date_cascade_hybrid_parity(spark):
-    """The JVM-fast-path + Arrow-residue hybrid must agree with the pure
-    pandas cascade on every case (including the strict-parse failures)."""
+    """The JVM-fast-path + Arrow-residue hybrid (both the Column form and
+    the DataFrame temp-column form) must agree with the pure pandas cascade
+    on every case (including the strict-parse failures)."""
     extra = ["13/01/2020", "02/30/2020", "2020-13", "2020-02-30",
-             "2001-02-03T04:05:06", "1:5", " 7/4/1999 "]
+             "2001-02-03T04:05:06", "1:5", " 7/4/1999 ", "7/4/1999  9:30"]
     inputs = [c[0] for c in DATE_CASES] + extra
     got_udf = _apply(spark, canonicalize_ts, inputs)
     got_hybrid = _apply(spark, canonicalize_ts_col, inputs)
-    for inp, u, h in zip(inputs, got_udf, got_hybrid):
-        assert u == h, f"{inp!r}: udf {u}, hybrid {h}"
+    df = spark.createDataFrame([Row(v=v) for v in inputs])
+    got_df = [
+        r.out for r in with_canonical_ts(df, "v", "out", drop_src=False).collect()
+    ]
+    for inp, u, h, d in zip(inputs, got_udf, got_hybrid, got_df):
+        assert u == h == d, f"{inp!r}: udf {u}, hybrid {h}, df-form {d}"
 
 
 def test_ts_qualifier(spark):
