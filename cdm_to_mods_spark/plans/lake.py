@@ -188,6 +188,16 @@ class LakeTable:
         self.compact_deltas = compact_deltas
         self.cow_change_feed = cow_change_feed
         self._ledger = os.path.join(self.path, "_ledger")
+        # For an EXISTING table the on-disk layout is authoritative:
+        # opening with different constructor args must not silently hash
+        # keys into the wrong buckets (mis-pruned reads, split keys on
+        # merge). merge_mode/compact_deltas stay caller-chosen — they are
+        # write strategies, not layout.
+        if self.exists():
+            man = self.manifest()
+            self.num_buckets = man.get("num_buckets", self.num_buckets)
+            self.key_cols = tuple(man.get("key_cols", self.key_cols))
+            self.bucket_col = man.get("bucket_col", self.bucket_col)
 
     # ------------------------------------------------------------- ledger
     def _versions(self) -> list[int]:
@@ -267,6 +277,8 @@ class LakeTable:
                 "commit_ts": time.time(),
             }
         )
+        # a rollback may cross a rebucket — re-adopt the restored layout
+        self.num_buckets = man.get("num_buckets", self.num_buckets)
         return {"rolled_back_to": version, "version": new_version}
 
     # ------------------------------------------------------------- create
@@ -530,6 +542,58 @@ class LakeTable:
             }
         )
         return {"compacted": len(todo), "version": new_version}
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Partition-spec evolution: rewrite the table at a new bucket
+        count (one maintenance commit — the Iceberg bucket-transform
+        evolution). At 10^10 events you raise ``num_buckets`` as the table
+        grows so per-bucket rewrite/merge amplification stays bounded;
+        readers and merges adopt the new layout from the manifest (the
+        constructor trusts the on-disk ``num_buckets``, so every future
+        open sees the new spec)."""
+        man = self.manifest()
+        folded = latest_per_key(
+            self._read_raw(man).withColumn(
+                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+            ),
+            self.key_cols,
+            SEQ_COL,
+        ).drop("op").withColumn(
+            "_bucket", _bucket_expr(self.bucket_col, new_num_buckets)
+        )
+        new_version = man["version"] + 1
+        rel = f"data/v{new_version:08d}-rebucket"
+        (
+            folded.repartition(new_num_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, rel))
+        )
+        schema_id = len(man["schemas"]) - 1
+        stats = _footer_stats(os.path.join(self.path, rel), SEQ_COL)
+        buckets = {
+            str(b): {
+                "base": {"path": f"{rel}/_bucket={b}", "schema_id": schema_id},
+                "deltas": [],
+            }
+            for b in sorted(stats)
+        }
+        self._commit(
+            {
+                **man,
+                "version": new_version,
+                "batch_id": None,
+                "cdf": [],
+                "buckets": buckets,
+                "num_buckets": new_num_buckets,
+                "metrics": {"maintenance": "rebucket",
+                            "from": self.num_buckets, "to": new_num_buckets},
+                "commit_ts": time.time(),
+            }
+        )
+        self.num_buckets = new_num_buckets
+        return {"rebucketed_to": new_num_buckets, "version": new_version,
+                "n_buckets_written": len(buckets)}
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop manifests older than the newest ``keep_last`` and delete

@@ -417,6 +417,49 @@ def test_rollback_and_timestamp_travel(spark, tmp_table):
     assert _state(t)[("c1", 0)][1] == "v2"
 
 
+def test_reopen_adopts_on_disk_layout(spark, tmp_table):
+    """Opening an existing table with different constructor args must adopt
+    the on-disk bucket spec — a mismatched bucket count would hash keys into
+    the wrong buckets (mis-pruned reads, split keys on merge)."""
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    rows = [("I", i, f"c{i}", 0, "user", f"v{i}", None, None, None)
+            for i in range(12)]
+    t.apply_changes(_events(spark, rows), batch_id=0, transform=apply_chain)
+    s_before = _state(t)
+    reopened = LakeTable(spark, tmp_table, num_buckets=32, merge_mode="mor")
+    assert reopened.num_buckets == 4
+    assert _state(reopened) == s_before
+    assert reopened.read_keys(["c3"]).count() == 1  # pruning still correct
+
+
+def test_rebucket_partition_spec_evolution(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    rows = [("I", i, f"c{i}", 0, "user", f"v{i}", None, None, None)
+            for i in range(20)]
+    t.apply_changes(_events(spark, rows), batch_id=0, transform=apply_chain)
+    t.apply_changes(
+        _events(spark, [("D", 100, "c5", 0, None, None, None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    s_before = _state(t)
+    out = t.rebucket(8)
+    assert out["rebucketed_to"] == 8 and t.num_buckets == 8
+    assert _state(t) == s_before
+    # future opens and merges use the new spec
+    t2 = LakeTable(spark, tmp_table, merge_mode="mor")
+    assert t2.num_buckets == 8
+    t2.apply_changes(
+        _events(spark, [("U", 200, "c7", 0, "user", "v7b", None, None, None)]),
+        batch_id=2, transform=apply_chain,
+    )
+    assert _state(t2)[("c7", 0)][1] == "v7b"
+    assert t2.read_keys(["c7"]).count() == 1
+    # tombstone survived the rewrite
+    assert ("c5", 0) not in _state(t2)
+
+
 def test_compact_and_expire_snapshots(spark, tmp_table):
     import os
     t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor", compact_deltas=99)
