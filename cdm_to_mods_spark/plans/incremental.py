@@ -1,0 +1,120 @@
+"""Incrementally-maintained materialized view — the downstream CDC consumer.
+
+The reference's post-run reporting recomputes collection-level summaries
+from scratch every run (post_cdm_cleanup.py:81-95 counts; :186-217
+report). A CDC engine makes those summaries INCREMENTAL: a view consumer
+tails the table's change feed and refreshes only the conversations a batch
+touched, instead of rescanning the table.
+
+Refresh algorithm (the "recompute touched groups" pattern):
+
+1. read ``changes(applied_version, latest)`` — the keys that moved;
+2. distinct group keys from the feed (O(batch), not O(table));
+3. ``read_keys`` those groups — a bucket-PRUNED point read of current
+   state (manifest-level file pruning, so cost is O(touched buckets));
+4. recompute aggregates for exactly those groups, replace their rows in
+   the view, commit a new view version atomically (write-new + marker
+   rename, same protocol as the lake ledger).
+
+Groups whose every turn was tombstoned vanish from the view (their
+recompute returns no rows). At 10^10 events the only driver-side state is
+the touched-group key list per refresh — for pathological batches
+touching ~all groups, swap step 2/3 for a join against the feed; the view
+state itself never passes through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .lake import LakeTable
+
+
+class ConversationStatsView:
+    """Per-conversation aggregate view over a transcripts LakeTable:
+    ``conv_id, n_turns, n_roles, last_ts``."""
+
+    def __init__(self, spark: SparkSession, source: LakeTable, path: str) -> None:
+        self.spark = spark
+        self.source = source
+        self.path = path.rstrip("/")
+        os.makedirs(self.path, exist_ok=True)
+
+    # ------------------------------------------------------------- state
+    def _marker(self) -> dict | None:
+        p = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def applied_version(self) -> int:
+        m = self._marker()
+        return -1 if m is None else m["source_version"]
+
+    def read(self) -> DataFrame:
+        m = self._marker()
+        if m is None:
+            return self.spark.createDataFrame(
+                [], "conv_id string, n_turns long, n_roles long, last_ts timestamp"
+            )
+        return self.spark.read.parquet(os.path.join(self.path, m["data"]))
+
+    # ----------------------------------------------------------- refresh
+    @staticmethod
+    def _agg(rows: DataFrame) -> DataFrame:
+        return rows.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("role").alias("n_roles"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    def refresh(self) -> dict:
+        """Advance the view to the source's latest version incrementally."""
+        t0 = time.monotonic()
+        src_v = self.source.latest_version()
+        applied = self.applied_version()
+        if src_v is None or src_v <= applied:
+            return {"refreshed": False, "source_version": src_v}
+
+        if applied < 0:
+            # first build: one full aggregation
+            fresh = self._agg(self.source.read(src_v))
+            out = fresh
+            touched = None
+        else:
+            feed = self.source.changes(applied, src_v)
+            touched = [r.conv_id for r in feed.select("conv_id").distinct().collect()]
+            if not touched:
+                self._commit_marker(self._marker()["data"], src_v, 0, t0)
+                return {"refreshed": True, "source_version": src_v,
+                        "touched_groups": 0}
+            fresh = self._agg(self.source.read_keys(touched, version=src_v))
+            out = (
+                self.read()
+                .filter(~F.col("conv_id").isin(touched))
+                .unionByName(fresh)
+            )
+
+        data_rel = f"data-v{src_v:08d}"
+        out.write.mode("overwrite").parquet(os.path.join(self.path, data_rel))
+        self._commit_marker(data_rel, src_v,
+                            -1 if touched is None else len(touched), t0)
+        return {"refreshed": True, "source_version": src_v,
+                "touched_groups": -1 if touched is None else len(touched)}
+
+    def _commit_marker(self, data_rel: str, src_v: int, touched: int,
+                       t0: float) -> None:
+        tmp = os.path.join(self.path, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"data": data_rel, "source_version": src_v,
+                 "touched_groups": touched,
+                 "refresh_sec": round(time.monotonic() - t0, 3)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self.path, "_CURRENT"))

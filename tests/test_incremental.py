@@ -1,0 +1,69 @@
+"""Incremental materialized view: per-refresh state must equal a full
+recompute from the table snapshot, across inserts, updates, deletes and a
+whole-conversation tombstone."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from cdm_to_mods_spark.functions.chain import apply_chain
+from cdm_to_mods_spark.plans.incremental import ConversationStatsView
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts_raw string, ingest_ts timestamp"
+)
+
+
+def _full_recompute(table) -> pd.DataFrame:
+    return (
+        ConversationStatsView._agg(table.read())
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+
+
+def _view_state(view) -> pd.DataFrame:
+    return view.read().toPandas().sort_values("conv_id").reset_index(drop=True)
+
+
+def test_incremental_view_tracks_full_recompute(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "tab"), num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    view = ConversationStatsView(spark, t, str(tmp_path / "view"))
+
+    # batch 0: inserts across 3 conversations
+    rows0 = [("I", i, f"c{i % 3}", i // 3, ["user", "assistant"][i % 2],
+              f"t{i}", None, "2001-02-03", None) for i in range(12)]
+    t.apply_changes(spark.createDataFrame(rows0, EVENT_DDL), batch_id=0,
+                    transform=apply_chain)
+    r0 = view.refresh()
+    assert r0["refreshed"] and view.applied_version() == t.latest_version()
+    pd.testing.assert_frame_equal(_view_state(view), _full_recompute(t),
+                                  check_dtype=False)
+
+    # batch 1: updates to c0, new conversation c9
+    rows1 = [("U", 100, "c0", 0, "system", "upd", None, "2005-05-05", None),
+             ("I", 101, "c9", 0, "user", "new", None, "2006-06-06", None)]
+    t.apply_changes(spark.createDataFrame(rows1, EVENT_DDL), batch_id=1,
+                    transform=apply_chain)
+    r1 = view.refresh()
+    assert r1["touched_groups"] == 2
+    pd.testing.assert_frame_equal(_view_state(view), _full_recompute(t),
+                                  check_dtype=False)
+
+    # batch 2: tombstone ALL of c9 → it must vanish from the view
+    rows2 = [("D", 200, "c9", 0, None, None, None, None, None)]
+    t.apply_changes(spark.createDataFrame(rows2, EVENT_DDL), batch_id=2,
+                    transform=apply_chain)
+    view.refresh()
+    got = _view_state(view)
+    assert "c9" not in set(got["conv_id"])
+    pd.testing.assert_frame_equal(got, _full_recompute(t), check_dtype=False)
+
+    # no new source version → no-op
+    assert view.refresh() == {"refreshed": False,
+                              "source_version": t.latest_version()}
