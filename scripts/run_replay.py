@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--events", required=True, help="binlog segment directory (parquet)")
+    ap.add_argument("--events", required=True, help="binlog segment directory")
+    ap.add_argument("--format", choices=["parquet", "json", "csv"],
+                    default="parquet", help="event source format (S6 connector)")
     ap.add_argument("--table", required=True, help="lake table path")
     ap.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
     ap.add_argument("--buckets", type=int, default=64)
@@ -66,6 +68,7 @@ def main() -> None:
         merge_mode=args.mode,
         metrics_path=args.metrics,
         max_files_per_trigger=args.max_files_per_trigger,
+        source_format=args.format,
     )
     if args.continuous:
         q = sr.start(available_now=False)
