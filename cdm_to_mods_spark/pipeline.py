@@ -175,6 +175,73 @@ def d3_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+@_q(
+    "d6_dedup_clusters",
+    "WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') words "
+    "FROM documents), sh AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, len(words)-1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]"
+    ")) shingles FROM w WHERE len(words) >= 3), "
+    "ex AS (SELECT doc_id, unnest(shingles) sh FROM sh), "
+    "sizes AS (SELECT doc_id, len(shingles) sz FROM sh), "
+    "pr AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter FROM ex a "
+    "JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "jp AS (SELECT doc_a, doc_b FROM pr p JOIN sizes sa ON p.doc_a = sa.doc_id "
+    "JOIN sizes sb ON p.doc_b = sb.doc_id "
+    "WHERE inter*1.0/(sa.sz+sb.sz-inter) >= 0.6), "
+    "edges AS (SELECT doc_a a, doc_b b FROM jp UNION SELECT doc_b, doc_a FROM jp), "
+    "reach(a, b) AS (SELECT DISTINCT a, a FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+    "SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id, "
+    "min(b) = a AS is_canonical FROM reach GROUP BY a",
+)
+def d6_dedup_clusters(spark, sf_dir):
+    """near-dup CONNECTED COMPONENTS — the canonical-doc-selection step a
+    dedup pipeline runs after pair generation (keep one doc per cluster of
+    mutual near-dups, not just per pair). Edges are d2's exact Jaccard≥0.6
+    pairs; components form by iterative min-label propagation over the
+    symmetric edge set, converging in O(diameter) rounds with an explicit
+    fixpoint check (near-dup clusters are near-cliques, so diameter is
+    small; at 100 TB swap the loop for the alternating large-star/
+    small-star algorithm, O(log n) rounds). Output: every clustered doc,
+    its component's min doc_id as cluster_id, and the canonical flag. The
+    DuckDB oracle computes the same closure with WITH RECURSIVE — an exact
+    cross-engine check of an iterative distributed algorithm."""
+    pairs = d2_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("a", "b").localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        nxt = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter("_chg").limit(1).count()
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
 @_q("d4_simhash")  # rows-only: hash-function-dependent sketch
 def d4_simhash(spark, sf_dir):
     """64-bit SimHash fingerprint per document: per-word xxhash64, signed

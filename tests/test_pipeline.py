@@ -61,3 +61,21 @@ def test_simhash_near_dups_have_close_fingerprints(spark, q):
     assert rows, "expected at least one exact near-dup pair"
     # near-duplicate docs agree on most simhash bits
     assert max(rows) <= 16
+
+
+def test_dedup_clusters_are_closed_over_pairs(spark, q):
+    """Connected components must be consistent with the pair relation:
+    both endpoints of every near-dup pair share a cluster, every cluster's
+    id is its min member (the canonical doc), and exactly one canonical
+    per cluster."""
+    pairs = _pairs(q["d2_ngram_jaccard_pairs"](spark, SF), "doc_a", "doc_b")
+    rows = q["d6_dedup_clusters"](spark, SF).collect()
+    cluster = {r.doc_id: r.cluster_id for r in rows}
+    for a, b in pairs:
+        assert cluster[a] == cluster[b], f"pair ({a},{b}) split across clusters"
+    members: dict[int, list[int]] = {}
+    for r in rows:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+    for cid, docs in members.items():
+        assert cid == min(docs)
