@@ -682,6 +682,34 @@ def f7_ts_canonicalize_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "f7b_ts_qualifier",
+    "SELECT p_partkey AS id, CASE p_partkey % 4 WHEN 0 THEN 'ca. 1920' "
+    "WHEN 1 THEN '[1936]' WHEN 2 THEN '1972?' ELSE '1999' END AS raw, "
+    "CASE p_partkey % 4 WHEN 0 THEN 'approximate' WHEN 1 THEN 'inferred' "
+    "WHEN 2 THEN 'questionable' ELSE NULL END AS qualifier FROM part",
+)
+def f7b_ts_qualifier(spark, sf_dir):
+    """MODS date-qualifier extraction (dateCreatedSplit.xsl qualifier
+    attributes: circa→approximate, brackets→inferred, '?'→questionable) —
+    the pandas-UDF companion to the F7 cascade, over deterministically
+    constructed messy inputs so the oracle can state the expected class
+    directly."""
+    from .functions.dates import ts_qualifier
+
+    raw = (
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("ca. 1920"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("[1936]"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("1972?"))
+        .otherwise(F.lit("1999"))
+    )
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        raw.alias("raw"),
+        ts_qualifier(raw).alias("qualifier"),
+    )
+
+
+@_q(
     "f8_dictionary_remap",
     "SELECT CASE lower(trim(event_type)) WHEN 'click' THEN 'interaction' "
     "WHEN 'view' THEN 'interaction' WHEN 'purchase' THEN 'conversion' "

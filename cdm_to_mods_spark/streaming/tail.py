@@ -50,6 +50,7 @@ class StreamingReplay:
         metrics_path: str | None = None,
         max_files_per_trigger: int | None = None,
         source_format: str = "parquet",
+        stats_view_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.events_dir = events_dir
@@ -63,6 +64,18 @@ class StreamingReplay:
         )
         if not self.table.exists():
             self.table.create(TRANSCRIPT_SCHEMA)
+        # optional downstream consumer: the per-conversation materialized
+        # view advances incrementally after each micro-batch commit (the
+        # CDC pattern end-to-end: binlog tail → MERGE → change feed → view).
+        self.view = None
+        if stats_view_path is not None:
+            from ..plans.incremental import ConversationStatsView
+
+            # incremental refresh reads the change feed; under cow that
+            # requires the Delta-CDF side files.
+            if merge_mode == "cow":
+                self.table.cow_change_feed = True
+            self.view = ConversationStatsView(spark, self.table, stats_view_path)
         self.batch_metrics: list[dict] = []
 
     # ------------------------------------------------------------------
@@ -74,6 +87,8 @@ class StreamingReplay:
             transform=self.transform,
             source=f"stream:{self.events_dir}",
         )
+        if self.view is not None and not metrics.get("skipped"):
+            metrics["view"] = self.view.refresh()
         metrics["wall_sec"] = round(time.monotonic() - t0, 3)
         self.batch_metrics.append(metrics)
         if self.metrics_path:

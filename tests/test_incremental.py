@@ -67,3 +67,29 @@ def test_incremental_view_tracks_full_recompute(spark, tmp_path):
     # no new source version → no-op
     assert view.refresh() == {"refreshed": False,
                               "source_version": t.latest_version()}
+
+
+def test_streaming_tail_refreshes_view_per_batch(spark, tmp_path):
+    """End-to-end CDC: binlog tail -> MERGE -> change feed -> materialized
+    view, advanced inside each micro-batch; final view equals a full
+    recompute of the converged table."""
+    from cdm_to_mods_spark.sources.synth import synth_events, write_event_batches
+    from cdm_to_mods_spark.streaming.tail import StreamingReplay
+
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, 1500, 25, n_batches=3, seed=42)
+    sr = StreamingReplay(
+        spark,
+        events_dir,
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        num_buckets=8,
+        merge_mode="mor",
+        stats_view_path=str(tmp_path / "view"),
+    )
+    table = sr.run_to_completion()
+    assert sr.view.applied_version() == table.latest_version()
+    got = _view_state(sr.view)
+    want = _full_recompute(table)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert any("view" in m for m in sr.batch_metrics)
