@@ -561,6 +561,38 @@ def t4_fingerprint(spark, sf_dir):
     )
 
 
+@_q(
+    "t5_stratified_sample",
+    "SELECT event_type, count(*) AS n_sampled FROM events WHERE "
+    "CASE event_type "
+    "WHEN 'click' THEN substr(md5(CAST(event_id AS VARCHAR)), 32, 1) "
+    "IN ('0','1','2','3') "
+    "WHEN 'view' THEN substr(md5(CAST(event_id AS VARCHAR)), 32, 1) "
+    "IN ('0','1','2','3','4','5','6','7') "
+    "ELSE TRUE END GROUP BY 1",
+)
+def t5_stratified_sample(spark, sf_dir):
+    """deterministic STRATIFIED sampling — downsample over-represented
+    classes for a training mix (clicks 4/16, views 8/16, everything else
+    kept). The sample predicate is a pure content-hash threshold
+    (md5 last hex nibble), so it is reproducible across engines, runs and
+    partitionings — no RNG state, no seed drift — and Catalyst pushes the
+    deterministic filter straight down. At 100 TB this replaces
+    ``df.sampleBy`` (which depends on partition-iteration order)."""
+    nib = F.substring(F.md5(F.col("event_id").cast("string")), 32, 1)
+    keep = (
+        F.when(F.col("event_type") == "click", nib.isin(*"0123"))
+        .when(F.col("event_type") == "view", nib.isin(*"01234567"))
+        .otherwise(F.lit(True))
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(keep)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Multimodal plumbing (binary columns + Arrow-batched decode stubs)
 # ---------------------------------------------------------------------
