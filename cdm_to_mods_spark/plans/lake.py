@@ -49,6 +49,7 @@ import threading
 import time
 from collections.abc import Callable
 from contextlib import contextmanager
+from uuid import uuid4
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
@@ -446,16 +447,19 @@ class LakeTable:
         by_schema: dict[int, list[str]] = {}
         for v in range(since_version + 1, hi + 1):
             m = self.manifest(v)
-            if m.get("batch_id") is None:
-                continue
             if m.get("metrics", {}).get("mode") == "cow" and not m.get("cdf"):
                 raise ValueError(
                     f"version {v} was a copy-on-write commit without change-"
                     "data files; use merge-on-read or cow_change_feed=True"
                 )
             if "cdf" in m:
+                # data commits (batch_id set or ad-hoc) recorded their
+                # change files; maintenance commits carry cdf=[] and
+                # naturally contribute nothing.
                 entries = m["cdf"]
             else:  # pre-cdf manifests: delta refs still under data/vN/
+                if m.get("batch_id") is None:
+                    continue
                 rel = f"data/v{v:08d}"
                 entries = [
                     fs
@@ -503,7 +507,7 @@ class LakeTable:
         if not todo:
             return {"compacted": 0}
         new_version = man["version"] + 1
-        cdir_rel = f"data/v{new_version:08d}-compact"
+        cdir_rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}-compact"
         tmp_man = {
             "schemas": man["schemas"],
             "buckets": {str(b): buckets[str(b)] for b in todo},
@@ -562,7 +566,7 @@ class LakeTable:
             "_bucket", _bucket_expr(self.bucket_col, new_num_buckets)
         )
         new_version = man["version"] + 1
-        rel = f"data/v{new_version:08d}-rebucket"
+        rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}-rebucket"
         (
             folded.repartition(new_num_buckets, "_bucket")
             .write.partitionBy("_bucket")
@@ -725,7 +729,13 @@ class LakeTable:
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
         )
 
-        data_rel = f"data/v{new_version:08d}"
+        # Unique per-commit data directory (version prefix is cosmetic/
+        # debuggability): concurrent writers must never contend on a path —
+        # an overwrite into a shared version-named dir would clobber the
+        # loser's files. Manifests reference full relative paths, so the
+        # name never matters to readers; this is why Iceberg data files are
+        # uuid-named rather than version-keyed.
+        data_rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}"
         vdir = os.path.join(self.path, data_rel)
         buckets = {
             k: (e if "path" not in e else {"base": e, "deltas": []})
@@ -921,20 +931,116 @@ class LakeTable:
             "events_per_sec": round(n_events / elapsed, 1) if elapsed > 0 else None,
         }
 
-        self._commit(
-            {
-                "version": new_version,
-                "batch_id": batch_id,
-                "last_batch_id": batch_id if batch_id is not None else man["last_batch_id"],
-                "schemas": schemas,
-                "buckets": buckets,
-                "num_buckets": self.num_buckets,
-                "key_cols": list(self.key_cols),
-                "bucket_col": self.bucket_col,
-                "cdf": cdf,
-                "lineage": lineage,
-                "metrics": metrics,
-                "commit_ts": time.time(),
+        try:
+            self._commit(
+                {
+                    "version": new_version,
+                    "batch_id": batch_id,
+                    "last_batch_id": batch_id if batch_id is not None else man["last_batch_id"],
+                    "schemas": schemas,
+                    "buckets": buckets,
+                    "num_buckets": self.num_buckets,
+                    "key_cols": list(self.key_cols),
+                    "bucket_col": self.bucket_col,
+                    "cdf": cdf,
+                    "lineage": lineage,
+                    "metrics": metrics,
+                    "commit_ts": time.time(),
+                }
+            )
+            return metrics
+        except RuntimeError:
+            return self._retry_commit_conflict(
+                man, new_version, batch_id, schemas, lineage_stats,
+                n_compacted, source, metrics, data_rel,
+            )
+
+    def _retry_commit_conflict(
+        self,
+        man: dict,
+        lost_version: int,
+        batch_id: int | None,
+        schemas: list,
+        lineage_stats: dict,
+        n_compacted: int,
+        source: str | None,
+        metrics: dict,
+        data_rel: str,
+    ) -> dict:
+        """Optimistic-concurrency retry (the Iceberg fast-append pattern):
+        another writer won version ``lost_version``. A merge-on-read batch
+        only APPENDED immutable delta files under a unique per-commit
+        directory, so the commit replays against the winner's manifest
+        without touching data — re-append our delta references onto the
+        latest bucket entries and commit the next version. Retry is
+        declined (raise) when the batch rewrote shared state: copy-on-write
+        rewrites whole buckets from a stale base, and an inline compaction
+        folded deltas based on a stale chain — both need a re-merge, not a
+        re-commit."""
+        if self.merge_mode != "mor" or n_compacted > 0:
+            raise RuntimeError(
+                f"concurrent commit conflict on version {lost_version}; "
+                f"{'copy-on-write' if self.merge_mode != 'mor' else 'inline-compaction'} "
+                "batches cannot be replayed onto the winner's manifest — re-apply"
+            )
+        while True:
+            latest = self.manifest()
+            if batch_id is not None and batch_id <= latest["last_batch_id"]:
+                return {"skipped": True, "batch_id": batch_id,
+                        "reason": "committed by concurrent writer"}
+            # schema reconciliation: schema lists are append-only, so our
+            # delta files' schema_id indexes any list sharing our prefix.
+            we_evolved = len(schemas) > len(man["schemas"])
+            if not we_evolved:
+                schemas2 = latest["schemas"]  # theirs ⊇ ours (prefix)
+            elif latest["schemas"] == man["schemas"] or schemas == latest["schemas"]:
+                schemas2 = schemas  # they didn't evolve / evolved identically
+            else:
+                # divergent concurrent evolutions — needs a real re-apply
+                raise RuntimeError(
+                    "concurrent schema evolution during commit conflict; re-apply"
+                )
+            new_version = latest["version"] + 1
+            schema_id = len(schemas) - 1
+            buckets = {
+                k: (e if "path" not in e else {"base": e, "deltas": []})
+                for k, e in latest["buckets"].items()
             }
-        )
-        return metrics
+            cdf = []
+            for b in sorted(lineage_stats):
+                entry = {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+                buckets.setdefault(str(b), {"base": None, "deltas": []})[
+                    "deltas"
+                ].append(entry)
+                cdf.append(dict(entry))
+            lineage = dict(latest.get("lineage", {}))
+            for b, s in lineage_stats.items():
+                lineage[str(b)] = {
+                    "max_seq": s["max_seq"],
+                    "min_seq_in_batch": s["min_seq"],
+                    "n_changes": s["n_changes"],
+                    "snapshot": new_version,
+                    "source": source,
+                }
+            try:
+                self._commit(
+                    {
+                        "version": new_version,
+                        "batch_id": batch_id,
+                        "last_batch_id": batch_id
+                        if batch_id is not None
+                        else latest["last_batch_id"],
+                        "schemas": schemas2,
+                        "buckets": buckets,
+                        "num_buckets": self.num_buckets,
+                        "key_cols": list(self.key_cols),
+                        "bucket_col": self.bucket_col,
+                        "cdf": cdf,
+                        "lineage": lineage,
+                        "metrics": {**metrics, "commit_retried": True},
+                        "commit_ts": time.time(),
+                    }
+                )
+                return {**metrics, "commit_retried": True}
+            except RuntimeError:
+                continue  # lost again — rename forward and retry

@@ -355,6 +355,41 @@ def test_change_feed_schema_evolution_mid_range(spark, tmp_table):
     assert feed["c2"].score == 7
 
 
+def test_concurrent_mor_appends_both_commit(spark, tmp_table):
+    """Optimistic concurrency: a MoR append whose commit loses the version
+    race replays onto the winner's manifest (rename + re-append) — both
+    writers' rows land, no recompute, and the change feed sees both."""
+    import types
+
+    t_a = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t_a.create(TRANSCRIPT_SCHEMA)
+    t_b = LakeTable(spark, tmp_table, merge_mode="mor")
+    ev_a = _events(spark, [("I", 1, "cA", 0, "user", "from-a", None, None, None)])
+    ev_b = _events(spark, [("I", 2, "cB", 0, "user", "from-b", None, None, None)])
+
+    orig = LakeTable._commit
+    fired = {"done": False}
+
+    def interleaved_commit(self, manifest):
+        # writer B sneaks its commit in between A's data write and A's
+        # ledger commit — the deterministic version-race injection.
+        if not fired["done"]:
+            fired["done"] = True
+            t_b.apply_changes(ev_b, transform=apply_chain, source="writer-b")
+        return orig(self, manifest)
+
+    t_a._commit = types.MethodType(interleaved_commit, t_a)
+    m = t_a.apply_changes(ev_a, transform=apply_chain, source="writer-a")
+    assert m.get("commit_retried"), m
+
+    fresh = LakeTable(spark, tmp_table, merge_mode="mor")
+    state = _state(fresh)
+    assert state[("cA", 0)][1] == "from-a"
+    assert state[("cB", 0)][1] == "from-b"
+    assert {r._seq for r in fresh.changes(0).collect()} == {1, 2}
+    assert fresh.latest_version() == 2
+
+
 def test_cow_change_feed_side_files(spark, tmp_table):
     """With cow_change_feed=True, copy-on-write commits write the resolved
     change rows as side files and changes() works exactly as under mor."""
