@@ -522,7 +522,11 @@ class LakeTable:
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
         )
         (
+            # sort by key inside each bucket file: compaction is the read-
+            # optimization pass, and sorted row groups give parquet min/max
+            # pruning on conv_id for read_keys point lookups.
             folded.repartition(max(len(todo), 1), "_bucket")
+            .sortWithinPartitions("_bucket", *self.key_cols)
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(os.path.join(self.path, cdir_rel))
@@ -569,6 +573,7 @@ class LakeTable:
         rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}-rebucket"
         (
             folded.repartition(new_num_buckets, "_bucket")
+            .sortWithinPartitions("_bucket", *self.key_cols)
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(os.path.join(self.path, rel))
@@ -799,6 +804,7 @@ class LakeTable:
                 cdir_rel = f"{data_rel}-compact"
                 (
                     compacted.repartition(max(n_compacted, 1), "_bucket")
+                    .sortWithinPartitions("_bucket", *self.key_cols)
                     .write.partitionBy("_bucket")
                     .mode("overwrite")
                     .parquet(os.path.join(self.path, cdir_rel))
