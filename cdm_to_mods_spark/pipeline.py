@@ -562,6 +562,25 @@ def t4_fingerprint(spark, sf_dir):
 
 
 @_q(
+    "t6_repetition_score",
+    "SELECT doc_id, round(1.0 - len(list_distinct(w))*1.0/greatest(len(w), 1), 4) "
+    "AS repetition FROM (SELECT doc_id, list_filter(regexp_split_to_array("
+    "lower(text), '\\s+'), x -> x <> '') AS w FROM documents)",
+)
+def t6_repetition_score(spark, sf_dir):
+    """repetition ratio (1 - distinct/total words) — the boilerplate /
+    degenerate-text signal every LLM quality filter carries alongside t2's
+    length/punct/stopword scores. Native array exprs, no shuffle."""
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    rep = 1.0 - F.size(F.array_distinct(words)) / F.greatest(
+        F.size(words), F.lit(1)
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(rep, 4).alias("repetition")
+    )
+
+
+@_q(
     "t5_stratified_sample",
     "SELECT event_type, count(*) AS n_sampled FROM events WHERE "
     "CASE event_type "

@@ -332,6 +332,100 @@ def j8_regex_extract_join(spark, sf_dir):
     )
 
 
+@_q(
+    "j9_asof_join",
+    "WITH dim AS (SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) "
+    "AS eff_ts, CAST(min(event_id) AS BIGINT) AS version_id FROM events "
+    "GROUP BY 1, 2) "
+    "SELECT CAST(e.event_id AS BIGINT) AS event_id, d.version_id "
+    "FROM events e ASOF JOIN dim d "
+    "ON e.user_id = d.user_id AND e.ts >= d.eff_ts",
+)
+def j9_asof_join(spark, sf_dir):
+    """AS-OF (temporal) join — an operator Spark's join set lacks: each
+    event picks the dimension version in effect at its timestamp (the CDC
+    dimension-lookup pattern; reference analog: latest-export-wins applied
+    at read time, convert_cdm_to_mods.py:142-148). The scalable
+    formulation is union + window, NOT an inequality join: tag dim rows
+    and fact rows, union on the key, one window ordered by
+    (ts, dim-before-fact) carries the last seen version forward — a single
+    hash-partition shuffle on the key, no O(facts × versions) range
+    explosion, skew bounded by the per-key window. The oracle uses
+    DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id", F.date_trunc("month", "ts").alias("eff_ts"))
+        .agg(F.min("event_id").cast("long").alias("version_id"))
+    )
+    d = dim.select(
+        "user_id", F.col("eff_ts").alias("ts"), "version_id",
+        F.lit(1).alias("is_dim"), F.lit(None).cast("long").alias("event_id"),
+    )
+    e = ev.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("version_id"),
+        F.lit(0).alias("is_dim"), F.col("event_id").cast("long"),
+    )
+    # dim sorts BEFORE facts at equal ts (is_dim desc) so ts >= eff_ts is
+    # inclusive, matching ASOF's >= semantics.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.unionByName(e)
+        .withColumn("v", F.last("version_id", ignorenulls=True).over(w))
+        .filter((F.col("is_dim") == 0) & F.col("v").isNotNull())
+        .select("event_id", F.col("v").alias("version_id"))
+    )
+
+
+@_q(
+    "j10_range_join_banded",
+    "WITH win AS (SELECT DISTINCT event_type, CAST(date_trunc('month', ts) AS "
+    "TIMESTAMP) AS ws FROM events) "
+    "SELECT w.event_type, w.ws AS window_start, count(*) AS n "
+    "FROM events e JOIN win w ON e.event_type = w.event_type "
+    "AND e.ts >= w.ws AND e.ts < w.ws + INTERVAL 10 DAY "
+    "GROUP BY 1, 2",
+)
+def j10_range_join_banded(spark, sf_dir):
+    """RANGE (interval-overlap) join — the other join Spark lacks a fast
+    native strategy for: events matched to [start, end) windows. A naive
+    theta-join is O(events × windows); the scale shape is BANDING — explode
+    each window over the coarse time bands it covers, equi-join events on
+    (key, band(ts)), then filter the exact range. Each event lands in
+    exactly one band, so the join is a plain hash join whose cost is
+    O(events + windows × bands-per-window); band width trades replication
+    (window side) against post-filter selectivity. AQE skew-join splits a
+    hot band if one time period dominates."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        ev.select("event_type", F.date_trunc("month", "ts").alias("ws"))
+        .distinct()
+        .withColumn("we", F.col("ws") + F.expr("INTERVAL 10 DAYS"))
+    )
+    # explode windows over covered month bands (general: works for windows
+    # crossing band boundaries; here each covers 1-2 bands)
+    wb = win.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "ws"),
+                F.date_trunc("month", F.col("we") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ),
+    )
+    eb = ev.withColumn("band", F.date_trunc("month", "ts"))
+    return (
+        eb.join(wb, ["event_type", "band"])
+        .filter((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
+        .groupBy("event_type", F.col("ws").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # =====================================================================
 # §2.4 Aggregations
 # =====================================================================
