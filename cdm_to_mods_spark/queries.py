@@ -565,6 +565,37 @@ def a6r_recursive_rollup(spark, sf_dir):
 
 
 @_q(
+    "a9_rollup_hierarchy",
+    "SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n "
+    "FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m'))",
+)
+def a9_rollup_hierarchy(spark, sf_dir):
+    """hierarchical rollup (GROUPING SETS) — subtotals per (type, month),
+    per type, and grand total in ONE pass: Catalyst expands the rollup into
+    a single partial+final hash aggregation, so the 100 TB cost is one
+    shuffle, not one job per level (the reference computes its per-level
+    counts in separate passes, post_cdm_cleanup.py:81-95)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q("a10_approx_distinct")  # rows-only: HLL sketches differ across engines
+def a10_approx_distinct(spark, sf_dir):
+    """HyperLogLog approximate distinct — THE 100 TB cardinality operator
+    (fixed-size sketch, partial-mergeable, no exact-distinct shuffle).
+    Cross-engine sketch values differ by construction, so this is
+    rows-only for the driver; the ≤5% relative-error bound vs exact
+    countDistinct is pinned in tests/test_pipeline.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
+@_q(
     "a7_last_write_wins",
     "SELECT user_id, event_id, event_type, value FROM ("
     "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn "

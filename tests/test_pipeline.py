@@ -79,3 +79,22 @@ def test_dedup_clusters_are_closed_over_pairs(spark, q):
         assert r.is_canonical == (r.doc_id == r.cluster_id)
     for cid, docs in members.items():
         assert cid == min(docs)
+
+
+def test_approx_distinct_within_error_bound(spark, q):
+    """HLL approx_count_distinct stays within the configured 2% rsd (we
+    allow 5% abs) of the exact per-group cardinality."""
+    from pyspark.sql import functions as F
+
+    approx = {r.event_type: r.approx_users
+              for r in q["a10_approx_distinct"](spark, SF).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
