@@ -159,6 +159,7 @@ class LakeTable:
         merge_mode: str = "cow",
         compact_deltas: int = 8,
         cow_change_feed: bool = False,
+        quarantine_path: str | None = None,
     ) -> None:
         """``merge_mode``:
 
@@ -178,6 +179,15 @@ class LakeTable:
         resolved change rows as side files (the Delta-CDF pattern, one
         extra O(batch) write per commit), making ``changes()`` work under
         both modes.
+
+        ``quarantine_path``: dead-letter routing — change rows whose key
+        columns are null (unmergeable) are appended there per batch
+        instead of poisoning the MERGE (a null key would hash into one
+        bucket and collide under last-write-wins). The reference ABORTS
+        the whole run on invalid records (post_cdm_cleanup.py:15-37); a
+        10^10-event replay can't re-run for one bad row, so the engine
+        quarantines and counts them (``metrics.n_quarantined``). Costs one
+        extra pass over the batch — enable where sources are untrusted.
         """
         self.spark = spark
         self.path = path.rstrip("/")
@@ -188,6 +198,7 @@ class LakeTable:
         self.merge_mode = merge_mode
         self.compact_deltas = compact_deltas
         self.cow_change_feed = cow_change_feed
+        self.quarantine_path = quarantine_path
         self._ledger = os.path.join(self.path, "_ledger")
         # For an EXISTING table the on-disk layout is authoritative:
         # opening with different constructor args must not silently hash
@@ -686,6 +697,27 @@ class LakeTable:
 
         new_version = man["version"] + 1
 
+        # -1. dead-letter routing (optional): null-key rows are unmergeable
+        # — split them out to the quarantine sink before anything else.
+        n_quarantined = 0
+        if self.quarantine_path is not None:
+            bad_pred = None
+            for k in self.key_cols:
+                p = F.col(k).isNull()
+                bad_pred = p if bad_pred is None else (bad_pred | p)
+            bad = events.filter(bad_pred).withColumn(
+                "_quarantine_batch", F.lit(batch_id).cast("long")
+            )
+            obs_bad = Observation()
+            (
+                bad.observe(obs_bad, F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .parquet(self.quarantine_path)
+            )
+            _b = _observed(obs_bad)
+            n_quarantined = int(_b["n"]) if _b else 0
+            events = events.filter(~bad_pred)
+
         # 0. observe op-mix metrics inline — no separate count job over the
         # raw events (at 10^10 events a metrics-only rescan is real money).
         obs_in = Observation()
@@ -932,6 +964,7 @@ class LakeTable:
             "op_counts": op_counts,
             "n_buckets_touched": len(affected),
             "n_buckets_compacted": n_compacted,
+            "n_quarantined": n_quarantined,
             "rows_written": n_written,
             "elapsed_sec": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed, 1) if elapsed > 0 else None,

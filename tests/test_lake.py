@@ -452,6 +452,30 @@ def test_rollback_and_timestamp_travel(spark, tmp_table):
     assert _state(t)[("c1", 0)][1] == "v2"
 
 
+def test_quarantine_dead_letter_routing(spark, tmp_table, tmp_path):
+    """Null-key change rows route to the quarantine sink instead of
+    poisoning the MERGE; good rows still apply, and the bad rows are
+    replayable from the dead-letter parquet with their batch id."""
+    q = str(tmp_path / "quarantine")
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor",
+                  quarantine_path=q)
+    t.create(TRANSCRIPT_SCHEMA)
+    m = t.apply_changes(
+        _events(spark, [
+            ("I", 1, "c1", 0, "user", "good", None, None, None),
+            ("I", 2, None, 0, "user", "bad-null-conv", None, None, None),
+            ("I", 3, "c2", None, "user", "bad-null-turn", None, None, None),
+        ]),
+        batch_id=0, transform=apply_chain,
+    )
+    assert m["n_quarantined"] == 2 and m["n_events"] == 1
+    assert _state(t) == {("c1", 0): ("user", "good", None)}
+    dead = spark.read.parquet(q)
+    assert dead.count() == 2
+    assert {r.text for r in dead.collect()} == {"bad-null-conv", "bad-null-turn"}
+    assert {r._quarantine_batch for r in dead.collect()} == {0}
+
+
 def test_reopen_adopts_on_disk_layout(spark, tmp_table):
     """Opening an existing table with different constructor args must adopt
     the on-disk bucket spec — a mismatched bucket count would hash keys into
