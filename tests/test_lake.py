@@ -492,6 +492,23 @@ def test_reopen_adopts_on_disk_layout(spark, tmp_table):
     assert reopened.read_keys(["c3"]).count() == 1  # pruning still correct
 
 
+def test_legacy_bucket_fn_adopted_and_pruning_correct(spark, tmp_table):
+    """Tables created under the round-1 xxhash64 bucket function keep their
+    layout: reopening adopts bucket_fn from the manifest and read_keys
+    prunes with the ORIGINAL hash (a mismatched function would probe the
+    wrong buckets and silently return nothing)."""
+    t = LakeTable(spark, tmp_table, num_buckets=8, merge_mode="mor",
+                  bucket_fn="xxhash64")
+    t.create(TRANSCRIPT_SCHEMA)
+    rows = [("I", i, f"c{i}", 0, "user", f"v{i}", None, None, None)
+            for i in range(16)]
+    t.apply_changes(_events(spark, rows), batch_id=0, transform=apply_chain)
+    reopened = LakeTable(spark, tmp_table, merge_mode="mor")  # defaults hash32
+    assert reopened.bucket_fn == "xxhash64"
+    assert reopened.read_keys(["c7"]).count() == 1
+    assert reopened.read().count() == 16
+
+
 def test_rebucket_partition_spec_evolution(spark, tmp_table):
     t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode="mor")
     t.create(TRANSCRIPT_SCHEMA)

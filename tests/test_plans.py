@@ -58,6 +58,27 @@ def test_o6_topk_filters_after_single_window_pass(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_apply_pipeline_is_single_shuffle(spark):
+    """The hash32 MERGE apply plan: repartition(n, bucket_col) is the ONLY
+    exchange — the dedup groupBy's clustering is satisfied by the
+    key-subset partitioning (bucket_col ⊆ key_cols), so no second exchange
+    appears before the bucket-partitioned write."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.operators.dedup import latest_per_key
+
+    ev = spark.createDataFrame(
+        [("I", 1, "c1", 0, "x")],
+        "op string, seq long, conv_id string, turn_idx int, text string",
+    )
+    df = latest_per_key(
+        ev.repartition(8, F.col("conv_id")), ("conv_id", "turn_idx"), "seq"
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(conv_id" in plan
+
+
 @pytest.mark.parametrize("qname", ["p1_rename_project", "f1_xml_escape"])
 def test_scalar_chains_have_no_python_nodes(spark, qname):
     """Scalar-function families stay JVM-side: no Python eval nodes."""
