@@ -763,7 +763,7 @@ class LakeTable:
         # local[32]/16M events vs the two-shuffle plan. Legacy xxhash64
         # tables cannot align with Spark's partitioner and keep the
         # two-shuffle path (dedup shuffle + bucket repartition).
-        if self.bucket_fn == "hash32":
+        if self.bucket_fn == "hash32" and self.merge_mode == "mor":
             events = events.repartition(self.num_buckets, F.col(self.bucket_col))
         batch = latest_per_key(events, self.key_cols, "seq")
         # 2. vectorized transform chain (the XSLT-library analog).
@@ -919,9 +919,17 @@ class LakeTable:
                 target = self._read_raw(
                     man, buckets=affected, canon=canon
                 ).withColumn("_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn))
+                u = target.unionByName(changes)
+                if self.bucket_fn == "hash32":
+                    # same single-shuffle alignment as mor, applied to the
+                    # merge: one repartition on the bucket col satisfies the
+                    # resolution agg's clustering AND task-aligns the
+                    # bucket-partitioned rewrite — the cow merge+write is
+                    # one shuffle, not two (agg exchange + write
+                    # repartition).
+                    u = u.repartition(self.num_buckets, F.col(self.bucket_col))
                 merged = (
-                    target.unionByName(changes)
-                    .transform(
+                    u.transform(
                         lambda d: latest_per_key(
                             d.withColumn(
                                 "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
@@ -933,10 +941,13 @@ class LakeTable:
                     .drop("op")
                 )
                 obs_out = Observation()
+                writer_df = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+                if self.bucket_fn != "hash32":
+                    writer_df = writer_df.repartition(
+                        max(len(affected), 1), "_bucket"
+                    )
                 (
-                    merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
-                    .repartition(max(len(affected), 1), "_bucket")
-                    .write.partitionBy("_bucket")
+                    writer_df.write.partitionBy("_bucket")
                     .mode("overwrite")
                     .parquet(vdir)
                 )
