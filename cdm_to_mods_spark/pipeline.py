@@ -217,7 +217,8 @@ def d6_dedup_clusters(spark, sf_dir):
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):
+    changed = 1
+    for _ in range(64):  # hard backstop only — the loop exits at fixpoint
         prop = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy(F.col("a").alias("doc_id"))
@@ -235,6 +236,12 @@ def d6_dedup_clusters(spark, sf_dir):
         labels = nxt.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:  # never converged — split clusters would silently
+        raise RuntimeError(  # diverge from the transitive-closure oracle
+            "d6 label propagation did not reach fixpoint within 64 rounds; "
+            "component diameter exceeds the backstop — switch to "
+            "large-star/small-star (O(log n) rounds) for this dataset"
+        )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

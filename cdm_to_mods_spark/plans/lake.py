@@ -69,6 +69,13 @@ from ..schemas import (
 
 _NON_PAYLOAD_EVENT_COLS = {"op", "seq", "ingest_ts"}
 
+
+class SnapshotExpiredError(LookupError):
+    """A change-feed (or time-travel) range needs a manifest that
+    ``expire_snapshots`` removed. Carries the retention floor in the message
+    so an incremental consumer knows to re-seed from a snapshot read instead
+    of retrying the feed."""
+
 # refcounted, race-safe scoping of the session-global AQE flag: the first
 # apply on a session saves the original and flips it off, nested/concurrent
 # applies just bump the depth, and the LAST one out restores the original —
@@ -307,6 +314,14 @@ class LakeTable:
                 "version": new_version,
                 "batch_id": None,
                 "cdf": [],
+                # schemas lists are append-only across the whole ledger:
+                # keep the CURRENT (longest) list, not the old snapshot's
+                # prefix — changes() resolves every version's schema_id
+                # against the latest manifest's schemas, so truncating here
+                # would break feeds spanning pre-rollback schema evolutions
+                # (the old snapshot's file refs index a prefix, so reads of
+                # the rolled-back state are unaffected).
+                "schemas": cur["schemas"],
                 "metrics": {"maintenance": "rollback", "to_version": version},
                 "commit_ts": time.time(),
             }
@@ -432,6 +447,8 @@ class LakeTable:
         # probe at the table's native bucket-column type — hashing string
         # forms of a non-string key would select the wrong buckets.
         key_type = self._canonical_schema(man)[self.bucket_col].dataType
+        if not bucket_keys:  # empty probe: no buckets, no schema inference
+            return self._empty(self._canonical_schema(man), hidden=False)
         keys_df = self.spark.createDataFrame(
             [(k,) for k in bucket_keys], [self.bucket_col]
         ).select(F.col(self.bucket_col).cast(key_type).alias(self.bucket_col))
@@ -480,8 +497,23 @@ class LakeTable:
         canon = self._canonical_schema(man)
         by_schema: dict[int, list[str]] = {}
         for v in range(since_version + 1, hi + 1):
-            m = self.manifest(v)
-            if m.get("metrics", {}).get("mode") == "cow" and not m.get("cdf"):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                vs = self._versions()
+                raise SnapshotExpiredError(
+                    f"change feed for ({since_version}, {hi}] needs version "
+                    f"{v}, which was removed by expire_snapshots; the feed's "
+                    f"retention floor is version {vs[0] if vs else '<none>'} "
+                    "— re-seed the consumer from a snapshot read"
+                ) from None
+            if (
+                m.get("metrics", {}).get("mode") == "cow"
+                and not m.get("cdf")
+                # a cow commit that touched zero buckets (empty/no-op batch)
+                # contributed no changes — it cannot poison the feed.
+                and m.get("metrics", {}).get("n_buckets_touched", 1) > 0
+            ):
                 raise ValueError(
                     f"version {v} was a copy-on-write commit without change-"
                     "data files; use merge-on-read or cow_change_feed=True"
@@ -722,13 +754,19 @@ class LakeTable:
 
         # -1. dead-letter routing (optional): null-key rows are unmergeable
         # — split them out to the quarantine sink before anything else.
+        # The batch is cached first so routing costs ONE scan of the source,
+        # not two: the quarantine write materializes the cache, and the main
+        # merge reads the good rows back from memory/disk instead of
+        # re-scanning (at 10^10 events a second source pass is real money).
         n_quarantined = 0
+        cached_batch: DataFrame | None = None
         if self.quarantine_path is not None:
+            cached_batch = events.persist(StorageLevel.MEMORY_AND_DISK)
             bad_pred = None
             for k in self.key_cols:
                 p = F.col(k).isNull()
                 bad_pred = p if bad_pred is None else (bad_pred | p)
-            bad = events.filter(bad_pred).withColumn(
+            bad = cached_batch.filter(bad_pred).withColumn(
                 "_quarantine_batch", F.lit(batch_id).cast("long")
             )
             obs_bad = Observation()
@@ -739,7 +777,7 @@ class LakeTable:
             )
             _b = _observed(obs_bad)
             n_quarantined = int(_b["n"]) if _b else 0
-            events = events.filter(~bad_pred)
+            events = cached_batch.filter(~bad_pred)
 
         # 0. observe op-mix metrics inline — no separate count job over the
         # raw events (at 10^10 events a metrics-only rescan is real money).
@@ -1018,6 +1056,8 @@ class LakeTable:
             "events_per_sec": round(n_events / elapsed, 1) if elapsed > 0 else None,
         }
 
+        if cached_batch is not None:  # quarantine cache: all jobs have run
+            cached_batch.unpersist(blocking=False)
         try:
             self._commit(
                 {
@@ -1076,6 +1116,18 @@ class LakeTable:
             if batch_id is not None and batch_id <= latest["last_batch_id"]:
                 return {"skipped": True, "batch_id": batch_id,
                         "reason": "committed by concurrent writer"}
+            # layout reconciliation: our delta files were bucketed with
+            # (bucket_fn, num_buckets); if the winner changed either (a
+            # concurrent rebucket), re-appending them would reference a
+            # layout the files weren't written under — decline, re-apply.
+            if (
+                latest.get("num_buckets") != self.num_buckets
+                or latest.get("bucket_fn", "xxhash64") != self.bucket_fn
+            ):
+                raise RuntimeError(
+                    "concurrent bucket-layout change during commit conflict; "
+                    "re-apply"
+                )
             # schema reconciliation: schema lists are append-only, so our
             # delta files' schema_id indexes any list sharing our prefix.
             we_evolved = len(schemas) > len(man["schemas"])
@@ -1123,6 +1175,7 @@ class LakeTable:
                         "num_buckets": self.num_buckets,
                         "key_cols": list(self.key_cols),
                         "bucket_col": self.bucket_col,
+                        "bucket_fn": self.bucket_fn,
                         "cdf": cdf,
                         "lineage": lineage,
                         "metrics": {**metrics, "commit_retried": True},
