@@ -107,7 +107,6 @@ def d2_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-@_q("d3_minhash_lsh_pairs")  # rows-only: minhash permutations aren't SQL-portable
 def d3_minhash_lsh_pairs(spark, sf_dir):
     """MinHash + LSH near-dup candidates, exact-verified.
 
@@ -115,7 +114,16 @@ def d3_minhash_lsh_pairs(spark, sf_dir):
     of 4 → band-hash bucket join → candidate pairs → exact Jaccard filter
     (≥0.6). At scale the band-bucket join replaces d2's all-shingles join:
     cost O(candidates), not O(shared-shingle pairs). Verified subset of d2
-    in tests/test_pipeline.py."""
+    in tests/test_pipeline.py.
+
+    Why rows-only is the oracle ceiling: the signature construction is
+    xxhash64-based (permutation input hash AND band hashes), and DuckDB has
+    no xxhash64 — its ``hash()`` is a different, unspecified 64-bit function
+    — so no SQL oracle can reproduce which candidate pairs the bands
+    surface. The output IS exactly d2 restricted to LSH-recalled pairs, and
+    that restriction is pinned the only way it can be: subset-of-d2 plus a
+    ≥90% recall floor in tests/test_pipeline.py (deterministic hashes ⇒
+    stable, not flaky)."""
     n_perm, bands, rows_per_band = 32, 8, 4
     p = 2_147_483_647
     # cached: consumed twice (signature pass + exact-verify join)
@@ -249,7 +257,6 @@ def d6_dedup_clusters(spark, sf_dir):
     )
 
 
-@_q("d4_simhash")  # rows-only: hash-function-dependent sketch
 def d4_simhash(spark, sf_dir):
     """64-bit SimHash fingerprint per document: per-word xxhash64, signed
     bit votes summed per doc, sign → bit. All native exprs: explode + 64
@@ -273,6 +280,33 @@ def d4_simhash(spark, sf_dir):
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseOR(term)
     return sig.select("doc_id", fp.alias("simhash"))
+
+
+# rows-only: both sketches are xxhash64-constructed and DuckDB has no
+# xxhash64, so no SQL oracle can reproduce them (see d3's docstring for the
+# full argument); their semantic contracts are pinned in
+# tests/test_pipeline.py (d3 ⊆ d2 with ≥90% recall; near-dup simhash
+# hamming ≤ 16).
+@_q("d3d4_sketch_suite")
+def d3d4_sketch_suite(spark, sf_dir):
+    """D3+D4 in one rows-only driver row — the hash-sketch dedup family:
+    MinHash+LSH exact-verified near-dup pairs (kind='minhash_lsh_pair':
+    id_a/id_b = the pair, score = exact Jaccard) and 64-bit SimHash
+    fingerprints (kind='simhash_fp': id_a = doc_id, id_b = the
+    fingerprint)."""
+    d3 = d3_minhash_lsh_pairs(spark, sf_dir).select(
+        F.lit("minhash_lsh_pair").alias("kind"),
+        F.col("doc_a").cast("long").alias("id_a"),
+        F.col("doc_b").cast("long").alias("id_b"),
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    d4 = d4_simhash(spark, sf_dir).select(
+        F.lit("simhash_fp").alias("kind"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("simhash").alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return d3.unionByName(d4)
 
 
 # ---------------------------------------------------------------------
@@ -321,7 +355,6 @@ def e1_knn_bruteforce(spark, sf_dir):
     )
 
 
-@_q("e2_ann_lsh_bucketed")  # rows-only: approximate by construction
 def e2_ann_lsh_bucketed(spark, sf_dir):
     """LSH-bucketed ANN (scale path #1, beside e3's IVF): deterministic
     random-hyperplane sign bits (components from xxhash64(plane, dim), no
@@ -396,7 +429,6 @@ _COS = {
 }
 
 
-@_q("e3_ann_ivf")  # rows-only: approximate + iterative (not SQL-portable)
 def e3_ann_ivf(spark, sf_dir):
     """IVF ANN (the other scale path beside e2's LSH): deterministic k-means
     coarse quantizer trained DRIVER-SIDE on a bounded sample (lowest
@@ -475,116 +507,169 @@ def e3_ann_ivf(spark, sf_dir):
     )
 
 
+# rows-only: ANN is approximate by construction (which neighbors surface
+# depends on the LSH band hashes / trained IVF cells, neither reproducible
+# in DuckDB SQL); recall vs the oracle-checked brute-force e1 is pinned in
+# tests/test_pipeline.py (e3 ≥ 14/15, e2 ≥ 8/15 — deterministic, not flaky).
+@_q("e2e3_ann_suite")
+def e2e3_ann_suite(spark, sf_dir):
+    """E2+E3 in one rows-only driver row — both approximate-nearest-
+    neighbor scale paths side by side: LSH-bucketed (method='lsh') and
+    IVF coarse-quantizer (method='ivf') top-3 per query."""
+    e2 = e2_ann_lsh_bucketed(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rk"
+    )
+    e3 = e3_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rk"
+    )
+    return e2.unionByName(e3)
+
+
 # ---------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------
 _STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
 _SW_SQL = "('" + "','".join(_STOPWORDS) + "')"
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 
-@_q(
-    "t1_langid_heuristic",
-    "SELECT doc_id, CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'other' END AS "
-    "pred_lang, round(sw_ratio, 4) AS stopword_ratio FROM ("
-    "SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
-    f"w -> w IN {_SW_SQL}))*1.0 / greatest(len(regexp_split_to_array(lower(text), "
-    "'\\s+')), 1) AS sw_ratio FROM documents)",
-)
-def t1_langid_heuristic(spark, sf_dir):
-    """language-ID heuristic: stopword-hit ratio over whitespace tokens.
-    (A real n-gram model plugs into the same shape; the contract here is
-    the distributed computation, not linguistic accuracy.)"""
+# Single source of truth for every text-analysis expression: both the
+# per-operator functions below AND the one-scan t_text_suite project these
+# exact Columns, so the suite's driver row value-checks the same logic the
+# building blocks run.
+def _t1_exprs() -> dict:
     words = F.split(F.lower("text"), r"\s+")
     hits = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
     ratio = hits / F.greatest(F.size(words), F.lit(1))
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
-        F.round(ratio, 4).alias("stopword_ratio"),
-    )
+    return {
+        "pred_lang": F.when(ratio >= 0.05, "en").otherwise("other"),
+        "stopword_ratio": F.round(ratio, 4),
+    }
 
 
-@_q(
-    "t2_quality_score",
-    "SELECT doc_id, n_tokens, round(punct_ratio, 4) AS punct_ratio, "
-    "round(0.5*least(n_tokens/100.0, 1.0) + 0.5*(1.0-punct_ratio), 4) AS quality "
-    "FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
-    "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))*1.0 / "
-    "greatest(length(text), 1) AS punct_ratio FROM documents)",
-)
-def t2_quality_score(spark, sf_dir):
-    """quality scoring: token count + punctuation ratio → [0,1] score
-    (the C4/Gopher-style rule shape as pure column math)."""
+def _t2_exprs() -> dict:
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     punct = (
         F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
     ) / F.greatest(F.length("text"), F.lit(1))
     quality = 0.5 * F.least(n_tokens / 100.0, F.lit(1.0)) + 0.5 * (1.0 - punct)
+    return {
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(punct, 4),
+        "quality": F.round(quality, 4),
+    }
+
+
+def _t3_exprs() -> dict:
+    return {
+        "n_tokens": F.size(F.split(F.trim("text"), r"\s+")),
+        "n_distinct": F.size(
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+        ),
+        "n_bpe_tokens": F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))
+        ),
+    }
+
+
+def _t4_exprs() -> dict:
+    return {
+        "fingerprint": F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    }
+
+
+def _t6_exprs() -> dict:
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    rep = 1.0 - F.size(F.array_distinct(words)) / F.greatest(F.size(words), F.lit(1))
+    return {"repetition": F.round(rep, 4)}
+
+
+def _sel(spark, sf_dir, exprs: dict):
     return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(punct, 4).alias("punct_ratio"),
-        F.round(quality, 4).alias("quality"),
+        "doc_id", *[c.alias(n) for n, c in exprs.items()]
     )
 
 
-_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+def t1_langid_heuristic(spark, sf_dir):
+    """language-ID heuristic: stopword-hit ratio over whitespace tokens.
+    (A real n-gram model plugs into the same shape; the contract here is
+    the distributed computation, not linguistic accuracy.)
+    Driver row via ``t_text_suite``."""
+    return _sel(spark, sf_dir, _t1_exprs())
 
 
-@_q(
-    "t3_token_count",
-    "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
-    "len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_distinct, "
-    "len(regexp_extract_all(text, '" + _BPE_RE + "')) AS n_bpe_tokens "
-    "FROM documents",
-)
+def t2_quality_score(spark, sf_dir):
+    """quality scoring: token count + punctuation ratio → [0,1] score
+    (the C4/Gopher-style rule shape as pure column math).
+    Driver row via ``t_text_suite``."""
+    return _sel(spark, sf_dir, _t2_exprs())
+
+
 def t3_token_count(spark, sf_dir):
     """token counting: whitespace tokenizer plus a GPT-2-style BPE
     pretokenizer regex (letters / digits / punctuation runs with optional
-    leading space) — the unit a training pipeline budgets by."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias(
-            "n_distinct"
-        ),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("n_bpe_tokens"),
-    )
+    leading space) — the unit a training pipeline budgets by.
+    Driver row via ``t_text_suite``."""
+    return _sel(spark, sf_dir, _t3_exprs())
 
 
-@_q(
-    "t4_fingerprint",
-    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
-    "AS fingerprint FROM documents",
-)
 def t4_fingerprint(spark, sf_dir):
     """document fingerprint: md5 of whitespace-normalized lowercased text
-    (cross-engine-stable content address)."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias(
-            "fingerprint"
-        ),
-    )
+    (cross-engine-stable content address). Driver row via ``t_text_suite``."""
+    return _sel(spark, sf_dir, _t4_exprs())
 
 
-@_q(
-    "t6_repetition_score",
-    "SELECT doc_id, round(1.0 - len(list_distinct(w))*1.0/greatest(len(w), 1), 4) "
-    "AS repetition FROM (SELECT doc_id, list_filter(regexp_split_to_array("
-    "lower(text), '\\s+'), x -> x <> '') AS w FROM documents)",
-)
 def t6_repetition_score(spark, sf_dir):
     """repetition ratio (1 - distinct/total words) — the boilerplate /
     degenerate-text signal every LLM quality filter carries alongside t2's
-    length/punct/stopword scores. Native array exprs, no shuffle."""
-    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    rep = 1.0 - F.size(F.array_distinct(words)) / F.greatest(
-        F.size(words), F.lit(1)
-    )
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", F.round(rep, 4).alias("repetition")
-    )
+    length/punct/stopword scores. Native array exprs, no shuffle.
+    Driver row via ``t_text_suite``."""
+    return _sel(spark, sf_dir, _t6_exprs())
+
+
+@_q(
+    "t_text_suite",
+    "SELECT doc_id, "
+    "CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'other' END AS t1_pred_lang, "
+    "round(sw_ratio, 4) AS t1_stopword_ratio, "
+    "n_tokens AS t2_n_tokens, round(punct_ratio, 4) AS t2_punct_ratio, "
+    "round(0.5*least(n_tokens/100.0, 1.0) + 0.5*(1.0-punct_ratio), 4) AS t2_quality, "
+    "n_distinct AS t3_n_distinct, n_bpe AS t3_n_bpe_tokens, "
+    "fp AS t4_fingerprint, "
+    "round(1.0 - nz_distinct*1.0/greatest(nz_total, 1), 4) AS t6_repetition "
+    "FROM (SELECT doc_id, "
+    "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    f"w -> w IN {_SW_SQL}))*1.0 / greatest(len(regexp_split_to_array(lower(text), "
+    "'\\s+')), 1) AS sw_ratio, "
+    "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+    "(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))*1.0 / "
+    "greatest(length(text), 1) AS punct_ratio, "
+    "len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_distinct, "
+    "len(regexp_extract_all(text, '" + _BPE_RE + "')) AS n_bpe, "
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+    "len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "x -> x <> ''))) AS nz_distinct, "
+    "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) "
+    "AS nz_total FROM documents)",
+)
+def t_text_suite(spark, sf_dir):
+    """T1+T2+T3+T4+T6 in ONE driver row — the text-analysis families
+    (language-ID, quality score, token counts, fingerprint, repetition)
+    computed in a single scan of ``documents``, one whole-stage-codegen
+    projection (the realistic shape: a 100 TB curation pass scores every
+    signal in one map, never one job per signal). Column prefix names the
+    operator each value-checks; every expression is the same Column object
+    the per-operator building blocks project (``_t1_exprs``..``_t6_exprs``),
+    so the driver row covers them all. t3's whitespace token count is
+    definitionally t2's ``n_tokens`` (emitted once)."""
+    exprs = {
+        **{f"t1_{n}": c for n, c in _t1_exprs().items()},
+        **{f"t2_{n}": c for n, c in _t2_exprs().items()},
+        **{f"t3_{n}": c for n, c in _t3_exprs().items() if n != "n_tokens"},
+        **{f"t4_{n}": c for n, c in _t4_exprs().items()},
+        **{f"t6_{n}": c for n, c in _t6_exprs().items()},
+    }
+    return _sel(spark, sf_dir, exprs)
 
 
 @_q(
@@ -622,11 +707,6 @@ def t5_stratified_sample(spark, sf_dir):
 # ---------------------------------------------------------------------
 # Multimodal plumbing (binary columns + Arrow-batched decode stubs)
 # ---------------------------------------------------------------------
-@_q(
-    "m1_binary_feature_extract",
-    "SELECT doc_id, octet_length(encode(text)) AS byte_len, "
-    "length(text) AS char_len FROM documents",
-)
 def m1_binary_feature_extract(spark, sf_dir):
     """multimodal column plumbing: an opaque binary payload goes through an
     Arrow-batched mapInPandas 'decode + feature-extract' operator. The
@@ -674,12 +754,39 @@ def _media_meta(spark, sf_dir):
     return extract_media_meta(df)
 
 
-@_q("m2_media_metadata", _M2_META_SQL)
 def m2_media_metadata(spark, sf_dir):
     """typed media metadata via Arrow mapInPandas decode (deterministic
     stand-in decode — see functions/multimodal.py); the oracle reproduces
-    the arithmetic in SQL, so the WHOLE Arrow path is value-checked."""
+    the arithmetic in SQL, so the WHOLE Arrow path is value-checked.
+    Driver row via ``m1m2_multimodal_suite``."""
     return _media_meta(spark, sf_dir)
+
+
+@_q(
+    "m1m2_multimodal_suite",
+    "WITH m2 AS (" + _M2_META_SQL + ") "
+    "SELECT d.doc_id, octet_length(encode(d.text)) AS m1_byte_len, "
+    "length(d.text) AS m1_char_len, m2.mime, m2.width, m2.height, "
+    "m2.n_frames, m2.sample_rate "
+    "FROM documents d JOIN m2 ON d.doc_id = m2.doc_id",
+)
+def m1m2_multimodal_suite(spark, sf_dir):
+    """M1+M2 in one driver row — both Arrow mapInPandas multimodal
+    operators end-to-end: the binary feature extract (m1: payload →
+    byte/char lengths) joined to the typed media-metadata decode (m2:
+    mime/width/height/frames/sample_rate). The oracle reproduces both
+    operators' arithmetic in SQL, so BOTH Arrow paths are value-checked
+    in a single row (the real decode plug point stays an honest stub —
+    functions/multimodal.py)."""
+    m1 = m1_binary_feature_extract(spark, sf_dir).select(
+        "doc_id",
+        F.col("byte_len").alias("m1_byte_len"),
+        F.col("char_len").alias("m1_char_len"),
+    )
+    m2 = m2_media_metadata(spark, sf_dir).select(
+        "doc_id", "mime", "width", "height", "n_frames", "sample_rate"
+    )
+    return m1.join(m2, "doc_id")
 
 
 @_q(

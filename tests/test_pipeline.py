@@ -12,9 +12,21 @@ SF = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="module")
 def q():
+    """Registry plus the unregistered building blocks (operators whose
+    driver row is a grouped suite — see the suite docstrings)."""
     import __spark_entry__ as entry
 
-    return entry.queries()
+    from cdm_to_mods_spark import pipeline as P
+
+    d = dict(entry.queries())
+    for name in (
+        "d3_minhash_lsh_pairs",
+        "d4_simhash",
+        "e2_ann_lsh_bucketed",
+        "e3_ann_ivf",
+    ):
+        d.setdefault(name, getattr(P, name))
+    return d
 
 
 def _pairs(df, *cols):

@@ -10,7 +10,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdm_to_mods_spark.operators.dedup import latest_per_key
+from cdm_to_mods_spark import queries as _Q
 from cdm_to_mods_spark.queries import QUERIES
+
+
+def _query(name):
+    """Registry entry or unregistered building block (suite-grouped)."""
+    return QUERIES.get(name) or getattr(_Q, name)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -20,7 +26,7 @@ def _plan(df) -> str:
 
 
 def test_s1_pushes_filter_and_prunes_columns(spark):
-    plan = _plan(QUERIES["s1_scan_pushdown"](spark, SF_DIR))
+    plan = _plan(_query("s1_scan_pushdown")(spark, SF_DIR))
     assert "PushedFilters" in plan
     # the equality predicate reaches the parquet reader
     assert "EqualTo(event_type,click)" in plan or "event_type" in plan.split(
@@ -32,7 +38,7 @@ def test_s1_pushes_filter_and_prunes_columns(spark):
 
 
 def test_j1_broadcasts_small_dimension(spark):
-    plan = _plan(QUERIES["j1_broadcast_dim_join"](spark, SF_DIR))
+    plan = _plan(_query("j1_broadcast_dim_join")(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
 
@@ -52,7 +58,7 @@ def test_dedup_uses_partial_aggregation(spark):
 
 
 def test_o6_topk_filters_after_single_window_pass(spark):
-    plan = _plan(QUERIES["o6_topk_per_group"](spark, SF_DIR))
+    plan = _plan(_query("o6_topk_per_group")(spark, SF_DIR))
     # one shuffle for the window partitioning, no extra sort-merge joins
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
@@ -82,5 +88,48 @@ def test_apply_pipeline_is_single_shuffle(spark):
 @pytest.mark.parametrize("qname", ["p1_rename_project", "f1_xml_escape"])
 def test_scalar_chains_have_no_python_nodes(spark, qname):
     """Scalar-function families stay JVM-side: no Python eval nodes."""
-    plan = _plan(QUERIES[qname](spark, SF_DIR))
+    fn = _query(qname)
+    plan = _plan(fn(spark, SF_DIR))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_w1_global_order_has_no_single_partition_stage(spark):
+    """w1_stable_order (global_row_number) must never funnel the table
+    through one task: the plan carries a RANGE partitioning exchange and
+    the offset join, but no Exchange SinglePartition — the round-2 weak
+    item (bare ``row_number() OVER (ORDER BY ...)``) stays fixed."""
+    df = _query("w1_stable_order")(spark, SF_DIR)
+    plan = _plan(df)
+    # (the range-partitioned sort itself sits behind the pinned
+    # localCheckpoint, so the visible plan starts at Scan ExistingRDD —
+    # what matters is that NOTHING downstream collapses to one partition)
+    assert "Exchange SinglePartition" not in plan, plan
+    # the window is per-partition (_pid), never global
+    assert "windowspecdefinition(_pid" in plan, plan
+    # the per-partition offsets arrive via broadcast, not another shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_global_row_number_matches_global_window(spark):
+    """Value check at an awkward size (rows ≪ partitions, ties in the
+    prefix of the order key): distributed two-phase rank == the
+    single-partition window it replaces."""
+    from pyspark.sql import Window as W
+
+    from cdm_to_mods_spark.operators.order import global_row_number
+
+    df = spark.range(0, 97).select(
+        (F.col("id") % 7).alias("grp"), F.col("id").alias("id")
+    )
+    got = {
+        (r.grp, r.id, r.rn)
+        for r in global_row_number(df, ["grp", "id"], num_partitions=16).collect()
+    }
+    w = W.orderBy("grp", "id")
+    want = {
+        (r.grp, r.id, r.rn)
+        for r in df.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want

@@ -1,0 +1,127 @@
+"""Oracle pins for building-block queries whose DRIVER row is a grouped
+suite (the correctness harness keys on ≤50 registry names, so related
+operators share one tagged/prefixed suite row — see the suite docstrings
+in queries.py / pipeline.py). The suites call these functions, but this
+test keeps each building block independently DuckDB-checked so a suite
+refactor can never silently change a component's semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# (function name in cdm_to_mods_spark, DuckDB oracle SQL) — these are the
+# per-operator oracles the driver rows used before suite grouping.
+CASES = {
+    "s1_scan_pushdown": (
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE event_type = 'click' AND value > 50"
+    ),
+    "s2_index_scan": (
+        "SELECT p_partkey AS part_id, p_type AS filetype FROM part WHERE p_size >= 40"
+    ),
+    "p5_empty_filter": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE text IS NOT NULL AND trim(text) <> '' AND n_chars >= 200"
+    ),
+    "p6_sentinel_filter": (
+        "SELECT event_id, event_type FROM events "
+        "WHERE upper(trim(event_type)) NOT IN ('ERROR','NONE','NA','UNKNOWN')"
+    ),
+    "p8_type_dispatch": (
+        "SELECT CASE WHEN o_orderstatus='F' THEN 'finished' "
+        "WHEN o_orderstatus='O' THEN 'open' ELSE 'other' END AS status_class, "
+        "count(*) AS n FROM orders GROUP BY 1"
+    ),
+    "a1_counts_per_class": (
+        "SELECT o_orderstatus AS status, count(*) AS n, "
+        "sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::bigint AS n_large "
+        "FROM orders GROUP BY 1"
+    ),
+    "a4_duplicate_keys": (
+        "SELECT o_custkey AS cust_id, count(*) AS n FROM orders "
+        "GROUP BY 1 HAVING count(*) > 1"
+    ),
+    "a6_hierarchical_title": (
+        "SELECT r.r_name || ' - ' || n.n_name AS node_title FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey"
+    ),
+    "o3_union_distinct": (
+        "SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 9000"
+    ),
+    "o4_except_reconcile": (
+        "SELECT o_orderkey AS order_id FROM orders "
+        "EXCEPT SELECT l_orderkey FROM lineitem"
+    ),
+    "o5_semi_membership": (
+        "SELECT c_custkey AS cust_id FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "j2_mapping_table_join": (
+        "SELECT m.label AS flag_label, count(*) AS n FROM lineitem l "
+        "JOIN (VALUES ('A','accepted'),('N','new'),('R','returned')) m(flag,label) "
+        "ON l.l_returnflag = m.flag GROUP BY 1"
+    ),
+    "j7_institution_lookup": (
+        "SELECT n.n_name AS nation_name, r.r_name AS region_name "
+        "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+    ),
+    "f11_date_format_group": (
+        "SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n, "
+        "cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total "
+        "FROM orders GROUP BY 1"
+    ),
+    "cdc_window_counts": (
+        "SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS n, "
+        "cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value "
+        "FROM events GROUP BY 1"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> set:
+    df = df[sorted(df.columns)]
+    rows = set()
+    for t in df.itertuples(index=False):
+        cells = []
+        for v in t:
+            if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
+                cells.append("<null>")
+            elif isinstance(v, float):
+                cells.append(f"{v:.6g}")
+            else:
+                cells.append(str(v))
+        rows.add("|".join(cells))
+    return rows
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_building_block_matches_oracle(spark, duck, name):
+    import cdm_to_mods_spark.pipeline  # noqa: F401 — registers everything
+    from cdm_to_mods_spark import queries as Q
+
+    fn = getattr(Q, name)
+    got = fn(spark, SF).toPandas()
+    want = duck.execute(CASES[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    assert _canon(got) == _canon(want)
