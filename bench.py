@@ -172,13 +172,14 @@ def main() -> None:
 
     for tbl in ("lineitem", "events", "documents", "embeddings", "part",
                 "orders", "nation", "region"):
-        try:
-            df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
-            # hash every column so the full file is actually read (a bare
-            # count() can satisfy itself from footer metadata)
-            df.select(F.sum(F.xxhash64(*df.columns))).collect()
-        except Exception:
-            pass
+        # probe existence first — a read of a missing table would log a
+        # task-failure stacktrace into the bench output even when caught
+        if not os.path.exists(f"{sf_dir}/{tbl}.parquet"):
+            continue
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        # hash every column so the full file is actually read (a bare
+        # count() can satisfy itself from footer metadata)
+        df.select(F.sum(F.xxhash64(*df.columns))).collect()
 
     for name in BENCH_QUERIES:
         fn = qs.get(name)

@@ -17,10 +17,15 @@ Refresh algorithm (the "recompute touched groups" pattern):
    rename, same protocol as the lake ledger).
 
 Groups whose every turn was tombstoned vanish from the view (their
-recompute returns no rows). At 10^10 events the only driver-side state is
-the touched-group key list per refresh — for pathological batches
-touching ~all groups, swap step 2/3 for a join against the feed; the view
-state itself never passes through the driver.
+recompute returns no rows). The refresh picks its strategy by the number
+of touched groups (counted distributed, never collected first):
+
+- ``<= point_read_threshold`` groups: collect the bounded key list and
+  bucket-prune with ``read_keys`` — point-read cost O(touched buckets).
+- above it (pathological batches touching ~all groups): NOTHING passes
+  through the driver — recompute via a semi-join of the source snapshot
+  against the feed's distinct keys and splice with an anti-join, so the
+  plan carries two key joins instead of a million-entry ``In`` list.
 """
 
 from __future__ import annotations
@@ -38,10 +43,17 @@ class ConversationStatsView:
     """Per-conversation aggregate view over a transcripts LakeTable:
     ``conv_id, n_turns, n_roles, last_ts``."""
 
-    def __init__(self, spark: SparkSession, source: LakeTable, path: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: LakeTable,
+        path: str,
+        point_read_threshold: int = 10_000,
+    ) -> None:
         self.spark = spark
         self.source = source
         self.path = path.rstrip("/")
+        self.point_read_threshold = point_read_threshold
         os.makedirs(self.path, exist_ok=True)
 
     # ------------------------------------------------------------- state
@@ -88,24 +100,44 @@ class ConversationStatsView:
             touched = None
         else:
             feed = self.source.changes(applied, src_v)
-            touched = [r.conv_id for r in feed.select("conv_id").distinct().collect()]
-            if not touched:
+            feed_keys = feed.select("conv_id").distinct()
+            n_touched = feed_keys.count()
+            if n_touched == 0:
                 self._commit_marker(self._marker()["data"], src_v, 0, t0)
                 return {"refreshed": True, "source_version": src_v,
-                        "touched_groups": 0}
-            fresh = self._agg(self.source.read_keys(touched, version=src_v))
-            out = (
-                self.read()
-                .filter(~F.col("conv_id").isin(touched))
-                .unionByName(fresh)
-            )
+                        "touched_groups": 0, "strategy": "noop"}
+            if n_touched <= self.point_read_threshold:
+                # bounded key list → bucket-pruned point read (O(touched
+                # buckets), the common case: a batch touches few groups)
+                strategy = "point_read"
+                touched = [r.conv_id for r in feed_keys.collect()]
+                fresh = self._agg(self.source.read_keys(touched, version=src_v))
+                out = (
+                    self.read()
+                    .filter(~F.col("conv_id").isin(touched))
+                    .unionByName(fresh)
+                )
+            else:
+                # pathological wide batch: keep every key distributed —
+                # semi-join recompute + anti-join splice, no driver list
+                strategy = "key_join"
+                fresh = self._agg(
+                    self.source.read(src_v).join(feed_keys, "conv_id", "left_semi")
+                )
+                out = (
+                    self.read()
+                    .join(feed_keys, "conv_id", "left_anti")
+                    .unionByName(fresh)
+                )
+            touched = n_touched
 
         data_rel = f"data-v{src_v:08d}"
         out.write.mode("overwrite").parquet(os.path.join(self.path, data_rel))
         self._commit_marker(data_rel, src_v,
-                            -1 if touched is None else len(touched), t0)
+                            -1 if touched is None else touched, t0)
         return {"refreshed": True, "source_version": src_v,
-                "touched_groups": -1 if touched is None else len(touched)}
+                "touched_groups": -1 if touched is None else touched,
+                "strategy": "full" if touched is None else strategy}
 
     def _commit_marker(self, data_rel: str, src_v: int, touched: int,
                        t0: float) -> None:

@@ -93,3 +93,40 @@ def test_streaming_tail_refreshes_view_per_batch(spark, tmp_path):
     want = _full_recompute(table)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert any("view" in m for m in sr.batch_metrics)
+
+
+def test_wide_batch_uses_key_join_not_driver_list(spark, tmp_path):
+    """A batch touching more groups than point_read_threshold must refresh
+    via the distributed semi/anti key joins: correct state, strategy
+    reported, and no driver-compiled In-list in the splice plan."""
+    t = LakeTable(spark, str(tmp_path / "tab"), num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    view = ConversationStatsView(spark, t, str(tmp_path / "view"),
+                                 point_read_threshold=5)
+
+    rows0 = [("I", i, f"c{i % 20}", i // 20, "user", f"t{i}", None,
+              "2001-02-03", None) for i in range(60)]
+    t.apply_changes(spark.createDataFrame(rows0, EVENT_DDL), batch_id=0,
+                    transform=apply_chain)
+    assert view.refresh()["strategy"] == "full"
+
+    # touch 18 of 20 conversations (> threshold 5) + one new conversation
+    rows1 = [("U", 1000 + i, f"c{i}", 0, "system", "upd", None,
+              "2005-05-05", None) for i in range(18)]
+    rows1.append(("I", 2000, "c99", 0, "user", "new", None, "2006-06-06", None))
+    t.apply_changes(spark.createDataFrame(rows1, EVENT_DDL), batch_id=1,
+                    transform=apply_chain)
+    r = view.refresh()
+    assert r["strategy"] == "key_join"
+    assert r["touched_groups"] == 19
+    pd.testing.assert_frame_equal(_view_state(view), _full_recompute(t),
+                                  check_dtype=False)
+
+    # small follow-up batch drops back to the bucket-pruned point read
+    rows2 = [("U", 3000, "c0", 0, "tool", "again", None, "2007-07-07", None)]
+    t.apply_changes(spark.createDataFrame(rows2, EVENT_DDL), batch_id=2,
+                    transform=apply_chain)
+    r2 = view.refresh()
+    assert r2["strategy"] == "point_read" and r2["touched_groups"] == 1
+    pd.testing.assert_frame_equal(_view_state(view), _full_recompute(t),
+                                  check_dtype=False)
