@@ -37,13 +37,16 @@ The reference analog for the whole class: the per-pointer output directory
 tree + IsCountsCorrect reconciliation (convert_cdm_to_mods.py:151-171,
 post_cdm_cleanup.py:15-37), made transactional and incremental.
 
-Ledger scaling note (the known 10^10-events caveat): each commit rewrites
-one whole manifest, O(num_buckets) JSON. That is fine to ~10^4 buckets ×
-~10^5 commits; past that, the Iceberg evolution is a manifest LIST — the
-version file points at per-bucket-range manifest files and a commit
-rewrites only the ranges it touched plus the (small) list. The
-``cdf``/``buckets`` entries here are already path+schema_id file sets, so
-that refactor changes the ledger layout, not the read/merge planes.
+Ledger layout (the Iceberg manifest-LIST shape): each version file is
+O(touched state) — it carries the commit's metadata (schemas, cdf,
+metrics) plus ``bucket_ranges``, a list of {lo, hi, path} references to
+immutable per-bucket-range manifest files holding that range's ``buckets``
+file sets and ``lineage``. Range files are content-hash named, so a commit
+writes ONLY the ranges it touched (identical ranges resolve to the same
+file, which already exists) plus the small version file — O(touched
+ranges), not O(num_buckets), per commit. ``manifest()`` reassembles the
+full dict through an immutable-file cache; pre-range manifests with inline
+``buckets`` remain readable.
 """
 
 from __future__ import annotations
@@ -68,6 +71,12 @@ from ..schemas import (
 )
 
 _NON_PAYLOAD_EVENT_COLS = {"op", "seq", "ingest_ts"}
+
+# Buckets per range-manifest file. A commit touching B buckets writes
+# ceil(B/_RANGE_SIZE) range files (often fewer — only DIRTY ranges get new
+# content hashes); the version file stays O(num_buckets/_RANGE_SIZE) refs.
+# At 10^4+ buckets raise this so the ref list stays small.
+_RANGE_SIZE = 16
 
 
 class SnapshotExpiredError(LookupError):
@@ -227,6 +236,8 @@ class LakeTable:
         assert bucket_fn in ("hash32", "xxhash64"), bucket_fn
         self.bucket_fn = bucket_fn
         self._ledger = os.path.join(self.path, "_ledger")
+        # immutable range-manifest files, keyed by ledger-relative path
+        self._range_cache: dict[str, dict] = {}
         # For an EXISTING table the on-disk layout is authoritative:
         # opening with different constructor args must not silently hash
         # keys into the wrong buckets (mis-pruned reads, split keys on
@@ -254,31 +265,119 @@ class LakeTable:
         vs = self._versions()
         return vs[-1] if vs else None
 
+    def _load_version(self, v: int) -> dict:
+        """The version file as committed — range refs NOT materialized."""
+        with open(os.path.join(self._ledger, f"v{v:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _load_range(self, rel_path: str) -> dict:
+        """Load (and cache) one immutable range-manifest file:
+        {"buckets": {...}, "lineage": {...}} for its bucket range."""
+        cached = self._range_cache.get(rel_path)
+        if cached is None:
+            with open(os.path.join(self._ledger, rel_path)) as fh:
+                cached = json.load(fh)
+            self._range_cache[rel_path] = cached
+        return cached
+
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
-        with open(os.path.join(self._ledger, f"v{v:08d}.json")) as fh:
-            return json.load(fh)
+        man = self._load_version(v)
+        if "bucket_ranges" in man:
+            import copy
+
+            buckets: dict = {}
+            lineage: dict = {}
+            for ref in man["bucket_ranges"]:
+                # deep-copy out of the cache: callers (apply/compact) extend
+                # bucket entries in place, and the cached range content must
+                # stay exactly what the immutable file holds
+                rng = copy.deepcopy(self._load_range(ref["path"]))
+                buckets.update(rng["buckets"])
+                lineage.update(rng.get("lineage", {}))
+            man["buckets"] = buckets
+            man["lineage"] = lineage
+        return man
+
+    def _write_ranges(self, manifest: dict) -> dict:
+        """Split ``buckets``+``lineage`` into per-bucket-range manifest
+        files (the Iceberg manifest-list shape) and return the version-file
+        dict that references them.
+
+        Range files are IMMUTABLE and content-hash named: a range whose
+        state a commit didn't touch hashes to a file that already exists,
+        so the commit writes O(touched ranges) files — never O(num_buckets)
+        JSON — plus the small version file. This holds across rollbacks and
+        concurrent retries for free (same content ⇒ same file)."""
+        import hashlib
+
+        buckets = manifest.pop("buckets", {})
+        lineage = manifest.pop("lineage", {})
+        manifest.pop("bucket_ranges", None)  # stale refs (e.g. rollback's {**man})
+        by_range: dict[int, dict] = {}
+        for k, e in buckets.items():
+            by_range.setdefault(int(k) // _RANGE_SIZE, {"buckets": {}, "lineage": {}})[
+                "buckets"
+            ][k] = e
+        for k, s in lineage.items():
+            by_range.setdefault(int(k) // _RANGE_SIZE, {"buckets": {}, "lineage": {}})[
+                "lineage"
+            ][k] = s
+        os.makedirs(os.path.join(self._ledger, "ranges"), exist_ok=True)
+        refs = []
+        for r in sorted(by_range):
+            content = json.dumps(by_range[r], sort_keys=True)
+            h = hashlib.md5(content.encode()).hexdigest()[:20]
+            rel = f"ranges/r-{h}.json"
+            final = os.path.join(self._ledger, rel)
+            if not os.path.exists(final):
+                tmp = os.path.join(
+                    self._ledger, f"ranges/_tmp-{uuid4().hex[:8]}-{h}.json"
+                )
+                with open(tmp, "w") as fh:
+                    fh.write(content)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.rename(tmp, final)  # same-content race: rename is idempotent
+                self._range_cache[rel] = by_range[r]
+            refs.append(
+                {"lo": r * _RANGE_SIZE, "hi": (r + 1) * _RANGE_SIZE, "path": rel}
+            )
+        manifest["bucket_ranges"] = refs
+        return manifest
 
     def _commit(self, manifest: dict) -> None:
-        """Atomic commit: full write to a temp name, fsync, rename.
+        """Atomic commit: range manifests first (immutable, content-named),
+        then the version file via full write to a temp name, fsync, rename.
 
         On HDFS/S3 this maps to the same rename-or-conditional-put commit
         protocol Iceberg/Delta use for their version files; optimistic
-        concurrency = the rename fails if the version already exists.
-        """
+        concurrency = the rename fails if the version already exists. A
+        loser's already-written range files are content-addressed, so they
+        either get referenced by its retry or GC'd by expire_snapshots."""
         os.makedirs(self._ledger, exist_ok=True)
         v = manifest["version"]
         final = os.path.join(self._ledger, f"v{v:08d}.json")
         if os.path.exists(final):
             raise RuntimeError(f"concurrent commit conflict on version {v}")
-        tmp = os.path.join(self._ledger, f"_tmp-v{v:08d}.json")
+        manifest = self._write_ranges(dict(manifest))
+        tmp = os.path.join(self._ledger, f"_tmp-{uuid4().hex[:8]}-v{v:08d}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, final)
+        try:
+            # link(2) is atomic-EXCLUSIVE (rename would silently clobber a
+            # concurrent winner in the check→publish window)
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit conflict on version {v}"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     def exists(self) -> bool:
         return self.latest_version() is not None
@@ -682,7 +781,11 @@ class LakeTable:
         keep = versions[-keep_last:]
         drop = [v for v in versions if v not in keep]
         referenced: set[str] = set()
+        live_ranges: set[str] = set()
         for v in keep:
+            # raw version file: collects range refs before materialization
+            for ref in self._load_version(v).get("bucket_ranges", []):
+                live_ranges.add(ref["path"])
             m = self.manifest(v)
             for e in m["buckets"].values():
                 for fs in self._bucket_files(e):
@@ -700,8 +803,19 @@ class LakeTable:
                     removed_dirs += 1
         for v in drop:
             os.remove(os.path.join(self._ledger, f"v{v:08d}.json"))
+        # GC range manifests (content-shared, so only ones NO kept version
+        # references) — plus any orphaned tmp files from crashed commits
+        removed_ranges = 0
+        ranges_dir = os.path.join(self._ledger, "ranges")
+        if os.path.isdir(ranges_dir):
+            for f in os.listdir(ranges_dir):
+                rel = f"ranges/{f}"
+                if rel not in live_ranges:
+                    os.remove(os.path.join(ranges_dir, f))
+                    self._range_cache.pop(rel, None)
+                    removed_ranges += 1
         return {"expired_manifests": len(drop), "removed_data_dirs": removed_dirs,
-                "kept": keep}
+                "removed_range_manifests": removed_ranges, "kept": keep}
 
     # -------------------------------------------------------------- merge
     def apply_changes(

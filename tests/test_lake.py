@@ -771,3 +771,63 @@ def test_two_writer_threads_converge(spark, tmp_table):
     assert state[("wb-0-0", 0)][1] == "wb00"
     # session AQE flag restored after concurrent scoped applies
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_commit_writes_only_touched_range_manifests(spark, tmp_table):
+    """Manifest-list ledger: a commit touching 1 of 64 buckets writes
+    exactly ONE new range-manifest file (its dirty range) plus the version
+    file; the other ranges are referenced by their existing content-hash
+    files. The materialized manifest() stays identical in shape."""
+    import os
+
+    t = LakeTable(spark, tmp_table, num_buckets=64, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    rows = [("I", i, f"c{i}", 0, "user", f"t{i}", None, None, None)
+            for i in range(200)]
+    t.apply_changes(_events(spark, rows), batch_id=0, transform=apply_chain)
+    ranges_dir = os.path.join(tmp_table, "_ledger", "ranges")
+    before = set(os.listdir(ranges_dir))
+
+    t.apply_changes(
+        _events(spark, [("U", 1000, "c1", 0, "user", "upd", None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    new_files = set(os.listdir(ranges_dir)) - before
+    assert len(new_files) == 1, new_files
+
+    raw = t._load_version(t.latest_version())
+    assert "buckets" not in raw  # version file carries refs, not state
+    assert len(raw["bucket_ranges"]) == 64 // 16
+    reused = [r for r in raw["bucket_ranges"]
+              if r["path"].removeprefix("ranges/") in before]
+    assert len(reused) == len(raw["bucket_ranges"]) - 1
+    # materialized view of the ledger is unchanged in shape and content
+    man = t.manifest()
+    assert set(man["buckets"]) >= {"0"} and man["metrics"]["batch_id"] == 1
+
+
+def test_expire_gc_collects_unreferenced_range_manifests(spark, tmp_table):
+    """Range files are shared by content hash across versions, so expiry
+    must remove exactly the ones no kept manifest references — and a
+    post-expiry reopen + read must still work."""
+    import os
+
+    t = LakeTable(spark, tmp_table, num_buckets=64, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    # same key every batch → the SAME range gets three successive contents;
+    # only the last is referenced by the kept manifest
+    for b in range(3):
+        t.apply_changes(
+            _events(spark, [("I" if b == 0 else "U", b + 1, "c0", 0, "user",
+                             f"t{b}", None, None, None)]),
+            batch_id=b, transform=apply_chain,
+        )
+    ranges_dir = os.path.join(tmp_table, "_ledger", "ranges")
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed_range_manifests"] == 2
+    live = {r["path"].removeprefix("ranges/")
+            for r in t._load_version(t.latest_version())["bucket_ranges"]}
+    assert set(os.listdir(ranges_dir)) == live
+    fresh = LakeTable(spark, tmp_table, merge_mode="mor")
+    rows = fresh.read().collect()
+    assert len(rows) == 1 and rows[0].text == "t2"
