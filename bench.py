@@ -156,7 +156,15 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    # building blocks whose driver row is a grouped suite still get benched
+    # individually (timing signal stays comparable round over round)
+    from cdm_to_mods_spark import pipeline as _pipe
+    from cdm_to_mods_spark import queries as _qmod
+
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            qs[name] = getattr(_pipe, name, None) or getattr(_qmod, name)
     timings: dict[str, float] = {}
     total = 0.0
 
