@@ -186,8 +186,9 @@ def main() -> None:
             continue
         df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
         # hash every column so the full file is actually read (a bare
-        # count() can satisfy itself from footer metadata)
-        df.select(F.sum(F.xxhash64(*df.columns))).collect()
+        # count() can satisfy itself from footer metadata); sum as double —
+        # a long sum of xxhash64 overflows under ANSI mode
+        df.select(F.sum(F.xxhash64(*df.columns).cast("double"))).collect()
 
     for name in BENCH_QUERIES:
         fn = qs.get(name)
