@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schemas import EVENT_SCHEMA
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "json", "csv", "xlsx")
 
 
 def read_events(
@@ -40,13 +40,28 @@ def read_events(
     * ``parquet`` — binlog segments; columnar, footer stats, the scale path.
     * ``json`` — JSON-lines (one event object per line), the reference's
       one-JSON-per-pointer export shape.
-    * ``csv`` — header row + typed columns, the XLSX-sheet analog (a real
-      xlsx needs an extraction lib this container doesn't ship; the sheet
-      semantics — named columns, string-typed cells cast at read — are
-      what the connector contract covers).
+    * ``csv`` — header row + typed columns, cast at read.
+    * ``xlsx`` — REAL workbook parsing (sources/xlsx.py: stdlib zip+XML,
+      executor-side mapInPandas over the binaryFile source — the
+      reference's 3-sheet connector, utilities.py:15-64), string cells
+      cast to the event schema exactly like csv. Batch only: binaryFile
+      has no streaming source; convert workbooks to a streamable format
+      at the edge if they must feed the tail.
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported event format {fmt!r}; one of {FORMATS}")
+    if fmt == "xlsx":
+        if streaming:
+            raise ValueError(
+                "xlsx is a batch-only source (no binaryFile streaming); "
+                "land workbooks as parquet/json/csv for the streaming tail"
+            )
+        from .xlsx import read_xlsx
+
+        raw = read_xlsx(spark, path, columns=[f.name for f in schema.fields])
+        return raw.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
     reader = (
         spark.readStream if streaming else spark.read
     ).schema(schema).option("recursiveFileLookup", "true")
@@ -68,6 +83,21 @@ def write_events(df: DataFrame, path: str, *, fmt: str = "parquet") -> None:
     timestamps round-trip through ISO-8601 text for json/csv)."""
     if fmt not in FORMATS:
         raise ValueError(f"unsupported event format {fmt!r}; one of {FORMATS}")
+    if fmt == "xlsx":
+        # driver-side fixture writer (one workbook) — the export SINKS
+        # (sinks.py) are the distributed write path
+        import os
+
+        from .xlsx import write_xlsx
+
+        os.makedirs(path, exist_ok=True)
+        pdf = df.toPandas()
+        for c in pdf.columns:
+            pdf[c] = pdf[c].map(
+                lambda v: None if v is None else str(v), na_action="ignore"
+            )
+        write_xlsx({"events": pdf}, os.path.join(path, "events.xlsx"))
+        return
     w = df.write.mode("overwrite")
     if fmt == "parquet":
         w.parquet(path)

@@ -27,7 +27,7 @@ def _final(table) -> pd.DataFrame:
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "xlsx"])
 def test_batch_replay_each_format_converges(spark, tmp_path, fmt):
     events = synth_events(spark, N_EVENTS, N_CONVS, seed=42)
     want = replay_oracle(events.toPandas())
@@ -67,4 +67,44 @@ def test_streaming_tail_over_json_source(spark, tmp_path):
 
 def test_unknown_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported event format"):
-        read_events(spark, str(tmp_path), fmt="xlsx")
+        read_events(spark, str(tmp_path), fmt="avro")
+
+
+def test_xlsx_is_batch_only(spark, tmp_path):
+    with pytest.raises(ValueError, match="batch-only"):
+        read_events(spark, str(tmp_path), fmt="xlsx", streaming=True)
+
+
+def test_xlsx_multisheet_sparse_cells_distributed(spark, tmp_path):
+    """The stdlib workbook parser end-to-end: a 3-sheet workbook (the
+    reference's shape) with sparse cells, XML-escapable text and shared
+    semantics; sheets addressed by index AND name; parsing runs in
+    mapInPandas over MANY files (one task can see several workbooks)."""
+    import os
+
+    from cdm_to_mods_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    d = str(tmp_path / "books")
+    os.makedirs(d)
+    meta = pd.DataFrame({"k": ["title", "institution"], "v": ["A & B", "LSU"]})
+    for i in range(5):
+        rows = pd.DataFrame(
+            {
+                "id": [str(3 * i), str(3 * i + 1), str(3 * i + 2)],
+                "text": [f"<row {3 * i}>", None, f'say "{i}"'],
+                "extra": [None, f"e{i}", None],
+            }
+        )
+        write_xlsx(
+            {"records": rows, "meta": meta, "map": meta}, f"{d}/book{i}.xlsx"
+        )
+
+    recs = read_xlsx(spark, d, sheet=0).toPandas()
+    assert len(recs) == 15 and list(recs.columns) == ["id", "text", "extra"]
+    got = recs.sort_values("id", key=lambda s: s.astype(int)).reset_index(drop=True)
+    assert got.loc[0, "text"] == "<row 0>"
+    assert got.loc[1, "text"] is None and got.loc[1, "extra"] == "e0"
+    assert got.loc[2, "text"] == 'say "0"'
+
+    by_name = read_xlsx(spark, d, sheet="meta").toPandas()
+    assert len(by_name) == 10 and set(by_name["k"]) == {"title", "institution"}
