@@ -95,7 +95,11 @@ def replay_oracle(events_pdf: pd.DataFrame) -> pd.DataFrame:
     """Final table state: per (conv_id, turn_idx) keep max-seq event; drop
     keys whose winning op is D; transform the survivors."""
     ev = events_pdf.sort_values("seq")
-    last = ev.groupby(["conv_id", "turn_idx"], as_index=False).last()
+    # row-wise last-write-wins: the max-seq EVENT replaces the record
+    # entirely (groupby.last() would coalesce per COLUMN — last non-null —
+    # which silently resurrects overwritten nulls; caught by
+    # tests/test_property.py)
+    last = ev.drop_duplicates(subset=["conv_id", "turn_idx"], keep="last")
     live = last[last["op"] != "D"].copy()
     live["text"] = live["text"].map(norm_text)
     live["role"] = live["role"].map(remap_role)

@@ -1,0 +1,111 @@
+"""Property-based CDC semantics: for ANY event log — arbitrary op mix,
+out-of-order seq arrival, late cross-batch updates, whole-key tombstones,
+messy text/role/tool/date shapes — replaying through the lake MERGE must
+converge to the independent pandas oracle (tests/oracle.py), under both
+merge modes, and re-applying a committed batch must be a no-op.
+
+Deterministic: hypothesis derandomized (fixed example set per code
+version), bounded examples since each one drives real Spark jobs."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cdm_to_mods_spark.functions.chain import apply_chain
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+from tests.oracle import replay_oracle
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts_raw string, ingest_ts timestamp"
+)
+
+_TEXTS = [None, "x", "  a  b ", "t<br>u@@@v", "— dash; ", "plain.", ""]
+_ROLES = [None, "user", "HUMAN", " Bot ", "model", "weird", "tool"]
+_TOOLS = [None, "none", "", "calc", "WebSearch", "browser", "odd"]
+_DATES = [None, "2001-02-03", "2001-02-03 04:05", "3/4/2005", "ca. 1920",
+          "[1936]", "1999?", "2005-07", "199-", "between 1920 and 1930",
+          "total junk"]
+
+
+@st.composite
+def event_logs(draw):
+    n_convs = draw(st.integers(1, 4))
+    n_events = draw(st.integers(1, 36))
+    arrival = draw(st.permutations(range(1, n_events + 1)))
+    events = []
+    for i in range(n_events):
+        events.append((
+            draw(st.sampled_from(["I", "U", "D"])),
+            arrival[i],  # unique seqs, arbitrary arrival order
+            f"c{draw(st.integers(0, n_convs - 1))}",
+            draw(st.integers(0, 2)),
+            draw(st.sampled_from(_ROLES)),
+            draw(st.sampled_from(_TEXTS)),
+            draw(st.sampled_from(_TOOLS)),
+            draw(st.sampled_from(_DATES)),
+            None,
+        ))
+    n_batches = draw(st.integers(1, 3))
+    return events, n_batches
+
+
+def _splits(events, n_batches):
+    size = max(1, len(events) // n_batches)
+    return [events[i : i + size] for i in range(0, len(events), size)]
+
+
+@pytest.mark.parametrize("merge_mode", ["mor", "cow"])
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(log=event_logs())
+def test_any_log_converges_to_oracle(spark, merge_mode, log):
+    events, n_batches = log
+    want = replay_oracle(
+        pd.DataFrame(
+            events,
+            columns=["op", "seq", "conv_id", "turn_idx", "role", "text",
+                     "tool", "ts_raw", "ingest_ts"],
+        )
+    )
+    root = tempfile.mkdtemp(prefix="prop-lake-")
+    try:
+        t = LakeTable(spark, root, num_buckets=4, merge_mode=merge_mode)
+        t.create(TRANSCRIPT_SCHEMA)
+        batches = _splits(events, n_batches)
+        for bid, chunk in enumerate(batches):
+            t.apply_changes(
+                spark.createDataFrame(chunk, EVENT_DDL),
+                batch_id=bid, transform=apply_chain,
+            )
+        got = (
+            t.read().toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        # exactly-once: re-applying the last committed batch is a no-op
+        res = t.apply_changes(
+            spark.createDataFrame(batches[-1], EVENT_DDL),
+            batch_id=len(batches) - 1, transform=apply_chain,
+        )
+        assert res.get("skipped") is True
+        got2 = (
+            t.read().toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        )
+        pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
