@@ -206,54 +206,25 @@ def d6_dedup_clusters(spark, sf_dir):
     """near-dup CONNECTED COMPONENTS — the canonical-doc-selection step a
     dedup pipeline runs after pair generation (keep one doc per cluster of
     mutual near-dups, not just per pair). Edges are d2's exact Jaccard≥0.6
-    pairs; components form by iterative min-label propagation over the
-    symmetric edge set, converging in O(diameter) rounds with an explicit
-    fixpoint check (near-dup clusters are near-cliques, so diameter is
-    small; at 100 TB swap the loop for the alternating large-star/
-    small-star algorithm, O(log n) rounds). Output: every clustered doc,
-    its component's min doc_id as cluster_id, and the canonical flag. The
-    DuckDB oracle computes the same closure with WITH RECURSIVE — an exact
-    cross-engine check of an iterative distributed algorithm."""
+    pairs; components form by the alternating large-star/small-star
+    algorithm (operators/components.py) — O(log n) shuffle rounds
+    regardless of component diameter, the formulation that survives
+    chain-shaped components at 10^12 edges (round 2 used O(diameter)
+    min-label propagation; this IS the scale path its docstring promised).
+    Output: every clustered doc, its component's min doc_id as cluster_id,
+    and the canonical flag. The DuckDB oracle computes the same closure
+    with WITH RECURSIVE — an exact cross-engine check of an iterative
+    distributed algorithm."""
+    from .operators.components import connected_components
+
     pairs = d2_ngram_jaccard_pairs(spark, sf_dir).select(
-        F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+        F.col("doc_a").cast("long").alias("u"),
+        F.col("doc_b").cast("long").alias("v"),
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("a", "b").localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("a").alias("doc_id")).distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    changed = 1
-    for _ in range(64):  # hard backstop only — the loop exits at fixpoint
-        prop = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        nxt = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
-                (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("_chg"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = nxt.filter("_chg").limit(1).count()
-        labels = nxt.drop("_chg")
-        if changed == 0:
-            break
-    if changed != 0:  # never converged — split clusters would silently
-        raise RuntimeError(  # diverge from the transitive-closure oracle
-            "d6 label propagation did not reach fixpoint within 64 rounds; "
-            "component diameter exceeds the backstop — switch to "
-            "large-star/small-star (O(log n) rounds) for this dataset"
-        )
-    return labels.select(
-        "doc_id",
-        F.col("lbl").alias("cluster_id"),
-        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
     )
 
 

@@ -110,3 +110,38 @@ def test_approx_distinct_within_error_bound(spark, q):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_connected_components_chain_and_random(spark):
+    """large-star/small-star vs brute-force union-find on (a) a 200-node
+    chain — the diameter-200 shape that kills O(diameter) label
+    propagation in bounded rounds — and (b) a deterministic random graph
+    with several components and isolated-free node set."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.operators.components import connected_components
+
+    def brute(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        return {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    chain = [(i, i + 1) for i in range(200)]
+    rnd = [((i * 7919) % 97, (i * 104729) % 97) for i in range(60)]
+    for edges in (chain, rnd):
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            (r.node, r.component)
+            for r in connected_components(df).collect()
+        }
+        want = set(brute(edges).items())
+        assert got == want
