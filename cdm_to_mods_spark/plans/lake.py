@@ -389,7 +389,8 @@ class LakeTable:
         contract."""
         best = None
         for v in self._versions():
-            m = self.manifest(v)
+            # raw version file — commit_ts lookup must not load range files
+            m = self._load_version(v)
             cts = m.get("commit_ts")
             if cts is not None and cts <= ts:
                 best = v
@@ -597,7 +598,11 @@ class LakeTable:
         by_schema: dict[int, list[str]] = {}
         for v in range(since_version + 1, hi + 1):
             try:
-                m = self.manifest(v)
+                # raw version files: feed discovery reads cdf lists, never
+                # bucket state — a long range must not materialize every
+                # version's range manifests (pre-range manifests fall back
+                # to inline "buckets" below and are unaffected)
+                m = self._load_version(v)
             except FileNotFoundError:
                 vs = self._versions()
                 raise SnapshotExpiredError(
