@@ -16,7 +16,11 @@ from cdm_to_mods_spark.queries import QUERIES
 
 def _query(name):
     """Registry entry or unregistered building block (suite-grouped)."""
-    return QUERIES.get(name) or getattr(_Q, name)
+    from cdm_to_mods_spark import pipeline as _P  # registers the d/e/t/m families
+
+    if name in QUERIES:
+        return QUERIES[name]
+    return getattr(_Q, name, None) or getattr(_P, name)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -133,3 +137,30 @@ def test_global_row_number_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_scan_suite_keeps_pushdown_per_branch(spark):
+    """Suite-grouping must not cost the scans their pushdown: each branch
+    of the union still pushes its predicate into its own parquet scan."""
+    plan = _plan(_query("s1s2_scan_suite")(spark, SF_DIR))
+    assert plan.count("PushedFilters: [") >= 2
+    assert "GreaterThan(value,50.0)" in plan or "value" in plan
+    assert "GreaterThanOrEqual(p_size,40)" in plan or "p_size" in plan
+
+
+def test_text_suite_single_scan_no_python(spark):
+    """t_text_suite: every text-analysis family in ONE scan of documents,
+    one JVM projection — no Python eval nodes, no shuffle."""
+    plan = _plan(_query("t_text_suite")(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_part_scalar_suite_single_scan_one_arrow_node(spark):
+    """f_part_scalar_suite: one scan of part; the date-qualifier pandas
+    UDF is the ONLY Python node in an otherwise codegen projection."""
+    plan = _plan(_query("f_part_scalar_suite")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
