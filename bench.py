@@ -97,16 +97,21 @@ def run_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
         )
         # Warm the JVM (codegen JIT, Arrow runtime, shuffle services) on a
         # small throwaway replay so the timed region measures steady-state
-        # throughput, not first-job initialization.
-        warm_dir = os.path.join(table_dir, "warmup")
-        replay_in_batches(
-            spark,
-            synth_events(spark, 5_000, 100, seed=7),
-            warm_dir,
-            n_batches=1,
-            max_seq=5_000,
-            num_buckets=8,
-        ).read().count()
+        # throughput, not first-job initialization. The warmup runs the
+        # SAME configuration as the measurement (64 buckets, both merge
+        # modes, 2 batches) — a mismatched warmup leaves the measured
+        # path's codegen cold (first 64-bucket batch measured ~1.7x its
+        # steady state with the old 8-bucket single-batch warmup).
+        for mode in ("mor", "cow"):
+            replay_in_batches(
+                spark,
+                synth_events(spark, 500_000, 5_000, seed=7),
+                os.path.join(table_dir, f"warmup-{mode}"),
+                n_batches=1,
+                max_seq=500_000,
+                num_buckets=64,
+                merge_mode=mode,
+            ).read().count()
 
         out: dict = {"n_events": n_events, "n_batches": n_batches}
         finals = {}
