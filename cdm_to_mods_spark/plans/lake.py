@@ -776,10 +776,16 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop manifests older than the newest ``keep_last`` and delete
-        data directories no kept snapshot references (time travel shrinks
-        to the kept window). The active snapshot's files are never touched
-        — bases written under old versions stay as long as any kept
-        manifest points at them."""
+        data directories / range manifests no kept snapshot references
+        (time travel shrinks to the kept window). The active snapshot's
+        files are never touched — bases written under old versions stay as
+        long as any kept manifest points at them.
+
+        Maintenance-owner assumption (same as Iceberg's expire/vacuum): do
+        not run concurrently with an IN-FLIGHT writer — a commit's freshly
+        written data dir / range files are unreferenced until its version
+        file publishes, and this GC would collect them. Completed commits
+        are always safe."""
         import shutil
 
         versions = self._versions()
