@@ -74,6 +74,62 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
     return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, payload_resized binary, out_width int, out_height int, "
+    "out_bytes long"
+)
+
+
+def fit_box(width: int, height: int, box: int) -> tuple[int, int]:
+    """Aspect-preserving fit into a ``box``×``box`` square (no upscale) —
+    pure integer arithmetic so a SQL oracle reproduces it exactly."""
+    m = max(width, height)
+    if m <= box:
+        return width, height
+    return max(1, (width * box) // m), max(1, (height * box) // m)
+
+
+def resize_media(
+    df: DataFrame, box: int = 224, payload_col: str = "payload"
+) -> DataFrame:
+    """binary payload (+ width/height) → resized payload + new dims, one
+    Arrow-batched pass — the thumbnail/encoder-input-prep operator of a
+    multimodal training pipeline.
+
+    The pixel resample is a deterministic stand-in (no imaging lib here):
+    output dims are the real aspect-preserving fit (``fit_box``) and the
+    stand-in "resampled" payload is the proportional byte prefix, so
+    byte_len ratios track area ratios and a SQL oracle can value-check the
+    WHOLE Arrow path (dims + md5 of the produced bytes). A real decoder
+    swaps `_fake_resample` for decode→resize→encode; schema, batching and
+    partitioning are unchanged. Same skew guidance as extract_media_meta:
+    partition by bytes upstream, no shuffle here."""
+
+    def _fake_resample(payload: bytes, w: int, h: int, ow: int, oh: int) -> bytes:
+        n = len(payload)
+        keep = max(1, (n * ow * oh) // max(1, w * h))
+        return payload[:keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p, w, h in zip(
+                pdf["doc_id"], pdf[payload_col], pdf["width"], pdf["height"]
+            ):
+                ow, oh = fit_box(int(w), int(h), box)
+                rp = _fake_resample(bytes(p), int(w), int(h), ow, oh)
+                rows.append((doc_id, rp, ow, oh, len(rp)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "payload_resized", "out_width", "out_height",
+                    "out_bytes",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(meta: DataFrame, every: int = 4) -> DataFrame:
     """video metadata → one row per sampled frame index (every k-th frame,
     frame 0 always included) — the frame-sampling fan-out a training

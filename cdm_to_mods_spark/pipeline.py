@@ -733,22 +733,62 @@ def m2_media_metadata(spark, sf_dir):
     return _media_meta(spark, sf_dir)
 
 
+def m4_resize(spark, sf_dir):
+    """multimodal RESIZE / encoder-input prep: payload + decoded dims →
+    aspect-preserving 224-box fit + resampled payload, one Arrow
+    mapInPandas pass (functions/multimodal.py::resize_media; the pixel
+    resample is an honest deterministic stand-in, the dims/bytes/plumbing
+    are real and SQL-value-checked). Driver row via
+    ``m_multimodal_suite``."""
+    from .functions.multimodal import resize_media
+
+    with_dims = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"),
+                F.length("text").alias("char_len"))
+        .join(
+            _media_meta(spark, sf_dir).select("doc_id", "width", "height"),
+            "doc_id",
+        )
+    )
+    return resize_media(with_dims).select(
+        "doc_id", "out_width", "out_height", "out_bytes",
+        F.md5("payload_resized").alias("resized_md5"),
+    )
+
+
+_M4_SQL = (
+    "SELECT doc_id, "
+    "CASE WHEN m <= 224 THEN width ELSE greatest(1, (width*224)//m) END AS out_width, "
+    "CASE WHEN m <= 224 THEN height ELSE greatest(1, (height*224)//m) END AS out_height "
+    "FROM (SELECT doc_id, width, height, greatest(width, height) AS m "
+    "FROM (" + _M2_META_SQL + "))"
+)
+
+
 @_q(
-    "m1m2_multimodal_suite",
-    "WITH m2 AS (" + _M2_META_SQL + ") "
+    "m_multimodal_suite",
+    "WITH m2 AS (" + _M2_META_SQL + "), m4 AS (" + _M4_SQL + ") "
     "SELECT d.doc_id, octet_length(encode(d.text)) AS m1_byte_len, "
     "length(d.text) AS m1_char_len, m2.mime, m2.width, m2.height, "
-    "m2.n_frames, m2.sample_rate "
-    "FROM documents d JOIN m2 ON d.doc_id = m2.doc_id",
+    "m2.n_frames, m2.sample_rate, m4.out_width, m4.out_height, "
+    "greatest(1, (octet_length(encode(d.text)) * m4.out_width * m4.out_height) "
+    "// greatest(1, m2.width * m2.height)) AS out_bytes, "
+    "md5(substring(d.text, 1, greatest(1, (octet_length(encode(d.text)) * "
+    "m4.out_width * m4.out_height) // greatest(1, m2.width * m2.height)))) "
+    "AS resized_md5 "
+    "FROM documents d JOIN m2 ON d.doc_id = m2.doc_id "
+    "JOIN m4 ON d.doc_id = m4.doc_id",
 )
-def m1m2_multimodal_suite(spark, sf_dir):
-    """M1+M2 in one driver row — both Arrow mapInPandas multimodal
-    operators end-to-end: the binary feature extract (m1: payload →
-    byte/char lengths) joined to the typed media-metadata decode (m2:
-    mime/width/height/frames/sample_rate). The oracle reproduces both
-    operators' arithmetic in SQL, so BOTH Arrow paths are value-checked
-    in a single row (the real decode plug point stays an honest stub —
-    functions/multimodal.py)."""
+def m_multimodal_suite(spark, sf_dir):
+    """M1+M2+M4 in one driver row — the Arrow mapInPandas multimodal
+    operators end-to-end: binary feature extract (m1: payload → byte/char
+    lengths), typed media-metadata decode (m2: mime/dims/frames/rate) and
+    resize/encoder-input prep (m4: 224-box fit + resampled payload —
+    value-checked down to the md5 of the produced BYTES, legal in SQL
+    because the corpus is ASCII so byte prefix == char prefix). The real
+    decode plug points stay honest stubs (functions/multimodal.py); every
+    dim/byte/hash the Arrow paths produce is SQL-checked."""
     m1 = m1_binary_feature_extract(spark, sf_dir).select(
         "doc_id",
         F.col("byte_len").alias("m1_byte_len"),
@@ -757,7 +797,8 @@ def m1m2_multimodal_suite(spark, sf_dir):
     m2 = m2_media_metadata(spark, sf_dir).select(
         "doc_id", "mime", "width", "height", "n_frames", "sample_rate"
     )
-    return m1.join(m2, "doc_id")
+    m4 = m4_resize(spark, sf_dir)
+    return m1.join(m2, "doc_id").join(m4, "doc_id")
 
 
 @_q(
