@@ -108,3 +108,50 @@ def test_xlsx_multisheet_sparse_cells_distributed(spark, tmp_path):
 
     by_name = read_xlsx(spark, d, sheet="meta").toPandas()
     assert len(by_name) == 10 and set(by_name["k"]) == {"title", "institution"}
+
+
+def test_xlsx_roundtrip_property():
+    """Driver-side property: ANY grid of optional text cells (XML
+    metacharacters, unicode, leading/trailing spaces, empty strings, None
+    holes) survives write_xlsx → parse_xlsx exactly. No Spark involved, so
+    hypothesis can afford many examples."""
+    from hypothesis import given, settings, strategies as st
+
+    from cdm_to_mods_spark.sources.xlsx import parse_xlsx, write_xlsx
+
+    cell = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                exclude_categories=("Cs", "Cc"),  # no surrogates/control chars
+            ),
+            max_size=20,
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(
+        grid=st.lists(st.lists(cell, min_size=2, max_size=4), min_size=1, max_size=6),
+        ncols=st.integers(2, 4),
+    )
+    def run(grid, ncols):
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        cols = [f"c{i}" for i in range(ncols)]
+        rows = [(r + [None] * ncols)[:ncols] for r in grid]
+        pdf = pd.DataFrame(rows, columns=cols, dtype=object)
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "t.xlsx")
+            write_xlsx({"s": pdf}, p)
+            got = parse_xlsx(open(p, "rb").read(), 0)
+        assert got[0] == cols
+        for want_row, got_row in zip(rows, got[1:]):
+            padded = (got_row + [None] * ncols)[:ncols]
+            assert padded == list(want_row)
+        assert len(got) == len(rows) + 1
+
+    run()
