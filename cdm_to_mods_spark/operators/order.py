@@ -22,6 +22,16 @@ grouped by partition id. No stage ever holds more than one partition of
 data. Reference analog: the stable sorted() pointer walks of
 convert_cdm_to_mods.py:37,53,62 — the judge's "stable (conv_id, turn_idx)
 ordering" — done without a single-task sort.
+
+Cluster-scale note on the pin: ``localCheckpoint`` stores the sorted
+partitions in executor block storage (memory-and-disk), the same
+materialization Spark's own ``zipWithIndex`` relies on; it is NOT
+fault-tolerant to executor loss. For a 1000-executor terminal rank over
+10^10 rows, swap the pin for the write-then-rank pattern (persist the
+range-sorted output as files, then partition-local rank + per-file
+offsets from footer counts) — same two passes, durable intermediate.
+This operator is a TERMINAL presentation op either way; never feed a
+global rank into further joins when a per-group rank (w2) suffices.
 """
 
 from __future__ import annotations
