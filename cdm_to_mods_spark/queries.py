@@ -782,6 +782,36 @@ def w4_positional_index(spark, sf_dir):
 
 
 @_q(
+    "w5_sliding_slices",
+    "SELECT window_start, count(*)::bigint AS n, "
+    "cast(sum(cast(value AS decimal(18,2))) AS double) AS total FROM ("
+    "SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) "
+    "- INTERVAL 1 HOUR]) AS window_start, value FROM events) GROUP BY 1",
+)
+def w5_sliding_slices(spark, sf_dir):
+    """Sliding-window aggregation (2h windows, 1h slide) via STREAM
+    SLICING (operators/slicing.py — Traub et al., EDBT 2019): tumbling
+    slice partials + slice-level explode + composition, O(events) work
+    where Spark's native ``F.window(ts, size, slide)`` replicates every
+    event k times before aggregating. The oracle enumerates each event's
+    two containing windows; equivalence with the native sliding window is
+    additionally pinned in tests/test_transforms.py."""
+    from .operators.slicing import sliced_sliding_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    out = sliced_sliding_agg(
+        ev, "ts", "2 hours", "1 hour",
+        {"n": ("count", "*"), "total": ("sum", "v")},
+    )
+    return out.select(
+        "window_start", F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+@_q(
     "o6_topk_per_group",
     "SELECT * FROM (SELECT o_custkey AS cust_id, o_orderkey AS order_id, "
     "row_number() OVER (PARTITION BY o_custkey "

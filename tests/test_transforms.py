@@ -131,3 +131,49 @@ def test_date_cascade_hybrid_parity(spark):
 def test_ts_qualifier(spark):
     got = _apply(spark, ts_qualifier, ["ca. 1920", "[1936]", "1972?", "1999"])
     assert got == ["approximate", "inferred", "questionable", None]
+
+
+def test_sliced_sliding_agg_equals_native_window(spark):
+    """Stream-slicing sliding aggregation must equal Spark's native
+    F.window(size, slide) — including grouped form and min/max
+    composition — while doing O(events) pre-shuffle work."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.operators.slicing import sliced_sliding_agg
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("ts", "event_type", F.col("value").cast("double").alias("v"))
+    )
+    got = {
+        (r.event_type, r.window_start, r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in sliced_sliding_agg(
+            ev, "ts", "3 hours", "1 hour",
+            {"n": ("count", "*"), "total": ("sum", "v"),
+             "vmin": ("min", "v"), "vmax": ("max", "v")},
+            group_by=["event_type"],
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.w.start, r.n, round(r.total, 6), r.vmin, r.vmax)
+        for r in ev.groupBy(
+            "event_type", F.window("ts", "3 hours", "1 hour").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+             F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sliced_sliding_agg_rejects_non_composable(spark):
+    import pytest as _pytest
+
+    from cdm_to_mods_spark.operators.slicing import sliced_sliding_agg
+
+    ev = spark.range(1).select(F.current_timestamp().alias("ts"))
+    with _pytest.raises(ValueError, match="compose"):
+        sliced_sliding_agg(ev, "ts", "2 hours", "1 hour",
+                           {"m": ("median", "ts")})
+    with _pytest.raises(ValueError, match="multiple"):
+        sliced_sliding_agg(ev, "ts", "3 hours", "2 hours", {"n": ("count", "*")})
