@@ -89,3 +89,131 @@ def sliced_sliding_agg(
     return exploded.groupBy(*keys, "window_start").agg(
         *[compose[fn](out).alias(out) for out, (fn, _) in aggs.items()]
     )
+
+
+class SlidingWindowView:
+    """Incrementally-maintained sliding-window aggregates over an
+    append-only event stream — the streaming completion of the slicing
+    story (and of the reference's per-run report counts, made continuous).
+
+    State is ONE tiny table of additive slice partials: each ``update``
+    aggregates only the incoming batch to slice partials (O(batch)) and
+    folds them into the store by slice key; ``read`` composes the final
+    sliding windows from the partials at query time (O(slices × k)).
+    Late events are handled for free — they land in their (old) slice and
+    every window containing it re-composes correctly; nothing is ever
+    recomputed over history. Only additive aggregates (sum/count) are
+    maintained, the append-only-stream contract.
+
+    The store commits with the same write-new + marker-rename protocol as
+    plans/incremental.py, so a crashed update never corrupts state."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        ts_col: str,
+        size: str,
+        slide: str,
+        aggs: dict[str, tuple[str, str]],
+        group_by: list[str] | None = None,
+    ) -> None:
+        import os
+
+        for out, (fn, _) in aggs.items():
+            if fn not in ("sum", "count"):
+                raise ValueError(
+                    f"{out}: only additive aggregates (sum/count) can be "
+                    "incrementally maintained on an append-only stream"
+                )
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.ts_col, self.size, self.slide = ts_col, size, slide
+        self.aggs, self.keys = dict(aggs), list(group_by or [])
+        os.makedirs(self.path, exist_ok=True)
+
+    # ------------------------------------------------------------- state
+    def _marker(self):
+        import json
+        import os
+
+        p = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _slices(self) -> DataFrame | None:
+        import os
+
+        m = self._marker()
+        if m is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, m["data"]))
+
+    # ------------------------------------------------------------ update
+    def update(self, batch: DataFrame) -> dict:
+        """Fold one micro-batch into the slice-partial store."""
+        import json
+        import os
+
+        def _partial(fn, col, out):
+            if fn == "count":
+                return F.count(F.lit(1) if col == "*" else F.col(col)).alias(out)
+            return getattr(F, fn)(col).alias(out)
+
+        fresh = batch.groupBy(
+            *self.keys, F.window(self.ts_col, self.slide).alias("_slice")
+        ).agg(*[_partial(fn, c, out) for out, (fn, c) in self.aggs.items()])
+        fresh = fresh.select(
+            *self.keys, F.col("_slice.start").alias("slice_start"),
+            *[F.col(o) for o in self.aggs],
+        )
+        cur = self._slices()
+        if cur is not None:
+            merged = (
+                cur.unionByName(fresh)
+                .groupBy(*self.keys, "slice_start")
+                .agg(*[F.sum(o).alias(o) for o in self.aggs])
+            )
+        else:
+            merged = fresh
+        gen = 0 if self._marker() is None else self._marker()["gen"] + 1
+        rel = f"slices-{gen:08d}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+        tmp = os.path.join(self.path, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"data": rel, "gen": gen}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, os.path.join(self.path, "_CURRENT"))
+        return {"gen": gen}
+
+    # -------------------------------------------------------------- read
+    def read(self) -> DataFrame:
+        """Compose the sliding windows from the stored slice partials."""
+        def _secs(iv):
+            n, unit = iv.split()
+            mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+            return int(n) * mult[unit]
+
+        k = _secs(self.size) // _secs(self.slide)
+        slide_s = _secs(self.slide)
+        cur = self._slices()
+        if cur is None:
+            fields = ", ".join(f"{o} double" for o in self.aggs)
+            return self.spark.createDataFrame(
+                [], f"window_start timestamp, {fields}"
+            )
+        starts = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.timestamp_add("SECOND", i * (-slide_s),
+                                      F.col("slice_start")),
+        )
+        return (
+            cur.select(*self.keys, F.explode(starts).alias("window_start"),
+                       *[F.col(o) for o in self.aggs])
+            .groupBy(*self.keys, "window_start")
+            .agg(*[F.sum(o).alias(o) for o in self.aggs])
+        )

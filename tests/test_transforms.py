@@ -177,3 +177,35 @@ def test_sliced_sliding_agg_rejects_non_composable(spark):
                            {"m": ("median", "ts")})
     with _pytest.raises(ValueError, match="multiple"):
         sliced_sliding_agg(ev, "ts", "3 hours", "2 hours", {"n": ("count", "*")})
+
+
+def test_sliding_window_view_incremental_with_late_events(spark, tmp_path):
+    """SlidingWindowView: batch-by-batch slice-partial maintenance (with a
+    LATE event arriving two batches after its slice) must equal a full
+    recompute over all events with the native sliding window."""
+    from cdm_to_mods_spark.operators.slicing import SlidingWindowView
+
+    view = SlidingWindowView(
+        spark, str(tmp_path / "sw"), "ts", "2 hours", "1 hour",
+        {"n": ("count", "*"), "total": ("sum", "v")},
+    )
+    b1 = [("2024-01-01 10:05:00", 1.0), ("2024-01-01 11:10:00", 2.0)]
+    b2 = [("2024-01-01 12:20:00", 4.0)]
+    b3 = [("2024-01-01 10:40:00", 8.0),  # LATE: lands in the 10:00 slice
+          ("2024-01-01 13:01:00", 16.0)]
+    all_rows = []
+    for batch in (b1, b2, b3):
+        all_rows += batch
+        df = spark.createDataFrame(batch, "ts string, v double").select(
+            F.col("ts").cast("timestamp").alias("ts"), "v")
+        view.update(df)
+    got = {(r.window_start, r.n, r.total) for r in view.read().collect()}
+    full = spark.createDataFrame(all_rows, "ts string, v double").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v")
+    want = {
+        (r.w.start, r.n, r.total)
+        for r in full.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
