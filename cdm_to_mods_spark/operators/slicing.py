@@ -152,10 +152,23 @@ class SlidingWindowView:
         return self.spark.read.parquet(os.path.join(self.path, m["data"]))
 
     # ------------------------------------------------------------ update
-    def update(self, batch: DataFrame) -> dict:
-        """Fold one micro-batch into the slice-partial store."""
+    def update(self, batch: DataFrame, batch_id: int | None = None) -> dict:
+        """Fold one micro-batch into the slice-partial store.
+
+        Pass the streaming ``batch_id`` for exactly-once folding: a batch
+        already folded is skipped, so foreachBatch redelivery after a
+        crash (Spark replays the last uncommitted batch) cannot
+        double-count — the same ledger idea as LakeTable.last_batch_id."""
         import json
         import os
+
+        marker = self._marker()
+        if (
+            batch_id is not None
+            and marker is not None
+            and marker.get("last_batch_id", -1) >= batch_id
+        ):
+            return {"skipped": True, "batch_id": batch_id}
 
         def _partial(fn, col, out):
             if fn == "count":
@@ -178,16 +191,19 @@ class SlidingWindowView:
             )
         else:
             merged = fresh
-        gen = 0 if self._marker() is None else self._marker()["gen"] + 1
+        gen = 0 if marker is None else marker["gen"] + 1
         rel = f"slices-{gen:08d}"
         merged.write.mode("overwrite").parquet(os.path.join(self.path, rel))
         tmp = os.path.join(self.path, "_CURRENT.tmp")
+        last = batch_id if batch_id is not None else (
+            marker.get("last_batch_id", -1) if marker else -1
+        )
         with open(tmp, "w") as fh:
-            json.dump({"data": rel, "gen": gen}, fh)
+            json.dump({"data": rel, "gen": gen, "last_batch_id": last}, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(self.path, "_CURRENT"))
-        return {"gen": gen}
+        return {"gen": gen, "last_batch_id": last}
 
     # -------------------------------------------------------------- read
     def read(self) -> DataFrame:

@@ -51,6 +51,7 @@ class StreamingReplay:
         max_files_per_trigger: int | None = None,
         source_format: str = "parquet",
         stats_view_path: str | None = None,
+        sliding_view_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.events_dir = events_dir
@@ -76,6 +77,16 @@ class StreamingReplay:
             if merge_mode == "cow":
                 self.table.cow_change_feed = True
             self.view = ConversationStatsView(spark, self.table, stats_view_path)
+        # optional sliding ingest metrics: additive slice partials folded
+        # per micro-batch (operators/slicing.py), exactly-once by batch_id.
+        self.sliding = None
+        if sliding_view_path is not None:
+            from ..operators.slicing import SlidingWindowView
+
+            self.sliding = SlidingWindowView(
+                spark, sliding_view_path, "ingest_ts", "2 hours", "1 hour",
+                {"n_events": ("count", "*")},
+            )
         self.batch_metrics: list[dict] = []
 
     # ------------------------------------------------------------------
@@ -89,6 +100,10 @@ class StreamingReplay:
         )
         if self.view is not None and not metrics.get("skipped"):
             metrics["view"] = self.view.refresh()
+        if self.sliding is not None:
+            # runs even when the MERGE skipped (crash-redelivery): the
+            # sliding ledger decides idempotence by its own last_batch_id
+            metrics["sliding"] = self.sliding.update(batch_df, batch_id=batch_id)
         metrics["wall_sec"] = round(time.monotonic() - t0, 3)
         self.batch_metrics.append(metrics)
         if self.metrics_path:

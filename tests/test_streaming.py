@@ -219,3 +219,41 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     assert got[(0, "I")] == 2
     assert got[(1, "U")] == 1
     assert (0, "U") not in got
+
+
+def test_streaming_tail_maintains_sliding_view(spark, tmp_path):
+    """Tail with a sliding ingest-metrics view: per-batch additive slice
+    folding (exactly-once by batch_id) composes to the same windows as a
+    full recompute over the whole event log."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.sources.synth import synth_events, write_event_batches
+    from cdm_to_mods_spark.streaming.tail import StreamingReplay
+
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, 1200, 20, n_batches=3, seed=11)
+    sr = StreamingReplay(
+        spark,
+        events_dir,
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        num_buckets=8,
+        merge_mode="mor",
+        sliding_view_path=str(tmp_path / "sw"),
+    )
+    sr.run_to_completion()
+    got = {
+        (r.window_start, r.n_events)
+        for r in sr.sliding.read().collect()
+    }
+    all_ev = spark.read.parquet(events_dir + "/*")
+    want = {
+        (r.w.start, r.n)
+        for r in all_ev.groupBy(
+            F.window("ingest_ts", "2 hours", "1 hour").alias("w")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    # exactly-once: re-folding a committed batch is a no-op
+    res = sr.sliding.update(all_ev.limit(5), batch_id=0)
+    assert res.get("skipped") is True
