@@ -203,6 +203,15 @@ class SlidingWindowView:
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(self.path, "_CURRENT"))
+        # prune superseded slice-store generations (keep new + predecessor
+        # for in-flight readers of the just-replaced marker)
+        import shutil
+
+        gens = sorted(
+            d for d in os.listdir(self.path) if d.startswith("slices-")
+        )
+        for d in gens[:-2]:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return {"gen": gen, "last_batch_id": last}
 
     # -------------------------------------------------------------- read

@@ -150,3 +150,12 @@ class ConversationStatsView:
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(self.path, "_CURRENT"))
+        # prune superseded view generations — keep the new one plus its
+        # predecessor (in-flight readers of the just-replaced marker)
+        import shutil
+
+        gens = sorted(
+            d for d in os.listdir(self.path) if d.startswith("data-v")
+        )
+        for d in gens[:-2]:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
