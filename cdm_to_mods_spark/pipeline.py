@@ -555,6 +555,72 @@ def _t6_exprs() -> dict:
     return {"repetition": F.round(rep, 4)}
 
 
+# character-trigram language profiles (the classic Cavnar-Trenkle n-gram
+# heuristic, shrunk to the highest-frequency trigrams per language). BOTH
+# engines' scoring expressions are generated from THIS dict, so the Spark
+# code and the DuckDB oracle cannot drift.
+_LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", "ing", " an", "and", "ed ", " to", "er ", "on "],
+    "fr": [" de", "es ", "le ", " le", "ent", "ne ", "que", " la", "ion", "eur"],
+    "de": ["en ", "er ", "ch ", "der", "ein", "sch", "ie ", "und", " un", "ung"],
+}
+
+
+def _t1b_exprs() -> dict:
+    """trigram-profile hit rates per language + argmax prediction
+    (occurrence counting via the length-delta-of-replace trick — pure
+    codegen, no explode of the character stream)."""
+    s = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    norm = F.greatest(F.length(s) - 2, F.lit(1))
+    scores = {}
+    for lang, tris in _LANG_TRIGRAMS.items():
+        hits = None
+        for t in tris:
+            h = (F.length(s) - F.length(F.replace(s, F.lit(t), F.lit("")))) / 3
+            hits = h if hits is None else hits + h
+        scores[lang] = F.round(hits / norm, 4)
+    pred = (
+        F.when(
+            (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["de"]), "en"
+        )
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return {
+        "pred": pred,
+        **{f"score_{lang}": c for lang, c in scores.items()},
+    }
+
+
+def _t1b_sql() -> str:
+    """the identical scoring as DuckDB SQL, generated from the same
+    profile dict (returns the SELECT-list fragment over alias ``s``)."""
+
+    def occ(t: str) -> str:
+        esc = t.replace("'", "''")
+        return f"(length(s) - length(replace(s, '{esc}', '')))/3"
+
+    sc = {
+        lang: "(" + " + ".join(occ(t) for t in tris) + ")*1.0"
+        "/greatest(length(s) - 2, 1)"
+        for lang, tris in _LANG_TRIGRAMS.items()
+    }
+    pred = (
+        f"CASE WHEN {sc['en']} >= {sc['fr']} AND {sc['en']} >= {sc['de']} "
+        f"THEN 'en' WHEN {sc['fr']} >= {sc['de']} THEN 'fr' ELSE 'de' END"
+    )
+    cols = [f"{pred} AS t1b_pred"]
+    cols += [f"round({sc[lang]}, 4) AS t1b_score_{lang}" for lang in _LANG_TRIGRAMS]
+    return ", ".join(cols)
+
+
+def t1b_langid_ngram(spark, sf_dir):
+    """T1 (n-gram form) — character-trigram profile language-ID, the
+    Cavnar-Trenkle shape as one codegen projection. Driver row via
+    ``t_text_suite``."""
+    return _sel(spark, sf_dir, {f"t1b_{n}": c for n, c in _t1b_exprs().items()})
+
+
 def _sel(spark, sf_dir, exprs: dict):
     return _t(spark, sf_dir, "documents").select(
         "doc_id", *[c.alias(n) for n, c in exprs.items()]
@@ -603,12 +669,13 @@ def t6_repetition_score(spark, sf_dir):
     "SELECT doc_id, "
     "CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'other' END AS t1_pred_lang, "
     "round(sw_ratio, 4) AS t1_stopword_ratio, "
+    + _t1b_sql() + ", "
     "n_tokens AS t2_n_tokens, round(punct_ratio, 4) AS t2_punct_ratio, "
     "round(0.5*least(n_tokens/100.0, 1.0) + 0.5*(1.0-punct_ratio), 4) AS t2_quality, "
     "n_distinct AS t3_n_distinct, n_bpe AS t3_n_bpe_tokens, "
     "fp AS t4_fingerprint, "
     "round(1.0 - nz_distinct*1.0/greatest(nz_total, 1), 4) AS t6_repetition "
-    "FROM (SELECT doc_id, "
+    "FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s, "
     "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
     f"w -> w IN {_SW_SQL}))*1.0 / greatest(len(regexp_split_to_array(lower(text), "
     "'\\s+')), 1) AS sw_ratio, "
@@ -624,8 +691,9 @@ def t6_repetition_score(spark, sf_dir):
     "AS nz_total FROM documents)",
 )
 def t_text_suite(spark, sf_dir):
-    """T1+T2+T3+T4+T6 in ONE driver row — the text-analysis families
-    (language-ID, quality score, token counts, fingerprint, repetition)
+    """T1+T1b+T2+T3+T4+T6 in ONE driver row — the text-analysis families
+    (stopword language-ID, character-TRIGRAM language-ID with per-language
+    profile scores, quality score, token counts, fingerprint, repetition)
     computed in a single scan of ``documents``, one whole-stage-codegen
     projection (the realistic shape: a 100 TB curation pass scores every
     signal in one map, never one job per signal). Column prefix names the
@@ -635,6 +703,7 @@ def t_text_suite(spark, sf_dir):
     definitionally t2's ``n_tokens`` (emitted once)."""
     exprs = {
         **{f"t1_{n}": c for n, c in _t1_exprs().items()},
+        **{f"t1b_{n}": c for n, c in _t1b_exprs().items()},
         **{f"t2_{n}": c for n, c in _t2_exprs().items()},
         **{f"t3_{n}": c for n, c in _t3_exprs().items() if n != "n_tokens"},
         **{f"t4_{n}": c for n, c in _t4_exprs().items()},
