@@ -831,3 +831,45 @@ def test_expire_gc_collects_unreferenced_range_manifests(spark, tmp_table):
     fresh = LakeTable(spark, tmp_table, merge_mode="mor")
     rows = fresh.read().collect()
     assert len(rows) == 1 and rows[0].text == "t2"
+
+
+def test_three_writer_threads_converge_with_overlapping_keys(spark, tmp_table):
+    """Harder concurrency: THREE writers, and their key sets OVERLAP (all
+    write conversation 'shared') — retries must replay onto successive
+    winners and the max-seq resolution must still pick the global winner
+    for the contended key. Also exercises the range-manifest ledger under
+    concurrent commits (content-hash files shared between retries)."""
+    import threading
+
+    t_init = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t_init.create(TRANSCRIPT_SCHEMA)
+    errs = []
+
+    def writer(tag, lo):
+        try:
+            t = LakeTable(spark, tmp_table, merge_mode="mor")
+            for b in range(2):
+                rows = [("I", lo + b * 10 + i, f"{tag}-{b}-{i}", 0, "user",
+                         f"{tag}{b}{i}", None, None, None) for i in range(3)]
+                # everyone also updates the SAME contended key
+                rows.append(("U", lo + b * 10 + 9, "shared", 0, "system",
+                             f"from-{tag}-{b}", None, None, None))
+                t.apply_changes(_events(spark, rows), transform=apply_chain,
+                                source=tag)
+        except Exception as e:  # noqa: BLE001
+            errs.append((tag, e))
+
+    th = [threading.Thread(target=writer, args=(tag, lo))
+          for tag, lo in (("wa", 1000), ("wb", 2000), ("wc", 3000))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    fresh = LakeTable(spark, tmp_table, merge_mode="mor")
+    state = _state(fresh)
+    # 3 writers x 2 batches x 3 unique rows + the contended key
+    assert len(state) == 19
+    # the contended key resolved to the globally max seq (wc batch 1: 3019)
+    assert state[("shared", 0)][1] == "from-wc-1"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
