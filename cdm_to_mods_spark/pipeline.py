@@ -798,7 +798,7 @@ def m2_media_metadata(spark, sf_dir):
     """typed media metadata via Arrow mapInPandas decode (deterministic
     stand-in decode — see functions/multimodal.py); the oracle reproduces
     the arithmetic in SQL, so the WHOLE Arrow path is value-checked.
-    Driver row via ``m1m2_multimodal_suite``."""
+    Driver row via ``m_multimodal_suite``."""
     return _media_meta(spark, sf_dir)
 
 
