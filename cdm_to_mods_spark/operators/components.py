@@ -8,7 +8,7 @@ node toward the minimum id in its neighborhood —
   STRICTLY LARGER neighbor v > u to m (emit edge (v, m));
 * **small-star**: direct edges to the smaller endpoint; for each u, with
   smaller-neighbors Γ⁻(u) and m = min(Γ⁻(u) ∪ {u}), attach u and all of
-  Γ⁻(u) \ {m} to m.
+  Γ⁻(u) minus {m} to m.
 
 The sequence converges to star graphs (every node → its component's min
 id) in O(log n) alternations — against min-label propagation's
