@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 import time
 from collections.abc import Callable
@@ -84,6 +85,18 @@ class SnapshotExpiredError(LookupError):
     ``expire_snapshots`` removed. Carries the retention floor in the message
     so an incremental consumer knows to re-seed from a snapshot read instead
     of retrying the feed."""
+
+
+class BranchDivergedError(RuntimeError):
+    """``publish_branch`` found commits on main past the branch's fork
+    point. A fast-forward publish would silently discard them, so the
+    publish is declined — re-stage the branch from the current main head
+    (create a fresh branch, replay the audited batches, publish that)."""
+
+
+# staging-branch names: one path-safe token, no "-v" parsing ambiguity with
+# the b-<name>-v<NNNNNNNN>.json version-file layout (enforced below).
+_BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.]*$")
 
 # refcounted, race-safe scoping of the session-global AQE flag: the first
 # apply on a session saves the original and flips it off, nested/concurrent
@@ -194,6 +207,7 @@ class LakeTable:
         cow_change_feed: bool = False,
         quarantine_path: str | None = None,
         bucket_fn: str = "hash32",
+        branch: str = "main",
     ) -> None:
         """``merge_mode``:
 
@@ -222,6 +236,14 @@ class LakeTable:
         10^10-event replay can't re-run for one bad row, so the engine
         quarantines and counts them (``metrics.n_quarantined``). Costs one
         extra pass over the batch — enable where sources are untrusted.
+
+        ``branch``: open the table AT A STAGING BRANCH (write-audit-publish,
+        the Iceberg/Netflix WAP pattern — the lake-scale analog of the
+        reference's validate-before-package flow, post_cdm_cleanup.py's QC
+        pass before zipping output). Commits land in the branch's own
+        ledger namespace; main readers never see them until
+        ``publish_branch``. Create with ``create_branch`` on a main-opened
+        table first; opening an unknown branch raises ``LookupError``.
         """
         self.spark = spark
         self.path = path.rstrip("/")
@@ -236,6 +258,15 @@ class LakeTable:
         assert bucket_fn in ("hash32", "xxhash64"), bucket_fn
         self.bucket_fn = bucket_fn
         self._ledger = os.path.join(self.path, "_ledger")
+        if not _BRANCH_NAME_RE.match(branch):
+            raise ValueError(f"invalid branch name {branch!r}")
+        self.branch = branch
+        self._branches_dir = os.path.join(self._ledger, "branches")
+        if branch != "main" and not os.path.exists(self._branch_file(branch)):
+            raise LookupError(
+                f"branch {branch!r} does not exist at {self.path} — "
+                "create it with create_branch() on a main-opened table"
+            )
         # immutable range-manifest files, keyed by ledger-relative path
         self._range_cache: dict[str, dict] = {}
         # For an EXISTING table the on-disk layout is authoritative:
@@ -252,21 +283,57 @@ class LakeTable:
             self.bucket_fn = man.get("bucket_fn", "xxhash64")
 
     # ------------------------------------------------------------- ledger
+    def _vfile_name(self, v: int, branch: str | None = None) -> str:
+        """Version-file name in the given branch's ledger namespace. Main
+        keeps the bare ``v<NNNNNNNN>.json`` layout (pre-branch ledgers stay
+        readable unchanged); a branch's commits live beside them as
+        ``b-<branch>-v<NNNNNNNN>.json``."""
+        b = self.branch if branch is None else branch
+        return f"v{v:08d}.json" if b == "main" else f"b-{b}-v{v:08d}.json"
+
+    @staticmethod
+    def _branch_vfile_versions(names: list[str], branch: str) -> list[int]:
+        pre = f"b-{branch}-v"
+        out = []
+        for f in names:
+            if f.startswith(pre) and f.endswith(".json") and f[len(pre):-5].isdigit():
+                out.append(int(f[len(pre):-5]))
+        return out
+
     def _versions(self) -> list[int]:
+        """Snapshot versions visible on THIS table handle's branch: for
+        main, the bare version files; for a branch, the shared main prefix
+        up to the fork point plus the branch's own commits (versions are
+        dense across the fork, so feeds/time travel span it seamlessly)."""
         if not os.path.isdir(self._ledger):
             return []
-        out = []
-        for f in os.listdir(self._ledger):
-            if f.startswith("v") and f.endswith(".json"):
-                out.append(int(f[1:-5]))
-        return sorted(out)
+        names = os.listdir(self._ledger)
+        main = sorted(
+            int(f[1:-5])
+            for f in names
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        )
+        if self.branch == "main":
+            return main
+        fork = self._branch_meta(self.branch)["forked_at"]
+        return sorted(
+            [v for v in main if v <= fork]
+            + self._branch_vfile_versions(names, self.branch)
+        )
 
     def latest_version(self) -> int | None:
         vs = self._versions()
         return vs[-1] if vs else None
 
     def _load_version(self, v: int) -> dict:
-        """The version file as committed — range refs NOT materialized."""
+        """The version file as committed — range refs NOT materialized.
+        On a branch handle the branch's namespace wins; versions at or
+        before the fork point fall through to the shared main files."""
+        if self.branch != "main":
+            p = os.path.join(self._ledger, self._vfile_name(v))
+            if os.path.exists(p):
+                with open(p) as fh:
+                    return json.load(fh)
         with open(os.path.join(self._ledger, f"v{v:08d}.json")) as fh:
             return json.load(fh)
 
@@ -280,11 +347,9 @@ class LakeTable:
             self._range_cache[rel_path] = cached
         return cached
 
-    def manifest(self, version: int | None = None) -> dict:
-        v = self.latest_version() if version is None else version
-        if v is None:
-            raise FileNotFoundError(f"no snapshots at {self.path}")
-        man = self._load_version(v)
+    def _materialize(self, man: dict) -> dict:
+        """Resolve a raw version dict's range refs into inline
+        ``buckets`` + ``lineage`` (deep-copied — callers mutate)."""
         if "bucket_ranges" in man:
             import copy
 
@@ -300,6 +365,12 @@ class LakeTable:
             man["buckets"] = buckets
             man["lineage"] = lineage
         return man
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        return self._materialize(self._load_version(v))
 
     def _write_ranges(self, manifest: dict) -> dict:
         """Split ``buckets``+``lineage`` into per-bucket-range manifest
@@ -358,8 +429,12 @@ class LakeTable:
         loser's already-written range files are content-addressed, so they
         either get referenced by its retry or GC'd by expire_snapshots."""
         os.makedirs(self._ledger, exist_ok=True)
+        if self.branch != "main" and not os.path.exists(self._branch_file(self.branch)):
+            raise RuntimeError(
+                f"branch {self.branch!r} was dropped; refusing to commit"
+            )
         v = manifest["version"]
-        final = os.path.join(self._ledger, f"v{v:08d}.json")
+        final = os.path.join(self._ledger, self._vfile_name(v))
         if os.path.exists(final):
             raise RuntimeError(f"concurrent commit conflict on version {v}")
         manifest = self._write_ranges(dict(manifest))
@@ -397,6 +472,161 @@ class LakeTable:
         if best is None:
             raise LookupError(f"no snapshot committed at or before {ts}")
         return best
+
+    # ------------------------------------------------- branches (WAP)
+    # Write-audit-publish staging (the Iceberg branch / Netflix WAP
+    # pattern; lake-scale analog of the reference's validate-before-
+    # package flow — post_cdm_cleanup.py runs its QC pass over converted
+    # output BEFORE zipping it for ingest). A branch is a fork-point
+    # pointer plus its own version-file namespace: replay lands change
+    # batches on the branch, audits run against the branch handle, and
+    # publish_branch atomically fast-forwards main — or drop_branch
+    # abandons the staged work without main ever seeing a row.
+
+    def _branch_file(self, name: str) -> str:
+        return os.path.join(self._branches_dir, f"{name}.json")
+
+    def _branch_meta(self, name: str) -> dict:
+        try:
+            with open(self._branch_file(name)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise LookupError(
+                f"branch {name!r} does not exist at {self.path}"
+            ) from None
+
+    def branches(self) -> list[dict]:
+        """Live staging branches: ``[{name, forked_at, created_ts}, ...]``."""
+        if not os.path.isdir(self._branches_dir):
+            return []
+        return sorted(
+            (
+                self._branch_meta(f[:-5])
+                for f in os.listdir(self._branches_dir)
+                if f.endswith(".json")
+            ),
+            key=lambda m: m["name"],
+        )
+
+    def create_branch(self, name: str) -> dict:
+        """Fork a staging branch at the current main head. Creation is
+        atomic-exclusive (link(2), like version publish) so two racing
+        creators get exactly one branch. Returns the branch meta; open the
+        branch with ``LakeTable(spark, path, branch=name, ...)``."""
+        assert self.branch == "main", "create branches from a main-opened table"
+        if not _BRANCH_NAME_RE.match(name) or name == "main":
+            raise ValueError(f"invalid branch name {name!r}")
+        head = self.latest_version()
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        meta = {"name": name, "forked_at": head, "created_ts": time.time()}
+        os.makedirs(self._branches_dir, exist_ok=True)
+        tmp = os.path.join(self._branches_dir, f"_tmp-{uuid4().hex[:8]}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._branch_file(name))
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return meta
+
+    def publish_branch(self, name: str) -> dict:
+        """Atomically fast-forward main to the branch head (squash): ONE
+        new main version carries the branch head's buckets/lineage/schemas
+        and ``last_batch_id`` (exactly-once replay state survives the
+        publish) plus the UNION of the branch commits' change-feed entries
+        in commit order, so ``changes(since=fork)`` on main replays the
+        whole audited window. Declines with ``BranchDivergedError`` if main
+        advanced past the fork point — a fast-forward would discard those
+        commits; re-stage instead. The branch is dropped on success (its
+        data dirs are now referenced by main; a crash between commit and
+        drop leaves an orphan branch that ``expire_snapshots`` clears)."""
+        assert self.branch == "main", "publish from a main-opened table"
+        meta = self._branch_meta(name)
+        fork = meta["forked_at"]
+        names = os.listdir(self._ledger)
+        bvs = sorted(self._branch_vfile_versions(names, name))
+        head = self.latest_version()
+        if head != fork:
+            raise BranchDivergedError(
+                f"main is at version {head} but branch {name!r} forked at "
+                f"{fork}; fast-forward publish would discard main commits — "
+                "re-stage the branch from the current head"
+            )
+        if not bvs:  # nothing staged: publishing is just dropping the fork
+            self.drop_branch(name)
+            return {"published_version": None, "branch_versions": 0,
+                    "from_branch": name}
+        raws = []
+        for bv in bvs:
+            with open(os.path.join(self._ledger, self._vfile_name(bv, name))) as fh:
+                raws.append(json.load(fh))
+        union_cdf = [e for raw in raws for e in raw.get("cdf", [])]
+        # a cow branch commit without change files poisons feeds across the
+        # squash exactly as it would on main — mark the published version
+        # so changes() keeps raising the documented ValueError.
+        poisoned = any(
+            raw.get("metrics", {}).get("mode") == "cow"
+            and not raw.get("cdf")
+            and raw.get("metrics", {}).get("n_buckets_touched", 1) > 0
+            for raw in raws
+        )
+        head_raw = self._materialize(dict(raws[-1]))
+        new_version = fork + 1
+        metrics = {
+            "maintenance": "publish",
+            "from_branch": name,
+            "branch_versions": len(bvs),
+            "branch_head": bvs[-1],
+            "n_buckets_touched": sum(
+                raw.get("metrics", {}).get("n_buckets_touched") or 0
+                for raw in raws
+            ),
+        }
+        if poisoned:
+            metrics["mode"] = "cow"
+        try:
+            self._commit(
+                {
+                    "version": new_version,
+                    "batch_id": None,
+                    "last_batch_id": head_raw["last_batch_id"],
+                    "schemas": head_raw["schemas"],
+                    "buckets": head_raw["buckets"],
+                    "num_buckets": head_raw["num_buckets"],
+                    "key_cols": head_raw["key_cols"],
+                    "bucket_col": head_raw["bucket_col"],
+                    "bucket_fn": head_raw.get("bucket_fn", self.bucket_fn),
+                    "cdf": union_cdf,
+                    "lineage": head_raw.get("lineage", {}),
+                    "metrics": metrics,
+                    "commit_ts": time.time(),
+                }
+            )
+        except RuntimeError as e:  # concurrent main winner took fork+1
+            raise BranchDivergedError(
+                f"main advanced concurrently while publishing {name!r}: {e}"
+            ) from None
+        self.drop_branch(name)
+        return {**metrics, "published_version": new_version}
+
+    def drop_branch(self, name: str) -> dict:
+        """Abandon a staging branch: pointer first (new branch commits are
+        refused from that instant), then its version files. Data dirs the
+        branch wrote stay on disk until ``expire_snapshots`` finds them
+        unreferenced."""
+        assert self.branch == "main", "drop branches from a main-opened table"
+        self._branch_meta(name)  # typed error if it never existed
+        os.unlink(self._branch_file(name))
+        removed = 0
+        for bv in self._branch_vfile_versions(os.listdir(self._ledger), name):
+            os.remove(os.path.join(self._ledger, self._vfile_name(bv, name)))
+            removed += 1
+        return {"dropped": name, "removed_versions": removed}
 
     def rollback(self, version: int) -> dict:
         """Roll the table back to ``version`` by committing a NEW manifest
@@ -788,23 +1018,49 @@ class LakeTable:
         are always safe."""
         import shutil
 
-        versions = self._versions()
-        keep = versions[-keep_last:]
-        drop = [v for v in versions if v not in keep]
+        assert self.branch == "main", "run maintenance on a main-opened table"
         referenced: set[str] = set()
         live_ranges: set[str] = set()
-        for v in keep:
-            # raw version file: collects range refs before materialization
-            for ref in self._load_version(v).get("bucket_ranges", []):
+
+        def _collect(raw: dict) -> None:
+            for ref in raw.get("bucket_ranges", []):
                 live_ranges.add(ref["path"])
-            m = self.manifest(v)
-            for e in m["buckets"].values():
+            m = self._materialize(dict(raw))
+            for e in m.get("buckets", {}).values():
                 for fs in self._bucket_files(e):
                     # reference at version-directory granularity
                     referenced.add(fs["path"].split("/_bucket=")[0])
             # kept manifests' change-feed files stay readable too
             for fs in m.get("cdf", []):
                 referenced.add(fs["path"].split("/_bucket=")[0])
+
+        versions = self._versions()
+        keep = versions[-keep_last:]
+        # live staging branches: every branch version file stays fully
+        # referenced (its reads must survive main maintenance), and the
+        # branch's fork-point version file is pinned so the branch keeps a
+        # resolvable base; orphan branch files (crashed publish/drop left
+        # b-*.json without a pointer) are expired like old versions.
+        ledger_names = os.listdir(self._ledger) if os.path.isdir(self._ledger) else []
+        live_branch_files: set[str] = set()
+        for bmeta in self.branches():
+            if bmeta["forked_at"] in versions and bmeta["forked_at"] not in keep:
+                keep.append(bmeta["forked_at"])
+            for bv in self._branch_vfile_versions(ledger_names, bmeta["name"]):
+                fname = self._vfile_name(bv, bmeta["name"])
+                live_branch_files.add(fname)
+                with open(os.path.join(self._ledger, fname)) as fh:
+                    _collect(json.load(fh))
+        drop = [v for v in versions if v not in keep]
+        for v in keep:
+            # raw version file: collects range refs before materialization
+            _collect(self._load_version(v))
+        orphan_branch_files = [
+            f
+            for f in ledger_names
+            if f.startswith("b-") and f.endswith(".json")
+            and f not in live_branch_files
+        ]
         data_root = os.path.join(self.path, "data")
         removed_dirs = 0
         if os.path.isdir(data_root):
@@ -814,6 +1070,8 @@ class LakeTable:
                     removed_dirs += 1
         for v in drop:
             os.remove(os.path.join(self._ledger, f"v{v:08d}.json"))
+        for f in orphan_branch_files:
+            os.remove(os.path.join(self._ledger, f))
         # GC range manifests (content-shared, so only ones NO kept version
         # references) — plus any orphaned tmp files from crashed commits
         removed_ranges = 0
@@ -826,7 +1084,9 @@ class LakeTable:
                     self._range_cache.pop(rel, None)
                     removed_ranges += 1
         return {"expired_manifests": len(drop), "removed_data_dirs": removed_dirs,
-                "removed_range_manifests": removed_ranges, "kept": keep}
+                "removed_range_manifests": removed_ranges,
+                "removed_orphan_branch_files": len(orphan_branch_files),
+                "kept": sorted(keep)}
 
     # -------------------------------------------------------------- merge
     def apply_changes(

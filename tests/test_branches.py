@@ -1,0 +1,176 @@
+"""Write-audit-publish staging branches (the Iceberg branch / Netflix WAP
+pattern — the lake-scale analog of the reference's validate-before-package
+flow, ref post_cdm_cleanup.py:15-37 QC pass before zipping): stage change
+batches on a branch main never sees, audit against the branch handle, then
+atomically fast-forward publish or drop."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from cdm_to_mods_spark.plans.lake import BranchDivergedError, LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+EVENT_DDL = "conv_id string, turn_idx int, text string, op string, seq long"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENT_DDL)
+
+
+@pytest.fixture()
+def table(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(SCHEMA)
+    t.apply_changes(_events(spark, [("c1", 0, "hello", "I", 1)]), batch_id=0)
+    return t
+
+
+def _state(t):
+    return {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+
+
+def test_branch_isolation_then_squash_publish(spark, table):
+    fork = table.latest_version()
+    table.create_branch("audit")
+    bt = LakeTable(spark, table.path, merge_mode="mor", branch="audit")
+    bt.apply_changes(_events(spark, [("c1", 1, "world", "I", 2)]), batch_id=1)
+    bt.apply_changes(
+        _events(spark, [("c2", 0, "x", "I", 3), ("c1", 1, "world!", "U", 4)]),
+        batch_id=2,
+    )
+    # isolation: main is untouched while the branch sees the staged merge
+    assert _state(table) == {("c1", 0): "hello"}
+    assert _state(bt) == {
+        ("c1", 0): "hello",
+        ("c1", 1): "world!",
+        ("c2", 0): "x",
+    }
+    res = table.publish_branch("audit")
+    assert res["published_version"] == fork + 1
+    assert res["branch_versions"] == 2
+    # fast-forward: main now reads the audited state in ONE new version
+    assert _state(table) == {
+        ("c1", 0): "hello",
+        ("c1", 1): "world!",
+        ("c2", 0): "x",
+    }
+    assert table.latest_version() == fork + 1
+    # exactly-once state carries: replaying a published batch_id is a skip
+    skip = table.apply_changes(
+        _events(spark, [("c9", 0, "dup", "I", 99)]), batch_id=2
+    )
+    assert skip.get("skipped") is True
+    # the published version's feed is the UNION of the branch commits
+    feed = table.changes(fork)
+    assert feed.count() == 3
+    assert table.branches() == []  # publish drops the branch
+
+
+def test_publish_declines_when_main_diverged(spark, table):
+    table.create_branch("audit")
+    bt = LakeTable(spark, table.path, merge_mode="mor", branch="audit")
+    bt.apply_changes(_events(spark, [("c2", 0, "x", "I", 2)]), batch_id=1)
+    # main advances past the fork point → fast-forward must refuse
+    table.apply_changes(_events(spark, [("c3", 0, "y", "I", 2)]), batch_id=1)
+    with pytest.raises(BranchDivergedError):
+        table.publish_branch("audit")
+    # the staged work is still there to re-stage from
+    assert ("c2", 0) in _state(bt)
+    assert ("c2", 0) not in _state(table)
+
+
+def test_dropped_branch_refuses_commits(spark, table):
+    table.create_branch("tmp")
+    bt = LakeTable(spark, table.path, merge_mode="mor", branch="tmp")
+    bt.apply_changes(_events(spark, [("c2", 0, "x", "I", 2)]), batch_id=1)
+    table.drop_branch("tmp")
+    with pytest.raises((RuntimeError, LookupError)):
+        bt.apply_changes(_events(spark, [("c3", 0, "y", "I", 3)]), batch_id=2)
+    assert _state(table) == {("c1", 0): "hello"}
+
+
+def test_expire_protects_live_branch_then_gcs_dropped(spark, table):
+    table.create_branch("audit")
+    bt = LakeTable(spark, table.path, merge_mode="mor", branch="audit")
+    bt.apply_changes(_events(spark, [("c2", 0, "x", "I", 2)]), batch_id=1)
+    # advance main so the branch's fork version falls outside keep_last
+    table.apply_changes(_events(spark, [("c3", 0, "y", "I", 2)]), batch_id=1)
+    table.apply_changes(_events(spark, [("c4", 0, "z", "I", 3)]), batch_id=2)
+    exp = table.expire_snapshots(keep_last=1)
+    # the fork version is pinned for the live branch and its data survives
+    assert table.manifest(1)  # fork snapshot still resolvable
+    assert _state(bt) == {("c1", 0): "hello", ("c2", 0): "x"}
+    assert _state(table) == {
+        ("c1", 0): "hello",
+        ("c3", 0): "y",
+        ("c4", 0): "z",
+    }
+    table.drop_branch("audit")
+    exp2 = table.expire_snapshots(keep_last=1)
+    # with the branch gone its delta dir and the fork pin are collectable
+    assert exp2["removed_data_dirs"] >= 1
+    assert _state(table) == {
+        ("c1", 0): "hello",
+        ("c3", 0): "y",
+        ("c4", 0): "z",
+    }
+
+
+def test_orphan_branch_files_are_expired(spark, table):
+    table.create_branch("crashy")
+    bt = LakeTable(spark, table.path, merge_mode="mor", branch="crashy")
+    bt.apply_changes(_events(spark, [("c2", 0, "x", "I", 2)]), batch_id=1)
+    # simulate a crash between publish-commit and drop: pointer vanishes,
+    # the branch version files stay behind
+    os.unlink(table._branch_file("crashy"))
+    ledger = table._ledger
+    assert any(f.startswith("b-crashy-") for f in os.listdir(ledger))
+    exp = table.expire_snapshots(keep_last=2)
+    assert exp["removed_orphan_branch_files"] == 1
+    assert not any(f.startswith("b-crashy-") for f in os.listdir(ledger))
+
+
+def test_empty_branch_publish_is_noop_drop(spark, table):
+    table.create_branch("empty")
+    res = table.publish_branch("empty")
+    assert res["published_version"] is None
+    assert table.branches() == []
+    assert _state(table) == {("c1", 0): "hello"}
+
+
+def test_branch_name_and_duplicate_validation(spark, table):
+    with pytest.raises(ValueError):
+        table.create_branch("main")
+    with pytest.raises(ValueError):
+        table.create_branch("bad name")
+    table.create_branch("a")
+    with pytest.raises(ValueError):
+        table.create_branch("a")
+    with pytest.raises(LookupError):
+        LakeTable(spark, table.path, branch="nope")
+
+
+def test_cow_feed_poison_carries_across_publish(spark, tmp_table):
+    """A cow branch commit without change files poisons feeds across the
+    squash exactly as it would on main."""
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="cow")
+    t.create(SCHEMA)
+    t.apply_changes(_events(spark, [("c1", 0, "hello", "I", 1)]), batch_id=0)
+    fork = t.latest_version()
+    t.create_branch("audit")
+    bt = LakeTable(spark, tmp_table, merge_mode="cow", branch="audit")
+    bt.apply_changes(_events(spark, [("c2", 0, "x", "I", 2)]), batch_id=1)
+    t.publish_branch("audit")
+    with pytest.raises(ValueError, match="change-data"):
+        t.changes(fork).count()
