@@ -52,6 +52,7 @@ class StreamingReplay:
         source_format: str = "parquet",
         stats_view_path: str | None = None,
         sliding_view_path: str | None = None,
+        branch: str = "main",
     ) -> None:
         self.spark = spark
         self.events_dir = events_dir
@@ -60,8 +61,22 @@ class StreamingReplay:
         self.metrics_path = metrics_path
         self.max_files_per_trigger = max_files_per_trigger
         self.source_format = source_format
+        if branch != "main":
+            # write-audit-publish tail: stage the whole stream on a branch
+            # main readers never see, audit the branch handle, then
+            # ``table.publish_branch`` on a main handle fast-forwards (or
+            # drop_branch abandons). The fork (and the empty table under
+            # it) is created on first use so streaming WAP is a one-liner.
+            main_t = LakeTable(
+                spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode
+            )
+            if not main_t.exists():
+                main_t.create(TRANSCRIPT_SCHEMA)
+            if branch not in {m["name"] for m in main_t.branches()}:
+                main_t.create_branch(branch)
         self.table = LakeTable(
-            spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode
+            spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode,
+            branch=branch,
         )
         if not self.table.exists():
             self.table.create(TRANSCRIPT_SCHEMA)

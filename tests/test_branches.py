@@ -6,7 +6,6 @@ atomically fast-forward publish or drop."""
 
 from __future__ import annotations
 
-import json
 import os
 
 import pytest
@@ -174,3 +173,47 @@ def test_cow_feed_poison_carries_across_publish(spark, tmp_table):
     t.publish_branch("audit")
     with pytest.raises(ValueError, match="change-data"):
         t.changes(fork).count()
+
+
+def test_streaming_tail_stages_on_branch_then_publishes(spark, tmp_path):
+    """Streaming WAP end-to-end: tail the whole backlog onto a staging
+    branch (main table stays empty), audit the branch state against the
+    replay oracle, publish, and main reads the identical audited state."""
+    import pandas as pd
+
+    from cdm_to_mods_spark.sources.synth import synth_events, write_event_batches
+    from cdm_to_mods_spark.streaming.tail import StreamingReplay
+    from tests.oracle import replay_oracle
+
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, 2000, 30, n_batches=4, seed=42)
+    events_pdf = synth_events(spark, 2000, 30, seed=42).toPandas()
+
+    sr = StreamingReplay(
+        spark,
+        events_dir,
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        num_buckets=8,
+        merge_mode="mor",
+        branch="staging",
+    )
+    bt = sr.run_to_completion()
+    main = LakeTable(spark, str(tmp_path / "table"), merge_mode="mor")
+    assert main.read().count() == 0  # nothing published yet
+
+    def _final(t):
+        return (
+            t.read()
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)[
+                ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            ]
+        )
+
+    want = replay_oracle(events_pdf)
+    pd.testing.assert_frame_equal(_final(bt), want, check_dtype=False)  # audit
+    res = main.publish_branch("staging")
+    assert res["branch_versions"] >= 1
+    pd.testing.assert_frame_equal(_final(main), want, check_dtype=False)
