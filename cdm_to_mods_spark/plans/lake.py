@@ -614,6 +614,65 @@ class LakeTable:
         self.drop_branch(name)
         return {**metrics, "published_version": new_version}
 
+    # --------------------------------------------------- tags (refs)
+    # Immutable named snapshot refs (Iceberg tags): pin the exact table
+    # state a training run / export consumed — ``tag("dataset_v1")`` today,
+    # ``read(version=tag_version("dataset_v1"))`` forever. Tagged versions
+    # are excluded from ``expire_snapshots`` until the tag is deleted, so
+    # the ref stays resolvable however far main advances.
+
+    def _tags_dir(self) -> str:
+        return os.path.join(self._ledger, "tags")
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Create an immutable tag at ``version`` (default: current head).
+        Tags never move — delete and re-create to re-point."""
+        if not _BRANCH_NAME_RE.match(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self._versions():
+            raise LookupError(f"no snapshot version {v} to tag at {self.path}")
+        meta = {"name": name, "version": v, "created_ts": time.time()}
+        os.makedirs(self._tags_dir(), exist_ok=True)
+        tmp = os.path.join(self._tags_dir(), f"_tmp-{uuid4().hex[:8]}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(self._tags_dir(), f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return meta
+
+    def tags(self) -> list[dict]:
+        if not os.path.isdir(self._tags_dir()):
+            return []
+        out = []
+        for f in sorted(os.listdir(self._tags_dir())):
+            if f.endswith(".json") and not f.startswith("_tmp-"):
+                with open(os.path.join(self._tags_dir(), f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(os.path.join(self._tags_dir(), f"{name}.json")) as fh:
+                return json.load(fh)["version"]
+        except FileNotFoundError:
+            raise LookupError(f"tag {name!r} does not exist at {self.path}") from None
+
+    def read_tag(self, name: str) -> DataFrame:
+        return self.read(version=self.tag_version(name))
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self._tags_dir(), f"{name}.json"))
+        except FileNotFoundError:
+            raise LookupError(f"tag {name!r} does not exist at {self.path}") from None
+
     def drop_branch(self, name: str) -> dict:
         """Abandon a staging branch: pointer first (new branch commits are
         refused from that instant), then its version files. Data dirs the
@@ -1036,6 +1095,13 @@ class LakeTable:
 
         versions = self._versions()
         keep = versions[-keep_last:]
+        # tagged snapshots are pinned: a tag is a promise that the exact
+        # version it names stays readable (training-run reproducibility),
+        # so tagged versions — and everything they reference — survive GC
+        # until the tag itself is deleted.
+        for t in self.tags():
+            if t["version"] in versions and t["version"] not in keep:
+                keep.append(t["version"])
         # live staging branches: every branch version file stays fully
         # referenced (its reads must survive main maintenance), and the
         # branch's fork-point version file is pinned so the branch keeps a

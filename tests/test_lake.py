@@ -873,3 +873,74 @@ def test_three_writer_threads_converge_with_overlapping_keys(spark, tmp_table):
     # the contended key resolved to the globally max seq (wc batch 1: 3019)
     assert state[("shared", 0)][1] == "from-wc-1"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+# --------------------------------------------------------------- tags (refs)
+
+
+def test_tag_pins_snapshot_and_survives_expiry(spark, tmp_table):
+    """A tag is an immutable named ref to one version: read_tag() time-travels
+    to it, expire_snapshots() keeps it (and its data) alive however far main
+    advances, and deleting the tag releases the version to the next GC."""
+    import os
+
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    meta = t.tag("dataset_v1")
+    tagged_v = meta["version"]
+    for b in (1, 2):
+        t.apply_changes(
+            _events(spark, [("U", b + 1, "c1", 0, "user", f"v{b + 1}",
+                             None, None, None)]),
+            batch_id=b, transform=apply_chain,
+        )
+    assert t.read().collect()[0].text == "v3"
+    assert t.read_tag("dataset_v1").collect()[0].text == "v1"
+
+    # GC keeps the tagged version + everything it references
+    out = t.expire_snapshots(keep_last=1)
+    assert tagged_v in t._versions()
+    assert t.read_tag("dataset_v1").collect()[0].text == "v1"
+    # reopen resolves the tag from disk
+    t2 = LakeTable(spark, tmp_table)
+    assert t2.tag_version("dataset_v1") == tagged_v
+    assert [x["name"] for x in t2.tags()] == ["dataset_v1"]
+
+    # releasing the tag lets the next expiry drop the version and its data
+    t2.delete_tag("dataset_v1")
+    t2.expire_snapshots(keep_last=1)
+    assert tagged_v not in t2._versions()
+    with pytest.raises(LookupError):
+        t2.tag_version("dataset_v1")
+    assert not any(f.endswith("dataset_v1.json")
+                   for f in os.listdir(os.path.join(tmp_table, "_ledger", "tags")))
+
+
+def test_tag_is_immutable_and_validated(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4)
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "v1", None, None, None)]),
+        batch_id=0, transform=apply_chain,
+    )
+    t.tag("gold")
+    with pytest.raises(ValueError, match="already exists"):
+        t.tag("gold")  # tags never move — delete and re-create
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("bad/name")
+    with pytest.raises(LookupError, match="no snapshot version"):
+        t.tag("ghost", version=99)
+    with pytest.raises(LookupError):
+        t.delete_tag("never_made")
+    # explicit-version tag at an older snapshot
+    t.apply_changes(
+        _events(spark, [("U", 2, "c1", 0, "user", "v2", None, None, None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    old_v = t._versions()[-2]
+    t.tag("pinned_old", version=old_v)
+    assert t.tag_version("pinned_old") == old_v
