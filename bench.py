@@ -85,13 +85,18 @@ def run_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
     try:
         # Materialize binlog segments outside the timed region (the job
         # under measurement is the CDC apply, and segments arriving from
-        # storage is the realistic shape).
+        # storage is the realistic shape). Segment file count = core count:
+        # these single-row-group files are the scan's split granularity, so
+        # fewer files than cores caps the apply's map stage below the
+        # available parallelism (8-file segments measured ~1.5x slower
+        # end-to-end at local[32]).
         seg_paths = write_event_batches(
             spark,
             os.path.join(table_dir, "events"),
             n_events,
             n_convs,
             n_batches=n_batches,
+            files_per_batch=spark.sparkContext.defaultParallelism,
             seed=42,
             hot_frac=0.05,
         )

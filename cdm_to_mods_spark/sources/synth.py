@@ -146,19 +146,34 @@ def write_event_batches(
     n_events: int,
     n_convs: int,
     n_batches: int,
+    files_per_batch: int | None = None,
     **kwargs,
 ) -> list[str]:
     """Materialize the log as ``n_batches`` parquet sub-dirs (contiguous seq
     ranges) — the file-source shape the streaming tail consumes, standing in
-    for binlog segments."""
+    for binlog segments.
+
+    ``files_per_batch`` controls the segment's file count, which IS the
+    apply's map-stage parallelism: these files are small (single row-group),
+    so a scan cannot split below file granularity, and a segment written
+    with fewer files than the cluster has cores caps the scan/dedup/Arrow
+    stage at that width no matter how wide the reduce side runs (measured
+    on this box: 8-file segments held the whole apply's map stage at
+    parallelism 8 under local[32], capping map-side scaling). Benchmarks
+    pass the consumer's core count — a real binlog shipper likewise sizes
+    segment files to the consumer's task width. ``None`` keeps the
+    generator plan's own partitioning (small tests, and the streaming-tail
+    tests whose micro-batch boundaries are file-count sensitive).
+    """
     df = synth_events(spark, n_events, n_convs, **kwargs)
     per = (n_events + n_batches - 1) // n_batches
     paths = []
     for b in range(n_batches):
         lo, hi = b * per, min((b + 1) * per, n_events)
         p = f"{out_dir}/batch-{b:05d}"
-        df.filter((F.col("seq") >= lo) & (F.col("seq") < hi)).write.mode(
-            "overwrite"
-        ).parquet(p)
+        seg = df.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        if files_per_batch:
+            seg = seg.repartition(files_per_batch)
+        seg.write.mode("overwrite").parquet(p)
         paths.append(p)
     return paths

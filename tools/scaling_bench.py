@@ -27,8 +27,8 @@ scaling (GC, allocator and Python-pool contention that a real cluster
 does not share).
 
 Usage:
-    python tools/scaling_bench.py [n_events] [lo hi]  # parent: runs both levels
-    python tools/scaling_bench.py --child CPUS N      # child: one engine level
+    python tools/scaling_bench.py [n_events] [lo hi] [n_batches]  # parent: both levels
+    python tools/scaling_bench.py --child CPUS N [NB] # child: one engine level
     python tools/scaling_bench.py --control CPUS N    # child: one control level
     python tools/scaling_bench.py --fleet K CPUS N    # K-process executor fleet
     python tools/scaling_bench.py --fleet-child CPUS EVDIR TABLEDIR  # internal
@@ -45,7 +45,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cpus: int, n_events: int) -> None:
+def child(cpus: int, n_events: int, n_batches: int = 4) -> None:
     import shutil
     import tempfile
     import time
@@ -74,12 +74,17 @@ def child(cpus: int, n_events: int) -> None:
     # under measurement is the CDC apply (read segment → dedup → transform
     # → MERGE), not the synthetic generator. This is also the realistic
     # shape: binlog segments arrive from storage.
+    # Segment file count is pinned to the HIGH level's core count at both
+    # levels, so the two runs read byte-identical inputs (a level-dependent
+    # layout would hand the wide level a map-parallelism advantage the
+    # narrow level's input denies it — the comparison must vary cores only).
     seg_paths = write_event_batches(
         spark,
         os.path.join(table_dir, "events"),
         n_events,
         n_convs,
-        n_batches=4,
+        n_batches=n_batches,
+        files_per_batch=32,
         seed=42,
         hot_frac=0.05,
     )
@@ -256,9 +261,10 @@ def fleet(k: int, cpus: int, n_events: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
-def run_level(cpus: int, n_events: int) -> dict:
+def run_level(cpus: int, n_events: int, n_batches: int = 4) -> dict:
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(n_events)],
+        [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
+         str(n_events), str(n_batches)],
         capture_output=True,
         text=True,
         cwd=REPO,
@@ -269,7 +275,11 @@ def run_level(cpus: int, n_events: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]), int(sys.argv[3]))
+        child(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            int(sys.argv[4]) if len(sys.argv) > 4 else 4,
+        )
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--control":
         control(int(sys.argv[2]), int(sys.argv[3]))
@@ -284,12 +294,13 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     lo_c = int(sys.argv[2]) if len(sys.argv) > 3 else 8
     hi_c = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    lo = run_level(lo_c, n_events)
-    hi = run_level(hi_c, n_events)
+    n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    lo = run_level(lo_c, n_events, n_batches)
+    hi = run_level(hi_c, n_events, n_batches)
     ratio = hi_c / lo_c
     eff = hi["events_per_sec"] / (ratio * lo["events_per_sec"])
     result = {
-        "job": "CDC replay (synth binlog, hot_frac=0.05, 4 micro-batches, 64 buckets, merge-on-read)",
+        "job": f"CDC replay (synth binlog, hot_frac=0.05, {n_batches} micro-batches, 64 buckets, merge-on-read)",
         "n_events": n_events,
         f"local{lo_c}": lo,
         f"local{hi_c}": hi,
