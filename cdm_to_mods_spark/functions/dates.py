@@ -159,6 +159,52 @@ def _mask_dispatch(s: Column, t_sep: Column, mask: Column):
     return handled, fast
 
 
+def _mask_dispatch_ext(q: Column, mq: Column):
+    """(handled, fast) for the cascade's long-tail families — circa,
+    bracketed inference, questionable, ranges, decades — matched on the
+    whitespace-squeezed, lowercased digit mask ``mq`` and extracted from
+    the squeezed string ``q`` by POSITION (every claimed mask pins its
+    year/month/day offsets), so the whole tail is regex-free string
+    slicing + one shape-compatible try_to_timestamp per row.
+
+    Parity contract (pinned over the full case table in
+    tests/test_transforms.py): each claim is value-equal to the pandas
+    cascade's case for that family; inputs neither claims (exotic
+    spacing the squeeze can't canonicalize, 3-digit zero-padded US
+    months, a capital T inside a word) stay unclaimed and flow to the
+    pandas residue, which remains authoritative."""
+    y4 = lambda col: F.try_to_timestamp(  # noqa: E731 — year → Jan 1
+        F.concat(col, F.lit("-01-01")), F.lit("yyyy-MM-dd")
+    )
+    br_ymd = mq == "[####-##-##]"
+    br_ym = mq == "[####-##]"
+    br_y = mq == "[####]"
+    circa = mq.isin(
+        ["ca ####", "ca. ####", "ca.####", "ca####", "circa ####", "circa####"]
+    )
+    quest = mq == "####?"
+    _dash = ["####-####", "#### -####", "####- ####", "#### - ####"]
+    rng_plain = mq.isin(_dash + ["#### and ####"])
+    rng_btw = mq.isin(["between " + m for m in _dash + ["#### and ####"]])
+    dec = ((mq == "####s") & (F.substring(q, 4, 1) == "0")) | (mq == "###-")
+    fast = (
+        F.when(br_ymd, F.try_to_timestamp(F.substring(q, 2, 10), F.lit("yyyy-MM-dd")))
+        .when(
+            br_ym,
+            F.try_to_timestamp(
+                F.concat(F.substring(q, 2, 7), F.lit("-01")), F.lit("yyyy-MM-dd")
+            ),
+        )
+        .when(br_y, y4(F.substring(q, 2, 4)))
+        .when(circa, y4(F.substring(q, -4, 4)))
+        .when(quest | rng_plain, y4(F.substring(q, 1, 4)))
+        .when(rng_btw, y4(F.substring(q, 9, 4)))
+        .when(dec, y4(F.concat(F.substring(q, 1, 3), F.lit("0"))))
+    )
+    handled = br_ymd | br_ym | br_y | circa | quest | rng_plain | rng_btw | dec
+    return handled, fast
+
+
 def with_canonical_ts(df, src_col: str, out_col: str = "ts", drop_src: bool = True):
     """DataFrame-level hybrid cascade: materializes the trimmed string,
     T-normalized form and digit mask as their own projection so each is
@@ -175,12 +221,31 @@ def with_canonical_ts(df, src_col: str, out_col: str = "ts", drop_src: bool = Tr
         .withColumn(
             "__cts_m", F.translate(F.col("__cts_t"), "0123456789", "##########")
         )
+        # squeezed forms for the long-tail families (circa/brackets/ranges/
+        # decades), whose pandas cases are \s+/\s*-flexible and
+        # case-insensitive: collapse whitespace runs, then lowercase the
+        # digit mask. ISO shapes keep the UNsqueezed mask — their pandas
+        # cases demand exactly one separator char, so claiming a squeezed
+        # ISO form would parse strings the cascade rejects.
+        .withColumn("__cts_q", F.regexp_replace(F.col("__cts_s"), r"\s+", " "))
+    )
+    d = d.withColumn(
+        "__cts_mq",
+        F.lower(F.translate(F.col("__cts_q"), "0123456789", "##########")),
     )
     s, t_sep, mask = F.col("__cts_s"), F.col("__cts_t"), F.col("__cts_m")
     handled, fast = _mask_dispatch(s, t_sep, mask)
-    residue = F.when(handled, F.lit(None).cast("string")).otherwise(s)
-    out = F.when(handled, fast).otherwise(canonicalize_ts(residue))
-    d = d.withColumn(out_col, out).drop("__cts_s", "__cts_t", "__cts_m")
+    handled_ext, fast_ext = _mask_dispatch_ext(F.col("__cts_q"), F.col("__cts_mq"))
+    claimed = handled | handled_ext
+    residue = F.when(claimed, F.lit(None).cast("string")).otherwise(s)
+    out = (
+        F.when(handled, fast)
+        .when(handled_ext, fast_ext)
+        .otherwise(canonicalize_ts(residue))
+    )
+    d = d.withColumn(out_col, out).drop(
+        "__cts_s", "__cts_t", "__cts_m", "__cts_q", "__cts_mq"
+    )
     return d.drop(src_col) if drop_src and src_col != out_col else d
 
 

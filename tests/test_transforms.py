@@ -116,7 +116,16 @@ def test_date_cascade_hybrid_parity(spark):
     the DataFrame temp-column form) must agree with the pure pandas cascade
     on every case (including the strict-parse failures)."""
     extra = ["13/01/2020", "02/30/2020", "2020-13", "2020-02-30",
-             "2001-02-03T04:05:06", "1:5", " 7/4/1999 ", "7/4/1999  9:30"]
+             "2001-02-03T04:05:06", "1:5", " 7/4/1999 ", "7/4/1999  9:30",
+             # long-tail families now claimed JVM-side by the extended
+             # dispatch — every spacing/case variant the pandas regexes
+             # accept, plus near-misses that must stay NaT on both paths
+             "ca.1930", "ca 1930", "CIRCA 1955", "circa  1944", "CA. 1920",
+             "[1936-00]", "[1936-05-17]", "[1936-13-40]",
+             "between 1918-1920", "1918 - 1920", "1918 and 1920",
+             "beTween 1918 and 1920", "BETWEEN 1918 AND 1920",
+             "1935s", "194-", "1944s", "2001-02-03  04:05:06",
+             "ca. 193", "circa 19301", "[193]", "1918-192", "193"]
     inputs = [c[0] for c in DATE_CASES] + extra
     got_udf = _apply(spark, canonicalize_ts, inputs)
     got_hybrid = _apply(spark, canonicalize_ts_col, inputs)
