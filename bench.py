@@ -145,6 +145,45 @@ def run_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
         out["modes_agree"] = finals["mor"] == finals["cow"]
         out["elapsed_sec"] = out["mor"]["elapsed_sec"]
         out["events_per_sec"] = out["mor"]["events_per_sec"]
+
+        # Wide-batch replay: same engine, 4x the events in half the
+        # batches (sf0.1 → 8M events, 2 batches of 4M). Micro-batch replay
+        # above keeps the r1/r2-comparable shape; THIS is the backfill
+        # shape a 10^10-event replay actually runs in — per-batch fixed
+        # costs (job scheduling, Arrow worker spin-up, commit) amortize
+        # over 8x more rows per batch, which is where the engine's
+        # steady-state throughput lives (see BASELINE.md batch-size
+        # amortization table).
+        wide_events = max(400_000, int(80_000_000 * sf))
+        wide_dir = os.path.join(table_dir, "events-wide")
+        wide_segs = write_event_batches(
+            spark,
+            wide_dir,
+            wide_events,
+            max(1_000, wide_events // 100),
+            n_batches=2,
+            files_per_batch=spark.sparkContext.defaultParallelism,
+            seed=42,
+            hot_frac=0.05,
+        )
+        t0 = time.monotonic()
+        wt = open_or_create(
+            spark, os.path.join(table_dir, "transcripts-wide"), 64, "mor"
+        )
+        for b, seg in enumerate(wide_segs):
+            wt.apply_changes(
+                spark.read.parquet(seg), batch_id=b,
+                transform=apply_chain, source=seg,
+            )
+        wide_rows = wt.read().count()
+        elapsed = time.monotonic() - t0
+        out["wide_batch"] = {
+            "n_events": wide_events,
+            "n_batches": 2,
+            "final_rows": wide_rows,
+            "elapsed_sec": round(elapsed, 3),
+            "events_per_sec": round(wide_events / elapsed, 1),
+        }
         return out
     finally:
         shutil.rmtree(table_dir, ignore_errors=True)
@@ -181,6 +220,8 @@ def main() -> None:
     cdc = run_cdc_replay(spark, sf)
     timings["cdc_replay"] = cdc["elapsed_sec"]
     total += cdc["elapsed_sec"]
+    timings["cdc_replay_wide_batch"] = cdc["wide_batch"]["elapsed_sec"]
+    total += cdc["wide_batch"]["elapsed_sec"]
 
     # Untimed warm pass over the benched tables: the first touch of a
     # 100-200MB testdata file pays cold page-cache disk I/O (measured 8s

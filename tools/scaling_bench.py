@@ -30,6 +30,7 @@ Usage:
     python tools/scaling_bench.py [n_events] [lo hi] [n_batches]  # parent: both levels
     python tools/scaling_bench.py --child CPUS N [NB] # child: one engine level
     python tools/scaling_bench.py --control CPUS N    # child: one control level
+    python tools/scaling_bench.py --control-shuffle CPUS N  # shuffle+write ceiling
     python tools/scaling_bench.py --fleet K CPUS N    # K-process executor fleet
     python tools/scaling_bench.py --fleet-child CPUS EVDIR TABLEDIR  # internal
 """
@@ -146,6 +147,52 @@ def control(cpus: int, n_rows: int) -> None:
     ev = synth_events(spark, n_rows, n_rows // 100, seed=42, hot_frac=0.05)
     ev.agg(F.count("*").alias("n"), F.avg(F.length("text")).alias("s")).collect()
     dt = time.monotonic() - t0
+    print(
+        json.dumps(
+            {"cpus": cpus, "n_rows": n_rows, "elapsed_sec": round(dt, 3),
+             "rows_per_sec": round(n_rows / dt, 1)}
+        )
+    )
+
+
+def control_shuffle(cpus: int, n_rows: int) -> None:
+    """Shuffle-bearing upper bound: synthesize rows, hash-repartition on
+    the key (one exchange — the apply pipeline's plan shape), write
+    parquet to tmpfs. Pure JVM: no Python workers, no merge logic. Any
+    shuffle+write job — the minimum the CDC apply must do — scales no
+    better than this on this host; it isolates how much of the engine's
+    efficiency gap is the box's shuffle/write path vs the engine itself."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.session import get_spark
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    spark = get_spark(
+        f"ctl-shuf-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.local.dir": f"{shm}/ctl-shuf-{cpus}"} if shm else None,
+    )
+    out = tempfile.mkdtemp(prefix=f"ctl-shuf-{cpus}-", dir=shm)
+    try:
+        # warmup
+        synth_events(spark, 500_000, 5_000, seed=7).repartition(
+            64, "conv_id"
+        ).write.mode("overwrite").parquet(f"{out}/warm")
+        t0 = time.monotonic()
+        (
+            synth_events(spark, n_rows, n_rows // 100, seed=42, hot_frac=0.05)
+            .repartition(64, "conv_id")
+            .write.mode("overwrite")
+            .parquet(f"{out}/data")
+        )
+        dt = time.monotonic() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     print(
         json.dumps(
             {"cpus": cpus, "n_rows": n_rows, "elapsed_sec": round(dt, 3),
@@ -283,6 +330,9 @@ def main() -> None:
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--control":
         control(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--control-shuffle":
+        control_shuffle(int(sys.argv[2]), int(sys.argv[3]))
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--fleet":
         fleet(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
