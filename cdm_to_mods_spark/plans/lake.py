@@ -156,12 +156,35 @@ def _bucket_expr(key_col: str, num_buckets: int, fn: str = "hash32") -> F.Column
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
 
-def _footer_stats(vdir: str, seq_col: str) -> dict[int, dict]:
+def _stat_scalar(v):
+    """Normalize a parquet footer statistic to a JSON-storable, totally
+    ordered scalar. Timestamps become epoch seconds (UTC) so zone-map
+    comparisons don't depend on string formatting or tz-awareness."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day,
+                            tzinfo=_dt.timezone.utc).timestamp()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _footer_stats(
+    vdir: str, seq_col: str, stats_cols: tuple = ()
+) -> dict[int, dict]:
     """Per-bucket (min/max ``seq_col``, row count) from parquet FOOTER
     metadata under ``vdir/_bucket=N/`` — driver-side, no Spark job. This is
     how lake formats (Iceberg manifests, Delta stats) track per-file
     lineage; on HDFS/S3 the same footers are range-read via the FileSystem
-    API."""
+    API. ``stats_cols`` additionally collects per-bucket min/max zone maps
+    (``{"stats": {col: [mn, mx]}}``) for manifest-level file skipping in
+    ``read_range`` — columns absent from a file, or all-null (no row-group
+    min/max), simply don't appear, which readers treat conservatively."""
     import pyarrow.parquet as pq
 
     out: dict[int, dict] = {}
@@ -172,23 +195,38 @@ def _footer_stats(vdir: str, seq_col: str) -> dict[int, dict]:
             continue
         b = int(d.split("=", 1)[1])
         mn = mx = None
+        zone: dict[str, list] = {}
         n = 0
         for f in os.listdir(os.path.join(vdir, d)):
             if not f.endswith(".parquet"):
                 continue
             md = pq.ParquetFile(os.path.join(vdir, d, f)).metadata
             n += md.num_rows
-            seq_idx = next(
-                i for i in range(md.num_columns)
-                if md.schema.column(i).name == seq_col
-            )
+            name_to_idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            seq_idx = name_to_idx[seq_col]
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(seq_idx).statistics
                 if st is not None and st.has_min_max:
                     mn = st.min if mn is None else min(mn, st.min)
                     mx = st.max if mx is None else max(mx, st.max)
+                for c in stats_cols:
+                    ci = name_to_idx.get(c)
+                    if ci is None:
+                        continue
+                    cst = md.row_group(rg).column(ci).statistics
+                    if cst is None or not cst.has_min_max:
+                        continue
+                    cmn, cmx = _stat_scalar(cst.min), _stat_scalar(cst.max)
+                    if c in zone:
+                        zone[c] = [min(zone[c][0], cmn), max(zone[c][1], cmx)]
+                    else:
+                        zone[c] = [cmn, cmx]
         if n > 0:
             out[b] = {"max_seq": mx, "min_seq": mn, "n_changes": n}
+            if zone:
+                out[b]["stats"] = zone
     return out
 
 
@@ -208,6 +246,7 @@ class LakeTable:
         quarantine_path: str | None = None,
         bucket_fn: str = "hash32",
         branch: str = "main",
+        stats_cols: tuple = ("ts",),
     ) -> None:
         """``merge_mode``:
 
@@ -237,6 +276,16 @@ class LakeTable:
         quarantines and counts them (``metrics.n_quarantined``). Costs one
         extra pass over the batch — enable where sources are untrusted.
 
+        ``stats_cols``: columns whose per-bucket min/max ZONE MAPS are
+        collected from parquet footers at write time and stored on each
+        manifest file-set entry (Iceberg/Delta file-stats pattern).
+        ``read_range`` uses them for manifest-level bucket skipping — at
+        100 TB a time-bounded scan opens only the buckets whose stored
+        rows can overlap the range, before any file is listed or any
+        footer touched. Advisory: columns missing from a file (or
+        all-null) record no stats and readers treat that as "may
+        overlap". Default tracks ``ts``; pass ``()`` to disable.
+
         ``branch``: open the table AT A STAGING BRANCH (write-audit-publish,
         the Iceberg/Netflix WAP pattern — the lake-scale analog of the
         reference's validate-before-package flow, post_cdm_cleanup.py's QC
@@ -257,6 +306,7 @@ class LakeTable:
         self.quarantine_path = quarantine_path
         assert bucket_fn in ("hash32", "xxhash64"), bucket_fn
         self.bucket_fn = bucket_fn
+        self.stats_cols = tuple(stats_cols)
         self._ledger = os.path.join(self.path, "_ledger")
         if not _BRANCH_NAME_RE.match(branch):
             raise ValueError(f"invalid branch name {branch!r}")
@@ -861,6 +911,72 @@ class LakeTable:
             raw = latest_per_key(raw, self.key_cols, SEQ_COL)
         return raw.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
 
+    def _range_buckets(self, man: dict, col: str, lo, hi) -> list[int]:
+        """Bucket ids whose stored rows MAY have ``col`` in [lo, hi], per
+        the zone maps on the manifest's file-set entries. A bucket is
+        skipped only when EVERY file set carries stats for ``col`` and
+        every one is disjoint from the range — any file set without stats
+        (legacy manifest, all-null column, untracked column) keeps its
+        bucket in. Bucket granularity is the merge-on-read-safe skipping
+        unit: a delta row outside the range can supersede an in-range base
+        row, so individual file sets of a surviving bucket must all be
+        read for last-write-wins resolution; but if NO stored row of a
+        bucket is in range, no resolved row can be either."""
+        lo, hi = _stat_scalar(lo), _stat_scalar(hi)
+        keep: list[int] = []
+        for b, e in man["buckets"].items():
+            for fs in self._bucket_files(e):
+                st = (fs.get("stats") or {}).get(col)
+                if st is None or not (st[1] < lo or st[0] > hi):
+                    keep.append(int(b))
+                    break
+        return sorted(keep)
+
+    def read_range(self, lo, hi, col: str = "ts", version: int | None = None) -> DataFrame:
+        """Time/range-bounded read: live rows with ``col`` BETWEEN lo AND
+        hi (inclusive; null ``col`` never matches), touching only the
+        buckets whose zone maps overlap the range — manifest-level
+        skipping, before any file listing or footer read.
+
+        Where this wins at 100 TB (honest boundary): on a hash-bucketed
+        table the prune is strongest for RECENT-window reads — a window
+        touches O(events-in-window) buckets when ``num_buckets`` is large
+        (a micro-batch's deltas land in few buckets, and an untouched
+        bucket's base + delta stats all predate the window), so "state as
+        of the last hour/day" scans recent activity, not the table. A
+        mid-history window over long-compacted buckets prunes little,
+        since each base file's min/max spans the bucket's full lifetime;
+        the layout fix for that access pattern is a time-partitioned spec
+        (months(ts) × bucket(key), Iceberg-style), not zone maps. Either
+        way the surviving scan still gets parquet row-group min/max
+        pruning from the pushed-down filter. Bounds may be ``datetime``,
+        ISO strings, or numbers, matching the column's type (they are
+        cast to it in the pushed filter)."""
+        import datetime as _dt
+
+        man = self.manifest(version)
+        canon = self._canonical_schema(man)
+        if isinstance(lo, str) and isinstance(
+            canon[col].dataType, (T.TimestampType, T.DateType)
+        ):
+            lo = _dt.datetime.fromisoformat(lo)
+            hi = _dt.datetime.fromisoformat(hi)
+        keep = self._range_buckets(man, col, lo, hi)
+        raw = self._read_raw(man, buckets=keep)
+        has_deltas = any(
+            len(self._bucket_files(man["buckets"][str(b)])) > 1
+            for b in keep
+            if str(b) in man["buckets"]
+        )
+        if has_deltas:
+            raw = latest_per_key(raw, self.key_cols, SEQ_COL)
+        dt_ = canon[col].dataType
+        return (
+            raw.filter(~F.col(DELETED_COL))
+            .filter(F.col(col).between(F.lit(lo).cast(dt_), F.lit(hi).cast(dt_)))
+            .drop(SEQ_COL, DELETED_COL)
+        )
+
     def schema(self) -> T.StructType:
         return self._canonical_schema(self.manifest())
 
@@ -991,11 +1107,14 @@ class LakeTable:
             .parquet(os.path.join(self.path, cdir_rel))
         )
         schema_id = len(man["schemas"]) - 1
+        cstats = _footer_stats(
+            os.path.join(self.path, cdir_rel), SEQ_COL, self.stats_cols
+        )
         for b in todo:
-            buckets[str(b)] = {
-                "base": {"path": f"{cdir_rel}/_bucket={b}", "schema_id": schema_id},
-                "deltas": [],
-            }
+            base = {"path": f"{cdir_rel}/_bucket={b}", "schema_id": schema_id}
+            if cstats.get(b, {}).get("stats"):
+                base["stats"] = cstats[b]["stats"]
+            buckets[str(b)] = {"base": base, "deltas": []}
         self._commit(
             {
                 **man,
@@ -1038,14 +1157,15 @@ class LakeTable:
             .parquet(os.path.join(self.path, rel))
         )
         schema_id = len(man["schemas"]) - 1
-        stats = _footer_stats(os.path.join(self.path, rel), SEQ_COL)
-        buckets = {
-            str(b): {
-                "base": {"path": f"{rel}/_bucket={b}", "schema_id": schema_id},
-                "deltas": [],
-            }
-            for b in sorted(stats)
-        }
+        stats = _footer_stats(
+            os.path.join(self.path, rel), SEQ_COL, self.stats_cols
+        )
+        buckets = {}
+        for b in sorted(stats):
+            base = {"path": f"{rel}/_bucket={b}", "schema_id": schema_id}
+            if stats[b].get("stats"):
+                base["stats"] = stats[b]["stats"]
+            buckets[str(b)] = {"base": base, "deltas": []}
         self._commit(
             {
                 **man,
@@ -1323,7 +1443,7 @@ class LakeTable:
                 .mode("overwrite")
                 .parquet(vdir)
             )
-            lineage_stats = _footer_stats(vdir, SEQ_COL)
+            lineage_stats = _footer_stats(vdir, SEQ_COL, self.stats_cols)
             affected = sorted(lineage_stats)
             n_written = sum(s["n_changes"] for s in lineage_stats.values())
             # change-data-feed record: this version's delta files, pinned
@@ -1334,9 +1454,10 @@ class LakeTable:
             ]
             for b in affected:
                 e = buckets.setdefault(str(b), {"base": None, "deltas": []})
-                e["deltas"].append(
-                    {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
-                )
+                delta = {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+                if lineage_stats[b].get("stats"):
+                    delta["stats"] = lineage_stats[b]["stats"]
+                e["deltas"].append(delta)
             # inline compaction: buckets whose delta chain hit the bound are
             # folded back into a base file (bounded read amplification).
             to_compact = sorted(
@@ -1367,14 +1488,17 @@ class LakeTable:
                     .mode("overwrite")
                     .parquet(os.path.join(self.path, cdir_rel))
                 )
+                cstats = _footer_stats(
+                    os.path.join(self.path, cdir_rel), SEQ_COL, self.stats_cols
+                )
                 for b in to_compact:
-                    buckets[str(b)] = {
-                        "base": {
-                            "path": f"{cdir_rel}/_bucket={b}",
-                            "schema_id": schema_id,
-                        },
-                        "deltas": [],
+                    base = {
+                        "path": f"{cdir_rel}/_bucket={b}",
+                        "schema_id": schema_id,
                     }
+                    if cstats.get(b, {}).get("stats"):
+                        base["stats"] = cstats[b]["stats"]
+                    buckets[str(b)] = {"base": base, "deltas": []}
         else:
             # 5-cow. one job over the (cached) change set yields BOTH the
             # touched buckets (pruning) and per-bucket lineage; the cache is
@@ -1446,14 +1570,21 @@ class LakeTable:
                     int(_w["rows"]) if _w is not None
                     else self.spark.read.parquet(vdir).count()  # fallback
                 )
+                # zone maps for the rewritten buckets come from footers (the
+                # lineage agg above saw only the change batch, not the
+                # merged target rows) — driver-side metadata, no job.
+                zstats = (
+                    _footer_stats(vdir, SEQ_COL, self.stats_cols)
+                    if self.stats_cols else {}
+                )
                 for b in affected:
-                    buckets[str(b)] = {
-                        "base": {
-                            "path": f"{data_rel}/_bucket={b}",
-                            "schema_id": schema_id,
-                        },
-                        "deltas": [],
+                    base = {
+                        "path": f"{data_rel}/_bucket={b}",
+                        "schema_id": schema_id,
                     }
+                    if zstats.get(b, {}).get("stats"):
+                        base["stats"] = zstats[b]["stats"]
+                    buckets[str(b)] = {"base": base, "deltas": []}
                 if self.cow_change_feed:
                     # Delta-CDF pattern: materialize the resolved change
                     # rows beside the rewritten buckets (reuses the cached

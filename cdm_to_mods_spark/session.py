@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark's default INT96 timestamp encoding is a stats-less legacy
+        # type: parquet footers carry NO min/max for INT96 columns, which
+        # would blind both the lake's zone maps (plans/lake.py read_range)
+        # and row-group pruning on ts predicates. TIMESTAMP_MICROS is the
+        # parquet-standard encoding every modern reader (arrow, duckdb,
+        # presto/trino, iceberg) expects.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
