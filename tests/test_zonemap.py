@@ -143,6 +143,28 @@ def test_stats_survive_rebucket(spark, tmp_table):
     assert {c for c, _, _ in got} == {"c03"}
 
 
+def test_recent_window_touches_only_recent_buckets(spark, tmp_table):
+    """The scale shape read_range targets: with num_buckets large relative
+    to a batch's key spread, a recent-window read prunes to the buckets the
+    recent batches touched — O(events-in-window), not O(num_buckets)."""
+    t = LakeTable(spark, tmp_table, num_buckets=64, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    old = [("I", i + 1, f"old-{i:03d}", 0, "user", "x", None,
+            "2000-06-01", None) for i in range(40)]
+    t.apply_changes(_events(spark, old), batch_id=0, transform=apply_chain)
+    new = [("I", 100 + i, f"new-{i}", 0, "user", "y", None,
+            "2024-02-01", None) for i in range(3)]
+    t.apply_changes(_events(spark, new), batch_id=1, transform=apply_chain)
+    man = t.manifest()
+    assert len(man["buckets"]) > 20  # the old batch really spread out
+    keep = t._range_buckets(
+        man, "ts", dt.datetime(2024, 1, 1), dt.datetime(2024, 12, 31)
+    )
+    assert len(keep) <= 3  # only the recent batch's buckets survive
+    got = _range_rows(t.read_range("2024-01-01", "2024-12-31"))
+    assert {c for c, _, _ in got} == {"new-0", "new-1", "new-2"}
+
+
 def test_disabled_stats_fall_back_to_full_scan(spark, tmp_table):
     t = LakeTable(spark, tmp_table, num_buckets=8, merge_mode="mor",
                   stats_cols=())
