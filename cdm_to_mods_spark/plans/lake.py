@@ -159,8 +159,13 @@ def _bucket_expr(key_col: str, num_buckets: int, fn: str = "hash32") -> F.Column
 def _stat_scalar(v):
     """Normalize a parquet footer statistic to a JSON-storable, totally
     ordered scalar. Timestamps become epoch seconds (UTC) so zone-map
-    comparisons don't depend on string formatting or tz-awareness."""
+    comparisons don't depend on string formatting or tz-awareness.
+    Returns ``None`` for values that can't serve as a zone bound (NaN is
+    unordered; the caller must then poison the column's zone, not skip the
+    value — a partial bound understates the range and causes FALSE skips)."""
     import datetime as _dt
+    import decimal as _dec
+    import math as _math
 
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
@@ -171,6 +176,10 @@ def _stat_scalar(v):
                             tzinfo=_dt.timezone.utc).timestamp()
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
+    if isinstance(v, _dec.Decimal):
+        v = float(v)  # JSON-storable; ordering-compatible with bounds
+    if isinstance(v, float) and not _math.isfinite(v):
+        return None  # NaN/inf stats (parquet-mr writes max=NaN) — unusable
     return v
 
 
@@ -196,6 +205,12 @@ def _footer_stats(
         b = int(d.split("=", 1)[1])
         mn = mx = None
         zone: dict[str, list] = {}
+        # A column with ANY row group whose min/max is missing (stats
+        # dropped for oversized binary values) or unusable (NaN) must have
+        # NO zone at all: folding only the covered row groups would
+        # understate the range and cause FALSE bucket skips. All-null row
+        # groups are the one safe omission — nulls never match a range.
+        poisoned: set[str] = set()
         n = 0
         for f in os.listdir(os.path.join(vdir, d)):
             if not f.endswith(".parquet"):
@@ -207,22 +222,35 @@ def _footer_stats(
             }
             seq_idx = name_to_idx[seq_col]
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(seq_idx).statistics
+                rg_meta = md.row_group(rg)
+                st = rg_meta.column(seq_idx).statistics
                 if st is not None and st.has_min_max:
                     mn = st.min if mn is None else min(mn, st.min)
                     mx = st.max if mx is None else max(mx, st.max)
                 for c in stats_cols:
                     ci = name_to_idx.get(c)
-                    if ci is None:
+                    if ci is None or c in poisoned:
                         continue
-                    cst = md.row_group(rg).column(ci).statistics
+                    cst = rg_meta.column(ci).statistics
                     if cst is None or not cst.has_min_max:
+                        all_null = (
+                            cst is not None
+                            and cst.null_count is not None
+                            and cst.null_count == rg_meta.num_rows
+                        )
+                        if not all_null:
+                            poisoned.add(c)
                         continue
                     cmn, cmx = _stat_scalar(cst.min), _stat_scalar(cst.max)
+                    if cmn is None or cmx is None:
+                        poisoned.add(c)
+                        continue
                     if c in zone:
                         zone[c] = [min(zone[c][0], cmn), max(zone[c][1], cmx)]
                     else:
                         zone[c] = [cmn, cmx]
+        for c in poisoned:
+            zone.pop(c, None)
         if n > 0:
             out[b] = {"max_seq": mx, "min_seq": mn, "n_changes": n}
             if zone:
@@ -863,18 +891,27 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """User-visible table state: live rows, canonical schema. Buckets
-        carrying delta chains are merged on read (max ``_seq`` per key);
-        pure-base snapshots skip the resolution shuffle entirely."""
-        man = self.manifest(version)
-        raw = self._read_raw(man)
-        has_deltas = any(
-            len(self._bucket_files(e)) > 1 for e in man["buckets"].values()
+    def _resolve_live(
+        self, raw: DataFrame, man: dict, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Shared reader tail for read/read_keys/read_range: merge delta
+        chains (max ``_seq`` per key) when any selected bucket carries one
+        — pure-base selections skip the resolution shuffle entirely — then
+        drop tombstones and hidden columns."""
+        sel = (
+            list(man["buckets"].values())
+            if buckets is None
+            else [man["buckets"][str(b)] for b in buckets
+                  if str(b) in man["buckets"]]
         )
-        if has_deltas:
+        if any(len(self._bucket_files(e)) > 1 for e in sel):
             raw = latest_per_key(raw, self.key_cols, SEQ_COL)
         return raw.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """User-visible table state: live rows, canonical schema."""
+        man = self.manifest(version)
+        return self._resolve_live(self._read_raw(man), man)
 
     def read_keys(self, bucket_keys: list, version: int | None = None) -> DataFrame:
         """Bucket-pruned point read: rows whose ``bucket_col`` is in
@@ -902,14 +939,40 @@ class LakeTable:
         raw = self._read_raw(man, buckets=needed).filter(
             F.col(self.bucket_col).isin(bucket_keys)
         )
-        has_deltas = any(
-            len(self._bucket_files(man["buckets"][str(b)])) > 1
-            for b in needed
-            if str(b) in man["buckets"]
+        return self._resolve_live(raw, man, needed)
+
+    @staticmethod
+    def _coerce_bound(v, dtype: T.DataType):
+        """Coerce a user range bound to the stats column's Python-native
+        type, so the pushed filter and the zone-map prune see the SAME
+        effective bound. Lossy coercions (datetime → date) truncate HERE,
+        identically for both consumers — a filter-side-only cast would
+        widen the filter below the prune bound and silently drop rows."""
+        import datetime as _dt
+
+        if isinstance(dtype, T.TimestampType):
+            if isinstance(v, str):
+                return _dt.datetime.fromisoformat(v)
+            if isinstance(v, _dt.datetime):
+                return v
+            if isinstance(v, _dt.date):
+                return _dt.datetime(v.year, v.month, v.day)
+        elif isinstance(dtype, T.DateType):
+            if isinstance(v, str):
+                return _dt.date.fromisoformat(v)
+            if isinstance(v, _dt.datetime):
+                return v.date()  # explicit truncation, used by BOTH sides
+            if isinstance(v, _dt.date):
+                return v
+        elif isinstance(v, (int, float, str)):
+            # numeric/string columns: pass through untyped — the filter
+            # comparison lets Spark WIDEN the column (int col vs float
+            # bound compares as double), matching Python's comparison of
+            # the stored scalar against the bound; no truncating cast.
+            return v
+        raise TypeError(
+            f"unsupported bound {v!r} for range column type {dtype.simpleString()}"
         )
-        if has_deltas:
-            raw = latest_per_key(raw, self.key_cols, SEQ_COL)
-        return raw.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
 
     def _range_buckets(self, man: dict, col: str, lo, hi) -> list[int]:
         """Bucket ids whose stored rows MAY have ``col`` in [lo, hi], per
@@ -923,6 +986,8 @@ class LakeTable:
         read for last-write-wins resolution; but if NO stored row of a
         bucket is in range, no resolved row can be either."""
         lo, hi = _stat_scalar(lo), _stat_scalar(hi)
+        if lo is None or hi is None:
+            raise ValueError("range bounds must be finite and non-NaN")
         keep: list[int] = []
         for b, e in man["buckets"].items():
             for fs in self._bucket_files(e):
@@ -949,32 +1014,20 @@ class LakeTable:
         the layout fix for that access pattern is a time-partitioned spec
         (months(ts) × bucket(key), Iceberg-style), not zone maps. Either
         way the surviving scan still gets parquet row-group min/max
-        pruning from the pushed-down filter. Bounds may be ``datetime``,
-        ISO strings, or numbers, matching the column's type (they are
-        cast to it in the pushed filter)."""
-        import datetime as _dt
-
+        pruning from the pushed-down filter. Bounds may be ``datetime`` /
+        ``date`` / ISO strings for time columns (mixing styles per bound
+        is fine), or numbers/strings matching other column types — each
+        bound is coerced ONCE (``_coerce_bound``) and the same coerced
+        value feeds both the prune and the filter, so they can never
+        disagree on the effective range."""
         man = self.manifest(version)
         canon = self._canonical_schema(man)
-        if isinstance(lo, str) and isinstance(
-            canon[col].dataType, (T.TimestampType, T.DateType)
-        ):
-            lo = _dt.datetime.fromisoformat(lo)
-            hi = _dt.datetime.fromisoformat(hi)
+        dtype = canon[col].dataType
+        lo, hi = self._coerce_bound(lo, dtype), self._coerce_bound(hi, dtype)
         keep = self._range_buckets(man, col, lo, hi)
         raw = self._read_raw(man, buckets=keep)
-        has_deltas = any(
-            len(self._bucket_files(man["buckets"][str(b)])) > 1
-            for b in keep
-            if str(b) in man["buckets"]
-        )
-        if has_deltas:
-            raw = latest_per_key(raw, self.key_cols, SEQ_COL)
-        dt_ = canon[col].dataType
-        return (
-            raw.filter(~F.col(DELETED_COL))
-            .filter(F.col(col).between(F.lit(lo).cast(dt_), F.lit(hi).cast(dt_)))
-            .drop(SEQ_COL, DELETED_COL)
+        return self._resolve_live(raw, man, keep).filter(
+            F.col(col).between(F.lit(lo), F.lit(hi))
         )
 
     def schema(self) -> T.StructType:
@@ -1731,10 +1784,15 @@ class LakeTable:
             cdf = []
             for b in sorted(lineage_stats):
                 entry = {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+                cdf.append(dict(entry))
+                # zone maps ride the retried deltas too — without them a
+                # batch winning via conflict retry is unprunable until
+                # compaction
+                if lineage_stats[b].get("stats"):
+                    entry["stats"] = lineage_stats[b]["stats"]
                 buckets.setdefault(str(b), {"base": None, "deltas": []})[
                     "deltas"
                 ].append(entry)
-                cdf.append(dict(entry))
             lineage = dict(latest.get("lineage", {}))
             for b, s in lineage_stats.items():
                 lineage[str(b)] = {

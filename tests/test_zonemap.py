@@ -165,6 +165,66 @@ def test_recent_window_touches_only_recent_buckets(spark, tmp_table):
     assert {c for c, _, _ in got} == {"new-0", "new-1", "new-2"}
 
 
+def test_mixed_bound_types_and_coercion(ztable):
+    """Bounds may mix datetime / date / ISO-string styles; each is coerced
+    once and feeds BOTH the prune and the filter (review finding: a
+    filter-side-only cast truncated below the prune bound)."""
+    want = _range_rows(ztable.read_range("2005-01-01", "2005-12-31"))
+    assert want  # c03's rows
+    assert _range_rows(
+        ztable.read_range(dt.datetime(2005, 1, 1), "2005-12-31")
+    ) == want
+    assert _range_rows(
+        ztable.read_range("2005-01-01", dt.datetime(2005, 12, 31))
+    ) == want
+    assert _range_rows(
+        ztable.read_range(dt.date(2005, 1, 1), dt.date(2005, 12, 31))
+    ) == want
+    # sub-day bounds are honored exactly (rows are at 2005-03-10..12)
+    assert len(_range_rows(
+        ztable.read_range("2005-03-10T00:00:00", "2005-03-11T23:59:59")
+    )) == 2
+    with pytest.raises(TypeError):
+        ztable.read_range(12345, "2005-12-31")  # number for a ts column
+
+
+def test_coerce_bound_truncates_identically_for_date_columns():
+    import pyspark.sql.types as T
+
+    assert LakeTable._coerce_bound(
+        dt.datetime(2005, 1, 1, 12, 30), T.DateType()
+    ) == dt.date(2005, 1, 1)
+    assert LakeTable._coerce_bound("2005-01-01", T.DateType()) == dt.date(2005, 1, 1)
+    assert LakeTable._coerce_bound(
+        "2005-01-01T06:00", T.TimestampType()
+    ) == dt.datetime(2005, 1, 1, 6)
+
+
+def test_retry_commit_carries_zone_stats(spark, tmp_table):
+    """A batch that wins via conflict retry must still record zone maps on
+    its delta entries (review finding: the retry path re-appended bare
+    {path, schema_id} entries, silently degrading pruning under
+    concurrency)."""
+    from tests.test_lake import _interleave
+
+    t_a = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t_a.create(TRANSCRIPT_SCHEMA)
+    t_b = LakeTable(spark, tmp_table, merge_mode="mor")
+    ev_a = _events(spark, [("I", 1, "cA", 0, "user", "a", None,
+                            "2005-03-10", None)])
+    ev_b = _events(spark, [("I", 2, "cB", 0, "user", "b", None,
+                            "1999-01-01", None)])
+    _interleave(t_a, lambda: t_b.apply_changes(ev_b, transform=apply_chain))
+    m = t_a.apply_changes(ev_a, transform=apply_chain)
+    assert m.get("commit_retried"), m
+    man = t_a.manifest()
+    deltas = [d for e in man["buckets"].values()
+              for d in (e.get("deltas") or [])]
+    assert deltas and all("ts" in (d.get("stats") or {}) for d in deltas)
+    got = _range_rows(t_a.read_range("2005-01-01", "2005-12-31"))
+    assert [(c, i) for c, i, _ in got] == [("cA", 0)]
+
+
 def test_disabled_stats_fall_back_to_full_scan(spark, tmp_table):
     t = LakeTable(spark, tmp_table, num_buckets=8, merge_mode="mor",
                   stats_cols=())
