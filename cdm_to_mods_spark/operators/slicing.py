@@ -28,6 +28,37 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _COMPOSABLE = {"sum", "count", "min", "max"}
 
+_UNIT_SECS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_secs(iv: str) -> int:
+    """Seconds in an interval string; accepts the compound forms
+    ``F.window`` itself accepts (``"1 hour 30 minutes"``)."""
+    toks = iv.split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"malformed interval {iv!r}")
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        if unit not in _UNIT_SECS:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {iv!r} "
+                f"(supported: {sorted(set(_UNIT_SECS))})"
+            )
+        total += int(n) * _UNIT_SECS[unit]
+    return total
+
+
+def _partial_expr(fn: str, col: str, out: str) -> Column:
+    """The per-slice partial for one aggregate (count counts rows/values;
+    the rest apply directly — all compose across slices)."""
+    if fn == "count":
+        return F.count(F.lit(1) if col == "*" else F.col(col)).alias(out)
+    return getattr(F, fn)(col).alias(out)
+
 
 def sliced_sliding_agg(
     df: DataFrame,
@@ -46,13 +77,7 @@ def sliced_sliding_agg(
     window containing ≥1 event — the same surface as
     ``groupBy(F.window(ts, size, slide))``, with O(events) work."""
 
-    def _secs(iv: str) -> int:
-        n, unit = iv.split()
-        mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-                "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
-        return int(n) * mult
-
-    size_s, slide_s = _secs(size), _secs(slide)
+    size_s, slide_s = _interval_secs(size), _interval_secs(slide)
     if size_s % slide_s:
         raise ValueError(f"size {size!r} must be a multiple of slide {slide!r}")
     k = size_s // slide_s
@@ -62,15 +87,10 @@ def sliced_sliding_agg(
                              f"(supported: {sorted(_COMPOSABLE)})")
     keys = list(group_by or [])
 
-    def _partial(fn: str, col: str, out: str) -> Column:
-        if fn == "count":
-            return F.count(F.lit(1) if col == "*" else F.col(col)).alias(out)
-        return getattr(F, fn)(col).alias(out)
-
     # 1. one partial row per slice (tumbling → NO event replication)
     slices = df.groupBy(
         *keys, F.window(ts_col, slide).alias("_slice")
-    ).agg(*[_partial(fn, col, out) for out, (fn, col) in aggs.items()])
+    ).agg(*[_partial_expr(fn, col, out) for out, (fn, col) in aggs.items()])
 
     # 2. slice → the k window starts it falls into (explode of k, on the
     #    aggregated rows only)
@@ -126,6 +146,14 @@ class SlidingWindowView:
                     f"{out}: only additive aggregates (sum/count) can be "
                     "incrementally maintained on an append-only stream"
                 )
+        # validate the window spec up front — the batch function raises on
+        # the same inputs, and a silently floored size//slide would compose
+        # windows of the wrong width on every read
+        self._size_s, self._slide_s = _interval_secs(size), _interval_secs(slide)
+        if self._size_s % self._slide_s:
+            raise ValueError(
+                f"size {size!r} must be a multiple of slide {slide!r}"
+            )
         self.spark = spark
         self.path = path.rstrip("/")
         self.ts_col, self.size, self.slide = ts_col, size, slide
@@ -170,14 +198,9 @@ class SlidingWindowView:
         ):
             return {"skipped": True, "batch_id": batch_id}
 
-        def _partial(fn, col, out):
-            if fn == "count":
-                return F.count(F.lit(1) if col == "*" else F.col(col)).alias(out)
-            return getattr(F, fn)(col).alias(out)
-
         fresh = batch.groupBy(
             *self.keys, F.window(self.ts_col, self.slide).alias("_slice")
-        ).agg(*[_partial(fn, c, out) for out, (fn, c) in self.aggs.items()])
+        ).agg(*[_partial_expr(fn, c, out) for out, (fn, c) in self.aggs.items()])
         fresh = fresh.select(
             *self.keys, F.col("_slice.start").alias("slice_start"),
             *[F.col(o) for o in self.aggs],
@@ -203,33 +226,34 @@ class SlidingWindowView:
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(self.path, "_CURRENT"))
-        # prune superseded slice-store generations (keep new + predecessor
-        # for in-flight readers of the just-replaced marker)
+        # prune superseded slice-store generations — keep new + the
+        # just-replaced marker's target (in-flight readers), keyed by
+        # marker rather than name order so a crashed update's orphan dir
+        # can't occupy a keep slot (same policy as plans/incremental.py)
         import shutil
 
-        gens = sorted(
-            d for d in os.listdir(self.path) if d.startswith("slices-")
-        )
-        for d in gens[:-2]:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        keep = {rel} | ({marker["data"]} if marker else set())
+        for d in os.listdir(self.path):
+            if d.startswith("slices-") and d not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return {"gen": gen, "last_batch_id": last}
 
     # -------------------------------------------------------------- read
     def read(self) -> DataFrame:
-        """Compose the sliding windows from the stored slice partials."""
-        def _secs(iv):
-            n, unit = iv.split()
-            mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-                    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
-            return int(n) * mult[unit]
+        """Compose the sliding windows from the stored slice partials.
 
-        k = _secs(self.size) // _secs(self.slide)
-        slide_s = _secs(self.slide)
+        A store that has seen ≥1 update reads at the real output schema
+        even when empty (the parquet partials carry the types). Before any
+        update the key/aggregate types are unknowable, so read() raises
+        instead of inventing a schema that couldn't union/select against
+        later reads."""
+        k = self._size_s // self._slide_s
+        slide_s = self._slide_s
         cur = self._slices()
         if cur is None:
-            fields = ", ".join(f"{o} double" for o in self.aggs)
-            return self.spark.createDataFrame(
-                [], f"window_start timestamp, {fields}"
+            raise LookupError(
+                f"sliding view at {self.path} has no state yet — "
+                "call update() with at least one batch first"
             )
         starts = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),

@@ -141,6 +141,7 @@ class ConversationStatsView:
 
     def _commit_marker(self, data_rel: str, src_v: int, touched: int,
                        t0: float) -> None:
+        prev = self._marker()
         tmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(tmp, "w") as fh:
             json.dump(
@@ -150,12 +151,15 @@ class ConversationStatsView:
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, os.path.join(self.path, "_CURRENT"))
-        # prune superseded view generations — keep the new one plus its
-        # predecessor (in-flight readers of the just-replaced marker)
+        # prune superseded view generations — keep the new one plus the
+        # JUST-REPLACED marker's target (in-flight readers may hold it).
+        # Keeping by marker, not by directory name: a crashed refresh
+        # leaves an orphan data-v* dir that a name-sorted keep-last-2
+        # would retain forever while deleting the predecessor readers are
+        # actually on.
         import shutil
 
-        gens = sorted(
-            d for d in os.listdir(self.path) if d.startswith("data-v")
-        )
-        for d in gens[:-2]:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        keep = {data_rel} | ({prev["data"]} if prev else set())
+        for d in os.listdir(self.path):
+            if d.startswith("data-v") and d not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

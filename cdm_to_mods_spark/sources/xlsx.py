@@ -60,25 +60,66 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     return out
 
 
-def _sheet_names(zf: zipfile.ZipFile) -> list[str]:
+_RID_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """(sheet name, worksheet part path) in workbook order, resolving each
+    sheet's ``r:id`` through ``xl/_rels/workbook.xml.rels`` as OPC
+    requires — a workbook saved after deleting/reordering sheets keeps
+    NON-sequential part names (first sheet stored as sheet2.xml), so the
+    positional ``sheet{i+1}.xml`` guess reads the wrong sheet or KeyErrors.
+    Falls back to positional naming only when rels/r:id are absent."""
     root = ElementTree.fromstring(zf.read("xl/workbook.xml"))
-    return [
-        el.get("name")
+    sheets = [
+        (el.get("name"), el.get(_RID_ATTR))
         for el in root.iter()
         if _local(el.tag) == "sheet"
     ]
+    rels: dict[str, str] = {}
+    try:
+        rroot = ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rels = {
+            el.get("Id"): el.get("Target")
+            for el in rroot.iter()
+            if _local(el.tag) == "Relationship"
+        }
+    except KeyError:
+        pass
+    out = []
+    for i, (name, rid) in enumerate(sheets):
+        target = rels.get(rid)
+        if target is None:
+            part = f"xl/worksheets/sheet{i + 1}.xml"
+        else:
+            target = target.lstrip("/")
+            part = target if target.startswith("xl/") else f"xl/{target}"
+        out.append((name, part))
+    return out
+
+
+def _sheet_names(zf: zipfile.ZipFile) -> list[str]:
+    return [n for n, _ in _sheet_parts(zf)]
 
 
 def parse_xlsx(content: bytes, sheet: int | str = 0) -> list[list]:
     """One workbook's sheet → list of rows (lists of str|None), sparse
     cells None-filled, trailing ragged rows padded by the caller."""
     zf = zipfile.ZipFile(io.BytesIO(content))
-    names = _sheet_names(zf)
-    idx = names.index(sheet) if isinstance(sheet, str) else int(sheet)
-    if not 0 <= idx < len(names):
-        raise ValueError(f"workbook has sheets {names}, requested {sheet!r}")
+    parts = _sheet_parts(zf)
+    names = [n for n, _ in parts]
+    if isinstance(sheet, str):
+        if sheet not in names:
+            raise ValueError(f"workbook has sheets {names}, requested {sheet!r}")
+        idx = names.index(sheet)
+    else:
+        idx = int(sheet)
+        if not 0 <= idx < len(names):
+            raise ValueError(f"workbook has sheets {names}, requested {sheet!r}")
     strings = _shared_strings(zf)
-    root = ElementTree.fromstring(zf.read(f"xl/worksheets/sheet{idx + 1}.xml"))
+    root = ElementTree.fromstring(zf.read(parts[idx][1]))
     rows: list[list] = []
     for row_el in (el for el in root.iter() if _local(el.tag) == "row"):
         cells: list = []
@@ -134,11 +175,25 @@ def read_xlsx(
         if not head_rows:
             raise ValueError("cannot infer columns from an empty sheet")
         width = max(len(r) for r in head_rows)
-        columns = (
-            [str(c) for c in head_rows[0]]
-            if header
-            else [f"_c{i}" for i in range(width)]
-        )
+        if header:
+            # size the schema to the WIDEST row, not the header: ragged
+            # sheets with trailing unnamed columns would otherwise lose
+            # those columns from every row. Unnamed/None header cells get
+            # positional names; duplicates get a numeric suffix (a
+            # duplicate-column schema fails downstream).
+            head = list(head_rows[0]) + [None] * (width - len(head_rows[0]))
+            seen: dict[str, int] = {}
+            columns = []
+            for i, c in enumerate(head):
+                name = f"_c{i}" if c is None else str(c)
+                if name in seen:
+                    seen[name] += 1
+                    name = f"{name}_{seen[name]}"
+                else:
+                    seen[name] = 1
+                columns.append(name)
+        else:
+            columns = [f"_c{i}" for i in range(width)]
     cols = list(columns)
 
     def extract(batches):
