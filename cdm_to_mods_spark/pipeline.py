@@ -664,6 +664,136 @@ def t6_repetition_score(spark, sf_dir):
     return _sel(spark, sf_dir, _t6_exprs())
 
 
+# ---------------------------------------------------------------------
+# t7: PII detect + mask (the scrub pass every web-scale training corpus
+# runs before anything else). The testdata corpus is sanitized word soup
+# with zero PII-shaped spans, so the fixture PLANTS deterministic
+# doc_id-derived spans — same expression in both engines — and the
+# detectors/masker are what get value-checked: per-row span counts vary
+# with doc_id, and the md5 of the masked text pins the full replacement
+# output. Patterns are the RE2∩java.util.regex common dialect (no
+# lookaround/backrefs), so Spark and DuckDB compile them identically;
+# masking applies in list order (URL first — a URL may embed email/IP
+# lookalikes; the planted ones don't, but the operator shouldn't rely
+# on that).
+# ---------------------------------------------------------------------
+_PII_PATTERNS = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+]
+_PII_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def _pii_enriched() -> F.Column:
+    """text + planted PII spans (0-2 emails, 0-1 phones/IPs, 1-2 URLs per
+    row, all keyed off doc_id so the span census differs row to row)."""
+    d = F.col("doc_id")
+
+    def m(k):
+        return F.pmod(d, F.lit(k))
+
+    email = F.concat(
+        F.lit(" user"), d.cast("string"), F.lit("@mail.example.org")
+    )
+    phone = F.concat(
+        F.lit(" 555-"),
+        F.lpad(m(1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(m(10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" 10.2."), m(256).cast("string"), F.lit("."),
+        F.pmod(d * 7, F.lit(256)).cast("string"),
+    )
+    url = F.concat(
+        F.lit(" https://h"), m(13).cast("string"),
+        F.lit(".example.net/p/"), d.cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(m(3) == 1, email)
+        .when(m(3) == 2, F.concat(email, email))
+        .otherwise(F.lit("")),
+        F.when(m(2) == 0, phone).otherwise(F.lit("")),
+        F.when(m(5) < 2, ip).otherwise(F.lit("")),
+        url,
+        F.when(m(7) == 0, url).otherwise(F.lit("")),
+    )
+
+
+_PII_ENRICH_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 1 THEN ' user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org' WHEN doc_id % 3 = 2 THEN repeat(' user'"
+    " || CAST(doc_id AS VARCHAR) || '@mail.example.org', 2) ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 < 2 THEN ' 10.2.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+    " || ' https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.net/p/'"
+    " || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' https://h'"
+    " || CAST(doc_id % 13 AS VARCHAR) || '.example.net/p/'"
+    " || CAST(doc_id AS VARCHAR) ELSE '' END"
+)
+
+
+def pii_mask(col) -> F.Column:
+    """Mask every PII span in ``col``, applying patterns in list order
+    (URL first: a URL may embed email/IP lookalikes that must vanish with
+    the URL, not leave a half-masked hybrid)."""
+    masked = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in _PII_PATTERNS:
+        masked = F.regexp_replace(masked, pat, repl)
+    return masked
+
+
+def pii_counts(col) -> dict:
+    """Per-pattern span census over ``col`` (counts overlap-free matches
+    against the ORIGINAL text, before any masking)."""
+    s = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(s, F.lit(pat))
+        for name, pat, _ in _PII_PATTERNS
+    }
+
+
+def _t7_exprs() -> dict:
+    s = _pii_enriched()
+    out = dict(pii_counts(s))
+    out["masked_fp"] = F.md5(pii_mask(s))
+    out["first_domain"] = F.regexp_extract(s, _PII_DOMAIN_RE, 1)
+    return out
+
+
+def _t7_sql() -> str:
+    """identical census/mask/domain as DuckDB SQL, generated from the same
+    pattern list (SELECT-list fragment over alias ``pii_s``)."""
+    cols = [
+        f"len(regexp_extract_all(pii_s, '{pat}')) AS t7_n_{name}"
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    masked = "pii_s"
+    for _, pat, repl in _PII_PATTERNS:
+        masked = f"regexp_replace({masked}, '{pat}', '{repl}', 'g')"
+    cols.append(f"md5({masked}) AS t7_masked_fp")
+    cols.append(f"regexp_extract(pii_s, '{_PII_DOMAIN_RE}', 1) AS t7_first_domain")
+    return ", ".join(cols)
+
+
+def t7_pii_scrub(spark, sf_dir):
+    """T7 — PII scrub: span census (emails / phones / IPv4s / URLs),
+    whole-document masking, and source-domain extraction, all as one
+    codegen projection (regexp_count / chained regexp_replace /
+    regexp_extract — no Python in the path). Driver row via
+    ``t_text_suite``; the planted-span fixture is documented above."""
+    return _sel(spark, sf_dir, _t7_exprs())
+
+
 @_q(
     "t_text_suite",
     "SELECT doc_id, "
@@ -674,8 +804,10 @@ def t6_repetition_score(spark, sf_dir):
     "round(0.5*least(n_tokens/100.0, 1.0) + 0.5*(1.0-punct_ratio), 4) AS t2_quality, "
     "n_distinct AS t3_n_distinct, n_bpe AS t3_n_bpe_tokens, "
     "fp AS t4_fingerprint, "
-    "round(1.0 - nz_distinct*1.0/greatest(nz_total, 1), 4) AS t6_repetition "
+    "round(1.0 - nz_distinct*1.0/greatest(nz_total, 1), 4) AS t6_repetition, "
+    + _t7_sql() + " "
     "FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s, "
+    + _PII_ENRICH_SQL + " AS pii_s, "
     "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
     f"w -> w IN {_SW_SQL}))*1.0 / greatest(len(regexp_split_to_array(lower(text), "
     "'\\s+')), 1) AS sw_ratio, "
@@ -691,9 +823,10 @@ def t6_repetition_score(spark, sf_dir):
     "AS nz_total FROM documents)",
 )
 def t_text_suite(spark, sf_dir):
-    """T1+T1b+T2+T3+T4+T6 in ONE driver row — the text-analysis families
+    """T1+T1b+T2+T3+T4+T6+T7 in ONE driver row — the text-analysis families
     (stopword language-ID, character-TRIGRAM language-ID with per-language
-    profile scores, quality score, token counts, fingerprint, repetition)
+    profile scores, quality score, token counts, fingerprint, repetition,
+    PII census/mask/domain)
     computed in a single scan of ``documents``, one whole-stage-codegen
     projection (the realistic shape: a 100 TB curation pass scores every
     signal in one map, never one job per signal). Column prefix names the
@@ -708,6 +841,7 @@ def t_text_suite(spark, sf_dir):
         **{f"t3_{n}": c for n, c in _t3_exprs().items() if n != "n_tokens"},
         **{f"t4_{n}": c for n, c in _t4_exprs().items()},
         **{f"t6_{n}": c for n, c in _t6_exprs().items()},
+        **{f"t7_{n}": c for n, c in _t7_exprs().items()},
     }
     return _sel(spark, sf_dir, exprs)
 

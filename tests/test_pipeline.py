@@ -145,3 +145,34 @@ def test_connected_components_chain_and_random(spark):
         }
         want = set(brute(edges).items())
         assert got == want
+
+
+def test_pii_mask_order_and_census(spark):
+    """Masking applies URL-first so a URL embedding email/IP lookalikes
+    vanishes whole; census counts run against the original text. Cases the
+    planted-fixture suite row can't produce: PII inside a URL, adjacent
+    spans, pattern-free text."""
+    from cdm_to_mods_spark.pipeline import pii_counts, pii_mask
+
+    rows = [
+        # email+ip lookalikes INSIDE a URL: one URL match swallows all
+        (1, "see https://u:p@10.1.2.3/a?e=bob@x.com now"),
+        # adjacent distinct spans, no separators beyond one space
+        (2, "bob@x.com 555-123-4567 10.2.3.4 https://h.example.net/p"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", pii_mask("text").alias("masked"), *[
+                c.alias(n) for n, c in pii_counts("text").items()
+            ]
+        ).collect()
+    }
+    assert out[1]["masked"] == "see <URL> now"
+    assert out[2]["masked"] == "<EMAIL> <PHONE> <IPV4> <URL>"
+    assert out[3]["masked"] == "no pii here at all"
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"], r2["n_url"]) == (1, 1, 1, 1)
+    assert out[3]["n_email"] == out[3]["n_url"] == 0
