@@ -37,3 +37,33 @@ def windowed_event_counts(
             "approx_convs",
         )
     )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-conversation SESSION windows over the change stream — Spark's
+    native ``session_window`` (dynamic-gap merge inside the state store),
+    the streaming dual of the batch lag/cumsum sessionize (a8). A session
+    absorbs every event within ``gap`` of its current end; append mode
+    emits a session once the watermark passes ``last_event + gap``.
+
+    Gap-boundary semantics: ``session_window`` starts a NEW session when
+    the inter-event delta is ``>= gap`` (the window is half-open at
+    ``last + gap``), while a8's lag test starts one when the delta is
+    ``> threshold`` — so ``session_window(ts, gap=g)`` ≡ a8 with
+    ``threshold = g - 1s``. Pinned by the batch-equivalence test."""
+    return (
+        events.withWatermark("ingest_ts", watermark)
+        .groupBy(F.session_window("ingest_ts", gap).alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("seq").alias("last_seq"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id",
+            "n_events",
+            "last_seq",
+        )
+    )

@@ -257,3 +257,85 @@ def test_streaming_tail_maintains_sliding_view(spark, tmp_path):
     # exactly-once: re-folding a committed batch is a no-op
     res = sr.sliding.update(all_ev.limit(5), batch_id=0)
     assert res.get("skipped") is True
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """The native session_window formulation must agree with a8's
+    independent lag/gap sessionize: session_window(gap=g) starts a new
+    session at delta >= g, a8 at delta > threshold, so g = threshold+1s
+    makes them identical. Counted per user over the real events table."""
+    from pyspark.sql import functions as F
+    from cdm_to_mods_spark.queries import a8_sessionize
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = {
+        (r.user_id, r.n_sessions)
+        for r in a8_sessionize(spark, sf_dir).collect()  # gap > 1800s
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r.user_id, r.n_sessions)
+        for r in (
+            ev.groupBy("user_id", F.session_window("ts", "1801 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_session_event_counts_streaming(spark, tmp_path):
+    """Streaming session windows: two close events merge into one session,
+    a later event opens another; append mode emits a session only after
+    the watermark passes last_event + gap."""
+    import datetime as dt
+    import time as _time
+
+    from cdm_to_mods_spark.schemas import EVENT_SCHEMA
+    from cdm_to_mods_spark.streaming.windows import session_event_counts
+
+    events_dir = str(tmp_path / "events")
+    ddl = ("op string, seq long, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts_raw string, ingest_ts timestamp")
+    t = lambda h, m, s=0: dt.datetime(2026, 1, 1, h, m, s)  # noqa: E731
+    # cA: two events 30s apart (one session, ends 10:00:40 + 30min gap)
+    seg0 = [("I", 1, "cA", 0, None, None, None, None, t(10, 0, 10)),
+            ("I", 2, "cA", 1, None, None, None, None, t(10, 0, 40))]
+    # watermark advancers: 11:00 -> wm 10:50 > 10:30:40 closes cA's session
+    seg1 = [("I", 3, "cB", 0, None, None, None, None, t(11, 0))]
+    seg2 = [("I", 4, "cB", 1, None, None, None, None, t(12, 0))]
+    for i, seg in enumerate((seg0, seg1, seg2)):
+        spark.createDataFrame(seg, ddl).coalesce(1).write.parquet(
+            f"{events_dir}/seg-{i}"
+        )
+        _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "sess"), str(tmp_path / "ckpt")
+    q = (
+        session_event_counts(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.conv_id: (r.n_events, r.session_start, r.session_end, r.last_seq)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    n, start, end, last_seq = got["cA"]
+    assert (n, last_seq) == (2, 2)
+    assert start == t(10, 0, 10) and end == t(10, 30, 40)  # last event + gap
+    # cB's 12:00 session is still open (watermark 11:50 < 12:30) -> withheld;
+    # its 11:00 session closed at 11:30 < 11:50 -> emitted.
+    assert got.get("cB", (1,))[0] == 1
