@@ -1182,6 +1182,186 @@ class LakeTable:
         )
         return {"compacted": len(todo), "version": new_version}
 
+    def delete_where(
+        self,
+        predicate,
+        *,
+        tombstone_seq: int | None = None,
+        note: str | None = None,
+    ) -> dict:
+        """Predicate delete — the compliance/right-to-be-forgotten
+        maintenance op (reference analog: the restriction purge that drops
+        records flagged in the restrictions report, post_cdm_cleanup.py's
+        remove-on-mismatch loop, generalized to an arbitrary predicate over
+        the logical schema).
+
+        Two-phase, O(matching buckets) rewrite:
+
+        1. one scan resolves live rows, applies ``predicate`` and
+           aggregates per-bucket match counts — buckets with no match are
+           never rewritten (their manifest refs are carried unchanged);
+        2. each touched bucket's chain is folded (like ``compact``) and the
+           matching live rows become TOMBSTONES at ``tombstone_seq``
+           (default: 1 + the table's max applied ``_seq`` from lineage) —
+           kept in the base so a late-arriving lower-seq event cannot
+           resurrect a purged key, exactly the semantics of a 'D' change
+           event; non-matching rows are carried byte-identical.
+
+        The tombstone rows are also materialized as this version's
+        change-data files, so a downstream ``changes()`` consumer sees the
+        purge as ordinary 'D' rows (Delta-CDF pattern) under BOTH merge
+        modes. Older snapshots still contain the data — run
+        ``expire_snapshots`` afterwards to physically drop them (same
+        two-step as Delta/Iceberg DELETE + VACUUM).
+
+        Caveat (inherent to out-of-band deletes in any CDC system): the
+        tombstone's seq is spent from the source's sequence domain — if the
+        source later emits events at seq ≤ ``tombstone_seq`` for a purged
+        key, the seq guard rejects them. Pass an explicit ``tombstone_seq``
+        if the source coordinates its own LSN space.
+        """
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if tombstone_seq is None:
+            seqs = [
+                s.get("max_seq")
+                for s in man.get("lineage", {}).values()
+                if s.get("max_seq") is not None
+            ]
+            if seqs:
+                tombstone_seq = int(max(seqs)) + 1
+            else:  # pre-lineage table: one max-only agg job
+                r = self._read_raw(man, canon=canon).agg(
+                    F.max(SEQ_COL).alias("m")
+                ).first()
+                tombstone_seq = int(r["m"] or 0) + 1
+
+        # phase 1 — find matching buckets (one scan; arbitrary predicates
+        # cannot be zone-pruned, but the REWRITE below is O(matches)).
+        raw_all = self._read_raw(man, canon=canon)
+        if any(
+            len(self._bucket_files(e)) > 1 for e in man["buckets"].values()
+        ):
+            raw_all = latest_per_key(
+                raw_all.withColumn(
+                    "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+                ),
+                self.key_cols,
+                SEQ_COL,
+            ).drop("op")
+        match_counts = {
+            r["_b"]: r["n"]
+            for r in raw_all.filter(~F.col(DELETED_COL))
+            .filter(pred)
+            .select(
+                _bucket_expr(
+                    self.bucket_col, self.num_buckets, self.bucket_fn
+                ).alias("_b")
+            )
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        todo = sorted(match_counts)
+        n_deleted = sum(match_counts.values())
+        if not todo:
+            return {"deleted_rows": 0, "version": man["version"]}
+
+        # phase 2 — fold + tombstone ONLY the matching buckets.
+        new_version = man["version"] + 1
+        data_rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}-delete"
+        vdir = os.path.join(self.path, data_rel)
+        raw = self._read_raw(man, buckets=todo, canon=canon)
+        if any(
+            len(self._bucket_files(man["buckets"][str(b)])) > 1 for b in todo
+        ):
+            raw = latest_per_key(
+                raw.withColumn(
+                    "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+                ),
+                self.key_cols,
+                SEQ_COL,
+            ).drop("op")
+        newly = ~F.col(DELETED_COL) & pred
+        rewritten = (
+            raw.withColumn(
+                SEQ_COL,
+                F.when(newly, F.lit(tombstone_seq).cast("long")).otherwise(
+                    F.col(SEQ_COL)
+                ),
+            )
+            # marks AFTER the seq swap: `newly` reads the original _deleted
+            .withColumn(
+                DELETED_COL, F.when(newly, F.lit(True)).otherwise(F.col(DELETED_COL))
+            )
+            .withColumn(
+                "_bucket",
+                _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn),
+            )
+        )
+        (
+            rewritten.repartition(max(len(todo), 1), "_bucket")
+            .sortWithinPartitions("_bucket", *self.key_cols)
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
+        schema_id = len(man["schemas"]) - 1
+        dstats = _footer_stats(vdir, SEQ_COL, self.stats_cols)
+        buckets = {
+            k: (e if "path" not in e else {"base": e, "deltas": []})
+            for k, e in man["buckets"].items()
+        }
+        for b in todo:
+            base = {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+            if dstats.get(b, {}).get("stats"):
+                base["stats"] = dstats[b]["stats"]
+            buckets[str(b)] = {"base": base, "deltas": []}
+        # change-data files: the purge's tombstones, readable by changes()
+        # consumers as ordinary 'D' rows. Derived from the rewritten base —
+        # a footer-pruned scan of the touched buckets only (_seq pushdown).
+        cdf_rel = f"{data_rel}-cdf"
+        (
+            self.spark.read.parquet(vdir)
+            .filter(F.col(DELETED_COL) & (F.col(SEQ_COL) == tombstone_seq))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, cdf_rel))
+        )
+        lineage = dict(man.get("lineage", {}))
+        for b in todo:
+            lineage[str(b)] = {
+                "max_seq": tombstone_seq,
+                "min_seq_in_batch": tombstone_seq,
+                "n_changes": match_counts[b],
+                "snapshot": new_version,
+                "source": f"delete_where:{note or ''}",
+            }
+        self._commit(
+            {
+                **man,
+                "version": new_version,
+                "batch_id": None,
+                "cdf": [{"path": cdf_rel, "schema_id": schema_id}],
+                "buckets": buckets,
+                "lineage": lineage,
+                "metrics": {
+                    "maintenance": "delete_where",
+                    "deleted_rows": n_deleted,
+                    "n_buckets": len(todo),
+                    "tombstone_seq": tombstone_seq,
+                    "note": note,
+                },
+                "commit_ts": time.time(),
+            }
+        )
+        return {
+            "deleted_rows": n_deleted,
+            "n_buckets_rewritten": len(todo),
+            "tombstone_seq": tombstone_seq,
+            "version": new_version,
+        }
+
     def rebucket(self, new_num_buckets: int) -> dict:
         """Partition-spec evolution: rewrite the table at a new bucket
         count (one maintenance commit — the Iceberg bucket-transform
