@@ -67,6 +67,7 @@ from ..operators.dedup import latest_per_key
 from ..schemas import (
     DELETED_COL,
     SEQ_COL,
+    SchemaEvolutionError,
     evolve_schema,
     schema_from_json,
 )
@@ -181,6 +182,21 @@ def _stat_scalar(v):
     if isinstance(v, float) and not _math.isfinite(v):
         return None  # NaN/inf stats (parquet-mr writes max=NaN) — unusable
     return v
+
+
+def _stored_name(man: dict, sid: int, name: str) -> str:
+    """The physical column name a canonical field had when schema ``sid``
+    was written. ``rename_column`` is metadata-only — old file sets keep
+    their bytes, and every reader walks the manifest's append-only rename
+    log (newest first) to map the canonical name back through renames that
+    happened AFTER ``sid``. The Iceberg analog is field-ID resolution; a
+    rename log is equivalent here because ``add_column``/``rename_column``
+    refuse to re-use any historical name, so a name at a given schema_id
+    is unambiguous."""
+    for r in reversed(man.get("renames", [])):
+        if r["at"] > sid and r["new"] == name:
+            name = r["old"]
+    return name
 
 
 def _footer_stats(
@@ -681,6 +697,7 @@ class LakeTable:
                     "bucket_fn": head_raw.get("bucket_fn", self.bucket_fn),
                     "cdf": union_cdf,
                     "lineage": head_raw.get("lineage", {}),
+                    "renames": head_raw.get("renames", []),
                     "metrics": metrics,
                     "commit_ts": time.time(),
                 }
@@ -789,6 +806,10 @@ class LakeTable:
                 # (the old snapshot's file refs index a prefix, so reads of
                 # the rolled-back state are unaffected).
                 "schemas": cur["schemas"],
+                # same append-only rule as schemas: the rename log indexes
+                # into the full schema list, so the CURRENT log survives a
+                # rollback (old snapshots' schema_ids resolve through it).
+                "renames": cur.get("renames", []),
                 "metrics": {"maintenance": "rollback", "to_version": version},
                 "commit_ts": time.time(),
             }
@@ -796,6 +817,121 @@ class LakeTable:
         # a rollback may cross a rebucket — re-adopt the restored layout
         self.num_buckets = man.get("num_buckets", self.num_buckets)
         return {"rolled_back_to": version, "version": new_version}
+
+    # ------------------------------------------------- schema evolution
+    # Metadata-only ALTER TABLE: add/drop/rename commit a new schema list
+    # entry (append-only) and rewrite NO data — old file sets keep their
+    # bytes and are resolved per recorded schema_id (add → null-fill,
+    # drop → projected away, rename → rename-log name mapping in
+    # ``_stored_name``). Implicit ADD also still happens when a change
+    # batch arrives with extra columns (evolve_schema).
+
+    def _alter_commit(self, man: dict, schema: T.StructType, metrics: dict,
+                      renames: list | None = None) -> dict:
+        new_version = man["version"] + 1
+        self._commit(
+            {
+                **man,
+                "version": new_version,
+                "batch_id": None,
+                "cdf": [],
+                "schemas": [*man["schemas"], schema.json()],
+                "renames": renames if renames is not None
+                else man.get("renames", []),
+                "metrics": metrics,
+                "commit_ts": time.time(),
+            }
+        )
+        return {**metrics, "version": new_version}
+
+    def _assert_fresh_name(self, man: dict, name: str) -> None:
+        """Refuse any name that EVER existed: a historical file still
+        carries that physical column, and name-based resolution would read
+        the old bytes as the new field (the aliasing Iceberg prevents with
+        field IDs). Re-using a retired name requires a full rewrite
+        (``rebucket`` after the alter folds history to the head schema)."""
+        if name in (SEQ_COL, DELETED_COL, "_bucket"):
+            raise SchemaEvolutionError(f"{name!r} is a reserved column name")
+        for s in man["schemas"]:
+            if name in schema_from_json(s).fieldNames():
+                raise SchemaEvolutionError(
+                    f"column name {name!r} exists in table history; "
+                    "historical file sets would alias it"
+                )
+        if any(r["new"] == name or r["old"] == name
+               for r in man.get("renames", [])):
+            raise SchemaEvolutionError(
+                f"column name {name!r} appears in the rename log"
+            )
+
+    def add_column(self, name: str, dtype) -> dict:
+        """ALTER TABLE ADD COLUMN (nullable; metadata-only). ``dtype`` is a
+        DataType or DDL string. Existing rows read as null."""
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        man = self.manifest()
+        self._assert_fresh_name(man, name)
+        canon = self._canonical_schema(man)
+        schema = T.StructType(
+            [*canon.fields, T.StructField(name, dtype, True)]
+        )
+        return self._alter_commit(
+            man, schema, {"maintenance": "add_column", "column": name,
+                          "dtype": dtype.simpleString()}
+        )
+
+    def drop_column(self, name: str) -> dict:
+        """ALTER TABLE DROP COLUMN (metadata-only): the field leaves the
+        canonical schema; stored bytes remain until buckets are rewritten
+        by later merges/compaction. Key and bucket columns are load-bearing
+        and cannot be dropped. Time travel to pre-drop versions still shows
+        the column."""
+        if name in self.key_cols or name == self.bucket_col:
+            raise SchemaEvolutionError(
+                f"{name!r} is a key/bucket column; drop is not allowed"
+            )
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        if name not in canon.fieldNames():
+            raise SchemaEvolutionError(f"no column {name!r}")
+        schema = T.StructType([f for f in canon.fields if f.name != name])
+        return self._alter_commit(
+            man, schema, {"maintenance": "drop_column", "column": name}
+        )
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """ALTER TABLE RENAME COLUMN (metadata-only): appends a schema with
+        the field renamed plus a rename-log entry; readers map the
+        canonical name back through the log per file set's schema_id, so
+        data written under ANY historical name resolves without rewrite.
+        Key/bucket columns are pinned in the manifest and change-batch
+        contract; renaming them is refused."""
+        if old in self.key_cols or old == self.bucket_col:
+            raise SchemaEvolutionError(
+                f"{old!r} is a key/bucket column; rename is not allowed"
+            )
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        if old not in canon.fieldNames():
+            raise SchemaEvolutionError(f"no column {old!r}")
+        self._assert_fresh_name(man, new)
+        schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in canon.fields
+            ]
+        )
+        renames = [
+            *man.get("renames", []),
+            {"at": len(man["schemas"]), "old": old, "new": new},
+        ]
+        return self._alter_commit(
+            man, schema,
+            {"maintenance": "rename_column", "from": old, "to": new},
+            renames=renames,
+        )
 
     # ------------------------------------------------------------- create
     def create(self, schema: T.StructType) -> None:
@@ -876,12 +1012,13 @@ class LakeTable:
             return self._empty(canon, hidden=True)
         parts: list[DataFrame] = []
         for sid, paths in by_schema.items():
-            stored = schema_from_json(man["schemas"][sid])
+            stored = set(schema_from_json(man["schemas"][sid]).fieldNames())
             df = self.spark.read.parquet(*paths)
             cols = []
             for f in canon.fields:
-                if f.name in stored.fieldNames():
-                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                sname = _stored_name(man, sid, f.name)
+                if sname in stored:
+                    cols.append(F.col(sname).cast(f.dataType).alias(f.name))
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             cols += [F.col(SEQ_COL), F.col(DELETED_COL)]
@@ -1103,12 +1240,12 @@ class LakeTable:
             return self._empty(canon, hidden=True)
         parts: list[DataFrame] = []
         for sid, paths in by_schema.items():
-            stored = schema_from_json(man["schemas"][sid])
+            stored = set(schema_from_json(man["schemas"][sid]).fieldNames())
             raw = self.spark.read.parquet(*paths)
             cols = [
                 (
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in stored.fieldNames()
+                    F.col(_stored_name(man, sid, f.name)).cast(f.dataType)
+                    if _stored_name(man, sid, f.name) in stored
                     else F.lit(None).cast(f.dataType)
                 ).alias(f.name)
                 for f in canon.fields
@@ -1139,6 +1276,9 @@ class LakeTable:
         tmp_man = {
             "schemas": man["schemas"],
             "buckets": {str(b): buckets[str(b)] for b in todo},
+            # rename log must ride along: _read_raw maps canonical names
+            # back to each file set's stored names through it
+            "renames": man.get("renames", []),
         }
         folded = latest_per_key(
             self._read_raw(tmp_man, canon=canon).withColumn(
@@ -1612,11 +1752,40 @@ class LakeTable:
         if transform is not None:
             batch = transform(batch)
 
-        # 3. schema evolution: payload schema vs canonical.
-        payload_fields = [
-            f for f in batch.schema.fields if f.name not in _NON_PAYLOAD_EVENT_COLS
-        ]
+        # 3. schema evolution: payload schema vs canonical. Batch columns
+        # outside the canonical schema split three ways: a column that was
+        # explicitly DROPPED is ignored (CDC producers lag table DDL; drop
+        # means "stop storing this"); a column that is a rename-log OLD
+        # name is refused (silently ignoring it would drop data the
+        # producer thinks it is writing — it must switch to the new name);
+        # a genuinely fresh name is an implicit ADD (evolve_schema), with
+        # the same no-historical-name rule as add_column — re-introducing a
+        # retired name would alias old file sets' stored bytes.
         canon = self._canonical_schema(man)
+        renamed_away = {
+            r["old"]: r["new"]
+            for r in man.get("renames", [])
+            if r["old"] not in canon.fieldNames()
+        }
+        historical = {
+            n
+            for s in man["schemas"]
+            for n in schema_from_json(s).fieldNames()
+            if n not in canon.fieldNames()
+        }
+        payload_fields = []
+        for f in batch.schema.fields:
+            if f.name in _NON_PAYLOAD_EVENT_COLS:
+                continue
+            if f.name not in canon.fieldNames():
+                if f.name in renamed_away:
+                    raise SchemaEvolutionError(
+                        f"batch column {f.name!r} was renamed to "
+                        f"{renamed_away[f.name]!r}; update the producer"
+                    )
+                if f.name in historical:
+                    continue  # explicitly dropped — ignore
+            payload_fields.append(f)
         evolved = evolve_schema(canon, T.StructType(payload_fields))
         schemas = list(man["schemas"])
         if evolved.json() != canon.json():
@@ -1703,6 +1872,7 @@ class LakeTable:
                 tmp_man = {
                     "schemas": schemas,
                     "buckets": {str(b): buckets[str(b)] for b in to_compact},
+                    "renames": man.get("renames", []),
                 }
                 compacted = latest_per_key(
                     self._read_raw(tmp_man, canon=canon).withColumn(
@@ -1887,6 +2057,7 @@ class LakeTable:
                     "bucket_fn": self.bucket_fn,
                     "cdf": cdf,
                     "lineage": lineage,
+                    "renames": man.get("renames", []),
                     "metrics": metrics,
                     "commit_ts": time.time(),
                 }
@@ -1998,6 +2169,7 @@ class LakeTable:
                         "bucket_fn": self.bucket_fn,
                         "cdf": cdf,
                         "lineage": lineage,
+                        "renames": latest.get("renames", []),
                         "metrics": {**metrics, "commit_retried": True},
                         "commit_ts": time.time(),
                     }
