@@ -1322,6 +1322,79 @@ class LakeTable:
         )
         return {"compacted": len(todo), "version": new_version}
 
+    def _next_seq(self, man: dict, canon: T.StructType) -> int:
+        """1 + the table's max applied ``_seq`` — from per-bucket lineage
+        when present (driver-side), else one max-only agg job."""
+        seqs = [
+            s.get("max_seq")
+            for s in man.get("lineage", {}).values()
+            if s.get("max_seq") is not None
+        ]
+        if seqs:
+            return int(max(seqs)) + 1
+        r = (
+            self._read_raw(man, canon=canon)
+            .agg(F.max(SEQ_COL).alias("m"))
+            .first()
+        )
+        return int(r["m"] or 0) + 1
+
+    def update_where(
+        self,
+        predicate,
+        assignments: dict,
+        *,
+        update_seq: int | None = None,
+        note: str | None = None,
+    ) -> dict:
+        """UPDATE ... SET ... WHERE as ordinary change events: matching
+        live rows are re-emitted as 'U' events at ``update_seq`` (default
+        ``max(applied _seq) + 1``) with ``assignments`` applied, and fed
+        through :meth:`apply_changes` — so the update inherits the MERGE
+        path wholesale: under merge-on-read it APPENDS O(matches) delta
+        rows (no bucket rewrite at all — the scale shape you want for a
+        wide backfill), under copy-on-write it rewrites only touched
+        buckets; either way the rows ride the change feed and conflict
+        retry like any other batch.
+
+        ``assignments`` maps column → Column / SQL-expression string; every
+        right-hand side sees the OLD row (standard SQL UPDATE semantics).
+        Key/bucket columns cannot be assigned (that is a delete + insert).
+        The seq-domain caveat on :meth:`delete_where` applies equally.
+        """
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        for c in assignments:
+            if c in self.key_cols or c == self.bucket_col:
+                raise ValueError(
+                    f"cannot assign key/bucket column {c!r}; "
+                    "delete + re-insert instead"
+                )
+            if c not in canon.fieldNames():
+                raise SchemaEvolutionError(f"no column {c!r}")
+        if update_seq is None:
+            update_seq = self._next_seq(man, canon)
+        exprs = {
+            c: (F.expr(v) if isinstance(v, str) else v)
+            for c, v in assignments.items()
+        }
+        matched = self.read().filter(pred)
+        events = matched.select(
+            F.lit("U").alias("op"),
+            F.lit(update_seq).cast("long").alias("seq"),
+            *[
+                (exprs[f.name].cast(f.dataType) if f.name in exprs
+                 else F.col(f.name)).alias(f.name)
+                for f in canon.fields
+            ],
+        )
+        metrics = self.apply_changes(
+            events, batch_id=None, transform=None,
+            source=f"update_where:{note or ''}",
+        )
+        return {**metrics, "update_seq": update_seq}
+
     def delete_where(
         self,
         predicate,
@@ -1364,18 +1437,7 @@ class LakeTable:
         canon = self._canonical_schema(man)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         if tombstone_seq is None:
-            seqs = [
-                s.get("max_seq")
-                for s in man.get("lineage", {}).values()
-                if s.get("max_seq") is not None
-            ]
-            if seqs:
-                tombstone_seq = int(max(seqs)) + 1
-            else:  # pre-lineage table: one max-only agg job
-                r = self._read_raw(man, canon=canon).agg(
-                    F.max(SEQ_COL).alias("m")
-                ).first()
-                tombstone_seq = int(r["m"] or 0) + 1
+            tombstone_seq = self._next_seq(man, canon)
 
         # phase 1 — find matching buckets (one scan; arbitrary predicates
         # cannot be zone-pruned, but the REWRITE below is O(matches)).
