@@ -148,6 +148,47 @@ def test_delete_where_emits_change_feed_tombstones(spark, tmp_table):
     assert _keys(t) == {("c2", 0)}
 
 
+def test_delete_where_declines_conflict_then_converges_on_rerun(spark, tmp_table):
+    """Maintenance ops don't auto-retry: a concurrent writer winning the
+    version makes delete_where raise (its rewrite is against a stale base),
+    nothing is corrupted, and a plain re-run converges — delete_where is
+    idempotent because already-purged rows no longer match."""
+    t1 = LakeTable(spark, tmp_table, num_buckets=8, merge_mode="mor")
+    t1.create(TRANSCRIPT_SCHEMA)
+    t1.apply_changes(
+        _events(spark, [
+            ("I", 1, "c1", 0, "user", "PURGE", None, None, None),
+            ("I", 2, "c2", 0, "user", "fine", None, None, None),
+        ]),
+        batch_id=0,
+    )
+    t2 = LakeTable(spark, tmp_table)
+    orig = t1._commit
+
+    def racy(man):
+        t1._commit = orig  # only race the first commit
+        t2.apply_changes(
+            _events(
+                spark,
+                [("I", 9, "c3", 0, "user", "winner", None, None, None)],
+            ),
+            batch_id=1,
+        )
+        return orig(man)
+
+    t1._commit = racy
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t1.delete_where("text = 'PURGE'")
+    # the failed attempt left no trace: reads see the winner's state
+    fresh = LakeTable(spark, tmp_table)
+    assert {r.conv_id for r in fresh.read().collect()} == {"c1", "c2", "c3"}
+    res = fresh.delete_where("text = 'PURGE'")
+    assert res["deleted_rows"] == 1
+    assert {r.conv_id for r in fresh.read().collect()} == {"c2", "c3"}
+    # re-run: nothing matches anymore → clean no-op, no new version
+    assert fresh.delete_where("text = 'PURGE'")["deleted_rows"] == 0
+
+
 def test_delete_where_explicit_tombstone_seq(spark, table):
     res = table.delete_where("conv_id = 'c4'", tombstone_seq=1_000)
     assert res["tombstone_seq"] == 1_000
