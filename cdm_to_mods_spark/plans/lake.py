@@ -1746,6 +1746,64 @@ class LakeTable:
                 events, man, batch_id, transform, source, t0
             )
 
+    def bootstrap(
+        self,
+        snapshot: DataFrame,
+        snapshot_seq: int,
+        *,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> dict:
+        """Seed an EMPTY table from a full-state snapshot, then hand off to
+        the binlog tail — the CDC bulk-load + catch-up pattern (the
+        reference's analog: the initial full-collection export run that
+        later re-runs incrementally overwrite,
+        convert_cdm_to_mods.py:142-148).
+
+        ``snapshot`` carries table-shaped rows (no op/seq columns);
+        ``snapshot_seq`` is the binlog position the snapshot is consistent
+        WITH — the highest event ``seq`` already reflected in it. Every
+        snapshot row is inserted at exactly that seq, so the handoff needs
+        no exact binlog seek: replaying an overlapping range converges,
+        because cross-batch last-write-wins by ``_seq`` makes any event at
+        ``seq < snapshot_seq`` lose to the snapshot row and events at
+        ``seq > snapshot_seq`` win as usual (seq == snapshot_seq describes
+        the same state the snapshot captured, so either side is correct).
+        Start the tail anywhere at-or-before the snapshot point and
+        exactly-once still holds; pass ``min_seq=snapshot_seq`` to the
+        event source to skip the already-reflected prefix at the parquet
+        scan instead of in the merge — at 10^10 events that is the
+        difference between reading footers and re-reading the log.
+
+        Scale shape: the table is empty, so the merge's union-with-
+        affected-buckets side is zero files — the load is ONE shuffle (the
+        bucket repartition) plus the bucketed write, identical to a plain
+        partitioned CTAS, while reusing the apply pipeline's dedup guard,
+        schema evolution, metrics, and per-bucket lineage (recorded with
+        ``source="bootstrap:seq=N"`` so the handoff point is auditable in
+        the manifest). Refuses a non-empty table: bootstrapping over data
+        would silently shadow rows — replay into it with ``apply_changes``.
+        """
+        man = self.manifest()
+        if man["buckets"] or man["last_batch_id"] != -1:
+            raise RuntimeError(
+                "bootstrap requires an empty table (no data commits yet); "
+                f"found version={man['version']} with {len(man['buckets'])} "
+                "populated buckets — use apply_changes to merge into it"
+            )
+        events = snapshot.select(
+            F.lit("I").alias("op"),
+            F.lit(int(snapshot_seq)).cast("long").alias("seq"),
+            *[F.col(c) for c in snapshot.columns],
+        )
+        metrics = self.apply_changes(
+            events,
+            batch_id=None,
+            transform=transform,
+            source=f"bootstrap:seq={int(snapshot_seq)}",
+        )
+        metrics["bootstrap_seq"] = int(snapshot_seq)
+        return metrics
+
     def _apply_changes_inner(
         self,
         events: DataFrame,

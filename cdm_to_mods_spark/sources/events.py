@@ -33,6 +33,7 @@ def read_events(
     streaming: bool = False,
     schema: T.StructType = EVENT_SCHEMA,
     max_files_per_trigger: int | None = None,
+    min_seq: int | None = None,
 ) -> DataFrame:
     """Read a change-event directory in any supported format, batch or
     streaming, always at the explicit event schema.
@@ -41,6 +42,14 @@ def read_events(
     * ``json`` — JSON-lines (one event object per line), the reference's
       one-JSON-per-pointer export shape.
     * ``csv`` — header row + typed columns, cast at read.
+    ``min_seq`` drops events at ``seq <= min_seq`` — the snapshot-handoff
+    filter for ``LakeTable.bootstrap``: on parquet binlogs it reaches the
+    scan as a pushed footer predicate (whole already-reflected segments
+    are skipped from their row-group stats, never read), on json/csv/xlsx
+    it filters right after parse. The merge would converge without it
+    (last-write-wins by seq); the filter is the scale path that avoids
+    re-reading the log prefix.
+
     * ``xlsx`` — REAL workbook parsing (sources/xlsx.py: stdlib zip+XML,
       executor-side mapInPandas over the binaryFile source — the
       reference's 3-sheet connector, utilities.py:15-64), string cells
@@ -59,23 +68,26 @@ def read_events(
         from .xlsx import read_xlsx
 
         raw = read_xlsx(spark, path, columns=[f.name for f in schema.fields])
-        return raw.select(
+        df = raw.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+        return df if min_seq is None else df.filter(F.col("seq") > min_seq)
     reader = (
         spark.readStream if streaming else spark.read
     ).schema(schema).option("recursiveFileLookup", "true")
     if streaming and max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if fmt == "parquet":
-        return reader.parquet(path)
-    if fmt == "json":
-        return reader.json(path)
-    return (
-        reader.option("header", "true")
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-        .csv(path)
-    )
+        df = reader.parquet(path)
+    elif fmt == "json":
+        df = reader.json(path)
+    else:
+        df = (
+            reader.option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .csv(path)
+        )
+    return df if min_seq is None else df.filter(F.col("seq") > min_seq)
 
 
 def write_events(df: DataFrame, path: str, *, fmt: str = "parquet") -> None:

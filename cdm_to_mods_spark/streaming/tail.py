@@ -53,6 +53,7 @@ class StreamingReplay:
         stats_view_path: str | None = None,
         sliding_view_path: str | None = None,
         branch: str = "main",
+        min_seq: int | None = None,
     ) -> None:
         self.spark = spark
         self.events_dir = events_dir
@@ -61,6 +62,11 @@ class StreamingReplay:
         self.metrics_path = metrics_path
         self.max_files_per_trigger = max_files_per_trigger
         self.source_format = source_format
+        # snapshot-handoff floor (LakeTable.bootstrap): events at
+        # seq <= min_seq are already reflected in the bootstrapped state —
+        # skip them at the scan (parquet footer pushdown) instead of
+        # re-resolving them in the merge.
+        self.min_seq = min_seq
         if branch != "main":
             # write-audit-publish tail: stage the whole stream on a branch
             # main readers never see, audit the branch handle, then
@@ -135,6 +141,7 @@ class StreamingReplay:
             streaming=True,
             schema=EVENT_SCHEMA,
             max_files_per_trigger=self.max_files_per_trigger,
+            min_seq=self.min_seq,
         )
 
         writer = (
