@@ -14,7 +14,11 @@ On a real cluster no ``--master`` is passed — spark-submit decides; the
 SparkSession factory only fills local-mode defaults when nothing is set.
 The streaming tail is resumable: rerun with the same --checkpoint and it
 continues from the committed source offsets, with already-applied batches
-skipped by the table's exactly-once ledger. Per-micro-batch metrics
+skipped by the table's exactly-once ledger. A deployment starting from an
+existing dataset passes ``--bootstrap <snapshot_dir> --bootstrap-seq N``:
+the snapshot bulk-loads first (one shuffle, empty-table CTAS shape) and
+the tail then skips events at seq <= N at the parquet scan — overlap
+between snapshot and binlog is safe either way (last-write-wins by seq). Per-micro-batch metrics
 (events/sec, buckets touched, op mix) append to --metrics as JSON lines;
 per-bucket lineage (source offset → snapshot) lives in the table manifest.
 """
@@ -44,7 +48,15 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--synth", type=int, default=None,
                     help="local smoke: generate N synthetic events into --events first")
+    ap.add_argument("--bootstrap", default=None, metavar="SNAPSHOT_DIR",
+                    help="bulk-load this full-state parquet snapshot into an "
+                         "empty table before tailing (CDC snapshot+catch-up)")
+    ap.add_argument("--bootstrap-seq", type=int, default=None,
+                    help="binlog seq the snapshot is consistent with; the tail "
+                         "skips events at seq <= this at the parquet scan")
     args = ap.parse_args()
+    if (args.bootstrap is None) != (args.bootstrap_seq is None):
+        ap.error("--bootstrap and --bootstrap-seq must be passed together")
 
     from cdm_to_mods_spark.session import get_spark
     from cdm_to_mods_spark.streaming.tail import StreamingReplay
@@ -59,6 +71,22 @@ def main() -> None:
             n_batches=4, seed=42,
         )
 
+    if args.bootstrap is not None:
+        from cdm_to_mods_spark.plans.lake import LakeTable
+        from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+        t = LakeTable(
+            spark, args.table, num_buckets=args.buckets, merge_mode=args.mode
+        )
+        if not t.exists():
+            t.create(TRANSCRIPT_SCHEMA)
+        m = t.bootstrap(
+            spark.read.parquet(args.bootstrap), args.bootstrap_seq
+        )
+        print(json.dumps({"bootstrap": {
+            "rows": m.get("rows_written"), "seq": m["bootstrap_seq"],
+        }}), file=sys.stderr)
+
     sr = StreamingReplay(
         spark,
         args.events,
@@ -69,6 +97,7 @@ def main() -> None:
         metrics_path=args.metrics,
         max_files_per_trigger=args.max_files_per_trigger,
         source_format=args.format,
+        min_seq=args.bootstrap_seq,
     )
     if args.continuous:
         q = sr.start(available_now=False)
