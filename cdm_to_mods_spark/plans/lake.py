@@ -291,6 +291,8 @@ class LakeTable:
         bucket_fn: str = "hash32",
         branch: str = "main",
         stats_cols: tuple = ("ts",),
+        schema_mode: str = "evolve",
+        target_file_rows: int | None = None,
     ) -> None:
         """``merge_mode``:
 
@@ -330,6 +332,23 @@ class LakeTable:
         all-null) record no stats and readers treat that as "may
         overlap". Default tracks ``ts``; pass ``()`` to disable.
 
+        ``schema_mode``: ``"evolve"`` (default) merges batch schema drift
+        into the table — new columns add as nullable, numeric types widen
+        (int→long, float→double). ``"strict"`` is the enforcement mode:
+        any drift raises ``SchemaEvolutionError`` before data lands, for
+        tables whose schema is a contract (the Delta
+        ``mergeSchema=false`` posture). Explicit DDL (``add_column`` etc.)
+        still works under strict — it is the implicit path that is closed.
+
+        ``target_file_rows``: cap rows per data FILE on every bucket write
+        (Spark's ``maxRecordsPerFile``). One bucket = one directory = one
+        write task, but at 100 TB / 4096 buckets a single 25 GB parquet
+        file per bucket is wrong — footers balloon, row-group pruning
+        coarsens, and any downstream re-read gets one giant split. A cap
+        keeps files at the ~1 GB lake sweet spot while all manifest
+        entries stay directory-granular (readers and footer stats already
+        aggregate every file in a bucket dir). Advisory; None = no cap.
+
         ``branch``: open the table AT A STAGING BRANCH (write-audit-publish,
         the Iceberg/Netflix WAP pattern — the lake-scale analog of the
         reference's validate-before-package flow, post_cdm_cleanup.py's QC
@@ -351,6 +370,9 @@ class LakeTable:
         assert bucket_fn in ("hash32", "xxhash64"), bucket_fn
         self.bucket_fn = bucket_fn
         self.stats_cols = tuple(stats_cols)
+        assert schema_mode in ("evolve", "strict"), schema_mode
+        self.schema_mode = schema_mode
+        self.target_file_rows = target_file_rows
         self._ledger = os.path.join(self.path, "_ledger")
         if not _BRANCH_NAME_RE.match(branch):
             raise ValueError(f"invalid branch name {branch!r}")
@@ -566,6 +588,47 @@ class LakeTable:
         if best is None:
             raise LookupError(f"no snapshot committed at or before {ts}")
         return best
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        """Commit log, newest first — the ``DESCRIBE HISTORY`` surface
+        (reference analog: the per-run log files every conversion run
+        appends, utilities.py:93-108, turned into queryable table
+        metadata). Driver-side and manifest-only: raw version files are
+        read, range files are NOT materialized, so cost is O(versions),
+        independent of table size.
+
+        Each entry: ``version``, ``commit_ts``, ``operation`` (MERGE /
+        bootstrap / compact / delete_where / rollback / ... / CREATE),
+        ``batch_id``, and the commit's recorded ``metrics``. Versions
+        dropped by ``expire_snapshots`` no longer appear — history is the
+        retained ledger, not an external audit log.
+        """
+        out: list[dict] = []
+        for v in sorted(self._versions(), reverse=True):
+            if limit is not None and len(out) >= limit:
+                break
+            m = self._load_version(v)
+            metrics = m.get("metrics") or {}
+            if metrics.get("maintenance"):
+                op = metrics["maintenance"]
+            elif metrics.get("bootstrap_seq") is not None:
+                op = "bootstrap"
+            elif metrics.get("mode"):
+                op = "MERGE"
+            elif v == 0:
+                op = "CREATE"
+            else:
+                op = "unknown"
+            out.append(
+                {
+                    "version": v,
+                    "commit_ts": m.get("commit_ts"),
+                    "operation": op,
+                    "batch_id": m.get("batch_id"),
+                    "metrics": metrics,
+                }
+            )
+        return out
 
     # ------------------------------------------------- branches (WAP)
     # Write-audit-publish staging (the Iceberg branch / Netflix WAP
@@ -971,6 +1034,14 @@ class LakeTable:
         )
         return self.spark.createDataFrame([], full)
 
+    def _capped(self, writer):
+        """Apply ``target_file_rows`` (maxRecordsPerFile) to a data write.
+        Manifest entries are directory-granular, so splitting a bucket's
+        write into N files changes nothing for readers or footer stats."""
+        if self.target_file_rows is None:
+            return writer
+        return writer.option("maxRecordsPerFile", str(self.target_file_rows))
+
     @staticmethod
     def _bucket_files(entry: dict) -> list[dict]:
         """Normalize a manifest bucket entry to a list of file-set dicts
@@ -1293,11 +1364,12 @@ class LakeTable:
             # sort by key inside each bucket file: compaction is the read-
             # optimization pass, and sorted row groups give parquet min/max
             # pruning on conv_id for read_keys point lookups.
-            folded.repartition(max(len(todo), 1), "_bucket")
-            .sortWithinPartitions("_bucket", *self.key_cols)
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(self.path, cdir_rel))
+            self._capped(
+                folded.repartition(max(len(todo), 1), "_bucket")
+                .sortWithinPartitions("_bucket", *self.key_cols)
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+            ).parquet(os.path.join(self.path, cdir_rel))
         )
         schema_id = len(man["schemas"]) - 1
         cstats = _footer_stats(
@@ -1392,6 +1464,7 @@ class LakeTable:
         metrics = self.apply_changes(
             events, batch_id=None, transform=None,
             source=f"update_where:{note or ''}",
+            _metrics_extra={"maintenance": "update_where"},
         )
         return {**metrics, "update_seq": update_seq}
 
@@ -1503,11 +1576,12 @@ class LakeTable:
             )
         )
         (
-            rewritten.repartition(max(len(todo), 1), "_bucket")
-            .sortWithinPartitions("_bucket", *self.key_cols)
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(vdir)
+            self._capped(
+                rewritten.repartition(max(len(todo), 1), "_bucket")
+                .sortWithinPartitions("_bucket", *self.key_cols)
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+            ).parquet(vdir)
         )
         schema_id = len(man["schemas"]) - 1
         dstats = _footer_stats(vdir, SEQ_COL, self.stats_cols)
@@ -1585,11 +1659,12 @@ class LakeTable:
         new_version = man["version"] + 1
         rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}-rebucket"
         (
-            folded.repartition(new_num_buckets, "_bucket")
-            .sortWithinPartitions("_bucket", *self.key_cols)
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(os.path.join(self.path, rel))
+            self._capped(
+                folded.repartition(new_num_buckets, "_bucket")
+                .sortWithinPartitions("_bucket", *self.key_cols)
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+            ).parquet(os.path.join(self.path, rel))
         )
         schema_id = len(man["schemas"]) - 1
         stats = _footer_stats(
@@ -1716,6 +1791,7 @@ class LakeTable:
         batch_id: int | None = None,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         source: str | None = None,
+        _metrics_extra: dict | None = None,
     ) -> dict:
         """MERGE a change batch (op/seq + payload columns) into the table.
 
@@ -1743,7 +1819,8 @@ class LakeTable:
         # one SparkSession cannot race the save/restore and strand AQE off.
         with _aqe_disabled(self.spark):
             return self._apply_changes_inner(
-                events, man, batch_id, transform, source, t0
+                events, man, batch_id, transform, source, t0,
+                _metrics_extra=_metrics_extra,
             )
 
     def bootstrap(
@@ -1795,14 +1872,13 @@ class LakeTable:
             F.lit(int(snapshot_seq)).cast("long").alias("seq"),
             *[F.col(c) for c in snapshot.columns],
         )
-        metrics = self.apply_changes(
+        return self.apply_changes(
             events,
             batch_id=None,
             transform=transform,
             source=f"bootstrap:seq={int(snapshot_seq)}",
+            _metrics_extra={"bootstrap_seq": int(snapshot_seq)},
         )
-        metrics["bootstrap_seq"] = int(snapshot_seq)
-        return metrics
 
     def _apply_changes_inner(
         self,
@@ -1812,6 +1888,7 @@ class LakeTable:
         transform: Callable[[DataFrame], DataFrame] | None,
         source: str | None,
         t0: float,
+        _metrics_extra: dict | None = None,
     ) -> dict:
 
         new_version = man["version"] + 1
@@ -1909,6 +1986,30 @@ class LakeTable:
         evolved = evolve_schema(canon, T.StructType(payload_fields))
         schemas = list(man["schemas"])
         if evolved.json() != canon.json():
+            if self.schema_mode == "strict":
+                # enforcement mode: a producer drifting from the declared
+                # contract is an error, not an implicit DDL (the reference's
+                # strict XSD gate, convert_cdm_to_mods.py:376-385). Raised
+                # BEFORE any data lands, so the batch can be re-applied
+                # unchanged after the producer (or the table, via
+                # add_column/ALTER) is fixed. Only NAME/TYPE drift counts:
+                # nullability-only relaxation passes, because Spark loses
+                # nullability on every createDataFrame/parquet round trip —
+                # refusing it would make strict tables unusable.
+                old = {f.name: f.dataType for f in canon.fields}
+                drift = [
+                    f"+{f.name}:{f.dataType.simpleString()}"
+                    if f.name not in old
+                    else f"{f.name}:{old[f.name].simpleString()}"
+                         f"->{f.dataType.simpleString()}"
+                    for f in evolved.fields
+                    if f.name not in old or old[f.name] != f.dataType
+                ]
+                if drift:
+                    raise SchemaEvolutionError(
+                        "schema_mode='strict' refuses batch schema drift: "
+                        + ", ".join(drift)
+                    )
             schemas.append(evolved.json())
         schema_id = len(schemas) - 1
         canon = evolved
@@ -1961,9 +2062,9 @@ class LakeTable:
                 else changes.repartition(self.num_buckets, "_bucket")
             )
             (
-                to_write.write.partitionBy("_bucket")
-                .mode("overwrite")
-                .parquet(vdir)
+                self._capped(
+                    to_write.write.partitionBy("_bucket").mode("overwrite")
+                ).parquet(vdir)
             )
             lineage_stats = _footer_stats(vdir, SEQ_COL, self.stats_cols)
             affected = sorted(lineage_stats)
@@ -2005,11 +2106,12 @@ class LakeTable:
                 )
                 cdir_rel = f"{data_rel}-compact"
                 (
-                    compacted.repartition(max(n_compacted, 1), "_bucket")
-                    .sortWithinPartitions("_bucket", *self.key_cols)
-                    .write.partitionBy("_bucket")
-                    .mode("overwrite")
-                    .parquet(os.path.join(self.path, cdir_rel))
+                    self._capped(
+                        compacted.repartition(max(n_compacted, 1), "_bucket")
+                        .sortWithinPartitions("_bucket", *self.key_cols)
+                        .write.partitionBy("_bucket")
+                        .mode("overwrite")
+                    ).parquet(os.path.join(self.path, cdir_rel))
                 )
                 cstats = _footer_stats(
                     os.path.join(self.path, cdir_rel), SEQ_COL, self.stats_cols
@@ -2083,9 +2185,9 @@ class LakeTable:
                         max(len(affected), 1), "_bucket"
                     )
                 (
-                    writer_df.write.partitionBy("_bucket")
-                    .mode("overwrite")
-                    .parquet(vdir)
+                    self._capped(
+                        writer_df.write.partitionBy("_bucket").mode("overwrite")
+                    ).parquet(vdir)
                 )
                 # row count observed during the write job — no read-back scan.
                 _w = _observed(obs_out)
@@ -2159,6 +2261,7 @@ class LakeTable:
             "rows_written": n_written,
             "elapsed_sec": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed, 1) if elapsed > 0 else None,
+            **(_metrics_extra or {}),
         }
 
         if cached_batch is not None:  # quarantine cache: all jobs have run

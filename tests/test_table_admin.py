@@ -1,0 +1,166 @@
+"""history(), schema_mode='strict', and target_file_rows — the table-admin
+surface: a queryable commit log, a schema-contract enforcement mode, and
+file-size control for the 100 TB layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA, SchemaEvolutionError
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string"
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENT_DDL)
+
+
+# ---------------------------------------------------------------- history
+def test_history_classifies_every_commit_kind(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    snap = spark.createDataFrame(
+        [("c1", 0, "user", "hello", None, None)], TRANSCRIPT_SCHEMA
+    )
+    t.bootstrap(snap, snapshot_seq=10)
+    t.apply_changes(
+        _events(spark, [("U", 11, "c1", 0, "user", "hi", None),
+                        ("I", 12, "c2", 0, "user", "DROPME", None)]),
+        batch_id=0,
+    )
+    t.update_where("conv_id = 'c1'", {"text": "upper(text)"})
+    t.delete_where("text = 'DROPME'")
+    t.compact()
+    h = t.history()
+    assert [e["operation"] for e in h] == [
+        "compact", "delete_where", "update_where", "MERGE", "bootstrap", "CREATE"
+    ]
+    assert [e["version"] for e in h] == [5, 4, 3, 2, 1, 0]
+    merge = next(e for e in h if e["operation"] == "MERGE")
+    assert merge["batch_id"] == 0 and merge["metrics"]["n_events"] == 2
+    boot = next(e for e in h if e["operation"] == "bootstrap")
+    assert boot["metrics"]["bootstrap_seq"] == 10
+    assert all(e["commit_ts"] is not None for e in h)
+    assert len(t.history(limit=2)) == 2
+
+
+def test_history_is_the_retained_ledger(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    for i in range(3):
+        t.apply_changes(
+            _events(spark, [("I", i + 1, f"c{i}", 0, "user", "x", None)]),
+            batch_id=i,
+        )
+    t.expire_snapshots(keep_last=1)
+    assert [e["version"] for e in t.history()] == [3]
+
+
+# ------------------------------------------------------------ strict mode
+def test_strict_mode_refuses_new_column(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor",
+                  schema_mode="strict")
+    t.create(TRANSCRIPT_SCHEMA)
+    drifted = _events(spark, [("I", 1, "c1", 0, "user", "x", None)]).withColumn(
+        "surprise", F.lit("boom")
+    )
+    with pytest.raises(SchemaEvolutionError, match=r"\+surprise:string"):
+        t.apply_changes(drifted, batch_id=0)
+    # nothing landed; the batch can be re-applied after the fix
+    assert t.latest_version() == 0
+    t.apply_changes(drifted.drop("surprise"), batch_id=0)
+    assert t.read().count() == 1
+
+
+def test_strict_mode_refuses_type_widening(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor",
+                  schema_mode="strict")
+    t.create(TRANSCRIPT_SCHEMA)
+    wide = _events(spark, [("I", 1, "c1", 0, "user", "x", None)]).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    )
+    with pytest.raises(SchemaEvolutionError, match="turn_idx:int->bigint"):
+        t.apply_changes(wide, batch_id=0)
+
+
+def test_strict_mode_allows_explicit_ddl(spark, tmp_table):
+    """strict closes the implicit path only — add_column still evolves."""
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor",
+                  schema_mode="strict")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.add_column("lang", "string")
+    ev = _events(spark, [("I", 1, "c1", 0, "user", "x", None)]).withColumn(
+        "lang", F.lit("en")
+    )
+    t.apply_changes(ev, batch_id=0)
+    assert t.read().select("lang").first()[0] == "en"
+
+
+def test_evolve_mode_still_default(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    drifted = _events(spark, [("I", 1, "c1", 0, "user", "x", None)]).withColumn(
+        "extra", F.lit(7)
+    )
+    t.apply_changes(drifted, batch_id=0)
+    assert "extra" in t.read().columns
+
+
+# ------------------------------------------------------- target_file_rows
+def _bucket_file_counts(table_path):
+    counts = {}
+    data = os.path.join(table_path, "data")
+    for vdir in os.listdir(data):
+        for d in os.listdir(os.path.join(data, vdir)):
+            if d.startswith("_bucket="):
+                n = len([
+                    f for f in os.listdir(os.path.join(data, vdir, d))
+                    if f.endswith(".parquet")
+                ])
+                counts[d] = counts.get(d, 0) + n
+    return counts
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_target_file_rows_splits_bucket_files(spark, tmp_table, mode):
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode=mode,
+                  target_file_rows=25)
+    t.create(TRANSCRIPT_SCHEMA)
+    rows = [("I", i, f"c{i % 40}", i // 40, "user", f"t{i}", None)
+            for i in range(200)]
+    t.apply_changes(_events(spark, rows), batch_id=0)
+    counts = _bucket_file_counts(tmp_table)
+    assert counts and all(n >= 2 for n in counts.values()), counts
+    # readers, point reads, and footer lineage are file-count-agnostic
+    assert t.read().count() == 200
+    assert t.read_keys(["c7"]).count() == 5
+    assert sum(
+        e["n_changes"] for e in t.manifest()["lineage"].values()
+    ) == 200
+
+
+def test_target_file_rows_respected_by_compact(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode="mor",
+                  compact_deltas=1000, target_file_rows=25)
+    t.create(TRANSCRIPT_SCHEMA)
+    for b in range(2):
+        rows = [("I", b * 100 + i, f"c{i % 40}", b * 3 + i // 40, "user", "x", None)
+                for i in range(100)]
+        t.apply_changes(_events(spark, rows), batch_id=b)
+    t.compact()
+    data = os.path.join(tmp_table, "data")
+    cdirs = [d for d in os.listdir(data) if d.endswith("-compact")]
+    assert cdirs
+    for d in os.listdir(os.path.join(data, cdirs[0])):
+        if d.startswith("_bucket="):
+            files = [f for f in os.listdir(os.path.join(data, cdirs[0], d))
+                     if f.endswith(".parquet")]
+            assert len(files) >= 2, (d, files)
+    assert t.read().count() == 200
