@@ -1859,6 +1859,10 @@ class LakeTable:
         ``source="bootstrap:seq=N"`` so the handoff point is auditable in
         the manifest). Refuses a non-empty table: bootstrapping over data
         would silently shadow rows — replay into it with ``apply_changes``.
+        The emptiness check is read-then-write (not atomic with the
+        commit): run bootstrap BEFORE starting any writer, which is the
+        only ordering that makes operational sense anyway — the tail's
+        min_seq floor comes out of the bootstrap.
         """
         man = self.manifest()
         if man["buckets"] or man["last_batch_id"] != -1:

@@ -109,3 +109,54 @@ def test_any_log_converges_to_oracle(spark, merge_mode, log):
         pd.testing.assert_frame_equal(got2, want, check_dtype=False)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
+def logs_with_handoff(draw):
+    events, _ = draw(event_logs())
+    n = len(events)
+    snap_at = draw(st.integers(0, n))       # snapshot reflects seq <= snap_at
+    overlap = draw(st.integers(0, snap_at))  # tail restarts at seq > overlap
+    return events, snap_at, overlap
+
+
+@pytest.mark.parametrize("merge_mode", ["mor", "cow"])
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=logs_with_handoff())
+def test_bootstrap_handoff_converges_for_any_split(spark, merge_mode, case):
+    """For ANY event log, ANY snapshot point S, ANY tail restart O <= S:
+    bootstrap(state(seq<=S), S) + replay(seq>O) == replay(all). The overlap
+    (O, S] must be pure no-ops; the independent pandas oracle supplies both
+    the snapshot state and the expected final state."""
+    events, snap_at, overlap = case
+    cols = ["op", "seq", "conv_id", "turn_idx", "role", "text",
+            "tool", "ts_raw", "ingest_ts"]
+    full = pd.DataFrame(events, columns=cols)
+    want = replay_oracle(full)
+    snap_pdf = replay_oracle(full[full["seq"] <= snap_at])
+    root = tempfile.mkdtemp(prefix="prop-boot-")
+    try:
+        t = LakeTable(spark, root, num_buckets=4, merge_mode=merge_mode)
+        t.create(TRANSCRIPT_SCHEMA)
+        if len(snap_pdf):
+            snapshot = spark.createDataFrame(snap_pdf, TRANSCRIPT_SCHEMA)
+            t.bootstrap(snapshot, snapshot_seq=snap_at)
+        suffix = [e for e in events if e[1] > overlap]
+        if suffix:
+            t.apply_changes(
+                spark.createDataFrame(suffix, EVENT_DDL),
+                batch_id=0, transform=apply_chain,
+            )
+        got = (
+            t.read().toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
