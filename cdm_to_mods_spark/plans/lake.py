@@ -761,6 +761,7 @@ class LakeTable:
                     "cdf": union_cdf,
                     "lineage": head_raw.get("lineage", {}),
                     "renames": head_raw.get("renames", []),
+                    "constraints": head_raw.get("constraints", []),
                     "metrics": metrics,
                     "commit_ts": time.time(),
                 }
@@ -996,6 +997,82 @@ class LakeTable:
             renames=renames,
         )
 
+    # --------------------------------------------------- CHECK constraints
+    # Table invariants, enforced on every write (the Delta CHECK-constraint
+    # / invariant model; reference analog: the XSD validation gate every
+    # converted record must pass before packaging,
+    # convert_cdm_to_mods.py:376-385). A violating batch FAILS before its
+    # commit publishes — nothing lands, the table is untouched, and the
+    # batch can be re-applied after the producer or the constraint is
+    # fixed. Enforcement is an inline guard on the merge's own projection
+    # (``raise_error`` folded into the ``_seq`` column, which nothing can
+    # prune), so a 10^10-event replay pays ZERO extra passes and zero extra
+    # jobs for any number of constraints. Delete events are exempt — their
+    # payload is nulled by construction. SQL semantics: a NULL predicate
+    # result passes (CHECK fails only on FALSE).
+
+    def constraints(self) -> list[dict]:
+        """Active CHECK constraints: ``[{"name", "expr"}, ...]``."""
+        return list(self.manifest().get("constraints", []))
+
+    def add_constraint(self, name: str, expr: str, *,
+                       validate: bool = True) -> dict:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr). ``expr`` is a SQL
+        predicate over canonical columns. With ``validate`` (default), one
+        scan proves EXISTING rows satisfy it first — refusing a constraint
+        the table already violates (Delta's add-constraint behavior)."""
+        man = self.manifest()
+        cons = list(man.get("constraints", []))
+        if any(c["name"] == name for c in cons):
+            raise ValueError(f"constraint {name!r} already exists")
+        # analyze the predicate against the canonical schema now — a typo
+        # should fail here, not inside a later replay's write job
+        probe = self._empty(self._canonical_schema(man), hidden=False)
+        probe.filter(F.expr(expr)).schema
+        if validate:
+            n_bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {n_bad} existing "
+                    f"rows violate CHECK ({expr})"
+                )
+        self._commit(
+            {
+                **man,
+                "version": man["version"] + 1,
+                "batch_id": None,
+                "cdf": [],
+                "constraints": [*cons, {"name": name, "expr": expr}],
+                "metrics": {"maintenance": "add_constraint", "name": name,
+                            "expr": expr},
+                "commit_ts": time.time(),
+            }
+        )
+        return {"constraint": name, "version": man["version"] + 1}
+
+    def drop_constraint(self, name: str) -> dict:
+        """ALTER TABLE DROP CONSTRAINT (metadata-only)."""
+        man = self.manifest()
+        cons = list(man.get("constraints", []))
+        if not any(c["name"] == name for c in cons):
+            raise ValueError(f"no constraint {name!r}")
+        self._commit(
+            {
+                **man,
+                "version": man["version"] + 1,
+                "batch_id": None,
+                "cdf": [],
+                "constraints": [c for c in cons if c["name"] != name],
+                "metrics": {"maintenance": "drop_constraint", "name": name},
+                "commit_ts": time.time(),
+            }
+        )
+        return {"dropped": name, "version": man["version"] + 1}
+
     # ------------------------------------------------------------- create
     def create(self, schema: T.StructType) -> None:
         """Initialize an empty table at schema (snapshot v0, no data)."""
@@ -1011,6 +1088,7 @@ class LakeTable:
                 "bucket_col": self.bucket_col,
                 "bucket_fn": self.bucket_fn,
                 "lineage": {},
+                "constraints": [],
                 "metrics": {},
                 "commit_ts": time.time(),
             }
@@ -2035,6 +2113,44 @@ class LakeTable:
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn)
         )
 
+        # 4b. CHECK constraints — inline guard, not a validation pass. The
+        # predicate folds into the _seq projection (which dedup and the
+        # write both consume, so Catalyst can never prune it); the first
+        # violating row fails the write job BEFORE any commit publishes.
+        # Live rows only: delete events carry a nulled payload by
+        # construction. NULL predicate results pass (SQL CHECK).
+        cons = man.get("constraints", [])
+        if cons:
+            viol = [
+                ~F.col(DELETED_COL)
+                & ~F.coalesce(F.expr(c["expr"]), F.lit(True))
+                for c in cons
+            ]
+            any_bad = viol[0]
+            for v in viol[1:]:
+                any_bad = any_bad | v
+            named = F.concat_ws(
+                ", ",
+                *[F.when(v, F.lit(c["name"])) for v, c in zip(viol, cons)],
+            )
+            changes = changes.withColumn(
+                SEQ_COL,
+                F.when(
+                    any_bad,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("CHECK constraint violated ["), named,
+                            F.lit("] by row key=("),
+                            F.concat_ws(
+                                ",", *[F.col(k).cast("string")
+                                       for k in self.key_cols]
+                            ),
+                            F.lit(")"),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col(SEQ_COL)),
+            )
+
         # Unique per-commit data directory (version prefix is cosmetic/
         # debuggability): concurrent writers must never contend on a path —
         # an overwrite into a shared version-named dir would clobber the
@@ -2285,6 +2401,7 @@ class LakeTable:
                     "cdf": cdf,
                     "lineage": lineage,
                     "renames": man.get("renames", []),
+                    "constraints": man.get("constraints", []),
                     "metrics": metrics,
                     "commit_ts": time.time(),
                 }
@@ -2397,6 +2514,7 @@ class LakeTable:
                         "cdf": cdf,
                         "lineage": lineage,
                         "renames": latest.get("renames", []),
+                        "constraints": latest.get("constraints", []),
                         "metrics": {**metrics, "commit_retried": True},
                         "commit_ts": time.time(),
                     }
