@@ -1406,18 +1406,40 @@ class LakeTable:
         return out
 
     # ------------------------------------------------------- maintenance
-    def compact(self, version_note: str | None = None) -> dict:
+    def compact(self, version_note: str | None = None, *,
+                cluster_by: list | tuple | str | None = None) -> dict:
         """Fold every delta chain back into per-bucket base files (one
         maintenance commit). Equivalent to the inline compaction that fires
         at ``compact_deltas``, but on demand — run it before read-heavy
-        phases or after a replay finishes."""
+        phases or after a replay finishes.
+
+        ``cluster_by``: re-layout pass — rewrite EVERY populated bucket
+        (deltas or not) with rows sorted by these columns inside each
+        bucket instead of the key columns (the Delta ``OPTIMIZE … ZORDER``
+        / Iceberg sort-order role, one dimension at a time). Sorting by
+        ``ts`` makes every parquet row group's ts min/max a tight slice, so
+        a time-ranged ``read_range`` prunes row groups inside the buckets
+        the zone maps admit — at 100 TB that is the difference between
+        scanning a bucket and scanning a morning. Trade-off: key-ordered
+        row-group pruning for ``read_keys`` point reads degrades; pick the
+        layout to match the read pattern."""
         man = self.manifest()
         canon = self._canonical_schema(man)
+        if isinstance(cluster_by, str):
+            cluster_by = [cluster_by]
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in canon.fieldNames()]
+            if missing:
+                raise ValueError(f"cluster_by columns not in schema: {missing}")
+        sort_cols = list(cluster_by) if cluster_by else list(self.key_cols)
         buckets = {
             k: (e if "path" not in e else {"base": e, "deltas": []})
             for k, e in man["buckets"].items()
         }
-        todo = sorted(int(b) for b, e in buckets.items() if e["deltas"])
+        todo = sorted(
+            int(b) for b, e in buckets.items()
+            if e["deltas"] or cluster_by
+        )
         if not todo:
             return {"compacted": 0}
         new_version = man["version"] + 1
@@ -1444,7 +1466,7 @@ class LakeTable:
             # pruning on conv_id for read_keys point lookups.
             self._capped(
                 folded.repartition(max(len(todo), 1), "_bucket")
-                .sortWithinPartitions("_bucket", *self.key_cols)
+                .sortWithinPartitions("_bucket", *sort_cols)
                 .write.partitionBy("_bucket")
                 .mode("overwrite")
             ).parquet(os.path.join(self.path, cdir_rel))
@@ -1466,7 +1488,7 @@ class LakeTable:
                 "cdf": [],
                 "buckets": buckets,
                 "metrics": {"maintenance": "compact", "n_buckets": len(todo),
-                            "note": version_note},
+                            "cluster_by": cluster_by, "note": version_note},
                 "commit_ts": time.time(),
             }
         )

@@ -164,3 +164,62 @@ def test_target_file_rows_respected_by_compact(spark, tmp_table):
                      if f.endswith(".parquet")]
             assert len(files) >= 2, (d, files)
     assert t.read().count() == 200
+
+
+# ---------------------------------------------------------- cluster_by
+def test_compact_cluster_by_lays_out_time_slices(spark, tmp_table):
+    """compact(cluster_by='ts') rewrites every bucket ts-sorted, so with a
+    file-row cap the files of one bucket carry non-overlapping ts spans —
+    the layout a time-ranged scan prunes against."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+    import datetime as dt
+
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode="mor",
+                  target_file_rows=50)
+    t.create(TRANSCRIPT_SCHEMA)
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        Row(op="I", seq=i, conv_id=f"c{i % 20}", turn_idx=i // 20,
+            role="user", text="x", tool=None,
+            ts=base + dt.timedelta(hours=(i * 7919) % 400))  # shuffled ts
+        for i in range(400)
+    ]
+    t.apply_changes(
+        spark.createDataFrame(
+            rows,
+            "op string, seq long, conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp",
+        ),
+        batch_id=0,
+    )
+    res = t.compact(cluster_by="ts")
+    assert res["compacted"] == 2
+    man = t.manifest()
+    for e in man["buckets"].values():
+        d = os.path.join(tmp_table, e["base"]["path"])
+        spans = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts"]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            spans.append((min(mins), max(maxs)))
+        assert len(spans) >= 2, "file cap should split each bucket"
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"overlapping ts spans: {spans}"
+    # correctness is untouched by the re-layout
+    assert t.read().count() == 400
+    assert t.read_range("2020-01-02", "2020-01-03").count() > 0
+
+
+def test_compact_cluster_by_rejects_unknown_column(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.compact(cluster_by="nope")
