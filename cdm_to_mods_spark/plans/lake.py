@@ -2136,11 +2136,14 @@ class LakeTable:
         )
 
         # 4b. CHECK constraints — inline guard, not a validation pass. The
-        # predicate folds into the _seq projection (which dedup and the
-        # write both consume, so Catalyst can never prune it); the first
-        # violating row fails the write job BEFORE any commit publishes.
-        # Live rows only: delete events carry a nulled payload by
-        # construction. NULL predicate results pass (SQL CHECK).
+        # predicates fold into the _bucket projection: _bucket feeds the
+        # repartition exchange, so Catalyst can never prune the guard AND
+        # it is evaluated exactly once per row on the map side (wrapping
+        # _seq instead would re-evaluate inside the dedup aggregate's rank
+        # and payload structs — measured ~10% on a 2M-row wide batch vs
+        # ~0 here). The first violating row fails the job BEFORE any
+        # commit publishes. Live rows only: delete events carry a nulled
+        # payload by construction. NULL predicate results pass (SQL CHECK).
         cons = man.get("constraints", [])
         if cons:
             viol = [
@@ -2156,7 +2159,7 @@ class LakeTable:
                 *[F.when(v, F.lit(c["name"])) for v, c in zip(viol, cons)],
             )
             changes = changes.withColumn(
-                SEQ_COL,
+                "_bucket",
                 F.when(
                     any_bad,
                     F.raise_error(
@@ -2169,8 +2172,8 @@ class LakeTable:
                             ),
                             F.lit(")"),
                         )
-                    ).cast("long"),
-                ).otherwise(F.col(SEQ_COL)),
+                    ).cast("int"),
+                ).otherwise(F.col("_bucket")),
             )
 
         # Unique per-commit data directory (version prefix is cosmetic/
