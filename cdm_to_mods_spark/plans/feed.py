@@ -74,6 +74,39 @@ class ChangeFeedConsumer:
         head = self.table.latest_version()
         return self.last_consumed(), head if head is not None else 0
 
+    def lag(self) -> dict:
+        """Consumer-lag observability (the Kafka consumer-group lag
+        analog, read straight off the ledger — no Spark job): versions
+        behind, change rows behind (sum of the pending commits' recorded
+        ``n_events`` metrics, None if any pending commit predates
+        metrics), and seconds behind head (head ``commit_ts`` minus the
+        last consumed version's)."""
+        since, head = self.pending()
+        behind = [
+            v for v in self.table._versions() if since < v <= head
+        ]
+        rows: int | None = 0
+        newest_ts = base_ts = None
+        for v in behind:
+            m = self.table._load_version(v)
+            n = (m.get("metrics") or {}).get("n_events")
+            rows = None if (rows is None or n is None) else rows + n
+            if m.get("commit_ts"):
+                newest_ts = max(newest_ts or 0, m["commit_ts"])
+        if since in self.table._versions():
+            base_ts = self.table._load_version(since).get("commit_ts")
+        return {
+            "versions_behind": len(behind),
+            "rows_behind": rows if behind else 0,
+            "seconds_behind": (
+                round(newest_ts - base_ts, 3)
+                if behind and newest_ts and base_ts
+                else 0.0
+            ),
+            "last_consumed": since,
+            "head": head,
+        }
+
     def process_once(
         self, fn: Callable[[DataFrame, int, int], None]
     ) -> dict:

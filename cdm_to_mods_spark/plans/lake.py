@@ -1984,6 +1984,35 @@ class LakeTable:
             _metrics_extra={"bootstrap_seq": int(snapshot_seq)},
         )
 
+    def reprocess_quarantine(
+        self,
+        fix: Callable[[DataFrame], DataFrame],
+        *,
+        batch_id: int | None = None,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> dict:
+        """Re-admit dead-letter rows after repair (the reference's manual
+        fix-and-rerun loop for invalid records, post_cdm_cleanup.py:15-37,
+        as a first-class op). Reads the quarantine parquet, hands the rows
+        (minus the ``_quarantine_batch`` bookkeeping column) to ``fix``,
+        and MERGEs the result like any other change batch — rows ``fix``
+        leaves unmergeable (still-null keys) simply re-quarantine, so the
+        loop is safe to iterate. The quarantine file set is NOT truncated:
+        re-applying already-admitted rows converges by seq last-write-wins
+        (same idempotence story as any replayed batch); prune the
+        directory out-of-band once drained."""
+        if self.quarantine_path is None:
+            raise ValueError("table has no quarantine_path configured")
+        q = self.spark.read.parquet(self.quarantine_path)
+        fixed = fix(q.drop("_quarantine_batch"))
+        return self.apply_changes(
+            fixed,
+            batch_id=batch_id,
+            transform=transform,
+            source="quarantine-replay",
+            _metrics_extra={"maintenance": "quarantine_replay"},
+        )
+
     def _apply_changes_inner(
         self,
         events: DataFrame,
