@@ -54,6 +54,7 @@ class StreamingReplay:
         sliding_view_path: str | None = None,
         branch: str = "main",
         min_seq: int | None = None,
+        quarantine_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.events_dir = events_dir
@@ -82,7 +83,7 @@ class StreamingReplay:
                 main_t.create_branch(branch)
         self.table = LakeTable(
             spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode,
-            branch=branch,
+            branch=branch, quarantine_path=quarantine_path,
         )
         if not self.table.exists():
             self.table.create(TRANSCRIPT_SCHEMA)

@@ -54,6 +54,9 @@ def main() -> None:
     ap.add_argument("--bootstrap-seq", type=int, default=None,
                     help="binlog seq the snapshot is consistent with; the tail "
                          "skips events at seq <= this at the parquet scan")
+    ap.add_argument("--quarantine", default=None, metavar="DIR",
+                    help="dead-letter null-key change rows to this parquet dir "
+                         "instead of aborting the replay")
     args = ap.parse_args()
     if (args.bootstrap is None) != (args.bootstrap_seq is None):
         ap.error("--bootstrap and --bootstrap-seq must be passed together")
@@ -98,6 +101,7 @@ def main() -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         source_format=args.format,
         min_seq=args.bootstrap_seq,
+        quarantine_path=args.quarantine,
     )
     if args.continuous:
         q = sr.start(available_now=False)
