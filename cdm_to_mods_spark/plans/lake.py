@@ -762,6 +762,7 @@ class LakeTable:
                     "lineage": head_raw.get("lineage", {}),
                     "renames": head_raw.get("renames", []),
                     "constraints": head_raw.get("constraints", []),
+                    "properties": head_raw.get("properties", {}),
                     "metrics": metrics,
                     "commit_ts": time.time(),
                 }
@@ -996,6 +997,53 @@ class LakeTable:
             {"maintenance": "rename_column", "from": old, "to": new},
             renames=renames,
         )
+
+    # ------------------------------------------------- table properties
+    # Free-form TBLPROPERTIES on the manifest (owner, retention policy,
+    # pipeline tags — the reference's per-collection alias config dict,
+    # convert_cdm_to_mods.py:84-102, as committed table metadata). Pure
+    # metadata commits; every ``{**man}`` maintenance path carries them.
+
+    def properties(self) -> dict:
+        """Current table properties (string → string)."""
+        return dict(self.manifest().get("properties", {}))
+
+    def set_property(self, key: str, value: str) -> dict:
+        """SET TBLPROPERTIES (key = value) — one metadata commit."""
+        man = self.manifest()
+        props = {**man.get("properties", {}), str(key): str(value)}
+        self._commit(
+            {
+                **man,
+                "version": man["version"] + 1,
+                "batch_id": None,
+                "cdf": [],
+                "properties": props,
+                "metrics": {"maintenance": "set_property", "key": str(key)},
+                "commit_ts": time.time(),
+            }
+        )
+        return {"version": man["version"] + 1, "properties": props}
+
+    def unset_property(self, key: str) -> dict:
+        """UNSET TBLPROPERTIES (key) — missing keys are a no-op commit-free."""
+        man = self.manifest()
+        props = dict(man.get("properties", {}))
+        if str(key) not in props:
+            return {"version": man["version"], "properties": props}
+        props.pop(str(key))
+        self._commit(
+            {
+                **man,
+                "version": man["version"] + 1,
+                "batch_id": None,
+                "cdf": [],
+                "properties": props,
+                "metrics": {"maintenance": "unset_property", "key": str(key)},
+                "commit_ts": time.time(),
+            }
+        )
+        return {"version": man["version"] + 1, "properties": props}
 
     # --------------------------------------------------- CHECK constraints
     # Table invariants, enforced on every write (the Delta CHECK-constraint
@@ -2456,6 +2504,7 @@ class LakeTable:
                     "lineage": lineage,
                     "renames": man.get("renames", []),
                     "constraints": man.get("constraints", []),
+                    "properties": man.get("properties", {}),
                     "metrics": metrics,
                     "commit_ts": time.time(),
                 }
@@ -2569,6 +2618,7 @@ class LakeTable:
                         "lineage": lineage,
                         "renames": latest.get("renames", []),
                         "constraints": latest.get("constraints", []),
+                        "properties": latest.get("properties", {}),
                         "metrics": {**metrics, "commit_retried": True},
                         "commit_ts": time.time(),
                     }

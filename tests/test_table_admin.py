@@ -223,3 +223,26 @@ def test_compact_cluster_by_rejects_unknown_column(spark, tmp_table):
     t.create(TRANSCRIPT_SCHEMA)
     with pytest.raises(ValueError, match="cluster_by"):
         t.compact(cluster_by="nope")
+
+
+# ------------------------------------------------------------ properties
+def test_table_properties_roundtrip_and_survive_commits(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    assert t.properties() == {}
+    t.set_property("owner", "data-eng")
+    t.set_property("retention.days", "30")
+    assert t.properties() == {"owner": "data-eng", "retention.days": "30"}
+    # survive a data commit, a maintenance commit, and a reopen
+    t.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "x", None)]), batch_id=0
+    )
+    t.compact()
+    fresh = LakeTable(spark, tmp_table)
+    assert fresh.properties()["owner"] == "data-eng"
+    v = t.latest_version()
+    assert t.unset_property("nope") == {"version": v, "properties": fresh.properties()}
+    t.unset_property("owner")
+    assert "owner" not in t.properties()
+    ops = [h["operation"] for h in t.history()]
+    assert ops.count("set_property") == 2 and ops.count("unset_property") == 1
