@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dates import canonicalize_ts
+from .dates import canonicalize_ts_arrow
 from .remap import remap_role, remap_tool
 from .text import normalize_text
 
@@ -42,12 +42,19 @@ def apply_chain(df: DataFrame, chain: list[Step] | None = None, *, ts_from: str 
             cols[name] = fn(src)
     out = df.withColumns(cols)
     if ts_from in df.columns:
-        # The replay chain keeps the PURE pandas cascade: its stages run
-        # 32-wide, so 32 Arrow workers absorb the cascade, and the hybrid's
-        # extra JVM work (mask + guarded parse on top of the retained UDF
-        # node) measured ~18% apply-throughput LOSS on the mixed messy
-        # stream (473k -> 388k ev/s at local[32], 16M events). Use
-        # dates.with_canonical_ts for regular-shaped columns scanned at low
-        # parallelism, where it wins ~3x (see f7 bench).
-        out = out.withColumn("ts", canonicalize_ts(F.col(ts_from))).drop(ts_from)
+        # The replay chain keeps the cascade fully Python-side in ONE UDF
+        # node: the JVM-hybrid's extra work (mask + guarded parse on top of
+        # the retained UDF node) measured ~18% apply-throughput LOSS on the
+        # mixed messy stream at local[32] (473k -> 388k ev/s, 16M events);
+        # dates.with_canonical_ts remains the right tool for regular-shaped
+        # columns scanned at LOW parallelism (~3x on f7). Within the UDF,
+        # the arrow-compute cascade replaced the pandas one: value-equal
+        # (parity + divergence-zero pinned in tests), 2.7x faster
+        # single-thread (254k vs 95k rows/s on the mixed corpus) — at
+        # 32-wide saturation the wall is flat best-of but the freed Python
+        # CPU lowers the mean, and the low-parallelism levels of the
+        # scaling protocol keep the full 2.7x.
+        out = out.withColumn(
+            "ts", canonicalize_ts_arrow(F.col(ts_from))
+        ).drop(ts_from)
     return out

@@ -97,6 +97,127 @@ def canonicalize_ts(s: pd.Series) -> pd.Series:
     return pd.to_datetime(canon, format="%Y-%m-%d %H:%M:%S", errors="coerce")
 
 
+def _canonicalize_ts_arrow_array(arr):
+    """The same 10-case cascade over a ``pyarrow`` array — RE2 regexes
+    (``pc.extract_regex``) + native ``strptime``, no pandas object-dtype
+    string ops. Every case's pattern is full-string-anchored and pairwise
+    DISJOINT with the others (pinned by the parity test over the full case
+    table), so order-independent ``coalesce`` over full-array matches is
+    value-equal to the pandas cascade's shrinking-remainder subsets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.utf8_trim_whitespace(arr.cast(pa.string()))
+    nulls = pa.nulls(len(s), pa.string())
+
+    def g(m, name, default=None):
+        f = pc.struct_field(m, name)
+        if default is not None:
+            f = pc.if_else(pc.equal(f, ""), pa.scalar(default), f)
+        return f
+
+    def case(pattern, compose):
+        m = pc.extract_regex(s, pattern)
+        return pc.if_else(pc.is_valid(m), compose(m), nulls)
+
+    def join(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    z2 = lambda a: pc.utf8_lpad(a, 2, "0")  # noqa: E731
+
+    cases = [
+        # 1. ISO datetime
+        case(
+            r"^(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})[ T]"
+            r"(?P<h>\d{2}):(?P<mi>\d{2})(?::(?P<s>\d{2}))?$",
+            lambda m: join(g(m, "y"), "-", g(m, "m"), "-", g(m, "d"), " ",
+                           g(m, "h"), ":", g(m, "mi"), ":", g(m, "s", "00")),
+        ),
+        # 2. ISO date
+        case(
+            r"^(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})$",
+            lambda m: join(g(m, "y"), "-", g(m, "m"), "-", g(m, "d"),
+                           " 00:00:00"),
+        ),
+        # 3. US M/D/YYYY [H:MM[:SS]]
+        case(
+            r"^0?(?P<m>\d{1,2})/0?(?P<d>\d{1,2})/(?P<y>\d{4})"
+            r"(?:\s+(?P<h>\d{1,2}):(?P<mi>\d{2})(?::(?P<s>\d{2}))?)?$",
+            lambda m: join(g(m, "y"), "-", z2(g(m, "m")), "-", z2(g(m, "d")),
+                           " ", z2(g(m, "h", "0")), ":", g(m, "mi", "00"),
+                           ":", g(m, "s", "00")),
+        ),
+        # 4. ISO year-month
+        case(
+            r"^(?P<y>\d{4})-(?P<m>\d{2})$",
+            lambda m: join(g(m, "y"), "-", g(m, "m"), "-01 00:00:00"),
+        ),
+        # 5. bracketed inference
+        case(
+            r"^\[(?P<y>\d{4})(?:-(?P<m>\d{2}))?(?:-(?P<d>\d{2}))?\]$",
+            lambda m: join(g(m, "y"), "-", g(m, "m", "01"), "-",
+                           g(m, "d", "01"), " 00:00:00"),
+        ),
+        # 6. circa
+        case(
+            r"(?i)^(?:ca\.?|circa)\s*(?P<y>\d{4})$",
+            lambda m: join(g(m, "y"), "-01-01 00:00:00"),
+        ),
+        # 7. questionable
+        case(
+            r"^(?P<y>\d{4})\?$",
+            lambda m: join(g(m, "y"), "-01-01 00:00:00"),
+        ),
+        # 8. range → start point
+        case(
+            r"(?i)^(?:between\s+)?(?P<a>\d{4})(?:\s*-\s*|\s+and\s+)(?P<b>\d{4})$",
+            lambda m: join(g(m, "a"), "-01-01 00:00:00"),
+        ),
+        # 9. decade
+        case(
+            r"^(?P<p>\d{3})(?:0s|-)$",
+            lambda m: join(g(m, "p"), "0-01-01 00:00:00"),
+        ),
+        # 10. bare year
+        case(
+            r"^(?P<y>\d{4})$",
+            lambda m: join(g(m, "y"), "-01-01 00:00:00"),
+        ),
+    ]
+    out = cases[0]
+    for c in cases[1:]:
+        out = pc.coalesce(out, c)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    ts = pc.strptime(out, format=fmt, unit="us", error_is_null=True)
+    # Parity with pandas to_datetime(errors="coerce") needs two extra
+    # guards: (a) arrow strptime ROLLS OVER impossible dates (2001-02-30 →
+    # 2001-03-02) where pandas nulls — a strftime round-trip catches every
+    # rollover; (b) pandas silently nulls anything outside the
+    # datetime64[ns] range (±[1677-09-21, 2262-04-11]) — clamp to it, both
+    # for parity and so to_pandas() can't overflow.
+    # (strftime on a us-unit timestamp prints %S with subseconds — round-
+    # trip at second precision; the cascade never composes subseconds)
+    rt = pc.strftime(pc.cast(ts, pa.timestamp("s")), format=fmt)
+    ts = pc.if_else(pc.equal(rt, out), ts, pa.nulls(len(s), ts.type))
+    lo = pa.scalar(pd.Timestamp.min.ceil("us"), type=ts.type)
+    hi = pa.scalar(pd.Timestamp.max.floor("us"), type=ts.type)
+    in_range = pc.and_(pc.greater_equal(ts, lo), pc.less_equal(ts, hi))
+    return pc.if_else(in_range, ts, pa.nulls(len(s), ts.type))
+
+
+@F.pandas_udf(T.TimestampType())
+def canonicalize_ts_arrow(s: pd.Series) -> pd.Series:
+    """Arrow-compute formulation of :func:`canonicalize_ts` — value-equal
+    (parity pinned in tests/test_transforms.py), faster on wide replay
+    stages because the regex cascade runs in RE2 over arrow buffers
+    instead of Python ``re`` over object-dtype pandas strings."""
+    import pyarrow as pa
+
+    return _canonicalize_ts_arrow_array(
+        pa.Array.from_pandas(s)
+    ).to_pandas()
+
+
 def canonicalize_ts_col(c: Column) -> Column:
     """Hybrid date cascade: the regular shapes (ISO datetime/date, US
     M/d/yyyy with optional time, year-month, bare year — in practice ~all

@@ -137,6 +137,35 @@ def test_date_cascade_hybrid_parity(spark):
         assert u == h == d, f"{inp!r}: udf {u}, hybrid {h}, df-form {d}"
 
 
+def test_date_cascade_arrow_parity(spark):
+    """The arrow-compute cascade (the replay chain's UDF) must be
+    value-equal to the pandas cascade on the case table, strict-parse
+    failures (arrow strptime rollovers!), datetime64[ns]-range overflow
+    years, and a deterministic structured fuzz corpus."""
+    import random
+
+    from cdm_to_mods_spark.functions.dates import canonicalize_ts_arrow
+
+    extra = ["2001-02-30", "[2001-02-30]", "2/29/2000", "2/29/2001",
+             "13/01/2020", "0/0/2000", "5708", "0910", "1677-09-21",
+             "1677-09-22", "2262-04-11", "9999?", "ca. 5708",
+             "2001-02-03T04:05:06", " 7/4/1999 ", "7/4/1999 25:00"]
+    random.seed(101)
+    fuzz = []
+    for _ in range(300):
+        y, m, d = random.randint(1000, 9999), random.randint(0, 19), random.randint(0, 39)
+        fuzz.append(random.choice([
+            f"{y}-{m:02d}-{d:02d}", f"{m}/{d}/{y}", f"[{y}-{m:02d}]",
+            f"ca. {y}", f"{y}?", f"{y}-{y + 10}", f"{y // 10}0s", f"{y}",
+            f"{y}-{m:02d}-{d:02d} {random.randint(0, 30):02d}:{random.randint(0, 70):02d}",
+        ]))
+    inputs = [c[0] for c in DATE_CASES] + extra + fuzz
+    got_pandas = _apply(spark, canonicalize_ts, inputs)
+    got_arrow = _apply(spark, canonicalize_ts_arrow, inputs)
+    for inp, p, a in zip(inputs, got_pandas, got_arrow):
+        assert p == a, f"{inp!r}: pandas {p}, arrow {a}"
+
+
 def test_ts_qualifier(spark):
     got = _apply(spark, ts_qualifier, ["ca. 1920", "[1936]", "1972?", "1999"])
     assert got == ["approximate", "inferred", "questionable", None]
