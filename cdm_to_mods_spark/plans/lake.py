@@ -2051,6 +2051,8 @@ class LakeTable:
         directory out-of-band once drained."""
         if self.quarantine_path is None:
             raise ValueError("table has no quarantine_path configured")
+        if not os.path.isdir(self.quarantine_path):
+            return {"skipped": True, "reason": "quarantine is empty"}
         q = self.spark.read.parquet(self.quarantine_path)
         fixed = fix(q.drop("_quarantine_batch"))
         return self.apply_changes(

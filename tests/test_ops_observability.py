@@ -103,3 +103,10 @@ def test_reprocess_quarantine_requires_configuration(spark, tmp_path):
     t.create(TRANSCRIPT_SCHEMA)
     with pytest.raises(ValueError, match="quarantine_path"):
         t.reprocess_quarantine(lambda q: q)
+
+
+def test_reprocess_empty_quarantine_is_a_noop(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=4,
+                  merge_mode="mor", quarantine_path=str(tmp_path / "q"))
+    t.create(TRANSCRIPT_SCHEMA)
+    assert t.reprocess_quarantine(lambda q: q)["skipped"] is True
