@@ -909,6 +909,24 @@ class LakeTable:
         )
         return {**metrics, "version": new_version}
 
+    def _assert_constraints_analyze(self, man: dict,
+                                    schema: T.StructType) -> None:
+        """DDL guard: every CHECK constraint must still analyze against the
+        post-ALTER schema — otherwise the next apply_changes fails deep in
+        its write job with an unresolved-column error and the table is
+        bricked until someone guesses which constraint to drop. Refusing
+        the ALTER up front names the offender instead."""
+        probe = self._empty(schema, hidden=False)
+        for c in man.get("constraints", []):
+            try:
+                probe.filter(F.expr(c["expr"])).schema
+            except Exception as e:
+                raise SchemaEvolutionError(
+                    f"constraint {c['name']!r} CHECK ({c['expr']}) would no "
+                    f"longer resolve after this ALTER; drop or recreate the "
+                    f"constraint first ({e.__class__.__name__})"
+                ) from None
+
     def _assert_fresh_name(self, man: dict, name: str) -> None:
         """Refuse any name that EVER existed: a historical file still
         carries that physical column, and name-based resolution would read
@@ -960,6 +978,7 @@ class LakeTable:
         if name not in canon.fieldNames():
             raise SchemaEvolutionError(f"no column {name!r}")
         schema = T.StructType([f for f in canon.fields if f.name != name])
+        self._assert_constraints_analyze(man, schema)
         return self._alter_commit(
             man, schema, {"maintenance": "drop_column", "column": name}
         )
@@ -988,6 +1007,7 @@ class LakeTable:
                 for f in canon.fields
             ]
         )
+        self._assert_constraints_analyze(man, schema)
         renames = [
             *man.get("renames", []),
             {"at": len(man["schemas"]), "old": old, "new": new},

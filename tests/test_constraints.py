@@ -122,3 +122,22 @@ def test_update_where_is_gated_too(spark, table):
     with pytest.raises(Exception, match="no_shout"):
         table.update_where("conv_id = 'c1'", {"text": "upper(text)"})
     assert table.read().filter("text = 'OK'").count() == 0
+
+
+def test_ddl_refuses_to_break_a_constraint(spark, tmp_table):
+    """drop/rename of a column a CHECK references is refused up front —
+    not discovered by the next replay's write job."""
+    from cdm_to_mods_spark.schemas import SchemaEvolutionError
+
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.add_constraint("text_cap", "length(text) < 1000")
+    with pytest.raises(SchemaEvolutionError, match="text_cap"):
+        t.drop_column("text")
+    with pytest.raises(SchemaEvolutionError, match="text_cap"):
+        t.rename_column("text", "body")
+    # unrelated DDL still works; after dropping the constraint so does the rename
+    t.rename_column("tool", "tool2")
+    t.drop_constraint("text_cap")
+    t.rename_column("text", "body")
+    assert "body" in t.schema().fieldNames()
