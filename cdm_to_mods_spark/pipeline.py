@@ -794,8 +794,83 @@ def t7_pii_scrub(spark, sf_dir):
     return _sel(spark, sf_dir, _t7_exprs())
 
 
-@_q(
-    "t_text_suite",
+# ---------------------------------------------------------------------
+# T8 — concat-and-chunk sequence packing (pretraining sequence prep)
+# ---------------------------------------------------------------------
+_T8_CAPACITY = 2048  # tokens per training sequence
+_T8_SHARD_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)"
+
+
+def _with_t8(df: DataFrame, tokens_col: str) -> DataFrame:
+    """Concat-and-chunk packing over a token-counted frame: documents are
+    conceptually concatenated in stable (shard, doc_id) order and the token
+    stream is cut every ``_T8_CAPACITY`` tokens — the GPT-style pretraining
+    sequence-preparation step (documents may straddle chunk boundaries;
+    ``t8_chunks_spanned`` says how many sequences a doc contributes to).
+
+    Scale shape: the only state is a running token sum WITHIN a shard
+    (md5-nibble of doc_id → 16 deterministic shards), so the window is
+    hash-partitioned — one exchange, no ``Exchange SinglePartition``, and
+    shard count can scale with the cluster. A global single-stream pack
+    would be the w1 global-window scale-killer; per-shard streams are how
+    distributed packing actually runs (each shard is an independent
+    concatenation order, reproducible across engines/runs because both the
+    shard and the order are content-derived, not partition-derived)."""
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    w = (
+        W.partitionBy("t8_shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    off = F.col("_t8_cum") - F.col(tokens_col)
+    cap = float(_T8_CAPACITY)
+    return (
+        df.withColumn("t8_shard", shard)
+        .withColumn("_t8_cum", cum)
+        .withColumn("t8_chunk_id", F.floor(off / cap).cast("long"))
+        .withColumn("t8_chunk_pos", (off % _T8_CAPACITY).cast("long"))
+        .withColumn(
+            "t8_chunks_spanned",
+            (
+                F.floor((F.col("_t8_cum") - 1) / cap) - F.floor(off / cap) + 1
+            ).cast("long"),
+        )
+        .drop("_t8_cum")
+    )
+
+
+def _t8_wrap_sql(inner: str, tokens_col: str) -> str:
+    """Wrap an inner per-doc SELECT (must expose doc_id + ``tokens_col``)
+    with the identical packing window as DuckDB SQL — generated beside the
+    Spark exprs so the two engines cannot drift."""
+    cap = _T8_CAPACITY
+    return (
+        "SELECT * EXCLUDE (_t8_cum), "
+        f"CAST(floor((_t8_cum - {tokens_col})/{cap}.0) AS BIGINT) AS t8_chunk_id, "
+        f"CAST((_t8_cum - {tokens_col}) % {cap} AS BIGINT) AS t8_chunk_pos, "
+        f"CAST(floor((_t8_cum - 1)/{cap}.0) - "
+        f"floor((_t8_cum - {tokens_col})/{cap}.0) + 1 AS BIGINT) "
+        "AS t8_chunks_spanned "
+        f"FROM (SELECT tq.*, {_T8_SHARD_SQL} AS t8_shard, "
+        f"sum({tokens_col}) OVER (PARTITION BY {_T8_SHARD_SQL} "
+        "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS _t8_cum "
+        f"FROM ({inner}) tq)"
+    )
+
+
+def t8_sequence_pack(spark, sf_dir):
+    """T8 — sequence packing, standalone building block (driver row via
+    ``t_text_suite``): per doc, which training sequence (chunk) its token
+    stream starts in, at what offset, and how many sequences it spans."""
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", toks.cast("long").alias("n_tokens")
+    )
+    return _with_t8(base, "n_tokens")
+
+
+_T_SUITE_INNER = (
     "SELECT doc_id, "
     "CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'other' END AS t1_pred_lang, "
     "round(sw_ratio, 4) AS t1_stopword_ratio, "
@@ -820,20 +895,27 @@ def t7_pii_scrub(spark, sf_dir):
     "len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
     "x -> x <> ''))) AS nz_distinct, "
     "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) "
-    "AS nz_total FROM documents)",
+    "AS nz_total FROM documents)"
 )
+
+
+@_q("t_text_suite", _t8_wrap_sql(_T_SUITE_INNER, "t2_n_tokens"))
 def t_text_suite(spark, sf_dir):
-    """T1+T1b+T2+T3+T4+T6+T7 in ONE driver row — the text-analysis families
-    (stopword language-ID, character-TRIGRAM language-ID with per-language
-    profile scores, quality score, token counts, fingerprint, repetition,
-    PII census/mask/domain)
-    computed in a single scan of ``documents``, one whole-stage-codegen
-    projection (the realistic shape: a 100 TB curation pass scores every
-    signal in one map, never one job per signal). Column prefix names the
-    operator each value-checks; every expression is the same Column object
-    the per-operator building blocks project (``_t1_exprs``..``_t6_exprs``),
-    so the driver row covers them all. t3's whitespace token count is
-    definitionally t2's ``n_tokens`` (emitted once)."""
+    """T1+T1b+T2+T3+T4+T6+T7+T8 in ONE driver row — the text-analysis
+    families (stopword language-ID, character-TRIGRAM language-ID with
+    per-language profile scores, quality score, token counts, fingerprint,
+    repetition, PII census/mask/domain, sequence packing)
+    computed in a single scan of ``documents``: one whole-stage-codegen
+    projection for the per-doc signals (the realistic shape: a 100 TB
+    curation pass scores every signal in one map, never one job per
+    signal), plus exactly ONE shard-partitioned exchange for t8's packing
+    window (cumulative token offsets are inherently order-dependent; the
+    shard hash keeps the window distributed — see ``_with_t8``). Column
+    prefix names the operator each value-checks; every expression is the
+    same Column object the per-operator building blocks project
+    (``_t1_exprs``..``_t6_exprs``, ``_with_t8``), so the driver row covers
+    them all. t3's whitespace token count is definitionally t2's
+    ``n_tokens`` (emitted once); t8 packs on that same count."""
     exprs = {
         **{f"t1_{n}": c for n, c in _t1_exprs().items()},
         **{f"t1b_{n}": c for n, c in _t1b_exprs().items()},
@@ -843,7 +925,7 @@ def t_text_suite(spark, sf_dir):
         **{f"t6_{n}": c for n, c in _t6_exprs().items()},
         **{f"t7_{n}": c for n, c in _t7_exprs().items()},
     }
-    return _sel(spark, sf_dir, exprs)
+    return _with_t8(_sel(spark, sf_dir, exprs), "t2_n_tokens")
 
 
 @_q(

@@ -176,3 +176,29 @@ def test_pii_mask_order_and_census(spark):
     r2 = out[2]
     assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"], r2["n_url"]) == (1, 1, 1, 1)
     assert out[3]["n_email"] == out[3]["n_url"] == 0
+
+
+def test_sequence_pack_offsets_are_contiguous(spark, q):
+    """t8 packing: within every shard's concatenation order the chunk
+    math must describe one gapless token stream — doc i's offset equals
+    doc i-1's offset + tokens, positions stay below capacity, and the
+    spanned-chunk count matches the offset arithmetic. (Cross-engine
+    value equality is pinned separately in test_queries.py.)"""
+    from cdm_to_mods_spark.pipeline import _T8_CAPACITY, t8_sequence_pack
+
+    pdf = (
+        t8_sequence_pack(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values(["t8_shard", "doc_id"])
+    )
+    assert (pdf["t8_chunk_pos"] < _T8_CAPACITY).all()
+    assert (pdf["t8_chunk_pos"] >= 0).all()
+    assert (pdf["t8_chunks_spanned"] >= 1).all()
+    for _, g in pdf.groupby("t8_shard"):
+        off = g["t8_chunk_id"] * _T8_CAPACITY + g["t8_chunk_pos"]
+        assert off.iloc[0] == 0
+        expected = (g["n_tokens"].cumsum() - g["n_tokens"]).astype("int64")
+        assert (off.values == expected.values).all()
+        end = off + g["n_tokens"] - 1
+        spanned = end // _T8_CAPACITY - g["t8_chunk_id"] + 1
+        assert (g["t8_chunks_spanned"].values == spanned.values).all()

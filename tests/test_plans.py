@@ -150,11 +150,16 @@ def test_scan_suite_keeps_pushdown_per_branch(spark):
 
 def test_text_suite_single_scan_no_python(spark):
     """t_text_suite: every text-analysis family in ONE scan of documents,
-    one JVM projection — no Python eval nodes, no shuffle."""
+    JVM-only — no Python eval nodes; the ONLY exchange is t8's
+    shard-partitioned packing window (hash partitioning, never
+    SinglePartition — a global packing window would be the w1
+    scale-killer)."""
     plan = _plan(_query("t_text_suite")(spark, SF_DIR))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Scan parquet") == 1
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning(t8_shard" in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_part_scalar_suite_single_scan_one_arrow_node(spark):

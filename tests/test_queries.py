@@ -87,6 +87,19 @@ CASES = {
 }
 
 
+def _t8_case() -> str:
+    from cdm_to_mods_spark.pipeline import _t8_wrap_sql
+
+    return _t8_wrap_sql(
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
+        "AS n_tokens FROM documents",
+        "n_tokens",
+    )
+
+
+CASES["t8_sequence_pack"] = _t8_case()
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -116,10 +129,10 @@ def _canon(df: pd.DataFrame) -> set:
 
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_building_block_matches_oracle(spark, duck, name):
-    import cdm_to_mods_spark.pipeline  # noqa: F401 — registers everything
+    from cdm_to_mods_spark import pipeline as P
     from cdm_to_mods_spark import queries as Q
 
-    fn = getattr(Q, name)
+    fn = getattr(Q, name, None) or getattr(P, name)
     got = fn(spark, SF).toPandas()
     want = duck.execute(CASES[name]).df()
     assert sorted(got.columns) == sorted(want.columns)
