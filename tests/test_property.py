@@ -160,3 +160,114 @@ def test_bootstrap_handoff_converges_for_any_split(spark, merge_mode, case):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
+def maintenance_programs(draw):
+    """An event log plus an arbitrary program interleaving data applies
+    with maintenance ops. Applies consume the log in order; every other op
+    must be read-transparent except `delete`, whose semantics the model
+    mirrors as synthetic tombstones at 1 + max applied seq (exactly
+    delete_where's default tombstone_seq)."""
+    events, _ = draw(event_logs())
+    ops = draw(
+        st.lists(
+            st.sampled_from(
+                ["apply", "apply", "compact", "cluster", "rebucket",
+                 "expire", "delete", "prop"]
+            ),
+            min_size=3,
+            max_size=7,
+        )
+    )
+    if "apply" not in ops:
+        ops = ["apply"] + ops
+    preds = draw(
+        st.lists(
+            st.sampled_from(
+                ["turn_idx >= 2", "turn_idx = 0", "conv_id = 'c0'"]
+            ),
+            min_size=ops.count("delete"),
+            max_size=max(ops.count("delete"), 1),
+        )
+    )
+    new_buckets = draw(st.sampled_from([2, 8]))
+    return events, ops, preds, new_buckets
+
+
+_PRED_PANDAS = {
+    "turn_idx >= 2": lambda df: df["turn_idx"] >= 2,
+    "turn_idx = 0": lambda df: df["turn_idx"] == 0,
+    "conv_id = 'c0'": lambda df: df["conv_id"] == "c0",
+}
+
+
+@pytest.mark.parametrize("merge_mode", ["mor", "cow"])
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=maintenance_programs())
+def test_maintenance_interleavings_are_read_transparent(spark, merge_mode, case):
+    """For ANY interleaving of change batches with maintenance ops
+    (compact, cluster-by re-layout, rebucket, snapshot expiry, table
+    properties) and predicate deletes: the final table equals the pandas
+    model that replays the batches plus synthetic D-events for each
+    delete's matches — i.e. maintenance NEVER changes what read() returns,
+    and purges behave exactly like 'D' change events at the next seq.
+    A fresh reopen (constructor adopting the on-disk layout) must agree."""
+    events, ops, preds, new_buckets = case
+    cols = ["op", "seq", "conv_id", "turn_idx", "role", "text",
+            "tool", "ts_raw", "ingest_ts"]
+    chunks = _splits(events, max(ops.count("apply"), 1))
+    root = tempfile.mkdtemp(prefix="prop-maint-")
+    try:
+        t = LakeTable(spark, root, num_buckets=4, merge_mode=merge_mode)
+        t.create(TRANSCRIPT_SCHEMA)
+        model_events: list = []   # original tuples + synthetic tombstones
+        applied = 0
+        deletes = 0
+        for op in ops:
+            if op == "apply":
+                if applied < len(chunks):
+                    t.apply_changes(
+                        spark.createDataFrame(chunks[applied], EVENT_DDL),
+                        batch_id=applied, transform=apply_chain,
+                    )
+                    model_events.extend(chunks[applied])
+                    applied += 1
+            elif op == "compact":
+                t.compact()
+            elif op == "cluster":
+                t.compact(cluster_by="ts")
+            elif op == "rebucket":
+                t.rebucket(new_buckets)
+            elif op == "expire":
+                t.expire_snapshots(keep_last=1)
+            elif op == "prop":
+                t.set_property("audit.owner", "prop-test")
+            elif op == "delete":
+                pred = preds[deletes % len(preds)]
+                deletes += 1
+                t.delete_where(pred)
+                if model_events:
+                    live = replay_oracle(pd.DataFrame(model_events, columns=cols))
+                    hit = live[_PRED_PANDAS[pred](live)]
+                    seq = max(e[1] for e in model_events) + 1
+                    model_events.extend(
+                        ("D", seq, r.conv_id, int(r.turn_idx),
+                         None, None, None, None, None)
+                        for r in hit.itertuples(index=False)
+                    )
+        want = replay_oracle(pd.DataFrame(model_events, columns=cols))
+        for reader in (t, LakeTable(spark, root)):
+            got = (
+                reader.read().toPandas()
+                .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+                [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
