@@ -99,23 +99,41 @@ class BranchDivergedError(RuntimeError):
 # the b-<name>-v<NNNNNNNN>.json version-file layout (enforced below).
 _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.]*$")
 
-# refcounted, race-safe scoping of the session-global AQE flag: the first
-# apply on a session saves the original and flips it off, nested/concurrent
-# applies just bump the depth, and the LAST one out restores the original —
-# interleaved applies can no longer strand the session with AQE disabled.
+# refcounted, race-safe scoping of session-global confs the apply path
+# overrides: the first apply on a session saves the originals and sets the
+# overrides, nested/concurrent applies just bump the depth, and the LAST one
+# out restores the originals — interleaved applies can no longer strand the
+# session with apply-tuned confs.
+#
+# - AQE off: the apply pipeline is statically shaped; per-stage re-planning
+#   costs ~20% wall at micro-batch sizes (round-1 measurement).
+# - Arrow batch 200k rows (default 10k): the pandas date cascade pays real
+#   per-chunk fixed costs (Series allocation, regex engine setup), and
+#   change-event rows are small (~200 B), so 200k-row batches are only tens
+#   of MB per worker. Interleaved best-of A/B on the 2M-event MoR replay:
+#   8.96 s vs 9.92 s (~10%), winning 4 of 5 pairings (tools/ab_arrow_batch*).
+#   Scoped here rather than session-wide because wide-payload pandas UDFs
+#   elsewhere (multimodal binary columns) would multiply per-batch memory.
+_APPLY_CONFS = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "200000",
+}
 _AQE_LOCK = threading.Lock()
-_AQE_DEPTH: dict[int, list] = {}  # id(session) -> [depth, saved_value]
+_AQE_DEPTH: dict[int, list] = {}  # id(session) -> [depth, {conf: saved}]
 
 
 @contextmanager
-def _aqe_disabled(spark: SparkSession):
+def _apply_conf_scope(spark: SparkSession):
     key = id(spark)
     with _AQE_LOCK:
         st = _AQE_DEPTH.get(key)
         if st is None:
-            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            saved = {
+                k: spark.conf.get(k, None) for k in _APPLY_CONFS
+            }
             _AQE_DEPTH[key] = [1, saved]
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            for k, v in _APPLY_CONFS.items():
+                spark.conf.set(k, v)
         else:
             st[0] += 1
     try:
@@ -125,7 +143,11 @@ def _aqe_disabled(spark: SparkSession):
             st = _AQE_DEPTH[key]
             st[0] -= 1
             if st[0] == 0:
-                spark.conf.set("spark.sql.adaptive.enabled", st[1])
+                for k, v in st[1].items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
                 del _AQE_DEPTH[key]
 
 
@@ -1981,11 +2003,12 @@ class LakeTable:
         # The apply pipeline is statically shaped (scan → hash agg → Arrow
         # transform → bucket repartition → write; no joins), so AQE's
         # per-stage driver re-planning buys nothing and costs ~20% wall at
-        # micro-batch sizes. Scope it off for this batch; skew is handled by
-        # the partial-agg dedup, and general queries keep AQE. The toggle is
-        # refcounted per-session (lock + depth), so interleaved applies on
-        # one SparkSession cannot race the save/restore and strand AQE off.
-        with _aqe_disabled(self.spark):
+        # micro-batch sizes; the Arrow transform also wants far larger
+        # batches than the session default (see _APPLY_CONFS). Both are
+        # scoped to this batch via a refcounted per-session toggle (lock +
+        # depth), so interleaved applies on one SparkSession cannot race
+        # the save/restore and strand the session with apply-tuned confs.
+        with _apply_conf_scope(self.spark):
             return self._apply_changes_inner(
                 events, man, batch_id, transform, source, t0,
                 _metrics_extra=_metrics_extra,
