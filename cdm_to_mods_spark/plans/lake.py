@@ -324,9 +324,16 @@ class LakeTable:
         * ``"mor"`` (merge-on-read): each batch appends bucket-partitioned
           DELTA files — per-batch cost is O(batch) regardless of table
           size, the shape that survives 10^10-event replays. Readers merge
-          base+deltas by max ``_seq``; a bucket whose delta chain exceeds
-          ``compact_deltas`` is compacted back to a base file inline, so
-          read amplification stays bounded.
+          base+deltas by max ``_seq``; a bucket whose delta chain reaches
+          ``compact_deltas`` is folded inline, so read amplification stays
+          bounded. Folds are tiered LSM-style: when the chain's row count
+          (from manifest entry stats) is smaller than the base's, a MINOR
+          fold resolves just the chain into one combined delta — O(churned
+          keys), the base is never read — and only a chain that has grown
+          to base scale (or an unknown/absent base) pays the MAJOR
+          base-rewrite. At 10^10 events this keeps steady-state commit
+          cost independent of table size instead of paying O(bucket)
+          every ``compact_deltas`` commits.
 
         ``cow_change_feed``: merge-on-read gets the change feed for free
         (its delta files ARE the change rows); copy-on-write rewrites
@@ -395,6 +402,9 @@ class LakeTable:
         assert schema_mode in ("evolve", "strict"), schema_mode
         self.schema_mode = schema_mode
         self.target_file_rows = target_file_rows
+        # escape hatch (benchmarks/debug): False forces every inline fold
+        # to the major tier, the pre-tiering behavior.
+        self._minor_folds = True
         self._ledger = os.path.join(self.path, "_ledger")
         if not _BRANCH_NAME_RE.match(branch):
             raise ValueError(f"invalid branch name {branch!r}")
@@ -1566,7 +1576,11 @@ class LakeTable:
             os.path.join(self.path, cdir_rel), SEQ_COL, self.stats_cols
         )
         for b in todo:
-            base = {"path": f"{cdir_rel}/_bucket={b}", "schema_id": schema_id}
+            base = {
+                "path": f"{cdir_rel}/_bucket={b}",
+                "schema_id": schema_id,
+                "rows": cstats.get(b, {}).get("n_changes"),
+            }
             if cstats.get(b, {}).get("stats"):
                 base["stats"] = cstats[b]["stats"]
             buckets[str(b)] = {"base": base, "deltas": []}
@@ -1780,7 +1794,11 @@ class LakeTable:
             for k, e in man["buckets"].items()
         }
         for b in todo:
-            base = {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+            base = {
+                "path": f"{data_rel}/_bucket={b}",
+                "schema_id": schema_id,
+                "rows": dstats.get(b, {}).get("n_changes"),
+            }
             if dstats.get(b, {}).get("stats"):
                 base["stats"] = dstats[b]["stats"]
             buckets[str(b)] = {"base": base, "deltas": []}
@@ -1862,7 +1880,11 @@ class LakeTable:
         )
         buckets = {}
         for b in sorted(stats):
-            base = {"path": f"{rel}/_bucket={b}", "schema_id": schema_id}
+            base = {
+                "path": f"{rel}/_bucket={b}",
+                "schema_id": schema_id,
+                "rows": stats[b].get("n_changes"),
+            }
             if stats[b].get("stats"):
                 base["stats"] = stats[b]["stats"]
             buckets[str(b)] = {"base": base, "deltas": []}
@@ -2312,6 +2334,7 @@ class LakeTable:
         }
         n_written = 0
         n_compacted = 0
+        n_minor = 0
         lineage_stats: dict[int, dict] = {}
         cdf: list[dict] = []
 
@@ -2344,17 +2367,49 @@ class LakeTable:
             ]
             for b in affected:
                 e = buckets.setdefault(str(b), {"base": None, "deltas": []})
-                delta = {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+                delta = {
+                    "path": f"{data_rel}/_bucket={b}",
+                    "schema_id": schema_id,
+                    "rows": lineage_stats[b]["n_changes"],
+                }
                 if lineage_stats[b].get("stats"):
                     delta["stats"] = lineage_stats[b]["stats"]
                 e["deltas"].append(delta)
             # inline compaction: buckets whose delta chain hit the bound are
-            # folded back into a base file (bounded read amplification).
-            to_compact = sorted(
+            # folded (bounded read amplification). Two tiers — the LSM
+            # minor/major distinction: a MINOR fold resolves ONLY the delta
+            # chain into one combined delta (O(churned keys); the base is
+            # never read or rewritten), a MAJOR fold rewrites base + chain
+            # into a fresh base. Tier choice by the row counts the manifest
+            # entries carry: when the chain is at least as large as the
+            # base (or sizes are unknown, or there is no base) a major
+            # costs the same order anyway and fully resets the chain; a
+            # big-base/small-churn bucket — the 10^10-event steady state,
+            # where the base holds a table-lifetime of keys and a chain
+            # holds a few micro-batches — folds minor, so per-commit write
+            # amplification stays O(batch-scale) and NEVER O(bucket).
+            # Correct because last-write-wins max-seq resolution is a
+            # tournament over a per-key total order: resolving any subset
+            # first cannot change the overall winner.
+            due = sorted(
                 int(b)
                 for b, e in buckets.items()
                 if len(e["deltas"]) >= self.compact_deltas
             )
+            to_compact, to_minor = [], []
+            for b in due:
+                e = buckets[str(b)]
+                base_rows = (e.get("base") or {}).get("rows")
+                d_rows = [d.get("rows") for d in e["deltas"]]
+                if (
+                    not self._minor_folds
+                    or base_rows is None
+                    or any(r is None for r in d_rows)
+                    or sum(d_rows) >= base_rows
+                ):
+                    to_compact.append(b)
+                else:
+                    to_minor.append(b)
             if to_compact:
                 n_compacted = len(to_compact)
                 tmp_man = {
@@ -2387,10 +2442,56 @@ class LakeTable:
                     base = {
                         "path": f"{cdir_rel}/_bucket={b}",
                         "schema_id": schema_id,
+                        "rows": cstats.get(b, {}).get("n_changes"),
                     }
                     if cstats.get(b, {}).get("stats"):
                         base["stats"] = cstats[b]["stats"]
                     buckets[str(b)] = {"base": base, "deltas": []}
+            if to_minor:
+                n_minor = len(to_minor)
+                tmp_man = {
+                    "schemas": schemas,
+                    "buckets": {
+                        str(b): {"base": None,
+                                 "deltas": buckets[str(b)]["deltas"]}
+                        for b in to_minor
+                    },
+                    "renames": man.get("renames", []),
+                }
+                folded = latest_per_key(
+                    self._read_raw(tmp_man, canon=canon).withColumn(
+                        "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+                    ),
+                    self.key_cols,
+                    SEQ_COL,
+                ).drop("op").withColumn(
+                    "_bucket",
+                    _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn),
+                )
+                mdir_rel = f"{data_rel}-minor"
+                (
+                    self._capped(
+                        folded.repartition(max(n_minor, 1), "_bucket")
+                        .sortWithinPartitions("_bucket", *self.key_cols)
+                        .write.partitionBy("_bucket")
+                        .mode("overwrite")
+                    ).parquet(os.path.join(self.path, mdir_rel))
+                )
+                mstats = _footer_stats(
+                    os.path.join(self.path, mdir_rel), SEQ_COL, self.stats_cols
+                )
+                for b in to_minor:
+                    combined = {
+                        "path": f"{mdir_rel}/_bucket={b}",
+                        "schema_id": schema_id,
+                        "rows": mstats.get(b, {}).get("n_changes"),
+                    }
+                    if mstats.get(b, {}).get("stats"):
+                        combined["stats"] = mstats[b]["stats"]
+                    buckets[str(b)] = {
+                        "base": buckets[str(b)]["base"],
+                        "deltas": [combined],
+                    }
         else:
             # 5-cow. one job over the (cached) change set yields BOTH the
             # touched buckets (pruning) and per-bucket lineage; the cache is
@@ -2474,6 +2575,8 @@ class LakeTable:
                         "path": f"{data_rel}/_bucket={b}",
                         "schema_id": schema_id,
                     }
+                    if zstats.get(b, {}).get("n_changes") is not None:
+                        base["rows"] = zstats[b]["n_changes"]
                     if zstats.get(b, {}).get("stats"):
                         base["stats"] = zstats[b]["stats"]
                     buckets[str(b)] = {"base": base, "deltas": []}
@@ -2524,6 +2627,7 @@ class LakeTable:
             "op_counts": op_counts,
             "n_buckets_touched": len(affected),
             "n_buckets_compacted": n_compacted,
+            "n_buckets_minor_compacted": n_minor,
             "n_quarantined": n_quarantined,
             "rows_written": n_written,
             "elapsed_sec": round(elapsed, 3),
@@ -2556,9 +2660,10 @@ class LakeTable:
             )
             return metrics
         except RuntimeError:
+            # minor folds also rewrite shared chain state — decline retry
             return self._retry_commit_conflict(
                 man, new_version, batch_id, schemas, lineage_stats,
-                n_compacted, source, metrics, data_rel,
+                n_compacted + n_minor, source, metrics, data_rel,
             )
 
     def _retry_commit_conflict(
@@ -2626,8 +2731,12 @@ class LakeTable:
             }
             cdf = []
             for b in sorted(lineage_stats):
-                entry = {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
-                cdf.append(dict(entry))
+                entry = {
+                    "path": f"{data_rel}/_bucket={b}",
+                    "schema_id": schema_id,
+                    "rows": lineage_stats[b]["n_changes"],
+                }
+                cdf.append({"path": entry["path"], "schema_id": schema_id})
                 # zone maps ride the retried deltas too — without them a
                 # batch winning via conflict retry is unprunable until
                 # compaction

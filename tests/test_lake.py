@@ -944,3 +944,60 @@ def test_tag_is_immutable_and_validated(spark, tmp_table):
     old_v = t._versions()[-2]
     t.tag("pinned_old", version=old_v)
     assert t.tag_version("pinned_old") == old_v
+
+
+def test_minor_compaction_folds_chain_without_touching_base(spark, tmp_table):
+    """LSM tiering: a big-base/small-churn bucket folds its delta chain
+    MINOR — one combined delta of the resolved churned keys, the base file
+    never rewritten (at 10^10 events that is what keeps steady-state
+    commit cost O(batch), not O(bucket)) — and escalates to a MAJOR base
+    rewrite only once the chain has grown to base scale. The change feed
+    must keep serving the pre-fold delta paths it pinned."""
+    t = LakeTable(
+        spark, tmp_table, num_buckets=1, merge_mode="mor", compact_deltas=3
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    rows = [
+        ("I", i + 1, f"c{i}", 0, "user", f"base-{i}", None, None, None)
+        for i in range(300)
+    ]
+    t.apply_changes(_events(spark, rows), batch_id=0, transform=apply_chain)
+    t.compact()
+    man = t.manifest()
+    v_compact = man["version"]
+    base_path = man["buckets"]["0"]["base"]["path"]
+    assert man["buckets"]["0"]["base"]["rows"] == 300
+
+    m = None
+    for b in range(1, 4):  # 3 small update batches over the same 5 keys
+        rows = [
+            ("U", 1000 * b + i, f"c{i}", 0, "user", f"v{b}-{i}", None, None, None)
+            for i in range(5)
+        ]
+        m = t.apply_changes(_events(spark, rows), batch_id=b, transform=apply_chain)
+    assert m["n_buckets_minor_compacted"] == 1
+    assert m["n_buckets_compacted"] == 0
+    e = t.manifest()["buckets"]["0"]
+    assert e["base"]["path"] == base_path          # base untouched
+    assert len(e["deltas"]) == 1                   # chain -> one combined delta
+    assert e["deltas"][0]["rows"] == 5             # resolved keys, not 15 raw rows
+    got = {r.conv_id: r.text for r in t.read().collect()}
+    assert got["c0"] == "v3-0" and got["c299"] == "base-299"
+    assert len(got) == 300
+    assert t.changes(v_compact).count() == 15      # feed: pre-fold paths pinned
+
+    # churn at base scale -> the tier check escalates to a major fold
+    b, majored = 4, False
+    while b < 12 and not majored:
+        rows = [
+            ("U", 10_000 * b + i, f"c{i}", 0, "user", f"w{b}-{i}", None, None, None)
+            for i in range(150)
+        ]
+        majored = t.apply_changes(
+            _events(spark, rows), batch_id=b, transform=apply_chain
+        )["n_buckets_compacted"] > 0
+        b += 1
+    assert majored
+    e = t.manifest()["buckets"]["0"]
+    assert e["base"]["path"] != base_path and e["deltas"] == []
+    assert t.read().count() == 300
