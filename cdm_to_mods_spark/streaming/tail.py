@@ -55,6 +55,7 @@ class StreamingReplay:
         branch: str = "main",
         min_seq: int | None = None,
         quarantine_path: str | None = None,
+        compact_deltas: int = 8,
     ) -> None:
         self.spark = spark
         self.events_dir = events_dir
@@ -75,7 +76,8 @@ class StreamingReplay:
             # drop_branch abandons). The fork (and the empty table under
             # it) is created on first use so streaming WAP is a one-liner.
             main_t = LakeTable(
-                spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode
+                spark, table_path, num_buckets=num_buckets,
+                merge_mode=merge_mode, compact_deltas=compact_deltas,
             )
             if not main_t.exists():
                 main_t.create(TRANSCRIPT_SCHEMA)
@@ -84,6 +86,7 @@ class StreamingReplay:
         self.table = LakeTable(
             spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode,
             branch=branch, quarantine_path=quarantine_path,
+            compact_deltas=compact_deltas,
         )
         if not self.table.exists():
             self.table.create(TRANSCRIPT_SCHEMA)

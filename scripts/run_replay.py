@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--events", required=True, help="binlog segment directory")
-    ap.add_argument("--format", choices=["parquet", "json", "csv"],
+    ap.add_argument("--format", choices=["parquet", "json", "csv", "xlsx"],
                     default="parquet", help="event source format (S6 connector)")
     ap.add_argument("--table", required=True, help="lake table path")
     ap.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
@@ -54,6 +54,12 @@ def main() -> None:
     ap.add_argument("--bootstrap-seq", type=int, default=None,
                     help="binlog seq the snapshot is consistent with; the tail "
                          "skips events at seq <= this at the parquet scan")
+    ap.add_argument("--branch", default="main",
+                    help="stage the tail on a WAP branch (publish_branch "
+                         "to fast-forward main after audit)")
+    ap.add_argument("--compact-deltas", type=int, default=8,
+                    help="delta-chain length that triggers an inline fold "
+                         "(minor when the chain is smaller than the base)")
     ap.add_argument("--quarantine", default=None, metavar="DIR",
                     help="dead-letter null-key change rows to this parquet dir "
                          "instead of aborting the replay")
@@ -102,6 +108,8 @@ def main() -> None:
         source_format=args.format,
         min_seq=args.bootstrap_seq,
         quarantine_path=args.quarantine,
+        branch=args.branch,
+        compact_deltas=args.compact_deltas,
     )
     if args.continuous:
         q = sr.start(available_now=False)
