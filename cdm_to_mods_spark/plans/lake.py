@@ -2410,51 +2410,21 @@ class LakeTable:
                     to_compact.append(b)
                 else:
                     to_minor.append(b)
-            if to_compact:
-                n_compacted = len(to_compact)
-                tmp_man = {
-                    "schemas": schemas,
-                    "buckets": {str(b): buckets[str(b)] for b in to_compact},
-                    "renames": man.get("renames", []),
-                }
-                compacted = latest_per_key(
-                    self._read_raw(tmp_man, canon=canon).withColumn(
-                        "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-                    ),
-                    self.key_cols,
-                    SEQ_COL,
-                ).drop("op").withColumn(
-                    "_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn)
-                )
-                cdir_rel = f"{data_rel}-compact"
-                (
-                    self._capped(
-                        compacted.repartition(max(n_compacted, 1), "_bucket")
-                        .sortWithinPartitions("_bucket", *self.key_cols)
-                        .write.partitionBy("_bucket")
-                        .mode("overwrite")
-                    ).parquet(os.path.join(self.path, cdir_rel))
-                )
-                cstats = _footer_stats(
-                    os.path.join(self.path, cdir_rel), SEQ_COL, self.stats_cols
-                )
-                for b in to_compact:
-                    base = {
-                        "path": f"{cdir_rel}/_bucket={b}",
-                        "schema_id": schema_id,
-                        "rows": cstats.get(b, {}).get("n_changes"),
-                    }
-                    if cstats.get(b, {}).get("stats"):
-                        base["stats"] = cstats[b]["stats"]
-                    buckets[str(b)] = {"base": base, "deltas": []}
-            if to_minor:
-                n_minor = len(to_minor)
+            def _fold(bucket_ids: list, include_base: bool, suffix: str) -> dict:
+                """Resolve LWW over each bucket's file sets and rewrite one
+                sorted file set per bucket; returns {bucket: entry}. Major
+                tier folds base+chain (include_base), minor folds the chain
+                alone — same read/resolve/write/stats path either way."""
                 tmp_man = {
                     "schemas": schemas,
                     "buckets": {
-                        str(b): {"base": None,
-                                 "deltas": buckets[str(b)]["deltas"]}
-                        for b in to_minor
+                        str(b): (
+                            buckets[str(b)]
+                            if include_base
+                            else {"base": None,
+                                  "deltas": buckets[str(b)]["deltas"]}
+                        )
+                        for b in bucket_ids
                     },
                     "renames": man.get("renames", []),
                 }
@@ -2468,26 +2438,37 @@ class LakeTable:
                     "_bucket",
                     _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn),
                 )
-                mdir_rel = f"{data_rel}-minor"
+                rel = f"{data_rel}-{suffix}"
                 (
                     self._capped(
-                        folded.repartition(max(n_minor, 1), "_bucket")
+                        folded.repartition(max(len(bucket_ids), 1), "_bucket")
                         .sortWithinPartitions("_bucket", *self.key_cols)
                         .write.partitionBy("_bucket")
                         .mode("overwrite")
-                    ).parquet(os.path.join(self.path, mdir_rel))
+                    ).parquet(os.path.join(self.path, rel))
                 )
-                mstats = _footer_stats(
-                    os.path.join(self.path, mdir_rel), SEQ_COL, self.stats_cols
+                fstats = _footer_stats(
+                    os.path.join(self.path, rel), SEQ_COL, self.stats_cols
                 )
-                for b in to_minor:
-                    combined = {
-                        "path": f"{mdir_rel}/_bucket={b}",
+                out = {}
+                for b in bucket_ids:
+                    entry = {
+                        "path": f"{rel}/_bucket={b}",
                         "schema_id": schema_id,
-                        "rows": mstats.get(b, {}).get("n_changes"),
+                        "rows": fstats.get(b, {}).get("n_changes"),
                     }
-                    if mstats.get(b, {}).get("stats"):
-                        combined["stats"] = mstats[b]["stats"]
+                    if fstats.get(b, {}).get("stats"):
+                        entry["stats"] = fstats[b]["stats"]
+                    out[b] = entry
+                return out
+
+            if to_compact:
+                n_compacted = len(to_compact)
+                for b, base in _fold(to_compact, True, "compact").items():
+                    buckets[str(b)] = {"base": base, "deltas": []}
+            if to_minor:
+                n_minor = len(to_minor)
+                for b, combined in _fold(to_minor, False, "minor").items():
                     buckets[str(b)] = {
                         "base": buckets[str(b)]["base"],
                         "deltas": [combined],

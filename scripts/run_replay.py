@@ -96,6 +96,53 @@ def main() -> None:
             "rows": m.get("rows_written"), "seq": m["bootstrap_seq"],
         }}), file=sys.stderr)
 
+    if args.format == "xlsx":
+        # xlsx is a batch-only source (binaryFile has no streaming reader —
+        # sources/events.py documents the edge-conversion recommendation),
+        # so the entrypoint applies the whole workbook directory as ONE
+        # batch through the same MERGE. A re-run gets a fresh batch_id and
+        # re-applies, but converges to the identical state by seq
+        # last-write-wins (pinned by test_replay_same_events_converges);
+        # for checkpointed exactly-once, land workbooks as parquet/json/csv
+        # and use the streaming tail.
+        from cdm_to_mods_spark.functions.chain import apply_chain
+        from cdm_to_mods_spark.plans.lake import LakeTable
+        from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+        from cdm_to_mods_spark.sources.events import read_events
+
+        if args.branch != "main":  # WAP fork on first use, like the tail
+            main_t = LakeTable(
+                spark, args.table, num_buckets=args.buckets,
+                merge_mode=args.mode, compact_deltas=args.compact_deltas,
+            )
+            if not main_t.exists():
+                main_t.create(TRANSCRIPT_SCHEMA)
+            if args.branch not in {m["name"] for m in main_t.branches()}:
+                main_t.create_branch(args.branch)
+        t = LakeTable(
+            spark, args.table, num_buckets=args.buckets,
+            merge_mode=args.mode, branch=args.branch,
+            quarantine_path=args.quarantine,
+            compact_deltas=args.compact_deltas,
+        )
+        if not t.exists():
+            t.create(TRANSCRIPT_SCHEMA)
+        events = read_events(
+            spark, args.events, fmt="xlsx", min_seq=args.bootstrap_seq
+        )
+        m = t.apply_changes(
+            events, batch_id=t.manifest()["last_batch_id"] + 1,
+            transform=apply_chain, source=f"xlsx:{args.events}",
+        )
+        man = t.manifest()
+        print(json.dumps({
+            "snapshot": man["version"],
+            "last_batch_id": man["last_batch_id"],
+            "metrics": m,
+            "rows": t.read().count(),
+        }))
+        return
+
     sr = StreamingReplay(
         spark,
         args.events,

@@ -178,7 +178,7 @@ def test_pii_mask_order_and_census(spark):
     assert out[3]["n_email"] == out[3]["n_url"] == 0
 
 
-def test_sequence_pack_offsets_are_contiguous(spark, q):
+def test_sequence_pack_offsets_are_contiguous(spark):
     """t8 packing: within every shard's concatenation order the chunk
     math must describe one gapless token stream — doc i's offset equals
     doc i-1's offset + tokens, positions stay below capacity, and the
@@ -187,7 +187,7 @@ def test_sequence_pack_offsets_are_contiguous(spark, q):
     from cdm_to_mods_spark.pipeline import _T8_CAPACITY, t8_sequence_pack
 
     pdf = (
-        t8_sequence_pack(spark, "/root/testdata/sf0.01")
+        t8_sequence_pack(spark, SF)
         .toPandas()
         .sort_values(["t8_shard", "doc_id"])
     )

@@ -14,9 +14,9 @@ from cdm_to_mods_spark.sources.synth import synth_events
 spark = get_spark("ab-minor", master="local[32]",
                   extra_conf={"spark.local.dir": "/dev/shm/ab-minor-local"})
 root = tempfile.mkdtemp(prefix="ab-minor-", dir="/dev/shm")
-N_BASE = int(__import__('os').environ.get('AB_BASE', 2_000_000))
+N_BASE = int(os.environ.get('AB_BASE', 2_000_000))
 N_CONVS = 200_000
-TAIL_BATCHES = int(__import__('os').environ.get('AB_TAIL', 12))
+TAIL_BATCHES = int(os.environ.get('AB_TAIL', 12))
 TAIL_EVENTS = 25_000   # per batch; churn over a 2.5k-conv hot set
 
 try:
@@ -41,8 +41,10 @@ try:
         tail_paths.append(p)
 
     def run(arm, rep):
+        n_buckets = int(os.environ.get("AB_BUCKETS", 64))
         t = LakeTable(spark, os.path.join(root, f"tab-{arm}-{rep}"),
-                      num_buckets=int(__import__('os').environ.get('AB_BUCKETS', 64)), merge_mode="mor", compact_deltas=4)
+                      num_buckets=n_buckets, merge_mode="mor",
+                      compact_deltas=4)
         t._minor_folds = (arm == "minor")
         t.create(TRANSCRIPT_SCHEMA)
         t.bootstrap(spark.read.parquet(snap_path), snapshot_seq=N_BASE)
