@@ -1706,9 +1706,14 @@ class LakeTable:
 
         Caveat (inherent to out-of-band deletes in any CDC system): the
         tombstone's seq is spent from the source's sequence domain — if the
-        source later emits events at seq ≤ ``tombstone_seq`` for a purged
-        key, the seq guard rejects them. Pass an explicit ``tombstone_seq``
-        if the source coordinates its own LSN space.
+        source later emits events at seq < ``tombstone_seq`` for a purged
+        key, the seq guard rejects them; an event at EXACTLY
+        ``tombstone_seq`` (the LSN this purge consumed) wins the tie under
+        the merge's op-ranked tie-break (U > I > D — the ordering the
+        bootstrap overlap path relies on), i.e. the next source change
+        sharing the purge's LSN re-creates the key. Pass an explicit
+        ``tombstone_seq`` if the source coordinates its own LSN space and
+        must not share it.
         """
         man = self.manifest()
         canon = self._canonical_schema(man)
@@ -2500,7 +2505,7 @@ class LakeTable:
             if affected:
                 # 6-cow. cross-batch last-write-wins (the MERGE): union
                 # affected target buckets with the change set, max _seq per
-                # key (tombstone-preferring tie-break), rewrite those buckets
+                # key (op-ranked U>I>D tie-break — latest_per_key), rewrite those buckets
                 # under the new snapshot dir — one file per bucket,
                 # hash-repartitioned on _bucket so writers are balanced.
                 target = self._read_raw(

@@ -94,7 +94,14 @@ def canon_ts(raw):
 def replay_oracle(events_pdf: pd.DataFrame) -> pd.DataFrame:
     """Final table state: per (conv_id, turn_idx) keep max-seq event; drop
     keys whose winning op is D; transform the survivors."""
-    ev = events_pdf.sort_values("seq")
+    # STABLE sort: at equal seq the later-listed event must win
+    # deterministically (the default quicksort reorders ties arbitrarily —
+    # equal seqs arise when delete_where/update_where spend an LSN a later
+    # source event also uses, and the engine resolves that tie op-ranked
+    # U>I>D, i.e. the source event beats the maintenance tombstone; callers
+    # list maintenance rows before subsequent source events, so stable
+    # keep-last mirrors it). Caught by the rollback interleaving property.
+    ev = events_pdf.sort_values("seq", kind="stable")
     # row-wise last-write-wins: the max-seq EVENT replaces the record
     # entirely (groupby.last() would coalesce per COLUMN — last non-null —
     # which silently resurrects overwritten nulls; caught by

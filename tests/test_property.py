@@ -271,3 +271,105 @@ def test_maintenance_interleavings_are_read_transparent(spark, merge_mode, case)
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@st.composite
+def rollback_programs(draw):
+    """Programs interleaving change batches with rollbacks (targets drawn
+    as indexes into the versions seen so far), compaction and predicate
+    deletes. The model records its event list at every committed version,
+    so a rollback just restores the recorded list — if the engine's
+    rollback diverges from 'state exactly as of that version', the final
+    oracle comparison fails."""
+    events, _ = draw(event_logs())
+    ops = draw(
+        st.lists(
+            st.sampled_from(
+                ["apply", "apply", "rollback", "compact", "delete"]
+            ),
+            min_size=4,
+            max_size=8,
+        )
+    )
+    if "apply" not in ops:
+        ops = ["apply"] + ops
+    rb_picks = draw(
+        st.lists(st.integers(0, 31),
+                 min_size=ops.count("rollback"),
+                 max_size=max(ops.count("rollback"), 1))
+    )
+    preds = draw(
+        st.lists(st.sampled_from(sorted(_PRED_PANDAS)),
+                 min_size=ops.count("delete"),
+                 max_size=max(ops.count("delete"), 1))
+    )
+    return events, ops, rb_picks, preds
+
+
+@pytest.mark.parametrize("merge_mode", ["mor", "cow"])
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=rollback_programs())
+def test_rollback_interleavings_restore_exact_versions(spark, merge_mode, case):
+    """For ANY program of batches / rollbacks / compactions / purges:
+    rolling back to version v restores exactly the state the model
+    recorded at v (including undone purges), batches applied AFTER a
+    rollback land on the restored state, and the final table matches the
+    pandas oracle of the surviving event list."""
+    events, ops, rb_picks, preds = case
+    cols = ["op", "seq", "conv_id", "turn_idx", "role", "text",
+            "tool", "ts_raw", "ingest_ts"]
+    chunks = _splits(events, max(ops.count("apply"), 1))
+    root = tempfile.mkdtemp(prefix="prop-rb-")
+    try:
+        t = LakeTable(spark, root, num_buckets=4, merge_mode=merge_mode)
+        t.create(TRANSCRIPT_SCHEMA)
+        history = [(t.manifest()["version"], ())]
+        model_events: list = []
+        applied = rb_i = del_i = next_bid = 0
+        for op in ops:
+            if op == "apply":
+                if applied < len(chunks):
+                    t.apply_changes(
+                        spark.createDataFrame(chunks[applied], EVENT_DDL),
+                        batch_id=next_bid, transform=apply_chain,
+                    )
+                    model_events.extend(chunks[applied])
+                    applied += 1
+                    next_bid += 1
+            elif op == "rollback":
+                tgt_v, snap = history[rb_picks[rb_i] % len(history)]
+                rb_i += 1
+                t.rollback(tgt_v)
+                model_events = list(snap)
+            elif op == "compact":
+                t.compact()
+            elif op == "delete":
+                pred = preds[del_i % len(preds)]
+                del_i += 1
+                t.delete_where(pred)
+                if model_events:
+                    live = replay_oracle(
+                        pd.DataFrame(model_events, columns=cols)
+                    )
+                    hit = live[_PRED_PANDAS[pred](live)]
+                    seq = max(e[1] for e in model_events) + 1
+                    model_events.extend(
+                        ("D", seq, r.conv_id, int(r.turn_idx),
+                         None, None, None, None, None)
+                        for r in hit.itertuples(index=False)
+                    )
+            history.append((t.manifest()["version"], tuple(model_events)))
+        want = replay_oracle(pd.DataFrame(model_events, columns=cols))
+        got = (
+            t.read().toPandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
