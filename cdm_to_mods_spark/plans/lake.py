@@ -179,6 +179,26 @@ def _bucket_expr(key_col: str, num_buckets: int, fn: str = "hash32") -> F.Column
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
 
+def _lineage_entry(lineage: dict, b, max_seq, min_seq, n_changes,
+                   snapshot, source) -> dict:
+    """Build a bucket's lineage record with a MONOTONE max_seq: the stored
+    high-water mark may never regress below what the bucket already
+    reflects, or ``_next_seq`` under-allocates after a bootstrap-overlap
+    replay (tail restarted at-or-before the snapshot point applies seqs
+    below the snapshot's) or a conflict retry whose loser carried lower
+    seqs — and an ``update_where`` at the under-allocated seq would lose
+    the LWW merge while reporting success."""
+    prev = (lineage.get(str(b)) or {}).get("max_seq")
+    return {
+        "max_seq": max_seq if prev is None or max_seq is None
+        else max(prev, max_seq),
+        "min_seq_in_batch": min_seq,
+        "n_changes": n_changes,
+        "snapshot": snapshot,
+        "source": source,
+    }
+
+
 def _stat_scalar(v):
     """Normalize a parquet footer statistic to a JSON-storable, totally
     ordered scalar. Timestamps become epoch seconds (UTC) so zone-map
@@ -692,7 +712,10 @@ class LakeTable:
             (
                 self._branch_meta(f[:-5])
                 for f in os.listdir(self._branches_dir)
-                if f.endswith(".json")
+                # skip in-flight _tmp- staging files (same rule as tags()):
+                # a crash mid-create must not leave a phantom branch the
+                # API can neither open nor drop, pinning GC forever
+                if f.endswith(".json") and not f.startswith("_tmp-")
             ),
             key=lambda m: m["name"],
         )
@@ -731,9 +754,10 @@ class LakeTable:
         in commit order, so ``changes(since=fork)`` on main replays the
         whole audited window. Declines with ``BranchDivergedError`` if main
         advanced past the fork point — a fast-forward would discard those
-        commits; re-stage instead. The branch is dropped on success (its
-        data dirs are now referenced by main; a crash between commit and
-        drop leaves an orphan branch that ``expire_snapshots`` clears)."""
+        commits; re-stage instead. The branch is dropped on success; a
+        crash between the commit and the drop is recovered by simply
+        re-running publish — it recognizes main's head as this branch's
+        own squash and finishes the pointer drop instead of raising."""
         assert self.branch == "main", "publish from a main-opened table"
         meta = self._branch_meta(name)
         fork = meta["forked_at"]
@@ -741,6 +765,19 @@ class LakeTable:
         bvs = sorted(self._branch_vfile_versions(names, name))
         head = self.latest_version()
         if head != fork:
+            if head == fork + 1:
+                hm = self._load_version(head).get("metrics", {})
+                if (
+                    hm.get("maintenance") == "publish"
+                    and hm.get("from_branch") == name
+                    and (not bvs or hm.get("branch_head") == bvs[-1])
+                ):
+                    # crash-window recovery: the squash already committed
+                    # as main's head and only the branch drop was lost —
+                    # finish it idempotently.
+                    self.drop_branch(name)
+                    return {**hm, "published_version": head,
+                            "recovered": True}
             raise BranchDivergedError(
                 f"main is at version {head} but branch {name!r} forked at "
                 f"{fork}; fast-forward publish would discard main commits — "
@@ -777,6 +814,10 @@ class LakeTable:
             ),
         }
         if poisoned:
+            # dedicated marker: the squash's union cdf can be NON-empty
+            # (sibling mor commits), so changes()'s mode+empty-cdf check
+            # alone would let the feed silently skip the cow commit's rows.
+            metrics["cow_without_cdf"] = True
             metrics["mode"] = "cow"
         try:
             self._commit(
@@ -819,6 +860,11 @@ class LakeTable:
     def tag(self, name: str, version: int | None = None) -> dict:
         """Create an immutable tag at ``version`` (default: current head).
         Tags never move — delete and re-create to re-point."""
+        # tag refs live in the MAIN version namespace: a branch handle's
+        # current version indexes b-<name>-v*.json files, and storing that
+        # bare integer would resolve to an unrelated main snapshot after
+        # publish. Same rule as create/publish/drop_branch.
+        assert self.branch == "main", "tag from a main-opened table"
         if not _BRANCH_NAME_RE.match(name):
             raise ValueError(f"invalid tag name {name!r}")
         v = self.latest_version() if version is None else version
@@ -1291,7 +1337,12 @@ class LakeTable:
                   if str(b) in man["buckets"]]
         )
         if any(len(self._bucket_files(e)) > 1 for e in sel):
-            raw = latest_per_key(raw, self.key_cols, SEQ_COL)
+            # the SAME op-ranked tie-break as every fold (_resolve_lww):
+            # equal _seq arises when delete_where/update_where spend an LSN
+            # a source event also uses — a bare payload-struct tie-break
+            # here could disagree with the fold, so compaction would CHANGE
+            # the visible state of a tied key.
+            raw = self._resolve_lww(raw)
         return raw.filter(~F.col(DELETED_COL)).drop(SEQ_COL, DELETED_COL)
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -1326,6 +1377,20 @@ class LakeTable:
             F.col(self.bucket_col).isin(bucket_keys)
         )
         return self._resolve_live(raw, man, needed)
+
+    def _resolve_lww(self, raw: DataFrame) -> DataFrame:
+        """Last-write-wins resolution over stored rows: one row per key,
+        max ``_seq``, ties op-ranked U>I>D (stored rows re-derive ``op``
+        from the tombstone flag so maintenance folds, the cow merge and
+        the read path all share ONE tie-break — any divergence between
+        these copies is a silent correctness fork)."""
+        return latest_per_key(
+            raw.withColumn(
+                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+            ),
+            self.key_cols,
+            SEQ_COL,
+        ).drop("op")
 
     @staticmethod
     def _coerce_bound(v, dtype: T.DataType):
@@ -1410,6 +1475,22 @@ class LakeTable:
         canon = self._canonical_schema(man)
         dtype = canon[col].dataType
         lo, hi = self._coerce_bound(lo, dtype), self._coerce_bound(hi, dtype)
+        if isinstance(dtype, T.TimestampType):
+            # Localize NAIVE bounds in the SESSION timezone, making them
+            # unambiguous instants BEFORE both consumers: F.lit(naive)
+            # means session-tz wall time while the zone maps store UTC
+            # epochs (_stat_scalar) — on a non-UTC session the prune and
+            # the filter would otherwise disagree by the UTC offset and
+            # silently skip buckets holding matching rows.
+            from zoneinfo import ZoneInfo
+
+            tz = ZoneInfo(
+                self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            )
+            if lo.tzinfo is None:
+                lo = lo.replace(tzinfo=tz)
+            if hi.tzinfo is None:
+                hi = hi.replace(tzinfo=tz)
         keep = self._range_buckets(man, col, lo, hi)
         raw = self._read_raw(man, buckets=keep)
         return self._resolve_live(raw, man, keep).filter(
@@ -1461,10 +1542,15 @@ class LakeTable:
                 # a cow commit that touched zero buckets (empty/no-op batch)
                 # contributed no changes — it cannot poison the feed.
                 and m.get("metrics", {}).get("n_buckets_touched", 1) > 0
-            ):
+            ) or m.get("metrics", {}).get("cow_without_cdf"):
+                # second arm: a published branch squash whose WINDOW held a
+                # feed-less cow commit — the squash's union cdf may be
+                # non-empty (sibling mor commits), so the bare mode+cdf
+                # check cannot see the hole; publish_branch marks it.
                 raise ValueError(
-                    f"version {v} was a copy-on-write commit without change-"
-                    "data files; use merge-on-read or cow_change_feed=True"
+                    f"version {v} was (or contains) a copy-on-write commit "
+                    "without change-data files; use merge-on-read or "
+                    "cow_change_feed=True"
                 )
             if "cdf" in m:
                 # data commits (batch_id set or ad-hoc) recorded their
@@ -1551,13 +1637,9 @@ class LakeTable:
             # back to each file set's stored names through it
             "renames": man.get("renames", []),
         }
-        folded = latest_per_key(
-            self._read_raw(tmp_man, canon=canon).withColumn(
-                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-            ),
-            self.key_cols,
-            SEQ_COL,
-        ).drop("op").withColumn(
+        folded = self._resolve_lww(
+            self._read_raw(tmp_man, canon=canon)
+        ).withColumn(
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn)
         )
         (
@@ -1727,13 +1809,7 @@ class LakeTable:
         if any(
             len(self._bucket_files(e)) > 1 for e in man["buckets"].values()
         ):
-            raw_all = latest_per_key(
-                raw_all.withColumn(
-                    "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-                ),
-                self.key_cols,
-                SEQ_COL,
-            ).drop("op")
+            raw_all = self._resolve_lww(raw_all)
         match_counts = {
             r["_b"]: r["n"]
             for r in raw_all.filter(~F.col(DELETED_COL))
@@ -1760,13 +1836,7 @@ class LakeTable:
         if any(
             len(self._bucket_files(man["buckets"][str(b)])) > 1 for b in todo
         ):
-            raw = latest_per_key(
-                raw.withColumn(
-                    "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-                ),
-                self.key_cols,
-                SEQ_COL,
-            ).drop("op")
+            raw = self._resolve_lww(raw)
         newly = ~F.col(DELETED_COL) & pred
         rewritten = (
             raw.withColumn(
@@ -1819,13 +1889,10 @@ class LakeTable:
         )
         lineage = dict(man.get("lineage", {}))
         for b in todo:
-            lineage[str(b)] = {
-                "max_seq": tombstone_seq,
-                "min_seq_in_batch": tombstone_seq,
-                "n_changes": match_counts[b],
-                "snapshot": new_version,
-                "source": f"delete_where:{note or ''}",
-            }
+            lineage[str(b)] = _lineage_entry(
+                lineage, b, tombstone_seq, tombstone_seq,
+                match_counts[b], new_version, f"delete_where:{note or ''}",
+            )
         self._commit(
             {
                 **man,
@@ -1860,13 +1927,7 @@ class LakeTable:
         constructor trusts the on-disk ``num_buckets``, so every future
         open sees the new spec)."""
         man = self.manifest()
-        folded = latest_per_key(
-            self._read_raw(man).withColumn(
-                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-            ),
-            self.key_cols,
-            SEQ_COL,
-        ).drop("op").withColumn(
+        folded = self._resolve_lww(self._read_raw(man)).withColumn(
             "_bucket", _bucket_expr(self.bucket_col, new_num_buckets, self.bucket_fn)
         )
         new_version = man["version"] + 1
@@ -2143,8 +2204,45 @@ class LakeTable:
         t0: float,
         _metrics_extra: dict | None = None,
     ) -> dict:
+        # every persist() in the body registers here so a failure anywhere
+        # (schema refusal, CHECK raise_error inside a write job, declined
+        # commit conflict) cannot leak cache entries — a long-lived replay
+        # session retrying bad batches must not accumulate orphaned blocks.
+        persisted: list[DataFrame] = []
+        try:
+            return self._apply_changes_body(
+                events, man, batch_id, transform, source, t0,
+                persisted, _metrics_extra,
+            )
+        finally:
+            for df in persisted:
+                df.unpersist(blocking=False)
+
+    def _apply_changes_body(
+        self,
+        events: DataFrame,
+        man: dict,
+        batch_id: int | None,
+        transform: Callable[[DataFrame], DataFrame] | None,
+        source: str | None,
+        t0: float,
+        persisted: list,
+        _metrics_extra: dict | None = None,
+    ) -> dict:
 
         new_version = man["version"] + 1
+
+        # -2. a batch missing a KEY column would be silently null-filled by
+        # the step-4 projection, and null keys compare equal in the dedup
+        # groupBy — an entire conversation would collapse into one
+        # (conv_id, null) row. That is producer breakage, never data; fail
+        # loudly before anything lands.
+        missing_keys = [k for k in self.key_cols if k not in events.columns]
+        if missing_keys:
+            raise SchemaEvolutionError(
+                f"change batch is missing key column(s) {missing_keys}; "
+                f"the table key is {list(self.key_cols)} — fix the producer"
+            )
 
         # -1. dead-letter routing (optional): null-key rows are unmergeable
         # — split them out to the quarantine sink before anything else.
@@ -2156,6 +2254,7 @@ class LakeTable:
         cached_batch: DataFrame | None = None
         if self.quarantine_path is not None:
             cached_batch = events.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(cached_batch)
             bad_pred = None
             for k in self.key_cols:
                 p = F.col(k).isNull()
@@ -2433,13 +2532,9 @@ class LakeTable:
                     },
                     "renames": man.get("renames", []),
                 }
-                folded = latest_per_key(
-                    self._read_raw(tmp_man, canon=canon).withColumn(
-                        "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-                    ),
-                    self.key_cols,
-                    SEQ_COL,
-                ).drop("op").withColumn(
+                folded = self._resolve_lww(
+                    self._read_raw(tmp_man, canon=canon)
+                ).withColumn(
                     "_bucket",
                     _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn),
                 )
@@ -2484,6 +2579,7 @@ class LakeTable:
             # then reused by the merge write so dedup+transform run exactly
             # once per batch.
             changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(changes)
             lineage_rows = (
                 changes.groupBy("_bucket")
                 .agg(
@@ -2520,18 +2616,7 @@ class LakeTable:
                     # one shuffle, not two (agg exchange + write
                     # repartition).
                     u = u.repartition(self.num_buckets, F.col(self.bucket_col))
-                merged = (
-                    u.transform(
-                        lambda d: latest_per_key(
-                            d.withColumn(
-                                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-                            ),
-                            self.key_cols,
-                            SEQ_COL,
-                        )
-                    )
-                    .drop("op")
-                )
+                merged = self._resolve_lww(u)
                 obs_out = Observation()
                 writer_df = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
                 if self.bucket_fn != "hash32":
@@ -2575,18 +2660,15 @@ class LakeTable:
                         os.path.join(self.path, cdf_rel)
                     )
                     cdf = [{"path": cdf_rel, "schema_id": schema_id}]
-            changes.unpersist(blocking=False)
+            # unpersist happens in _apply_changes_inner's finally
 
         # 8. lineage: source offsets (per-bucket max seq + rows) → snapshot.
         lineage = dict(man.get("lineage", {}))
         for b, s in lineage_stats.items():
-            lineage[str(b)] = {
-                "max_seq": s["max_seq"],
-                "min_seq_in_batch": s["min_seq"],
-                "n_changes": s["n_changes"],
-                "snapshot": new_version,
-                "source": source,
-            }
+            lineage[str(b)] = _lineage_entry(
+                lineage, b, s["max_seq"], s["min_seq"],
+                s["n_changes"], new_version, source,
+            )
 
         observed = _observed(obs_in)
         if observed is None:  # rare fallback path — one explicit agg job
@@ -2621,8 +2703,6 @@ class LakeTable:
             **(_metrics_extra or {}),
         }
 
-        if cached_batch is not None:  # quarantine cache: all jobs have run
-            cached_batch.unpersist(blocking=False)
         try:
             self._commit(
                 {
@@ -2733,13 +2813,10 @@ class LakeTable:
                 ].append(entry)
             lineage = dict(latest.get("lineage", {}))
             for b, s in lineage_stats.items():
-                lineage[str(b)] = {
-                    "max_seq": s["max_seq"],
-                    "min_seq_in_batch": s["min_seq"],
-                    "n_changes": s["n_changes"],
-                    "snapshot": new_version,
-                    "source": source,
-                }
+                lineage[str(b)] = _lineage_entry(
+                    lineage, b, s["max_seq"], s["min_seq"],
+                    s["n_changes"], new_version, source,
+                )
             try:
                 self._commit(
                     {

@@ -160,3 +160,32 @@ def test_streaming_tail_with_min_seq_handoff(spark, tmp_path):
     # the tail's batches only ever saw the suffix
     applied = [m for m in replay.batch_metrics if not m.get("skipped")]
     assert sum(m["n_events"] for m in applied) == 3
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_overlap_replay_keeps_seq_highwater_monotone(spark, tmp_table, mode):
+    """The documented handoff (tail restarts AT-OR-BEFORE the snapshot
+    point) must not regress the lineage's max_seq high-water mark: after
+    replaying an overlapping low-seq batch, update_where's default seq
+    still lands ABOVE the snapshot seq, so the update actually wins the
+    LWW merge (a regressed high-water mark would make it a silent no-op
+    that reports success)."""
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode=mode)
+    t.create(TRANSCRIPT_SCHEMA)
+    snap = spark.createDataFrame(
+        [("c1", 0, "user", "hello", None, None),
+         ("c2", 0, "user", "question", None, None)],
+        TRANSCRIPT_SCHEMA,
+    )
+    t.bootstrap(snap, snapshot_seq=1000)
+    # overlap batch: seqs far below the snapshot point — pure no-ops
+    t.apply_changes(
+        _events(spark, [("U", 500, "c1", 0, "user", "stale", None, None, None),
+                        ("U", 600, "c2", 0, "user", "stale", None, None, None)]),
+        batch_id=0,
+    )
+    assert _state(t) == {("c1", 0): ("user", "hello", None),
+                         ("c2", 0): ("user", "question", None)}
+    res = t.update_where("turn_idx = 0", {"tool": "'audited'"})
+    assert res["update_seq"] > 1000  # the regressed mark would give 601
+    assert {r.tool for r in t.read().collect()} == {"audited"}

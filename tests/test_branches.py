@@ -217,3 +217,79 @@ def test_streaming_tail_stages_on_branch_then_publishes(spark, tmp_path):
     res = main.publish_branch("staging")
     assert res["branch_versions"] >= 1
     pd.testing.assert_frame_equal(_final(main), want, check_dtype=False)
+
+
+def test_publish_crash_window_recovers_on_rerun(spark, tmp_table):
+    """Crash between the squash commit and the branch drop: re-running
+    publish must recognize main's head as this branch's own squash and
+    finish the drop instead of raising BranchDivergedError."""
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(SCHEMA)
+    t.create_branch("wap")
+    bt = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor",
+                   branch="wap")
+    bt.apply_changes(_events(spark, [("c1", 0, "staged", "I", 1)]), batch_id=0)
+
+    real_drop = LakeTable.drop_branch
+    calls = {"n": 0}
+
+    def crashing_drop(self, name):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before branch drop")
+        return real_drop(self, name)
+
+    LakeTable.drop_branch = crashing_drop
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            t.publish_branch("wap")
+        # squash landed, pointer still live — a naive re-run used to raise
+        res = t.publish_branch("wap")
+        assert res.get("recovered") is True
+        assert res["published_version"] == t.latest_version()
+    finally:
+        LakeTable.drop_branch = real_drop
+    assert _state(t) == {("c1", 0): "staged"}
+    assert all(b["name"] != "wap" for b in t.branches())
+
+
+def test_published_squash_with_feedless_cow_commit_poisons_feed(spark, tmp_table):
+    """A branch window holding BOTH an mor commit (cdf recorded) and a
+    feed-less cow commit must still poison changes() after the squash —
+    the union cdf being non-empty cannot hide the cow commit's hole."""
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(SCHEMA)
+    fork = t.manifest()["version"]
+    t.create_branch("mixed")
+    mor_h = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor",
+                      branch="mixed")
+    mor_h.apply_changes(_events(spark, [("c1", 0, "a", "I", 1)]), batch_id=0)
+    cow_h = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="cow",
+                      branch="mixed")
+    cow_h.apply_changes(_events(spark, [("c2", 0, "b", "I", 2)]), batch_id=1)
+    t.publish_branch("mixed")
+    assert _state(t) == {("c1", 0): "a", ("c2", 0): "b"}
+    with pytest.raises(ValueError, match="copy-on-write"):
+        t.changes(fork).collect()
+
+
+def test_branches_listing_ignores_tmp_staging_files(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(SCHEMA)
+    t.create_branch("real")
+    os.makedirs(os.path.join(tmp_table, "_ledger", "branches"), exist_ok=True)
+    with open(os.path.join(tmp_table, "_ledger", "branches",
+                           "_tmp-deadbeef.json"), "w") as fh:
+        fh.write('{"name": "phantom", "forked_at": 0}')
+    assert [b["name"] for b in t.branches()] == ["real"]
+
+
+def test_tag_requires_main_handle(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(SCHEMA)
+    t.create_branch("b1")
+    bt = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor",
+                   branch="b1")
+    bt.apply_changes(_events(spark, [("c1", 0, "x", "I", 1)]), batch_id=0)
+    with pytest.raises(AssertionError, match="main-opened"):
+        bt.tag("release")

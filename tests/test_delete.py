@@ -193,3 +193,41 @@ def test_delete_where_explicit_tombstone_seq(spark, table):
     res = table.delete_where("conv_id = 'c4'", tombstone_seq=1_000)
     assert res["tombstone_seq"] == 1_000
     assert ("c4", 0) not in _keys(table)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_lsn_collision_resolves_identically_on_read_and_fold(
+    spark, tmp_table, mode
+):
+    """delete_where spends an LSN from the source domain; a source event
+    arriving at EXACTLY that seq wins the op-ranked tie (U>I>D — the
+    documented caveat). The winner must be the same on the merge-on-read
+    READ path, after compact(), and on a fresh reopen — a tie-break that
+    differed between read and fold would let compaction change visible
+    state."""
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode=mode)
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _events(spark, [
+            ("I", 1, "c1", 0, "user", "original", None, None, None),
+            ("I", 2, "c2", 0, "user", "other", None, None, None),
+        ]),
+        batch_id=0,
+    )
+    res = t.delete_where("conv_id = 'c1'")
+    assert res["deleted_rows"] == 1
+    ts = res["tombstone_seq"]
+    # in-flight source event sharing the purge's LSN re-creates the key
+    t.apply_changes(
+        _events(spark, [
+            ("I", ts, "c1", 0, "user", "resurrected", None, None, None),
+        ]),
+        batch_id=1,
+    )
+    def state(handle):
+        return {(r.conv_id, r.turn_idx): r.text for r in handle.read().collect()}
+    want = {("c1", 0): "resurrected", ("c2", 0): "other"}
+    assert state(t) == want                      # read-path resolution
+    t.compact()
+    assert state(t) == want                      # fold resolution agrees
+    assert state(LakeTable(spark, tmp_table)) == want  # reopen agrees

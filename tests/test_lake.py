@@ -1001,3 +1001,19 @@ def test_minor_compaction_folds_chain_without_touching_base(spark, tmp_table):
     e = t.manifest()["buckets"]["0"]
     assert e["base"]["path"] != base_path and e["deltas"] == []
     assert t.read().count() == 300
+
+
+def test_batch_missing_key_column_is_refused(spark, tmp_table):
+    """A producer that dropped a key column must fail loudly — the old
+    null-fill would collapse every turn of a conversation into one
+    (conv_id, null) row under last-write-wins."""
+    t = LakeTable(spark, tmp_table, num_buckets=2, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    bad = spark.createDataFrame(
+        [("I", 1, "c1", "user", "x", None, None, None)],
+        "op string, seq long, conv_id string, role string, text string, "
+        "tool string, ts_raw string, ingest_ts timestamp",
+    )
+    with pytest.raises(SchemaEvolutionError, match="turn_idx"):
+        t.apply_changes(bad, batch_id=0)
+    assert t.read().count() == 0 and t.manifest()["version"] == 0

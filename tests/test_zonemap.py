@@ -238,3 +238,26 @@ def test_disabled_stats_fall_back_to_full_scan(spark, tmp_table):
     assert keep == sorted(int(b) for b in man["buckets"])
     got = _range_rows(t.read_range("2005-01-01", "2005-12-31"))
     assert {c for c, _, _ in got} == {"c03"}
+
+
+def test_read_range_correct_under_non_utc_session(spark, tmp_table):
+    """Zone maps store UTC epochs while F.lit(naive datetime) means
+    session-tz wall time: on a non-UTC session the prune and the filter
+    used to disagree by the UTC offset and silently skip buckets. The
+    bound is now localized in the session tz BEFORE both consumers, so
+    read_range must equal the full-scan filter under any session tz."""
+    t = LakeTable(spark, tmp_table, num_buckets=8, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_year_events(spark), batch_id=0, transform=apply_chain)
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = _range_rows(t.read_range("2005-03-10", "2005-03-11 23:59:59"))
+        want = _range_rows(
+            t.read().filter(
+                "ts BETWEEN '2005-03-10' AND '2005-03-11 23:59:59'"
+            )
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
