@@ -56,7 +56,16 @@ class ChangeFeedConsumer:
     def last_consumed(self) -> int:
         if os.path.exists(self.checkpoint_path):
             with open(self.checkpoint_path) as fh:
-                return json.load(fh)["last_version"]
+                try:
+                    return json.load(fh)["last_version"]
+                except (json.JSONDecodeError, KeyError) as e:
+                    # surface a repairable operator error instead of an
+                    # opaque crash loop on every poll
+                    raise RuntimeError(
+                        f"corrupt consumer checkpoint {self.checkpoint_path}"
+                        f" ({e}); restore it to {{\"last_version\": N}} or "
+                        "delete it to restart from start_version"
+                    ) from None
         if self._start is not None:
             return self._start
         return 0  # v0 is the empty create — consume everything after it
@@ -66,6 +75,9 @@ class ChangeFeedConsumer:
         os.makedirs(os.path.dirname(self.checkpoint_path) or ".", exist_ok=True)
         with open(tmp, "w") as fh:
             json.dump({"last_version": version}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # durable BEFORE the atomic rename —
+            # a power loss after replace must not leave a truncated file
         os.replace(tmp, self.checkpoint_path)  # atomic on POSIX
 
     # --------------------------------------------------------- consume
@@ -168,10 +180,23 @@ def replicate(
         ev = feed_to_events(feed)
         if transform is not None:
             ev = transform(ev)
-        out["last_metrics"] = dst.apply_changes(
+        m = dst.apply_changes(
             ev, batch_id=until, transform=None,
             source=f"replicate:{consumer.table.path}@({since},{until}]",
         )
+        if m.get("skipped") and dst.manifest()["last_batch_id"] > until:
+            # the ledger skipped us because SOMETHING ELSE wrote a higher
+            # batch_id — the destination has another producer (a streaming
+            # tail, a different replication source). Silently advancing
+            # the checkpoint would drop this range forever; replication
+            # requires an exclusive destination ledger.
+            raise RuntimeError(
+                f"replication destination {dst.path} has batch ledger at "
+                f"{dst.manifest()['last_batch_id']} > feed version {until}"
+                " — another producer writes this table; replicate needs an"
+                " exclusive destination"
+            )
+        out["last_metrics"] = m
 
     res = consumer.run_to_head(_apply)
     return {**res, **out}

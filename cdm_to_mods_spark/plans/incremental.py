@@ -99,9 +99,31 @@ class ConversationStatsView:
             out = fresh
             touched = None
         else:
-            feed = self.source.changes(applied, src_v)
-            feed_keys = feed.select("conv_id").distinct()
-            n_touched = feed_keys.count()
+            from .lake import SnapshotExpiredError
+
+            try:
+                feed = self.source.changes(applied, src_v)
+                feed_keys = feed.select("conv_id").distinct()
+                # ONE scan decides the strategy AND supplies the point-read
+                # key list: take(threshold+1) bounds the driver transfer —
+                # a separate count() + collect() would read the feed twice.
+                # (Only the rare wide batch pays a second feed scan, inside
+                # its distributed key_join.)
+                probe = feed_keys.take(self.point_read_threshold + 1)
+            except SnapshotExpiredError:
+                # the view lagged past the source's snapshot retention —
+                # the feed range is gone. SnapshotExpiredError's contract
+                # is 're-seed from a snapshot read': fall back to the full
+                # rebuild instead of wedging the refresh loop.
+                fresh = self._agg(self.source.read(src_v))
+                data_rel = f"data-v{src_v:08d}"
+                fresh.write.mode("overwrite").parquet(
+                    os.path.join(self.path, data_rel)
+                )
+                self._commit_marker(data_rel, src_v, -1, t0)
+                return {"refreshed": True, "source_version": src_v,
+                        "touched_groups": -1, "strategy": "reseed_full"}
+            n_touched = len(probe)
             if n_touched == 0:
                 self._commit_marker(self._marker()["data"], src_v, 0, t0)
                 return {"refreshed": True, "source_version": src_v,
@@ -110,7 +132,7 @@ class ConversationStatsView:
                 # bounded key list → bucket-pruned point read (O(touched
                 # buckets), the common case: a batch touches few groups)
                 strategy = "point_read"
-                touched = [r.conv_id for r in feed_keys.collect()]
+                touched = [r.conv_id for r in probe]
                 fresh = self._agg(self.source.read_keys(touched, version=src_v))
                 out = (
                     self.read()
@@ -129,6 +151,9 @@ class ConversationStatsView:
                     .join(feed_keys, "conv_id", "left_anti")
                     .unionByName(fresh)
                 )
+                # true touched-group count for the metric (the probe was
+                # capped at threshold+1); only this rare wide path pays it
+                n_touched = feed_keys.count()
             touched = n_touched
 
         data_rel = f"data-v{src_v:08d}"

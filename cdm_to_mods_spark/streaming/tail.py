@@ -82,7 +82,13 @@ class StreamingReplay:
             if not main_t.exists():
                 main_t.create(TRANSCRIPT_SCHEMA)
             if branch not in {m["name"] for m in main_t.branches()}:
-                main_t.create_branch(branch)
+                try:
+                    main_t.create_branch(branch)
+                except ValueError:
+                    # TOCTOU with a concurrent tail creating the same
+                    # branch — create_branch is atomic-exclusive, so losing
+                    # the race means the branch now exists: proceed.
+                    pass
         self.table = LakeTable(
             spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode,
             branch=branch, quarantine_path=quarantine_path,
@@ -112,7 +118,11 @@ class StreamingReplay:
                 spark, sliding_view_path, "ingest_ts", "2 hours", "1 hour",
                 {"n_events": ("count", "*")},
             )
-        self.batch_metrics: list[dict] = []
+        # bounded: continuous tails run indefinitely and metrics_path is
+        # the durable sink — an unbounded list is a slow driver leak.
+        from collections import deque
+
+        self.batch_metrics: deque = deque(maxlen=10_000)
 
     # ------------------------------------------------------------------
     def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -123,7 +133,11 @@ class StreamingReplay:
             transform=self.transform,
             source=f"stream:{self.events_dir}",
         )
-        if self.view is not None and not metrics.get("skipped"):
+        if self.view is not None:
+            # runs ALSO for skipped (crash-redelivered) batches: the crash
+            # may have been between the table commit and the view refresh,
+            # leaving the view one version behind forever if redelivery
+            # skipped it; refresh() is idempotent when already caught up.
             metrics["view"] = self.view.refresh()
         if self.sliding is not None:
             # runs even when the MERGE skipped (crash-redelivery): the
@@ -158,11 +172,21 @@ class StreamingReplay:
         return writer.start()
 
     def run_to_completion(self, timeout_sec: float = 600.0) -> LakeTable:
-        """Process the full backlog and return the converged table."""
+        """Process the full backlog and return the converged table.
+
+        Raises ``TimeoutError`` if the backlog did not finish inside
+        ``timeout_sec`` — returning the table anyway would report a
+        PARTIAL replay as converged (the checkpoint keeps the progress, so
+        re-running resumes where the stopped query left off)."""
         q = self.start(available_now=True)
-        q.awaitTermination(timeout_sec)
-        if q.isActive:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
             q.stop()
+            raise TimeoutError(
+                f"streaming replay did not drain the backlog within "
+                f"{timeout_sec}s; progress is checkpointed at "
+                f"{self.checkpoint_dir} — re-run to resume"
+            )
         return self.table
 
 

@@ -107,3 +107,26 @@ def test_process_once_range_accounting(spark, tmp_path):
     assert c.pending() == (2, 2)
     assert c.process_once(lambda df, s, u: seen.append("nope"))["advanced"] is False
     assert seen == [(0, 2, 4)]
+
+
+def test_replicate_refuses_destination_with_foreign_producer(spark, tmp_path):
+    """The replication ledger token is batch_id = until-version; a
+    destination whose ledger is AHEAD of the feed (some other producer
+    wrote it) would silently swallow every range via the exactly-once
+    skip. replicate must refuse instead of advancing past dropped rows."""
+    import pytest
+
+    src = _mk_src(spark, str(tmp_path / "src"))
+    dst = LakeTable(spark, str(tmp_path / "dst"), num_buckets=8,
+                    merge_mode="mor")
+    dst.create(TRANSCRIPT_SCHEMA)
+    # foreign producer: a batch with a HIGH batch_id lands in dst first
+    dst.apply_changes(
+        _ev(spark, [("I", 1, "zz", 0, "user", "foreign", None, None, None)]),
+        batch_id=999,
+    )
+    c = ChangeFeedConsumer(spark, src, str(tmp_path / "ckpt.json"))
+    with pytest.raises(RuntimeError, match="another producer"):
+        replicate(c, dst)
+    # the checkpoint must NOT have advanced past the dropped range
+    assert c.last_consumed() == 0

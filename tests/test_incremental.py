@@ -17,6 +17,10 @@ EVENT_DDL = (
 )
 
 
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EVENT_DDL)
+
+
 def _full_recompute(table) -> pd.DataFrame:
     return (
         ConversationStatsView._agg(table.read())
@@ -130,3 +134,29 @@ def test_wide_batch_uses_key_join_not_driver_list(spark, tmp_path):
     assert r2["strategy"] == "point_read" and r2["touched_groups"] == 1
     pd.testing.assert_frame_equal(_view_state(view), _full_recompute(t),
                                   check_dtype=False)
+
+
+def test_view_reseeds_after_feed_retention_expired(spark, tmp_path):
+    """A view lagging past the source's snapshot retention gets
+    SnapshotExpiredError from changes(); refresh() must fall back to the
+    full rebuild (the error's own 're-seed from a snapshot read' contract)
+    instead of wedging every subsequent refresh."""
+    t = LakeTable(spark, str(tmp_path / "tab"), num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "a", None, None, None),
+        ("I", 2, "c2", 0, "user", "b", None, None, None),
+    ]), batch_id=0)
+    view = ConversationStatsView(spark, t, str(tmp_path / "view"))
+    assert view.refresh()["refreshed"]
+    # source advances twice, then retention drops the feed range
+    t.apply_changes(_ev(spark, [
+        ("U", 3, "c1", 0, "user", "a2", None, None, None),
+    ]), batch_id=1)
+    t.apply_changes(_ev(spark, [
+        ("I", 4, "c3", 0, "user", "c", None, None, None),
+    ]), batch_id=2)
+    t.expire_snapshots(keep_last=1)
+    res = view.refresh()
+    assert res["strategy"] == "reseed_full" and res["refreshed"]
+    pd.testing.assert_frame_equal(_view_state(view), _full_recompute(t))

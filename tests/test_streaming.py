@@ -129,8 +129,10 @@ def test_late_segment_arrival(spark, tmp_path):
 
 def test_stateful_out_of_order_audit(spark, tmp_path):
     """applyInPandasWithState audit: events whose seq does not exceed the
-    per-conversation running max (i.e. what the MERGE seq-guard rejects)
-    are emitted, with state carried across micro-batches."""
+    per-(conv_id, turn_idx) running max from PRIOR batches (i.e. what the
+    MERGE seq-guard rejects) are emitted, with state carried across
+    micro-batches; a different turn's interleaved seqs must NOT trigger a
+    false positive."""
     from pyspark.sql import functions as F
 
     from cdm_to_mods_spark.schemas import EVENT_SCHEMA
@@ -141,7 +143,10 @@ def test_stateful_out_of_order_audit(spark, tmp_path):
     rows1 += [("I", s, "cB", 0, "user", f"t{s}", None, None, None) for s in (2, 4)]
     rows2 = [("U", 3, "cA", 0, "user", "late", None, None, None),   # late: 3 <= 9
              ("U", 12, "cA", 0, "user", "ok", None, None, None),
-             ("U", 4, "cB", 0, "user", "dup", None, None, None)]    # late: 4 <= 4
+             ("U", 4, "cB", 0, "user", "dup", None, None, None),    # late: 4 <= 4
+             # turn 1 of cA at seq 6 < turn 0's max 9: the guard is
+             # per-(conv, turn), so this must NOT be flagged
+             ("I", 6, "cA", 1, "user", "new turn", None, None, None)]
     ddl = ("op string, seq long, conv_id string, turn_idx int, role string, "
            "text string, tool string, ts_raw string, ingest_ts timestamp")
     spark.createDataFrame(rows1, ddl).coalesce(1).write.parquet(f"{events_dir}/seg-0")
@@ -164,8 +169,11 @@ def test_stateful_out_of_order_audit(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = {(r.conv_id, r.seq) for r in spark.read.parquet(out_dir).collect()}
-    assert got == {("cA", 3), ("cB", 4)}
+    got = {
+        (r.conv_id, r.turn_idx, r.seq)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {("cA", 0, 3), ("cB", 0, 4)}
 
 
 def test_windowed_event_counts_with_watermark(spark, tmp_path):
