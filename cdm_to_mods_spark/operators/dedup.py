@@ -48,11 +48,23 @@ def latest_per_key_window(
     keys: Sequence[str] = ("conv_id", "turn_idx"),
     seq_col: str = "seq",
 ) -> DataFrame:
-    """Window formulation of :func:`latest_per_key` (same result set)."""
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(),
-        F.col("op").desc() if "op" in df.columns else F.xxhash64(*keys).asc(),
-    )
+    """Window formulation of :func:`latest_per_key` (same result set,
+    including the full deterministic tie-break: seq, then op, then the
+    payload columns — equal (seq, op) pairs are REAL in this engine
+    because delete_where/update_where spend an LSN a source event may
+    also use, and a differential oracle that picked an arbitrary
+    partition-order row on those ties would flakily disagree with the
+    max_by operator it verifies)."""
+    payload = [c for c in df.columns if c not in keys]
+    order = [F.col(seq_col).desc()]
+    if "op" in df.columns:
+        order.append(F.col("op").desc())
+    order += [
+        F.col(c).desc_nulls_last()
+        for c in payload
+        if c not in (seq_col, "op")
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -46,7 +46,21 @@ def salted_join(
     land on ``n_salt`` reducers instead of one. Replication cost is
     O(|dim| × n_salt) — use when ``dim`` is too big to broadcast but far
     smaller than the fact side. Result is row-identical to the unsalted
-    join (tested)."""
+    join (tested).
+
+    Only fact-preserving join types are accepted: a join that emits
+    UNMATCHED dim rows (right/full outer) would surface each unmatched
+    dim row once PER SALT REPLICA — n_salt phantom null-extended rows —
+    and even a matched dim key would emit its unmatched replicas. Those
+    shapes need a different strategy (swap the sides, or AQE skew-join)."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti",
+                   "semi", "anti"):
+        raise ValueError(
+            f"salted_join cannot express how={how!r}: dim rows are "
+            "replicated n_salt times, so join types emitting unmatched "
+            "dim rows would duplicate them"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     f = facts.withColumn("_salt", _det_salt(facts, keys, n_salt))
     d = dim.withColumn(

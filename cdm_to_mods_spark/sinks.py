@@ -77,8 +77,10 @@ def restriction_report(df: DataFrame, restricted_col: str, *cols: str) -> DataFr
     sink, post_cdm_cleanup.py:186-217): rows whose ``restricted_col`` is
     non-empty, projected to the requested columns."""
     keep = list(cols) if cols else df.columns
+    # compare as STRING: against a non-string column the literal '' would
+    # cast to null and null-propagate the predicate false for every row —
+    # an always-empty report with no error (int/bool restriction flags).
+    as_str = F.col(restricted_col).cast("string")
     return (
-        df.filter(
-            F.col(restricted_col).isNotNull() & (F.col(restricted_col) != "")
-        ).select(*keep)
+        df.filter(as_str.isNotNull() & (as_str != "")).select(*keep)
     )

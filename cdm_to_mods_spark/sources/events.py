@@ -80,7 +80,11 @@ def read_events(
     if fmt == "parquet":
         df = reader.parquet(path)
     elif fmt == "json":
-        df = reader.json(path)
+        # optional-section pattern: parses write_events' full-microsecond
+        # form AND fraction-less/offset-less third-party feeds
+        df = reader.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
+        ).json(path)
     else:
         df = (
             reader.option("header", "true")
@@ -114,7 +118,9 @@ def write_events(df: DataFrame, path: str, *, fmt: str = "parquet") -> None:
     if fmt == "parquet":
         w.parquet(path)
     elif fmt == "json":
-        w.json(path)
+        # microsecond format explicitly: Spark's default truncates to
+        # milliseconds, silently breaking the documented round-trip
+        w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(path)
     else:
         (
             w.option("header", "true")

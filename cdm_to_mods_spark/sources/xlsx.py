@@ -55,8 +55,20 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
         return []
     out = []
     for si in ElementTree.fromstring(data):
-        # a shared string is one <t> or a sequence of rich-text runs
-        out.append("".join(t.text or "" for t in si.iter() if _local(t.tag) == "t"))
+        # a shared string is one <t> or a sequence of rich-text runs <r>;
+        # phonetic-guide runs <rPh> (furigana from Japanese Excel) also
+        # carry <t> descendants but are NOT part of the cell value —
+        # openpyxl/xlrd skip them too.
+        parts = []
+        for child in si:
+            loc = _local(child.tag)
+            if loc == "t":
+                parts.append(child.text or "")
+            elif loc == "r":
+                parts.extend(
+                    t.text or "" for t in child.iter() if _local(t.tag) == "t"
+                )
+        out.append("".join(parts))
     return out
 
 
@@ -182,15 +194,20 @@ def read_xlsx(
             # positional names; duplicates get a numeric suffix (a
             # duplicate-column schema fails downstream).
             head = list(head_rows[0]) + [None] * (width - len(head_rows[0]))
-            seen: dict[str, int] = {}
+            literal = {str(c) for c in head if c is not None}
+            seen: set[str] = set()
             columns = []
             for i, c in enumerate(head):
                 name = f"_c{i}" if c is None else str(c)
                 if name in seen:
-                    seen[name] += 1
-                    name = f"{name}_{seen[name]}"
-                else:
-                    seen[name] = 1
+                    # probe until the suffix collides with NEITHER an
+                    # emitted name NOR a literal later header cell — a
+                    # header like [a, a, a_2] must not emit a_2 twice
+                    k = 2
+                    while f"{name}_{k}" in seen or f"{name}_{k}" in literal:
+                        k += 1
+                    name = f"{name}_{k}"
+                seen.add(name)
                 columns.append(name)
         else:
             columns = [f"_c{i}" for i in range(width)]
@@ -271,9 +288,12 @@ def _col_letters(i: int) -> str:
     return out
 
 
-def write_xlsx(sheets: dict[str, pd.DataFrame], path: str) -> None:
+def write_xlsx(
+    sheets: dict[str, pd.DataFrame], path: str, *, header: bool = True
+) -> None:
     """Write a (multi-sheet) workbook — header row + inline-string cells;
-    None/NaN cells are omitted (read back as None)."""
+    None/NaN cells are omitted (read back as None). ``header=False``
+    omits the column-name row (the data rows start at row 1)."""
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         n = len(sheets)
         zf.writestr(
@@ -307,7 +327,9 @@ def write_xlsx(sheets: dict[str, pd.DataFrame], path: str) -> None:
         )
         for i, (name, pdf) in enumerate(sheets.items()):
             body = []
-            grid = [list(pdf.columns)] + pdf.astype(object).values.tolist()
+            grid = ([list(pdf.columns)] if header else []) + pdf.astype(
+                object
+            ).values.tolist()
             for ri, row in enumerate(grid):
                 cells = []
                 for ci, v in enumerate(row):

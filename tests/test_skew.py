@@ -69,3 +69,50 @@ def test_salted_distinct_count_exact(spark):
         for r in salted_distinct_count(facts, ["k"], "v", n_salt=8).collect()
     }
     assert got == want
+
+
+def test_salted_join_rejects_dim_preserving_types(spark):
+    """right/full outer would emit each unmatched dim row once per salt
+    replica — the operator must refuse rather than silently duplicate."""
+    import pytest
+
+    facts = _hot_facts(spark, n=50)
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="replicated"):
+            salted_join(facts, dim, "k", how=how)
+
+
+def test_latest_per_key_window_tie_parity(spark):
+    """The window formulation must apply the SAME full tie-break as the
+    max_by hot path — equal (seq, op) pairs are real (delete_where LSN
+    collisions), and the differential oracle may not pick an arbitrary
+    partition-order row on them."""
+    from cdm_to_mods_spark.operators.dedup import (
+        latest_per_key,
+        latest_per_key_window,
+    )
+
+    rows = [
+        # equal (seq, op) tie — payload must break it identically
+        ("c1", 0, 5, "U", "alpha"),
+        ("c1", 0, 5, "U", "zeta"),
+        ("c1", 0, 5, "U", None),
+        # op tie at equal seq
+        ("c2", 0, 7, "D", "gone"),
+        ("c2", 0, 7, "U", "kept"),
+        # plain seq winner
+        ("c3", 1, 1, "I", "old"),
+        ("c3", 1, 9, "U", "new"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, seq long, op string, text string"
+    ).repartition(8)
+    a_rows = latest_per_key(df).collect()
+    a = {tuple(r) for r in a_rows}
+    b = {tuple(r) for r in latest_per_key_window(df).select(*a_rows[0].__fields__).collect()}
+    assert a == b
+    got = {(r.conv_id, r.turn_idx): (r.seq, r.op, r.text) for r in a_rows}
+    assert got[("c1", 0)] == (5, "U", "zeta")
+    assert got[("c2", 0)] == (7, "U", "kept")
+    assert got[("c3", 1)] == (9, "U", "new")
