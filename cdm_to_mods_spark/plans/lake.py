@@ -1754,6 +1754,186 @@ class LakeTable:
         )
         return {**metrics, "update_seq": update_seq}
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        *,
+        when_matched_update: dict | None = None,
+        when_matched_delete=None,
+        when_not_matched_insert: bool | dict = True,
+        matched_condition=None,
+        merge_seq: int | None = None,
+        batch_id: int | None = None,
+        note: str | None = None,
+    ) -> dict:
+        """Declarative MERGE INTO — the Delta/Iceberg-style upsert API over
+        the engine's CDC apply path: ``source`` rows are classified against
+        the table's CURRENT live state and turned into ordinary change
+        events, then fed through :meth:`apply_changes` — so a merge inherits
+        the whole MERGE machinery for free (single bucket shuffle, change
+        feed, CHECK constraints, quarantine, exactly-once ``batch_id``,
+        conflict retry, schema evolution of the event frame).
+
+        Clause semantics (evaluated in Delta's order, first match wins):
+
+        - ``when_matched_delete``: Column / SQL string over the joined row
+          (``s.<col>`` = source, ``t.<col>`` = target); matching pairs emit
+          a 'D' event. Pass ``True`` for an unconditional matched-delete.
+        - ``when_matched_update``: dict column → Column / SQL string; RHS
+          sees BOTH sides (``s.``/``t.``). Non-assigned columns keep the
+          target value. Gated by ``matched_condition`` when given.
+        - ``when_not_matched_insert``: ``True`` inserts the source row's
+          canonical columns (absent ones null); a dict gives explicit
+          per-column expressions over ``s.``; ``False`` drops unmatched
+          source rows.
+
+        Key/bucket columns cannot be assigned (that is delete + insert).
+        Duplicate keys in ``source`` are refused — two source rows matching
+        one target row make the merge non-deterministic (same rule as
+        Delta's ``MERGE`` cardinality check); pre-aggregate the source
+        (e.g. ``latest_per_key``) first.
+
+        All emitted events share one ``merge_seq`` (default: 1 + the
+        table's max applied ``_seq``); the seq-domain caveat on
+        :meth:`delete_where` applies equally.
+
+        Scale shape: one join of the source against the live state — the
+        source side is a change-batch (small) and Catalyst broadcasts it
+        under the threshold, so the classification is a broadcast probe of
+        the table scan, not a repartition of 100 TB; the write side is then
+        the ordinary O(affected buckets) apply.
+        """
+        if (
+            when_matched_update is None
+            and when_matched_delete is None
+            and when_not_matched_insert is False
+        ):
+            raise ValueError("merge_into needs at least one WHEN clause")
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        key_set = set(self.key_cols)
+        if when_matched_update:
+            for c in when_matched_update:
+                if c in key_set or c == self.bucket_col:
+                    raise ValueError(
+                        f"cannot assign key/bucket column {c!r}; "
+                        "delete + re-insert instead"
+                    )
+                if c not in canon.fieldNames():
+                    raise SchemaEvolutionError(f"no column {c!r}")
+        missing = key_set - set(source.columns)
+        if missing:
+            raise ValueError(f"source is missing key column(s) {sorted(missing)}")
+        dup = (
+            source.groupBy(*self.key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter("n > 1")
+            .take(1)
+        )
+        if dup:
+            k = tuple(dup[0][c] for c in self.key_cols)
+            raise ValueError(
+                f"source has multiple rows for key {k}: a MERGE with "
+                "duplicate source keys is non-deterministic — dedup the "
+                "source first (e.g. operators.dedup.latest_per_key)"
+            )
+        if merge_seq is None:
+            merge_seq = self._next_seq(man, canon)
+
+        as_expr = lambda v: F.expr(v) if isinstance(v, str) else v  # noqa: E731
+        s = source.alias("s")
+        t = self.read().alias("t")
+        joined = s.join(
+            t, [s[k].eqNullSafe(t[k]) for k in self.key_cols], "left"
+        )
+        # the probe marker must be a target column that is NEVER null in
+        # live state: key columns qualify (null-keyed rows are quarantined
+        # on ingest, never stored live).
+        matched = F.col(f"t.{self.key_cols[0]}").isNotNull()
+
+        delete_cond = F.lit(False)
+        if when_matched_delete is not None:
+            delete_cond = (
+                F.lit(True)
+                if when_matched_delete is True
+                else as_expr(when_matched_delete)
+            )
+        update_cond = F.lit(when_matched_update is not None)
+        if when_matched_update and matched_condition is not None:
+            update_cond = as_expr(matched_condition)
+        insert_exprs = None
+        if when_not_matched_insert is not False:
+            if isinstance(when_not_matched_insert, dict):
+                insert_exprs = {
+                    c: as_expr(v) for c, v in when_not_matched_insert.items()
+                }
+            else:
+                insert_exprs = {
+                    f.name: F.col(f"s.{f.name}")
+                    for f in canon.fields
+                    if f.name in source.columns
+                }
+            for c in insert_exprs:
+                if c not in canon.fieldNames():
+                    raise SchemaEvolutionError(f"no column {c!r}")
+        update_exprs = {
+            c: as_expr(v) for c, v in (when_matched_update or {}).items()
+        }
+
+        op = (
+            F.when(matched & delete_cond, "D")
+            .when(matched & update_cond, "U")
+            .when(~matched & F.lit(insert_exprs is not None), "I")
+        )
+
+        def value_for(f):
+            """per-op column value: I → insert expr (default s.<col>, null
+            if the source lacks it), U → update expr (default: keep t.<col>),
+            D → t.<col>; key columns always pass through (t for matched ops,
+            the insert expr / s for inserts)."""
+            if f.name in key_set:
+                ins_key = (
+                    insert_exprs.get(f.name, F.col(f"s.{f.name}"))
+                    if insert_exprs is not None
+                    else F.col(f"s.{f.name}")
+                )
+                v = F.when(F.col("_merge_op") == "I", ins_key).otherwise(
+                    F.col(f"t.{f.name}")
+                )
+            else:
+                ins = (
+                    insert_exprs.get(f.name, F.lit(None))
+                    if insert_exprs is not None
+                    else F.lit(None)
+                )
+                v = (
+                    F.when(F.col("_merge_op") == "I", ins)
+                    .when(
+                        F.col("_merge_op") == "U",
+                        update_exprs.get(f.name, F.col(f"t.{f.name}")),
+                    )
+                    .otherwise(F.col(f"t.{f.name}"))
+                )
+            return v.cast(f.dataType).alias(f.name)
+
+        events = (
+            joined.withColumn("_merge_op", op)
+            .filter(F.col("_merge_op").isNotNull())
+            .select(
+                F.col("_merge_op").alias("op"),
+                F.lit(merge_seq).cast("long").alias("seq"),
+                *[value_for(f) for f in canon.fields],
+            )
+        )
+        metrics = self.apply_changes(
+            events,
+            batch_id=batch_id,
+            transform=None,
+            source=f"merge_into:{note or ''}",
+            _metrics_extra={"maintenance": "merge_into"},
+        )
+        return {**metrics, "merge_seq": merge_seq}
+
     def delete_where(
         self,
         predicate,

@@ -1,0 +1,173 @@
+"""merge_into: declarative Delta-style MERGE over the CDC apply path —
+clause classification (update/delete/insert), s./t. expression scope,
+cardinality check, exactly-once batch_id, change-feed visibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import SchemaEvolutionError, TRANSCRIPT_SCHEMA
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts_raw string, ingest_ts timestamp"
+)
+SRC_DDL = "conv_id string, turn_idx int, role string, text string, tool string"
+
+
+@pytest.fixture(params=["cow", "mor"])
+def table(spark, tmp_table, request):
+    t = LakeTable(spark, tmp_table, num_buckets=8, merge_mode=request.param,
+                  cow_change_feed=(request.param == "cow"))
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        spark.createDataFrame(
+            [
+                ("I", 1, "c1", 0, "user", "hello", "search", None, None),
+                ("I", 2, "c1", 1, "assistant", "hi", None, None, None),
+                ("I", 3, "c2", 0, "user", "bye", "search", None, None),
+            ],
+            EVENT_DDL,
+        ),
+        batch_id=0,
+    )
+    return t
+
+
+def _state(t):
+    return {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in t.read().collect()
+    }
+
+
+def test_merge_update_insert_delete(spark, table):
+    """one merge carrying all three clause kinds, expressions over both
+    sides, non-assigned columns kept from the target."""
+    src = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "HELLO", None),        # matched -> update
+            ("c1", 1, None, "purge-me", "zap"),      # matched -> delete
+            ("c3", 0, "system", "new row", "calc"),  # unmatched -> insert
+        ],
+        SRC_DDL,
+    )
+    v0 = table.latest_version()
+    res = table.merge_into(
+        src,
+        when_matched_delete="s.tool = 'zap'",
+        when_matched_update={
+            "text": "concat(t.text, '+', s.text)",
+            "role": F.col("s.role"),
+        },
+        when_not_matched_insert=True,
+    )
+    assert res["merge_seq"] == 4 and res["n_events"] == 3
+    assert _state(table) == {
+        ("c1", 0): ("user", "hello+HELLO", "search"),  # tool kept from target
+        ("c2", 0): ("user", "bye", "search"),          # untouched by merge
+        ("c3", 0): ("system", "new row", "calc"),
+    }
+    feed = {(r.conv_id, r.turn_idx): (r.op if hasattr(r, "op") else None,
+                                      r._deleted)
+            for r in table.changes(v0).collect()}
+    assert feed[("c1", 1)][1] is True          # delete rode the feed as D
+    assert feed[("c1", 0)][1] is False
+    assert feed[("c3", 0)][1] is False
+
+
+def test_merge_matched_condition_gates_update(spark, table):
+    src = spark.createDataFrame(
+        [("c1", 0, None, "upd", None), ("c2", 0, None, "upd", None)], SRC_DDL
+    )
+    table.merge_into(
+        src,
+        when_matched_update={"text": F.col("s.text")},
+        matched_condition="t.turn_idx = 0 AND t.conv_id = 'c1'",
+        when_not_matched_insert=False,
+    )
+    got = _state(table)
+    assert got[("c1", 0)][1] == "upd"
+    assert got[("c2", 0)][1] == "bye"  # matched but condition false -> no-op
+
+
+def test_merge_insert_only_with_exprs(spark, table):
+    src = spark.createDataFrame([("c9", 5, "user", "x", None)], SRC_DDL)
+    table.merge_into(
+        src,
+        when_not_matched_insert={
+            "conv_id": F.col("s.conv_id"),
+            "turn_idx": F.col("s.turn_idx"),
+            "text": "upper(s.text)",
+            "role": F.lit("imported"),
+        },
+    )
+    assert _state(table)[("c9", 5)] == ("imported", "X", None)
+
+
+def test_merge_duplicate_source_keys_refused(spark, table):
+    src = spark.createDataFrame(
+        [("c1", 0, None, "a", None), ("c1", 0, None, "b", None)], SRC_DDL
+    )
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        table.merge_into(src, when_matched_update={"text": F.col("s.text")})
+
+
+def test_merge_key_assignment_and_unknown_column_refused(spark, table):
+    src = spark.createDataFrame([("c1", 0, None, "a", None)], SRC_DDL)
+    with pytest.raises(ValueError, match="key/bucket"):
+        table.merge_into(src, when_matched_update={"conv_id": F.lit("x")})
+    with pytest.raises(SchemaEvolutionError):
+        table.merge_into(src, when_matched_update={"nope": F.lit("x")})
+    with pytest.raises(ValueError, match="key column"):
+        table.merge_into(
+            spark.createDataFrame([("r",)], "role string"),
+            when_matched_update={"text": F.lit("x")},
+        )
+    with pytest.raises(ValueError, match="WHEN clause"):
+        table.merge_into(src, when_not_matched_insert=False)
+
+
+def test_merge_exactly_once_batch_id(spark, table):
+    src = spark.createDataFrame([("c1", 0, None, "once", None)], SRC_DDL)
+    r1 = table.merge_into(
+        src, when_matched_update={"text": F.col("s.text")}, batch_id=7
+    )
+    assert not r1.get("skipped")
+    r2 = table.merge_into(
+        src, when_matched_update={"text": "concat(t.text, '!!')"}, batch_id=7
+    )
+    assert r2.get("skipped") is True
+    assert _state(table)[("c1", 0)][1] == "once"
+
+
+def test_merge_into_empty_table(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    src = spark.createDataFrame(
+        [("a", 0, "user", "first", None), ("b", 1, "user", "second", None)],
+        SRC_DDL,
+    )
+    t.merge_into(src)
+    assert _state(t) == {
+        ("a", 0): ("user", "first", None),
+        ("b", 1): ("user", "second", None),
+    }
+
+
+def test_merge_unconditional_matched_delete(spark, table):
+    src = spark.createDataFrame([("c2", 0, None, None, None)], SRC_DDL)
+    table.merge_into(src, when_matched_delete=True,
+                     when_not_matched_insert=False)
+    assert ("c2", 0) not in _state(table)
+    # purged key stays deleted against a lower-seq late event (seq guard)
+    table.apply_changes(
+        spark.createDataFrame(
+            [("U", 2, "c2", 0, "user", "resurrect?", None, None, None)],
+            EVENT_DDL,
+        ),
+        batch_id=1,
+    )
+    assert ("c2", 0) not in _state(table)
