@@ -1762,6 +1762,7 @@ class LakeTable:
         when_matched_delete=None,
         when_not_matched_insert: bool | dict = True,
         matched_condition=None,
+        not_matched_condition=None,
         merge_seq: int | None = None,
         batch_id: int | None = None,
         note: str | None = None,
@@ -1785,7 +1786,10 @@ class LakeTable:
         - ``when_not_matched_insert``: ``True`` inserts the source row's
           canonical columns (absent ones null); a dict gives explicit
           per-column expressions over ``s.``; ``False`` drops unmatched
-          source rows.
+          source rows. ``not_matched_condition`` (Delta's ``WHEN NOT
+          MATCHED AND <cond>``) gates the insert over ``s.`` — an unmatched
+          source row failing it is dropped (e.g. a compacted-topic
+          tombstone for a key the table never had).
 
         Key/bucket columns cannot be assigned (that is delete + insert).
         Duplicate keys in ``source`` are refused — two source rows matching
@@ -1880,10 +1884,13 @@ class LakeTable:
             c: as_expr(v) for c, v in (when_matched_update or {}).items()
         }
 
+        insert_cond = F.lit(insert_exprs is not None)
+        if insert_exprs is not None and not_matched_condition is not None:
+            insert_cond = as_expr(not_matched_condition)
         op = (
             F.when(matched & delete_cond, "D")
             .when(matched & update_cond, "U")
-            .when(~matched & F.lit(insert_exprs is not None), "I")
+            .when(~matched & insert_cond, "I")
         )
 
         def value_for(f):
