@@ -228,6 +228,36 @@ def d6_dedup_clusters(spark, sf_dir):
     )
 
 
+def d7_decontaminate(spark, sf_dir, n: int = 8):
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a held-out benchmark set (the GPT-3 appendix-C procedure —
+    there 13-grams; n is a knob, 8 here so the synthetic corpus exercises
+    the operator). Benchmark membership is a deterministic doc_id-hash
+    split (md5 last nibble ∈ {0,1} ≈ 12.5%), standing in for the external
+    eval-set table a real pipeline would read.
+
+    Scale shape: the benchmark side is SMALL by construction (eval suites
+    are thousands of rows, not 100 TB) — its distinct n-gram set broadcasts,
+    so the train side is ONE map-side semi-join probe of the exploded-gram
+    scan: no shuffle of the corpus, cost O(train grams). Returns only
+    contaminated docs: (doc_id, n_hits = distinct overlapping grams).
+    Oracle-pinned in tests/test_queries.py (registry is at the driver's
+    50-row cap; this is a building-block-pinned operator like d2)."""
+    grams = _shingles(_t(spark, sf_dir, "documents"), n=n).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1).isin(
+        "0", "1"
+    )
+    bench = grams.filter(is_bench).select("g").distinct()
+    train = grams.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def d4_simhash(spark, sf_dir):
     """64-bit SimHash fingerprint per document: per-word xxhash64, signed
     bit votes summed per doc, sign → bit. All native exprs: explode + 64

@@ -84,6 +84,20 @@ CASES = {
         "cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value "
         "FROM events GROUP BY 1"
     ),
+    # d7: benchmark decontamination — word-8-gram overlap vs an md5-nibble
+    # held-out split; grams per doc are distinct, so count(*) after the
+    # bench join = distinct overlapping grams (bench side is DISTINCT).
+    "d7_decontaminate": (
+        "WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') words "
+        "FROM documents), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)-6), "
+        "i -> array_to_string(words[i:i+7], ' '))) shingles FROM w WHERE len(words) >= 8), "
+        "ex AS (SELECT doc_id, unnest(shingles) g FROM sh), "
+        "bench AS (SELECT DISTINCT g FROM ex WHERE right(md5(doc_id::varchar), 1) IN ('0','1')), "
+        "train AS (SELECT * FROM ex WHERE right(md5(doc_id::varchar), 1) NOT IN ('0','1')) "
+        "SELECT t.doc_id, count(*)::bigint AS n_hits "
+        "FROM train t JOIN bench USING (g) GROUP BY 1"
+    ),
 }
 
 
