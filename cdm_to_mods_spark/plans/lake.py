@@ -199,6 +199,23 @@ def _lineage_entry(lineage: dict, b, max_seq, min_seq, n_changes,
     }
 
 
+def _to_unix(ts) -> float:
+    """Normalize a user-facing time bound (unix float/int, ``datetime``,
+    ISO string) to unix seconds. Naive inputs are taken as UTC — the
+    engine-wide session timezone."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    raise TypeError(f"unsupported timestamp bound {ts!r}")
+
+
 def _stat_scalar(v):
     """Normalize a parquet footer statistic to a JSON-storable, totally
     ordered scalar. Timestamps become epoch seconds (UTC) so zone-map
@@ -681,6 +698,85 @@ class LakeTable:
                 }
             )
         return out
+
+    def changes_since_ts(self, ts, until_ts=None) -> DataFrame:
+        """Timestamp-bounded change feed (Delta CDF's ``startingTimestamp``
+        analog): change rows from commits strictly AFTER unix-time/``
+        datetime``/ISO-string ``ts`` up to ``until_ts`` (inclusive; default
+        head). Resolution is ledger-only (``version_as_of``), then the read
+        is the ordinary :meth:`changes`. Naive datetimes/strings are taken
+        as UTC — the session timezone everywhere in this engine. A ``ts``
+        before the first retained commit includes the whole retained feed;
+        expired ranges raise the same typed errors as :meth:`changes`."""
+        lo, hi = _to_unix(ts), None if until_ts is None else _to_unix(until_ts)
+        try:
+            since_v = self.version_as_of(lo)
+        except LookupError:
+            since_v = min(self._versions()) - 1
+        return self.changes(
+            since_v, None if hi is None else self.version_as_of(hi)
+        )
+
+    def describe_detail(self) -> dict:
+        """``DESCRIBE DETAIL`` — one driver-side dict summarizing layout and
+        health, no Spark job: identity (path/version/commit_ts/merge mode/
+        bucket layout/schema), size (populated buckets, base/delta rows
+        from the manifests' footer-derived ``rows`` — as-written counts,
+        so a delta's superseded versions and tombstones are included; a
+        live-row count needs the read path — bytes via file listing of
+        referenced dirs), and the two skew signals an operator
+        pages on — the longest delta chain (read amplification; compaction
+        due) and the largest bucket's share of rows (hot-key imbalance;
+        rebucket/salting due). Cost is O(referenced files) stat calls."""
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        base_rows, delta_rows, chains, per_bucket = 0, 0, [], []
+        n_files = 0
+        size_bytes = 0
+        seen_dirs: set[str] = set()
+        for e in man["buckets"].values():
+            entry = e if "path" not in e else {"base": e, "deltas": []}
+            rows_b = (entry.get("base") or {}).get("rows") or 0
+            rows_d = sum(d.get("rows") or 0 for d in entry["deltas"])
+            base_rows += rows_b
+            delta_rows += rows_d
+            per_bucket.append(rows_b + rows_d)
+            chains.append(len(entry["deltas"]))
+            for fs in self._bucket_files(entry):
+                d = os.path.join(self.path, fs["path"])
+                if d in seen_dirs or not os.path.isdir(d):
+                    continue
+                seen_dirs.add(d)
+                for f in os.listdir(d):
+                    p = os.path.join(d, f)
+                    if os.path.isfile(p):
+                        n_files += 1
+                        size_bytes += os.path.getsize(p)
+        total = base_rows + delta_rows
+        return {
+            "path": self.path,
+            "version": man["version"],
+            "commit_ts": man.get("commit_ts"),
+            "merge_mode": self.merge_mode,
+            "num_buckets": self.num_buckets,
+            "bucket_fn": self.bucket_fn,
+            "key_cols": list(self.key_cols),
+            "stats_cols": list(self.stats_cols or []),
+            "schema": {f.name: f.dataType.simpleString() for f in canon.fields},
+            "properties": dict(man.get("properties") or {}),
+            "constraints": {
+                c["name"]: c["expr"] for c in man.get("constraints") or []
+            },
+            "populated_buckets": sum(1 for r in per_bucket if r),
+            "num_files": n_files,
+            "size_bytes": size_bytes,
+            "base_rows": base_rows,
+            "delta_rows": delta_rows,
+            "max_delta_chain": max(chains, default=0),
+            "max_bucket_row_share": (
+                round(max(per_bucket) / total, 4) if total else 0.0
+            ),
+        }
 
     # ------------------------------------------------- branches (WAP)
     # Write-audit-publish staging (the Iceberg branch / Netflix WAP

@@ -246,3 +246,72 @@ def test_table_properties_roundtrip_and_survive_commits(spark, tmp_table):
     assert "owner" not in t.properties()
     ops = [h["operation"] for h in t.history()]
     assert ops.count("set_property") == 2 and ops.count("unset_property") == 1
+
+
+# ------------------------------------------------- describe_detail
+def test_describe_detail_reports_layout_and_skew(spark, tmp_table):
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.add_constraint("turn_nonneg", "turn_idx >= 0")
+    t.set_property("owner", "pipeline")
+    t.apply_changes(
+        _events(spark, [("I", i + 1, f"c{i % 3}", i // 3, "user", "x" * 10, None)
+                        for i in range(30)]),
+        batch_id=0,
+    )
+    t.apply_changes(
+        _events(spark, [("U", 100, "c0", 0, "user", "hot", None)]), batch_id=1
+    )
+    d = t.describe_detail()
+    assert d["version"] == t.latest_version()
+    assert d["merge_mode"] == "mor" and d["num_buckets"] == 4
+    assert d["key_cols"] == ["conv_id", "turn_idx"]
+    assert d["schema"]["turn_idx"] == "int" and d["schema"]["text"] == "string"
+    assert d["properties"] == {"owner": "pipeline"}
+    assert "turn_nonneg" in d["constraints"]
+    # mor: both applies are delta appends (as-written rows, incl. the
+    # superseding U); the longest chain signals compaction debt
+    assert d["base_rows"] == 0 and d["delta_rows"] == 31
+    assert d["max_delta_chain"] == 2
+    assert d["populated_buckets"] >= 1
+    assert d["num_files"] > 0 and d["size_bytes"] > 0
+    assert 0 < d["max_bucket_row_share"] <= 1
+    # driver-side only: a fresh reopen computes the same summary
+    # (merge_mode is a handle choice, not table state — match it)
+    assert LakeTable(spark, tmp_table, merge_mode="mor").describe_detail() == d
+    # compaction folds the chains: rows land as live base rows
+    t.compact()
+    d2 = t.describe_detail()
+    assert d2["base_rows"] == 30 and d2["delta_rows"] == 0
+    assert d2["max_delta_chain"] == 0
+
+
+# ------------------------------------------------- changes_since_ts
+def test_changes_since_ts_bounds_by_commit_time(spark, tmp_table):
+    import datetime as dt
+
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    stamps = []
+    for i in range(3):
+        t.apply_changes(
+            _events(spark, [("I", i + 1, f"c{i}", 0, "user", f"v{i}", None)]),
+            batch_id=i,
+        )
+        stamps.append(t.manifest()["commit_ts"])
+    # strictly-after semantics: bound at commit 1's ts → commits 2..3 only
+    got = {r.conv_id for r in t.changes_since_ts(stamps[0]).collect()}
+    assert got == {"c1", "c2"}
+    # until_ts inclusive
+    got = {
+        r.conv_id
+        for r in t.changes_since_ts(stamps[0], until_ts=stamps[1]).collect()
+    }
+    assert got == {"c1"}
+    # predates the table → whole retained feed; datetime + ISO-string forms
+    assert t.changes_since_ts(0.0).count() == 3
+    # datetime + ISO-string forms (mid-gap bound: datetime carries only
+    # microseconds, so an exact-commit-ts roundtrip can land a hair early)
+    early = dt.datetime.fromtimestamp(stamps[0] + 1e-3, dt.timezone.utc)
+    assert {r.conv_id for r in t.changes_since_ts(early).collect()} == {"c1", "c2"}
+    assert t.changes_since_ts(early.isoformat()).count() == 2
