@@ -1859,6 +1859,7 @@ class LakeTable:
         when_not_matched_insert: bool | dict = True,
         matched_condition=None,
         not_matched_condition=None,
+        schema_evolution: bool = False,
         merge_seq: int | None = None,
         batch_id: int | None = None,
         note: str | None = None,
@@ -1887,6 +1888,13 @@ class LakeTable:
           source row failing it is dropped (e.g. a compacted-topic
           tombstone for a key the table never had).
 
+        ``schema_evolution`` (Delta's ``autoMerge`` analog): source columns
+        the table lacks become new nullable table columns (old rows null),
+        defaulting to the source value on BOTH insert and update (override
+        per clause dict); without it, extra source columns are dropped and
+        clause dicts may not name unknown columns. A ``schema_mode=
+        "strict"`` table still refuses the evolution at apply time.
+
         Key/bucket columns cannot be assigned (that is delete + insert).
         Duplicate keys in ``source`` are refused — two source rows matching
         one target row make the merge non-deterministic (same rule as
@@ -1912,6 +1920,27 @@ class LakeTable:
         man = self.manifest()
         canon = self._canonical_schema(man)
         key_set = set(self.key_cols)
+        # evolvable columns: in the source but not (yet) in the table
+        extra_cols = [
+            c for c in source.columns if c not in canon.fieldNames()
+        ] if schema_evolution else []
+        bad = [c for c in extra_cols if c in ("op", "seq") or c.startswith("_")]
+        if bad:
+            raise ValueError(
+                f"source column(s) {bad} collide with event/bookkeeping "
+                "names; rename them before merging with schema_evolution"
+            )
+
+        def _check_col(c):
+            if c in canon.fieldNames() or c in extra_cols:
+                return
+            hint = (
+                "; pass schema_evolution=True to add it"
+                if c in source.columns
+                else ""
+            )
+            raise SchemaEvolutionError(f"no column {c!r}{hint}")
+
         if when_matched_update:
             for c in when_matched_update:
                 if c in key_set or c == self.bucket_col:
@@ -1919,8 +1948,7 @@ class LakeTable:
                         f"cannot assign key/bucket column {c!r}; "
                         "delete + re-insert instead"
                     )
-                if c not in canon.fieldNames():
-                    raise SchemaEvolutionError(f"no column {c!r}")
+                _check_col(c)
         missing = key_set - set(source.columns)
         if missing:
             raise ValueError(f"source is missing key column(s) {sorted(missing)}")
@@ -1974,8 +2002,7 @@ class LakeTable:
                     if f.name in source.columns
                 }
             for c in insert_exprs:
-                if c not in canon.fieldNames():
-                    raise SchemaEvolutionError(f"no column {c!r}")
+                _check_col(c)
         update_exprs = {
             c: as_expr(v) for c, v in (when_matched_update or {}).items()
         }
@@ -2019,6 +2046,27 @@ class LakeTable:
                 )
             return v.cast(f.dataType).alias(f.name)
 
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+
+        def extra_value(name):
+            """evolving column: source value on I and U (clause dicts may
+            override), null on D — the table gains it as nullable and old
+            rows null-fill via the ordinary apply-side evolution."""
+            ins = (
+                insert_exprs.get(name, F.col(f"s.{name}"))
+                if insert_exprs is not None
+                else F.col(f"s.{name}")
+            )
+            return (
+                F.when(F.col("_merge_op") == "I", ins)
+                .when(
+                    F.col("_merge_op") == "U",
+                    update_exprs.get(name, F.col(f"s.{name}")),
+                )
+                .otherwise(F.lit(None).cast(src_types[name]))
+                .alias(name)
+            )
+
         events = (
             joined.withColumn("_merge_op", op)
             .filter(F.col("_merge_op").isNotNull())
@@ -2026,6 +2074,7 @@ class LakeTable:
                 F.col("_merge_op").alias("op"),
                 F.lit(merge_seq).cast("long").alias("seq"),
                 *[value_for(f) for f in canon.fields],
+                *[extra_value(c) for c in extra_cols],
             )
         )
         metrics = self.apply_changes(

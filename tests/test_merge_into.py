@@ -171,3 +171,44 @@ def test_merge_unconditional_matched_delete(spark, table):
         batch_id=1,
     )
     assert ("c2", 0) not in _state(table)
+
+
+def test_merge_schema_evolution_adds_source_columns(spark, table):
+    """schema_evolution=True: a source column the table lacks becomes a
+    nullable table column — source value on I and U, null on untouched
+    rows; clause dicts may reference it; off by default."""
+    src = spark.createDataFrame(
+        [("c1", 0, "user", "upd", None, "en"),
+         ("c4", 0, "user", "new", None, "fr")],
+        SRC_DDL + ", lang string",
+    )
+    # default: clause dict naming the unknown column is refused with a hint
+    with pytest.raises(SchemaEvolutionError, match="schema_evolution=True"):
+        table.merge_into(src, when_matched_update={"lang": "s.lang"})
+    # default: extra source column silently dropped, no evolution
+    table.merge_into(src.filter("conv_id = 'c4'"), batch_id=11)
+    assert "lang" not in table.read().columns
+
+    res = table.merge_into(
+        src,
+        when_matched_update={"text": "s.text"},
+        schema_evolution=True,
+        batch_id=12,
+    )
+    assert res["n_events"] == 2
+    got = {
+        (r.conv_id, r.turn_idx): (r.text, r.lang)
+        for r in table.read().collect()
+    }
+    assert got[("c1", 0)] == ("upd", "en")      # U carries the new column
+    assert got[("c4", 0)] == ("new", "fr")      # I carries it
+    assert got[("c2", 0)] == ("bye", None)      # untouched rows null-fill
+    assert got[("c1", 1)][1] is None
+
+
+def test_merge_schema_evolution_reserved_names_refused(spark, table):
+    src = spark.createDataFrame(
+        [("c1", 0, 5)], "conv_id string, turn_idx int, seq int"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        table.merge_into(src, schema_evolution=True)
