@@ -63,9 +63,24 @@ def main() -> None:
     ap.add_argument("--quarantine", default=None, metavar="DIR",
                     help="dead-letter null-key change rows to this parquet dir "
                          "instead of aborting the replay")
+    ap.add_argument("--upsert", action="store_true",
+                    help="source rows are snapshot-style (current value per "
+                         "key, no op/seq; deletes = tombstone rows) — tail "
+                         "them through per-micro-batch MERGE INTO instead of "
+                         "the binlog apply")
+    ap.add_argument("--order-col", default=None,
+                    help="upsert mode: column deciding the in-batch winner "
+                         "when a key appears more than once per micro-batch")
+    ap.add_argument("--delete-when", default=None, metavar="SQL",
+                    help="upsert mode: predicate over s.<col> marking "
+                         "tombstone rows, e.g. \"s.text IS NULL\"")
     args = ap.parse_args()
     if (args.bootstrap is None) != (args.bootstrap_seq is None):
         ap.error("--bootstrap and --bootstrap-seq must be passed together")
+    if args.upsert and (args.branch != "main" or args.bootstrap is not None
+                        or args.format == "xlsx" or args.synth):
+        ap.error("--upsert composes with the plain streaming tail only "
+                 "(no --branch/--bootstrap/--synth, streamable formats)")
 
     from cdm_to_mods_spark.session import get_spark
     from cdm_to_mods_spark.streaming.tail import StreamingReplay
@@ -143,21 +158,40 @@ def main() -> None:
         }))
         return
 
-    sr = StreamingReplay(
-        spark,
-        args.events,
-        args.table,
-        args.checkpoint,
-        num_buckets=args.buckets,
-        merge_mode=args.mode,
-        metrics_path=args.metrics,
-        max_files_per_trigger=args.max_files_per_trigger,
-        source_format=args.format,
-        min_seq=args.bootstrap_seq,
-        quarantine_path=args.quarantine,
-        branch=args.branch,
-        compact_deltas=args.compact_deltas,
-    )
+    if args.upsert:
+        from cdm_to_mods_spark.streaming.upsert import StreamingUpsert
+
+        sr = StreamingUpsert(
+            spark,
+            args.events,
+            args.table,
+            args.checkpoint,
+            num_buckets=args.buckets,
+            merge_mode=args.mode,
+            order_col=args.order_col,
+            delete_when=args.delete_when,
+            metrics_path=args.metrics,
+            max_files_per_trigger=args.max_files_per_trigger,
+            source_format=args.format,
+            quarantine_path=args.quarantine,
+            compact_deltas=args.compact_deltas,
+        )
+    else:
+        sr = StreamingReplay(
+            spark,
+            args.events,
+            args.table,
+            args.checkpoint,
+            num_buckets=args.buckets,
+            merge_mode=args.mode,
+            metrics_path=args.metrics,
+            max_files_per_trigger=args.max_files_per_trigger,
+            source_format=args.format,
+            min_seq=args.bootstrap_seq,
+            quarantine_path=args.quarantine,
+            branch=args.branch,
+            compact_deltas=args.compact_deltas,
+        )
     if args.continuous:
         q = sr.start(available_now=False)
         q.awaitTermination()
