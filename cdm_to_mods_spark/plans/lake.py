@@ -70,6 +70,7 @@ from ..schemas import (
     SchemaEvolutionError,
     evolve_schema,
     schema_from_json,
+    widen_type,
 )
 
 _NON_PAYLOAD_EVENT_COLS = {"op", "seq", "ingest_ts"}
@@ -352,6 +353,7 @@ class LakeTable:
         stats_cols: tuple = ("ts",),
         schema_mode: str = "evolve",
         target_file_rows: int | None = None,
+        bloom_cols: dict | tuple = (),
     ) -> None:
         """``merge_mode``:
 
@@ -398,6 +400,16 @@ class LakeTable:
         all-null) record no stats and readers treat that as "may
         overlap". Default tracks ``ts``; pass ``()`` to disable.
 
+        ``bloom_cols``: columns that get a parquet BLOOM FILTER in every
+        bucket write (the Delta bloom-index role) — a tuple of names, or a
+        dict name → expected NDV per file (sizes the filter; unset uses the
+        writer's 1 MB cap). Zone maps prune RANGES on quasi-sorted columns;
+        blooms prune point EQUALITY on high-cardinality columns that aren't
+        the bucket key (request ids, hashes): Spark's parquet reader drops
+        whole row groups on a bloom miss for pushed ``col = 'x'`` filters.
+        Like ``stats_cols`` this is a writer-handle choice, not table
+        state: files written without blooms simply don't prune.
+
         ``schema_mode``: ``"evolve"`` (default) merges batch schema drift
         into the table — new columns add as nullable, numeric types widen
         (int→long, float→double). ``"strict"`` is the enforcement mode:
@@ -439,6 +451,11 @@ class LakeTable:
         assert schema_mode in ("evolve", "strict"), schema_mode
         self.schema_mode = schema_mode
         self.target_file_rows = target_file_rows
+        self.bloom_cols = (
+            dict(bloom_cols)
+            if isinstance(bloom_cols, dict)
+            else {c: None for c in bloom_cols}
+        )
         # escape hatch (benchmarks/debug): False forces every inline fold
         # to the major tier, the pre-tiering behavior.
         self._minor_folds = True
@@ -1137,6 +1154,52 @@ class LakeTable:
                           "dtype": dtype.simpleString()}
         )
 
+    def widen_column(self, name: str, dtype) -> dict:
+        """ALTER TABLE ALTER COLUMN TYPE — widenings only (metadata-only;
+        the Delta 3.x type-widening DDL). Same lattice as the implicit
+        batch-driven widening (int→long, float→double, date→timestamp, …):
+        the new type must BE the widened join of old and new, so narrowing
+        and cross-family changes are refused up front. Historical files
+        keep their narrow bytes and cast to the canonical type per recorded
+        ``schema_id`` on read — identical to how an implicitly-widened
+        batch already reads back. The bucket column is pinned: its hash
+        layout depends on the stored type, so widening it would silently
+        re-key every bucket (rebucket after a full rewrite instead)."""
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        if name == self.bucket_col:
+            raise SchemaEvolutionError(
+                f"{name!r} is the bucket column; its hash layout is typed — "
+                "widening it requires a rebucket rewrite"
+            )
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        if name not in canon.fieldNames():
+            raise SchemaEvolutionError(f"no column {name!r}")
+        cur = canon[name].dataType
+        if cur == dtype:
+            raise SchemaEvolutionError(
+                f"{name!r} is already {dtype.simpleString()}"
+            )
+        if widen_type(cur, dtype) != dtype:
+            raise SchemaEvolutionError(
+                f"{cur.simpleString()} -> {dtype.simpleString()} is not a "
+                "widening"
+            )
+        schema = T.StructType(
+            [
+                T.StructField(name, dtype, f.nullable)
+                if f.name == name
+                else f
+                for f in canon.fields
+            ]
+        )
+        self._assert_constraints_analyze(man, schema)
+        return self._alter_commit(
+            man, schema, {"maintenance": "widen_column", "column": name,
+                          "dtype": dtype.simpleString()}
+        )
+
     def drop_column(self, name: str) -> dict:
         """ALTER TABLE DROP COLUMN (metadata-only): the field leaves the
         canonical schema; stored bytes remain until buckets are rewritten
@@ -1355,12 +1418,23 @@ class LakeTable:
         return self.spark.createDataFrame([], full)
 
     def _capped(self, writer):
-        """Apply ``target_file_rows`` (maxRecordsPerFile) to a data write.
-        Manifest entries are directory-granular, so splitting a bucket's
-        write into N files changes nothing for readers or footer stats."""
-        if self.target_file_rows is None:
-            return writer
-        return writer.option("maxRecordsPerFile", str(self.target_file_rows))
+        """Shared physical write options for every bucket write site (merge
+        deltas, cow rewrites, compaction, rebucket, bootstrap):
+        ``target_file_rows`` (maxRecordsPerFile — manifest entries are
+        directory-granular, so splitting a bucket's write into N files
+        changes nothing for readers or footer stats) and per-column parquet
+        BLOOM FILTERS for ``bloom_cols``."""
+        if self.target_file_rows is not None:
+            writer = writer.option(
+                "maxRecordsPerFile", str(self.target_file_rows)
+            )
+        for c, ndv in self.bloom_cols.items():
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if ndv:
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+                )
+        return writer
 
     @staticmethod
     def _bucket_files(entry: dict) -> list[dict]:

@@ -167,3 +167,44 @@ def test_renames_survive_apply_compact_rollback(spark, table):
     fresh = LakeTable(spark, table.path)
     got = {r.conv_id: r.content for r in fresh.read().collect()}
     assert got == {"c1": "hello", "c2": "bye"}
+
+
+# ---------------------------------------------------------- widen_column
+def test_widen_column_metadata_only(spark, table):
+    """explicit type widening: old narrow bytes cast on read, later
+    batches may carry the wide type, history() records the DDL."""
+    res = table.widen_column("turn_idx", "long")
+    assert res["maintenance"] == "widen_column" and res["dtype"] == "bigint"
+    assert dict(table.read().dtypes)["turn_idx"] == "bigint"
+    assert {r.turn_idx for r in table.read().collect()} == {0}
+    # a wide-typed batch now lands without implicit evolution
+    table.apply_changes(
+        _ev(
+            spark,
+            [("I", 9, "c3", 2_147_483_648, "user", "big", None, None, None)],
+            EVENT_DDL.replace("turn_idx int", "turn_idx long"),
+        ),
+        batch_id=1,
+    )
+    got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert ("c3", 2147483648) in got and ("c1", 0) in got
+    # reopen keeps the widened schema; time travel shows the old type
+    fresh = LakeTable(spark, table.path)
+    assert dict(fresh.read().dtypes)["turn_idx"] == "bigint"
+    assert dict(fresh.read(version=1).dtypes)["turn_idx"] == "int"
+
+
+def test_widen_column_refusals(spark, table):
+    with pytest.raises(SchemaEvolutionError, match="not a widening"):
+        table.widen_column("turn_idx", "short")       # narrowing
+    with pytest.raises(SchemaEvolutionError, match="incompatible"):
+        table.widen_column("text", "int")             # cross-family
+    with pytest.raises(SchemaEvolutionError, match="already"):
+        table.widen_column("text", "string")          # no-op
+    with pytest.raises(SchemaEvolutionError, match="bucket column"):
+        table.widen_column("conv_id", "string")       # bucket col pinned
+    with pytest.raises(SchemaEvolutionError, match="no column"):
+        table.widen_column("nope", "long")
+    # a constraint referencing the column must keep resolving
+    table.add_constraint("turn_nonneg", "turn_idx >= 0")
+    table.widen_column("turn_idx", "long")            # still analyzes: ok
