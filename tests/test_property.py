@@ -373,3 +373,131 @@ def test_rollback_interleavings_restore_exact_versions(spark, merge_mode, case):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------- merge_into
+# Clause pools: (SQL-or-Column form fed to the engine, python mirror fed to
+# the model). SQL three-valued logic matters: every python mirror must be
+# falsy where the SQL condition is NULL.
+_MERGE_DELETES = [
+    (None, None),
+    (True, lambda s, t: True),
+    ("s.tool = 'zap'", lambda s, t: s["tool"] == "zap"),
+]
+_MERGE_UPDATES = [
+    None,
+    {"text": ("s.text", lambda s, t: s["text"])},
+    {"text": (
+        "concat(coalesce(t.text,''),'+',coalesce(s.text,''))",
+        lambda s, t: (t["text"] or "") + "+" + (s["text"] or ""),
+    )},
+    {"role": ("upper(coalesce(s.role,'x'))",
+              lambda s, t: (s["role"] or "x").upper()),
+     "tool": ("t.tool", lambda s, t: t["tool"])},
+]
+_MERGE_MCONDS = [
+    None,
+    ("t.turn_idx = 0", lambda s, t: t["turn_idx"] == 0),
+    ("s.text IS NOT NULL", lambda s, t: s["text"] is not None),
+]
+_MERGE_NMCONDS = [
+    None,
+    ("s.role IS NOT NULL", lambda s: s["role"] is not None),
+]
+
+
+@st.composite
+def merge_cases(draw):
+    n_base = draw(st.integers(0, 6))
+    base = []
+    for i in range(n_base):
+        base.append((f"c{i % 4}", i // 4,
+                     draw(st.sampled_from(_ROLES)),
+                     draw(st.sampled_from(_TEXTS)),
+                     draw(st.sampled_from(["zap", "calc", None]))))
+    # unique source keys (engine refuses duplicates), mixing hits + misses
+    key_pool = [(f"c{i % 4}", i // 4) for i in range(10)]
+    src_keys = draw(st.permutations(key_pool))[: draw(st.integers(1, 8))]
+    src = [(k[0], k[1],
+            draw(st.sampled_from(_ROLES)),
+            draw(st.sampled_from(_TEXTS)),
+            draw(st.sampled_from(["zap", "calc", None])))
+           for k in src_keys]
+    di = draw(st.integers(0, len(_MERGE_DELETES) - 1))
+    ui = draw(st.integers(0, len(_MERGE_UPDATES) - 1))
+    mi = draw(st.integers(0, len(_MERGE_MCONDS) - 1))
+    ins = draw(st.booleans())
+    ni = draw(st.integers(0, len(_MERGE_NMCONDS) - 1))
+    if di == 0 and ui == 0 and not ins:
+        ins = True  # engine (rightly) refuses a clauseless merge
+    return base, src, di, ui, mi, ins, ni
+
+
+@pytest.mark.parametrize("merge_mode", ["mor", "cow"])
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=merge_cases())
+def test_merge_into_matches_clause_model(spark, merge_mode, case):
+    base, src, di, ui, mi, ins, ni = case
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    # pandas model: Delta clause order, first match wins per source row
+    live = {(r[0], r[1]): dict(zip(cols, r)) for r in base}
+    d_sql, d_py = _MERGE_DELETES[di]
+    upd = _MERGE_UPDATES[ui]
+    m_sql, m_py = _MERGE_MCONDS[mi] if _MERGE_MCONDS[mi] else (None, None)
+    nm_sql, nm_py = _MERGE_NMCONDS[ni] if _MERGE_NMCONDS[ni] else (None, None)
+    for r in src:
+        s = dict(zip(cols, r))
+        k = (s["conv_id"], s["turn_idx"])
+        t_row = live.get(k)
+        if t_row is not None:
+            if d_py is not None and d_py(s, t_row):
+                del live[k]
+            elif upd is not None and (m_py is None or m_py(s, t_row)):
+                new = dict(t_row)
+                for c, (_, fn) in upd.items():
+                    new[c] = fn(s, t_row)
+                live[k] = new
+        elif ins and (nm_py is None or nm_py(s)):
+            live[k] = s
+
+    root = tempfile.mkdtemp(prefix="prop-merge-")
+    try:
+        t = LakeTable(spark, root, num_buckets=4, merge_mode=merge_mode)
+        t.create(TRANSCRIPT_SCHEMA)
+        if base:
+            t.apply_changes(
+                spark.createDataFrame(
+                    [("I", i + 1, *r, None, None) for i, r in enumerate(base)],
+                    EVENT_DDL,
+                ),
+                batch_id=0,
+            )
+        t.merge_into(
+            spark.createDataFrame(
+                src,
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string",
+            ),
+            when_matched_delete=d_sql,
+            when_matched_update=(
+                {c: sql for c, (sql, _) in upd.items()} if upd else None
+            ),
+            matched_condition=m_sql,
+            when_not_matched_insert=ins,
+            not_matched_condition=nm_sql,
+        )
+        got = {
+            (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+            for r in t.read().collect()
+        }
+        want = {
+            k: (v["role"], v["text"], v["tool"]) for k, v in live.items()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
