@@ -723,16 +723,32 @@ class LakeTable:
         head). Resolution is ledger-only (``version_as_of``), then the read
         is the ordinary :meth:`changes`. Naive datetimes/strings are taken
         as UTC — the session timezone everywhere in this engine. A ``ts``
-        before the first retained commit includes the whole retained feed;
-        expired ranges raise the same typed errors as :meth:`changes`."""
+        before the table's FIRST commit includes the whole feed; a ``ts``
+        at or before the earliest RETAINED commit when older snapshots were
+        expired raises ``SnapshotExpiredError`` — the expired versions'
+        commit times are gone, so "which changes came after ts" cannot be
+        answered completely and a silently truncated feed would desync the
+        consumer (re-seed from a full read instead). ``until_ts`` before
+        the first commit yields an empty feed."""
         lo, hi = _to_unix(ts), None if until_ts is None else _to_unix(until_ts)
         try:
             since_v = self.version_as_of(lo)
         except LookupError:
-            since_v = min(self._versions()) - 1
-        return self.changes(
-            since_v, None if hi is None else self.version_as_of(hi)
-        )
+            vmin = min(self._versions())
+            if vmin > 0:
+                raise SnapshotExpiredError(
+                    f"timestamp {lo} is at or before the earliest retained "
+                    f"snapshot (v{vmin}); the change feed before it was "
+                    "expired — re-seed the consumer from a full read"
+                ) from None
+            since_v = vmin - 1  # predates the CREATE commit: whole feed
+        if hi is None:
+            return self.changes(since_v)
+        try:
+            until_v = self.version_as_of(hi)
+        except LookupError:
+            until_v = since_v  # until predates everything: empty feed
+        return self.changes(since_v, until_v)
 
     def describe_detail(self) -> dict:
         """``DESCRIBE DETAIL`` — one driver-side dict summarizing layout and
@@ -1986,19 +2002,28 @@ class LakeTable:
         the ordinary O(affected buckets) apply.
         """
         if (
-            when_matched_update is None
+            not when_matched_update
             and when_matched_delete is None
             and when_not_matched_insert is False
         ):
             raise ValueError("merge_into needs at least one WHEN clause")
         man = self.manifest()
+        # exactly-once short-circuit BEFORE any classification jobs run:
+        # a redelivered micro-batch (lost checkpoint, crash replay) must
+        # not pay the cardinality check / seq resolution / join.
+        if batch_id is not None and batch_id <= man["last_batch_id"]:
+            return {"skipped": True, "batch_id": batch_id,
+                    "reason": "already committed"}
         canon = self._canonical_schema(man)
         key_set = set(self.key_cols)
         # evolvable columns: in the source but not (yet) in the table
         extra_cols = [
             c for c in source.columns if c not in canon.fieldNames()
         ] if schema_evolution else []
-        bad = [c for c in extra_cols if c in ("op", "seq") or c.startswith("_")]
+        bad = [
+            c for c in extra_cols
+            if c in _NON_PAYLOAD_EVENT_COLS or c.startswith("_")
+        ]
         if bad:
             raise ValueError(
                 f"source column(s) {bad} collide with event/bookkeeping "
@@ -2044,14 +2069,14 @@ class LakeTable:
 
         as_expr = lambda v: F.expr(v) if isinstance(v, str) else v  # noqa: E731
         s = source.alias("s")
-        t = self.read().alias("t")
+        # explicit never-null probe marker: a key-null test would
+        # misclassify live NULL-keyed rows (storable when no
+        # quarantine_path routes them away) as unmatched.
+        t = self.read().withColumn("_probe", F.lit(True)).alias("t")
         joined = s.join(
             t, [s[k].eqNullSafe(t[k]) for k in self.key_cols], "left"
         )
-        # the probe marker must be a target column that is NEVER null in
-        # live state: key columns qualify (null-keyed rows are quarantined
-        # on ingest, never stored live).
-        matched = F.col(f"t.{self.key_cols[0]}").isNotNull()
+        matched = F.col("t._probe").isNotNull()
 
         delete_cond = F.lit(False)
         if when_matched_delete is not None:
@@ -2060,7 +2085,7 @@ class LakeTable:
                 if when_matched_delete is True
                 else as_expr(when_matched_delete)
             )
-        update_cond = F.lit(when_matched_update is not None)
+        update_cond = F.lit(bool(when_matched_update))
         if when_matched_update and matched_condition is not None:
             update_cond = as_expr(matched_condition)
         insert_exprs = None

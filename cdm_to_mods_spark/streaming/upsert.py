@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import latest_per_key
 from ..plans.lake import LakeTable
-from ..schemas import KEY_COLS, TRANSCRIPT_SCHEMA
+from ..schemas import TRANSCRIPT_SCHEMA
 from ..sources.events import read_events
 
 
@@ -73,6 +73,10 @@ class StreamingUpsert:
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
+        if isinstance(schema, str):  # DDL string accepted like Spark does
+            from pyspark.sql import types as T
+
+            schema = T._parse_datatype_string(schema)
         self.schema = schema
         self.order_col = order_col
         self.delete_when = delete_when
@@ -85,7 +89,8 @@ class StreamingUpsert:
             quarantine_path=quarantine_path, compact_deltas=compact_deltas,
         )
         if not self.table.exists():
-            self.table.create(TRANSCRIPT_SCHEMA)
+            # the feed's row shape IS the table shape in upsert mode
+            self.table.create(schema)
         self.batch_metrics: deque = deque(maxlen=10_000)
 
     # ------------------------------------------------------------------
@@ -97,14 +102,21 @@ class StreamingUpsert:
         if self.order_col is not None:
             # compaction-lazy feeds carry several versions of a key per
             # batch; keep the order_col winner (map-side max_by — a hot key
-            # reduces to one candidate per task before the shuffle).
-            src = latest_per_key(src, KEY_COLS, seq_col=self.order_col)
+            # reduces to one candidate per task before the shuffle). Keys
+            # come from the TABLE (a reopened handle restores them from the
+            # manifest), never the global default.
+            src = latest_per_key(
+                src, self.table.key_cols, seq_col=self.order_col
+            )
         delete_cond = (
             F.expr(self.delete_when) if self.delete_when is not None else None
         )
+        table_cols = self.table._canonical_schema(
+            self.table.manifest()
+        ).fieldNames()  # driver-side; read() here would list/plan per batch
         payload = [
             c for c in src.columns
-            if c not in KEY_COLS and c in self.table.read().columns
+            if c not in self.table.key_cols and c in table_cols
         ]
         metrics = self.table.merge_into(
             src,

@@ -212,3 +212,52 @@ def test_merge_schema_evolution_reserved_names_refused(spark, table):
     )
     with pytest.raises(ValueError, match="collide"):
         table.merge_into(src, schema_evolution=True)
+
+
+def test_merge_empty_update_dict_is_no_clause(spark, table):
+    """{} must behave like None: alone it's a clauseless merge (refused);
+    beside a delete clause it must NOT emit no-op U events for every
+    matched row (which would burn commits and flood the change feed)."""
+    src = spark.createDataFrame([("c1", 0, None, None, "zap")], SRC_DDL)
+    with pytest.raises(ValueError, match="WHEN clause"):
+        table.merge_into(src, when_matched_update={},
+                         when_not_matched_insert=False)
+    res = table.merge_into(
+        src, when_matched_update={}, when_matched_delete="s.tool = 'zap'",
+        when_not_matched_insert=False,
+    )
+    assert res["op_counts"] == {"D": 1}  # no spurious U rows
+
+
+def test_merge_skips_committed_batch_before_any_work(spark, table):
+    """redelivery short-circuits on the ledger BEFORE the cardinality
+    check — even a source that would fail validation is skipped."""
+    src = spark.createDataFrame([("c1", 0, None, "once", None)], SRC_DDL)
+    table.merge_into(src, when_matched_update={"text": "s.text"}, batch_id=3)
+    dup = spark.createDataFrame(
+        [("c1", 0, None, "a", None), ("c1", 0, None, "b", None)], SRC_DDL
+    )
+    res = table.merge_into(
+        dup, when_matched_update={"text": "s.text"}, batch_id=3
+    )
+    assert res.get("skipped") is True  # no duplicate-key error: never ran
+
+
+def test_merge_matches_live_null_key_rows(spark, tmp_table):
+    """without quarantine_path a NULL-keyed row stores live; the matched
+    probe must classify it as matched (update), not re-insert it."""
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        spark.createDataFrame(
+            [("I", 1, "c1", None, "user", "nullkey", "keepme", None, None)],
+            EVENT_DDL,
+        ),
+        batch_id=0,
+    )
+    src = spark.createDataFrame([("c1", None, None, "updated", None)], SRC_DDL)
+    res = t.merge_into(src, when_matched_update={"text": "s.text"})
+    assert res["op_counts"] == {"U": 1}
+    rows = t.read().collect()
+    assert len(rows) == 1
+    assert (rows[0].text, rows[0].tool) == ("updated", "keepme")

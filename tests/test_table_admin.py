@@ -347,3 +347,29 @@ def test_bloom_cols_writes_parquet_bloom_filters(spark, tmp_table):
     bloomy.compact()
     after = bloomy.describe_detail()["size_bytes"]
     assert after > 0.5 * before, (before, after)  # not silently bloomless
+
+
+def test_changes_since_ts_expired_range_raises(spark, tmp_table):
+    """a timestamp whose 'versions after it' can't be resolved completely
+    (expired commit times) must raise, never silently truncate the feed."""
+    from cdm_to_mods_spark.plans.lake import SnapshotExpiredError
+
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    for i in range(3):
+        t.apply_changes(
+            _events(spark, [("I", i + 1, f"c{i}", 0, "user", "x", None)]),
+            batch_id=i,
+        )
+    first_ts = t.history()[-1]["commit_ts"]
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotExpiredError, match="re-seed"):
+        t.changes_since_ts(first_ts)
+    # until_ts predating the first commit: empty feed, no error
+    t2_path = tmp_table + "-fresh"
+    t2 = LakeTable(spark, t2_path, num_buckets=4, merge_mode="mor")
+    t2.create(TRANSCRIPT_SCHEMA)
+    t2.apply_changes(
+        _events(spark, [("I", 1, "c0", 0, "user", "x", None)]), batch_id=0
+    )
+    assert t2.changes_since_ts(0.0, until_ts=0.5).count() == 0

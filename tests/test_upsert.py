@@ -146,3 +146,26 @@ def test_upsert_redelivery_is_exactly_once(spark, tmp_path):
     assert t2.latest_version() == v
     assert any(m.get("skipped") for m in up2.batch_metrics)
     assert _state(t2) == {("c1", 0): ("user", "once", None)}
+
+
+def test_upsert_custom_schema_creates_matching_table(spark, tmp_path):
+    """the feed's row shape IS the table shape: a custom schema (extra
+    column) must create the table with it, not the default transcript
+    schema that would silently drop the column."""
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, lang string")
+    spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, TS1, "en")], ddl
+    ).coalesce(1).write.parquet(str(tmp_path / "snap" / "b0"))
+    up = StreamingUpsert(
+        spark,
+        str(tmp_path / "snap"),
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        num_buckets=4,
+        schema=ddl,
+        order_col="ts",
+    )
+    t = up.run_to_completion(120)
+    assert "lang" in t.read().columns
+    assert t.read().first().lang == "en"
