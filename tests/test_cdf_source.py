@@ -1,0 +1,116 @@
+"""lake_cdf: the change feed as a native Structured Streaming source —
+feed parity with changes(), checkpointed resume, startingVersion, rename
+resolution across schema_ids, feed-less-cow refusal."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+from cdm_to_mods_spark.streaming.source import register_lake_cdf
+
+EV = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string"
+)
+
+
+def _table(spark, path, **kw):
+    t = LakeTable(spark, path, num_buckets=4, merge_mode="mor", **kw)
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def _apply(spark, t, rows, bid):
+    t.apply_changes(spark.createDataFrame(rows, EV), batch_id=bid)
+
+
+def _drain(spark, path, ck, starting=None):
+    register_lake_cdf(spark)
+    reader = spark.readStream.format("lake_cdf").option("path", path)
+    if starting is not None:
+        reader = reader.option("startingVersion", str(starting))
+    got = []
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return got
+
+
+def test_stream_matches_changes(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "hello", None),
+                      ("I", 2, "c2", 0, "user", "bye", "calc")], 0)
+    _apply(spark, t, [("U", 3, "c1", 0, "user", "hello v2", None),
+                      ("D", 4, "c2", 0, None, None, None)], 1)
+    t.compact()  # maintenance version inside the range contributes nothing
+    got = _drain(spark, str(tmp_path / "tab"), str(tmp_path / "ck"))
+    want = t.changes(0).collect()
+    key = lambda r: r._seq  # noqa: E731
+    assert [
+        (r.conv_id, r.turn_idx, r.text, r.tool, r._seq, r._deleted)
+        for r in sorted(got, key=key)
+    ] == [
+        (r.conv_id, r.turn_idx, r.text, r.tool, r._seq, r._deleted)
+        for r in sorted(want, key=key)
+    ]
+    assert {r._version for r in got} == {1, 2}
+
+
+def test_stream_resumes_from_checkpoint(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    ck = str(tmp_path / "ck")
+    first = _drain(spark, str(tmp_path / "tab"), ck)
+    assert [r.text for r in first] == ["a"]
+    # new commits after the stream stopped: the SAME checkpoint resumes at
+    # the committed ledger offset and sees only the new versions
+    _apply(spark, t, [("U", 2, "c1", 0, "user", "b", None)], 1)
+    second = _drain(spark, str(tmp_path / "tab"), ck)
+    assert [(r.text, r._version) for r in second] == [("b", 2)]
+    # nothing new: an idle drain delivers nothing
+    assert _drain(spark, str(tmp_path / "tab"), ck) == []
+
+
+def test_stream_starting_version(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "old", None)], 0)
+    _apply(spark, t, [("I", 2, "c2", 0, "user", "new", None)], 1)
+    got = _drain(spark, str(tmp_path / "tab"), str(tmp_path / "ck"),
+                 starting=1)
+    assert [(r.text, r._version) for r in got] == [("new", 2)]
+
+
+def test_stream_resolves_renames_across_schema_ids(spark, tmp_path):
+    """files written under the OLD column name must stream under the new
+    canonical name (rename-log resolution, same as changes())."""
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "pre-rename", None)], 0)
+    t.rename_column("text", "content")
+    t.apply_changes(
+        spark.createDataFrame(
+            [("I", 2, "c2", 0, "user", "post-rename", None)],
+            EV.replace("text string", "content string"),
+        ),
+        batch_id=1,
+    )
+    got = _drain(spark, str(tmp_path / "tab"), str(tmp_path / "ck"))
+    by_v = {r._version: r for r in got}
+    assert by_v[1].content == "pre-rename"   # old bytes, new name
+    assert by_v[3].content == "post-rename"
+    assert "text" not in got[0].asDict()
+
+
+def test_stream_refuses_feedless_cow(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "tab"), num_buckets=4,
+                  merge_mode="cow")
+    t.create(TRANSCRIPT_SCHEMA)
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "x", None)], 0)
+    with pytest.raises(Exception, match="copy-on-write|cow"):
+        _drain(spark, str(tmp_path / "tab"), str(tmp_path / "ck"))
