@@ -258,6 +258,30 @@ def d7_decontaminate(spark, sf_dir, n: int = 8):
     )
 
 
+def d8_cluster_keeper(spark, sf_dir):
+    """Near-dup keeper selection — the curation step AFTER clustering:
+    per d6 cluster keep the highest-t2-quality member (lowest doc_id on
+    ties) and count what gets dropped. This is the policy step every real
+    dedup pipeline runs between "found the duplicates" and "wrote the
+    training set" (keep-best beats d6's keep-lowest-id canonical flag
+    when members differ in quality).
+
+    Scale shape: the cluster map holds ONLY near-dup members — tiny next
+    to the corpus — so it broadcasts onto the quality scan; the keeper
+    choice is one map-side ``max_by`` hash aggregate, never a window.
+    Oracle-pinned in tests/test_queries.py (registry is at the driver's
+    50-row cap; building-block-pinned like d2/d7)."""
+    members = d6_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = _sel(spark, sf_dir, {"quality": _t2_exprs()["quality"]})
+    j = quality.join(F.broadcast(members), "doc_id")
+    rank = F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+    return j.groupBy("cluster_id").agg(
+        F.max_by("doc_id", rank).alias("keeper_id"),
+        F.max_by("quality", rank).alias("kept_quality"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+
+
 def d4_simhash(spark, sf_dir):
     """64-bit SimHash fingerprint per document: per-word xxhash64, signed
     bit votes summed per doc, sign → bit. All native exprs: explode + 64

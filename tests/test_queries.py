@@ -114,6 +114,35 @@ def _t8_case() -> str:
 CASES["t8_sequence_pack"] = _t8_case()
 
 
+def _d8_case() -> str:
+    """d8 = keeper per d6 cluster by t2 quality: compose the registered d6
+    recursive oracle (as a CTE subquery) with the exact t2 quality
+    expression the suite oracle uses."""
+    from cdm_to_mods_spark.queries import ORACLE
+
+    d6 = ORACLE["d6_dedup_clusters"]
+    q = (
+        "SELECT doc_id, round(0.5*least(len(regexp_split_to_array(trim(text), "
+        "'\\s+'))/100.0, 1.0) + 0.5*(1.0-(length(text)-length(regexp_replace("
+        "text, '[^a-zA-Z0-9 ]', '', 'g')))*1.0/greatest(length(text),1)), 4) "
+        "AS quality FROM documents"
+    )
+    return (
+        f"WITH members AS (SELECT doc_id, cluster_id FROM ({d6}) c), "
+        f"q AS ({q}), "
+        "j AS (SELECT m.cluster_id, m.doc_id, q.quality FROM members m "
+        "JOIN q USING (doc_id)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality DESC, doc_id) rn, "
+        "count(*) OVER (PARTITION BY cluster_id) nm FROM j) "
+        "SELECT cluster_id, doc_id AS keeper_id, quality AS kept_quality, "
+        "nm::bigint AS n_members FROM r WHERE rn = 1"
+    )
+
+
+CASES["d8_cluster_keeper"] = _d8_case()
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
