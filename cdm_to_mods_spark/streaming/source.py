@@ -210,3 +210,54 @@ class LakeChangeFeedDataSource(DataSource):
 def register_lake_cdf(spark) -> None:
     """Idempotent registration of the ``lake_cdf`` streaming format."""
     spark.dataSource.register(LakeChangeFeedDataSource)
+
+
+def mirror_stream(
+    spark,
+    src_table_path: str,
+    dst_table,
+    checkpoint_dir: str,
+    *,
+    transform=None,
+    available_now: bool = True,
+):
+    """Exactly-once table→table CDC mirror as ONE Structured Streaming
+    job: ``lake_cdf`` tails the source's change feed, each micro-batch
+    re-emits the change rows as ordinary events (``_deleted`` → 'D',
+    else 'U' — upsert semantics cover inserts; ``_seq`` carries over so
+    the destination's LWW keeps source ordering even across replays) and
+    applies them with the micro-batch id as the exactly-once token. The
+    streaming counterpart of :func:`plans.feed.replicate` (which polls).
+    ``transform`` filters/cleanses the event frame for partial replicas.
+    Returns the started query; ``awaitTermination`` it."""
+    from pyspark.sql import functions as F
+
+    register_lake_cdf(spark)
+    feed = (
+        spark.readStream.format("lake_cdf")
+        .option("path", src_table_path)
+        .load()
+    )
+
+    def _on_batch(df, batch_id: int) -> None:
+        events = df.select(
+            F.when(F.col(DELETED_COL), "D").otherwise("U").alias("op"),
+            F.col(SEQ_COL).alias("seq"),
+            *[
+                c
+                for c in df.columns
+                if c not in (SEQ_COL, DELETED_COL, VERSION_COL)
+            ],
+        )
+        if transform is not None:
+            events = transform(events)
+        dst_table.apply_changes(
+            events, batch_id=batch_id, source=f"mirror:{src_table_path}"
+        )
+
+    writer = feed.writeStream.foreachBatch(_on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
