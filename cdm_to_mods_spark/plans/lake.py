@@ -1995,11 +1995,16 @@ class LakeTable:
         table's max applied ``_seq``); the seq-domain caveat on
         :meth:`delete_where` applies equally.
 
-        Scale shape: one join of the source against the live state — the
-        source side is a change-batch (small) and Catalyst broadcasts it
-        under the threshold, so the classification is a broadcast probe of
-        the table scan, not a repartition of 100 TB; the write side is then
-        the ordinary O(affected buckets) apply.
+        Scale shape: the classification reads ONLY the source keys'
+        buckets (the same manifest-level pruning as ``read_keys`` — Delta
+        MERGE's touched-file inner-join pruning, done here from the bucket
+        layout with one bounded O(num_buckets)-int collect), so the join
+        costs O(touched-bucket rows + source), never a scan or shuffle of
+        the full table; the write side is then the ordinary O(affected
+        buckets) apply. Broadcasting is NOT the lever here: the source is
+        the preserved side of the outer join (unmatched rows become
+        inserts), and Spark can only broadcast the non-preserved side —
+        pruning is what keeps 100 TB out of the exchange.
         """
         if (
             not when_matched_update
@@ -2069,10 +2074,30 @@ class LakeTable:
 
         as_expr = lambda v: F.expr(v) if isinstance(v, str) else v  # noqa: E731
         s = source.alias("s")
+        # bucket-prune the live-state read to the source keys' buckets —
+        # probed at the table's native key type so the hash agrees with
+        # the write layout (null keys hash consistently too).
+        key_type = canon[self.bucket_col].dataType
+        needed = sorted(
+            r["_b"]
+            for r in source.select(
+                F.col(self.bucket_col).cast(key_type).alias(self.bucket_col)
+            )
+            .select(
+                _bucket_expr(
+                    self.bucket_col, self.num_buckets, self.bucket_fn
+                ).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        live = self._resolve_live(
+            self._read_raw(man, buckets=needed), man, needed
+        )
         # explicit never-null probe marker: a key-null test would
         # misclassify live NULL-keyed rows (storable when no
         # quarantine_path routes them away) as unmatched.
-        t = self.read().withColumn("_probe", F.lit(True)).alias("t")
+        t = live.withColumn("_probe", F.lit(True)).alias("t")
         joined = s.join(
             t, [s[k].eqNullSafe(t[k]) for k in self.key_cols], "left"
         )

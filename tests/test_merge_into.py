@@ -261,3 +261,36 @@ def test_merge_matches_live_null_key_rows(spark, tmp_table):
     rows = t.read().collect()
     assert len(rows) == 1
     assert (rows[0].text, rows[0].tool) == ("updated", "keepme")
+
+
+def test_merge_classification_reads_only_source_buckets(spark, tmp_table,
+                                                        monkeypatch):
+    """scale shape: the live-state read behind the classification join is
+    bucket-pruned to the source keys' buckets (Delta MERGE's touched-file
+    pruning), never a full-table read."""
+    t = LakeTable(spark, tmp_table, num_buckets=16, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        spark.createDataFrame(
+            [("I", i + 1, f"c{i}", 0, "user", "x", None, None, None)
+             for i in range(40)],
+            EVENT_DDL,
+        ),
+        batch_id=0,
+    )
+    populated = {int(b) for b in t.manifest()["buckets"]}
+    assert len(populated) > 4  # the prune has something to skip
+    seen = []
+    orig = LakeTable._read_raw
+
+    def spy(self, man, *a, **kw):
+        if "buckets" in kw and kw["buckets"] is not None:
+            seen.append(sorted(kw["buckets"]))
+        return orig(self, man, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "_read_raw", spy)
+    src = spark.createDataFrame([("c1", 0, None, "upd", None)], SRC_DDL)
+    t.merge_into(src, when_matched_update={"text": "s.text"})
+    pruned = [b for b in seen if len(b) <= 1]
+    assert pruned, f"classification read was not bucket-pruned: {seen}"
+    assert t.read_keys(["c1"]).first().text == "upd"
