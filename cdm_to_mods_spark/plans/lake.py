@@ -1090,6 +1090,97 @@ class LakeTable:
         self.num_buckets = man.get("num_buckets", self.num_buckets)
         return {"rolled_back_to": version, "version": new_version}
 
+    def clone(self, dst_path: str, version: int | None = None) -> "LakeTable":
+        """Zero-copy SHALLOW CLONE (the Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` / Iceberg snapshot-ref analog): commit a NEW table at
+        ``dst_path`` whose v0 manifest references THIS table's data files
+        by ABSOLUTE path — no bytes move, so forking a 100 TB table for a
+        dev/backfill/what-if experiment is one metadata commit, and the
+        reference repo's copy-the-collection-then-clean workflow
+        (post_cdm_cleanup.py's staging copies) becomes free.
+
+        The clone then diverges independently: its writes land under its
+        own directory (every read site resolves file refs with
+        ``os.path.join(self.path, ref)``, where an absolute source ref
+        wins the join, so MoR chains may mix source-absolute bases with
+        clone-local deltas), and ``compact()`` rewrites every referenced
+        byte locally — a full detach. Carried over: schema history +
+        rename log (old file sets still resolve), constraints, properties,
+        layout (bucket col/count/fn), zone-map lineage, and the batch
+        ledger (``last_batch_id`` — a forked ingest pipeline resumes its
+        stream exactly-once instead of re-applying the head batch). NOT
+        carried: version history and the change feed — the clone's ledger
+        restarts at v0 (its v0 IS the source snapshot), so ``changes()``
+        serves clone-era commits only, and time travel into pre-clone
+        states belongs to the source.
+
+        Caveat (same as Delta's shallow clone): ``expire_snapshots`` /
+        ``rebucket`` on the SOURCE can remove files the clone still
+        references — ``compact()`` the clone (or re-clone) before running
+        destructive maintenance on the source. ``version`` clones a
+        historical snapshot (time-travel fork); default = current head.
+        """
+        man = self.manifest(version)
+
+        def _abs(fs: dict) -> dict:
+            p = fs["path"]
+            return {**fs, "path": p if os.path.isabs(p)
+                    else os.path.join(self.path, p)}
+
+        buckets: dict = {}
+        for k, e in man["buckets"].items():
+            if "path" in e:  # pre-MoR shape: base only
+                buckets[k] = _abs(e)
+                continue
+            ne = dict(e)
+            if ne.get("base"):
+                ne["base"] = _abs(ne["base"])
+            ne["deltas"] = [_abs(d) for d in ne.get("deltas", [])]
+            buckets[k] = ne
+        dst = LakeTable(
+            self.spark,
+            dst_path,
+            key_cols=self.key_cols,
+            bucket_col=self.bucket_col,
+            num_buckets=man.get("num_buckets", self.num_buckets),
+            merge_mode=self.merge_mode,
+            compact_deltas=self.compact_deltas,
+            cow_change_feed=self.cow_change_feed,
+            bucket_fn=self.bucket_fn,
+            stats_cols=self.stats_cols,
+            schema_mode=self.schema_mode,
+            target_file_rows=self.target_file_rows,
+            bloom_cols=self.bloom_cols,
+        )
+        if dst.exists():
+            raise RuntimeError(
+                f"refusing to clone onto an existing lake table at {dst_path}"
+            )
+        dst._commit(
+            {
+                "version": 0,
+                "batch_id": None,
+                "last_batch_id": man.get("last_batch_id", -1),
+                "schemas": list(man["schemas"]),
+                "renames": man.get("renames", []),
+                "buckets": buckets,
+                "num_buckets": man.get("num_buckets", self.num_buckets),
+                "key_cols": list(self.key_cols),
+                "bucket_col": self.bucket_col,
+                "bucket_fn": self.bucket_fn,
+                "lineage": man.get("lineage", {}),
+                "constraints": man.get("constraints", []),
+                "properties": dict(man.get("properties", {})),
+                "metrics": {
+                    "maintenance": "clone",
+                    "source": self.path,
+                    "source_version": man["version"],
+                },
+                "commit_ts": time.time(),
+            }
+        )
+        return dst
+
     # ------------------------------------------------- schema evolution
     # Metadata-only ALTER TABLE: add/drop/rename commit a new schema list
     # entry (append-only) and rewrite NO data — old file sets keep their
