@@ -35,7 +35,44 @@ same contract Delta's CDF stream has.
 
 Options: ``path`` (required); ``startingVersion`` — first UNCONSUMED
 version floor: ``"earliest"`` (default; the whole retained feed) or a
-version number N (consume strictly-after N, mirroring ``changes(N)``).
+version number N (consume strictly-after N, mirroring ``changes(N)``);
+``maxVersionsPerTrigger`` — admission control, the Delta
+``maxFilesPerTrigger`` / Iceberg ``streaming-max-files-per-micro-batch``
+analog at this ledger's natural granularity (offsets are whole versions,
+so a version is never split across batches). Without it a consumer
+starting from ``earliest`` on a long-retained table gets the ENTIRE
+backlog as one micro-batch — at 10^10 events that single batch is the
+scale-killer; with it the backfill drains as bounded, checkpointed steps.
+
+Rate-limit mechanics (the Python Data Source API has no
+``SupportsAdmissionControl`` — ``latestOffset()`` takes no start/limit —
+so the cap lives in reader state, in the python runner process): the
+reader tracks ``floor`` = a MONOTONIC high-water mark of offsets Spark
+has planned or committed, and ``latestOffset`` answers
+``min(head, floor + N)``. Two call-order facts, established by tracing
+the runner (see ``_trace``), shape where the floor syncs:
+
+- ``latestOffset`` for trigger K+1 can arrive BEFORE ``commit`` of
+  trigger K, and Spark adopts whatever ``latestOffset`` returns as the
+  next offset-log entry even when it is BEHIND the last one — answering
+  below an already-planned offset rewinds the log and re-delivers those
+  versions. So the floor syncs in ``partitions(start, end)`` on ``end``
+  (the offset Spark is committing to, available strictly before the
+  next planning round), monotonically, never on ``start``.
+- On a fresh start ``latestOffset`` fires BEFORE ``initialOffset``, so
+  the first call of a reader's life adopts ``startingVersion`` as the
+  floor (fresh offset log ⇒ that IS the exact consumed floor). On a
+  checkpoint restart Spark re-plans the recovered batch —
+  ``partitions(committed, committed)`` — before its first
+  ``latestOffset``, so the floor is exact there too and the cap holds
+  across restarts with no stall and no rewind.
+
+``trigger(availableNow=True)`` caveat: the Python API predates
+AvailableNow, so Spark falls back to SINGLE-batch execution — a capped
+query processes ONE bounded batch per ``start()`` and terminates.
+Draining a backlog that way takes repeated starts on the same
+checkpoint; :func:`mirror_stream` does that loop itself when both
+``available_now`` and ``max_versions_per_trigger`` are set.
 """
 
 from __future__ import annotations
@@ -53,6 +90,31 @@ from ..plans.lake import _stored_name
 from ..schemas import DELETED_COL, SEQ_COL, schema_from_json
 
 VERSION_COL = "_version"
+
+
+def parse_offset_version(offset_str: str) -> int:
+    """Extract the version from a progress-report offset string. Spark
+    round-trips Python-source offsets through the JVM as the dict's
+    ``str()`` (single quotes), so ``lastProgress['sources'][0]['endOffset']``
+    is not always valid JSON — accept both spellings."""
+    import ast
+    import json
+
+    try:
+        d = json.loads(offset_str)
+    except json.JSONDecodeError:
+        d = ast.literal_eval(offset_str)
+    return int(d["version"])
+
+
+def _trace(msg: str) -> None:
+    """Debug hook: append reader-lifecycle events to $LAKE_CDF_TRACE.
+    The stream reader runs in a separate python runner process, so
+    ordinary logging/monkeypatching from the driver can't observe it."""
+    p = os.environ.get("LAKE_CDF_TRACE")
+    if p:
+        with open(p, "a") as fh:
+            fh.write(f"pid={os.getpid()} {msg}\n")
 
 
 # ---------------------------------------------------------- ledger file IO
@@ -104,7 +166,13 @@ class _CDFPartition(InputPartition):
 
 
 class _CDFStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, spark_schema, starting: str) -> None:
+    def __init__(
+        self,
+        table_path: str,
+        spark_schema,
+        starting: str,
+        max_versions: int | None,
+    ) -> None:
         self._path = table_path
         self._spark_schema = spark_schema
         versions = _ledger_versions(table_path)
@@ -118,16 +186,52 @@ class _CDFStreamReader(DataSourceStreamReader):
             self._start = versions[0] - 1
         else:
             self._start = int(starting)
+        if max_versions is not None and max_versions < 1:
+            raise ValueError(
+                f"maxVersionsPerTrigger must be >= 1, got {max_versions}"
+            )
+        self._max_versions = max_versions
+        # admission-control state (module docstring, "Rate-limit mechanics"):
+        # floor = monotonic high-water mark of every offset Spark has
+        # planned (partitions' end) or committed — never rewinds, so
+        # latestOffset can never answer behind an offset already in the log
+        self._floor: int | None = None
 
     # offsets are plain dicts (JSON) — {"version": last consumed}
     def initialOffset(self) -> dict:
+        # Spark only asks for this on a FRESH start (empty offset log), so
+        # startingVersion is the exact floor — but note latestOffset fires
+        # first even then (module docstring), so this is usually a no-op.
+        self._sync_floor(self._start)
+        _trace(f"initialOffset -> {self._start}")
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _ledger_versions(self._path)[-1]}
+        head = _ledger_versions(self._path)[-1]
+        if self._max_versions is None:
+            _trace(f"latestOffset -> {head} (uncapped)")
+            return {"version": head}
+        if self._floor is None:
+            # first call of this reader's life: a fresh start (the offset
+            # log is empty and initialOffset hasn't been consulted yet), so
+            # startingVersion IS the consumed floor. On restart this branch
+            # is unreachable — Spark re-plans the recovered batch first and
+            # partitions() has already pinned the exact floor.
+            self._floor = self._start
+        out = min(head, self._floor + self._max_versions)
+        _trace(f"latestOffset -> {out} (head={head} floor={self._floor})")
+        return {"version": out}
+
+    def _sync_floor(self, planned: int) -> None:
+        if self._floor is None or planned > self._floor:
+            self._floor = planned
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
+        _trace(f"partitions({lo}, {hi})")
+        # `end` is now in Spark's offset log: it is the floor for every
+        # later planning round (commit() may lag the next latestOffset)
+        self._sync_floor(hi)
         parts: list[_CDFPartition] = []
         for v in range(lo + 1, hi + 1):
             for fs in _cdf_entries(self._path, v, lo, hi):
@@ -172,7 +276,10 @@ class _CDFStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in the query checkpoint, nothing to GC
+        # progress lives in the query checkpoint (nothing to GC here); the
+        # committed end is the exact floor for the next trigger's cap
+        _trace(f"commit({end['version']})")
+        self._sync_floor(end["version"])
 
 
 class LakeChangeFeedDataSource(DataSource):
@@ -200,10 +307,12 @@ class LakeChangeFeedDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> _CDFStreamReader:
+        raw_max = self.options.get("maxVersionsPerTrigger")
         return _CDFStreamReader(
             self.options["path"],
             schema,
             self.options.get("startingVersion", "earliest"),
+            int(raw_max) if raw_max is not None else None,
         )
 
 
@@ -220,6 +329,7 @@ def mirror_stream(
     *,
     transform=None,
     available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
 ):
     """Exactly-once table→table CDC mirror as ONE Structured Streaming
     job: ``lake_cdf`` tails the source's change feed, each micro-batch
@@ -229,17 +339,27 @@ def mirror_stream(
     applies them with the micro-batch id as the exactly-once token. The
     streaming counterpart of :func:`plans.feed.replicate` (which polls).
     ``transform`` filters/cleanses the event frame for partial replicas.
-    Returns the started query; ``awaitTermination`` it."""
+    ``max_versions_per_trigger`` bounds each micro-batch (a cold-start
+    mirror of a long-retained source backfills in steps instead of one
+    giant batch). Returns the started query; ``awaitTermination`` it —
+    except when BOTH ``available_now`` and ``max_versions_per_trigger``
+    are set: the Python-source AvailableNow fallback executes a single
+    batch per start, so one bounded batch would silently strand the rest
+    of the backlog. In that mode this call BLOCKS, restarting the query
+    on the same checkpoint (exactly-once holds) until the offset log
+    reaches the source head as of entry, and returns the last,
+    already-terminated query."""
     from pyspark.sql import functions as F
 
     register_lake_cdf(spark)
-    feed = (
-        spark.readStream.format("lake_cdf")
-        .option("path", src_table_path)
-        .load()
-    )
 
     def _on_batch(df, batch_id: int) -> None:
+        if df.isEmpty():
+            # versions with no change rows (e.g. table creation) still
+            # advance the offset; skipping the apply keeps the replica's
+            # ledger free of empty commits (and is replay-safe — a
+            # redelivered empty batch is still empty)
+            return
         events = df.select(
             F.when(F.col(DELETED_COL), "D").otherwise("U").alias("op"),
             F.col(SEQ_COL).alias("seq"),
@@ -255,9 +375,36 @@ def mirror_stream(
             events, batch_id=batch_id, source=f"mirror:{src_table_path}"
         )
 
-    writer = feed.writeStream.foreachBatch(_on_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    def _start():
+        reader = spark.readStream.format("lake_cdf").option(
+            "path", src_table_path
+        )
+        if max_versions_per_trigger is not None:
+            reader = reader.option(
+                "maxVersionsPerTrigger", str(max_versions_per_trigger)
+            )
+        writer = (
+            reader.load()
+            .writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    if not (available_now and max_versions_per_trigger is not None):
+        return _start()
+
+    # bounded drain: one capped batch per start (module docstring,
+    # AvailableNow caveat), stop when the offset log reaches the head
+    # observed at entry — the availableNow contract
+    head = _ledger_versions(src_table_path)[-1]
+    while True:
+        q = _start()
+        q.awaitTermination()
+        prog = q.lastProgress
+        if prog is None:  # no batch ran at all: already caught up
+            return q
+        end = parse_offset_version(prog["sources"][0]["endOffset"])
+        if end >= head:
+            return q

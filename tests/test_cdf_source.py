@@ -116,6 +116,91 @@ def test_stream_refuses_feedless_cow(spark, tmp_path):
         _drain(spark, str(tmp_path / "tab"), str(tmp_path / "ck"))
 
 
+def _drain_batches(spark, path, ck, *, max_versions):
+    """Drain with maxVersionsPerTrigger, returning the per-micro-batch
+    version sets actually delivered (empty planning rounds excluded).
+    The Python-source AvailableNow fallback runs ONE batch per start, so
+    a bounded drain is a restart loop on the same checkpoint — stop when
+    the offset log reaches the ledger head (the same loop mirror_stream
+    runs internally)."""
+    from cdm_to_mods_spark.streaming.source import (
+        _ledger_versions,
+        parse_offset_version,
+    )
+
+    register_lake_cdf(spark)
+    batches = []
+    head = _ledger_versions(path)[-1]
+    while True:
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("path", path)
+            .option("maxVersionsPerTrigger", str(max_versions))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append(
+                    sorted({r._version for r in df.collect()})
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        prog = q.lastProgress
+        if prog is None:
+            break
+        if parse_offset_version(prog["sources"][0]["endOffset"]) >= head:
+            break
+    return [b for b in batches if b]
+
+
+def test_rate_limited_backlog_drains_in_bounded_batches(spark, tmp_path):
+    """maxVersionsPerTrigger=1 over a 4-version backlog: availableNow
+    drains as FOUR one-version micro-batches (not one giant batch), in
+    ledger order, and the union equals the unbounded feed."""
+    t = _table(spark, str(tmp_path / "tab"))
+    for v in range(4):
+        _apply(spark, t, [("I", v + 1, f"c{v}", 0, "user", f"t{v}", None)], v)
+    batches = _drain_batches(
+        spark, str(tmp_path / "tab"), str(tmp_path / "ck"), max_versions=1
+    )
+    assert batches == [[1], [2], [3], [4]]
+    # parity with the unbounded drain
+    flat = sorted(v for b in batches for v in b)
+    un = _drain(spark, str(tmp_path / "tab"), str(tmp_path / "ck_un"))
+    assert flat == sorted({r._version for r in un})
+
+
+def test_rate_limit_restart_does_not_stall(spark, tmp_path):
+    """checkpoint restart with a capped reader: the fresh reader's floor
+    is stale (startingVersion, not the checkpointed offset) — the
+    escalation guard must cross the committed offset and deliver the new
+    versions instead of planning 'no new data' forever."""
+    t = _table(spark, str(tmp_path / "tab"))
+    for v in range(3):
+        _apply(spark, t, [("I", v + 1, f"c{v}", 0, "user", f"a{v}", None)], v)
+    ck = str(tmp_path / "ck")
+    first = _drain_batches(spark, str(tmp_path / "tab"), ck, max_versions=1)
+    assert first == [[1], [2], [3]]
+    # three more commits while the stream is down, then resume on the SAME
+    # checkpoint: no duplicates, no stall, still capped at one version each
+    for v in range(3, 6):
+        _apply(spark, t, [("I", v + 1, f"c{v}", 0, "user", f"a{v}", None)], v)
+    second = _drain_batches(spark, str(tmp_path / "tab"), ck, max_versions=1)
+    assert sorted(v for b in second for v in b) == [4, 5, 6]
+    assert all(len(b) == 1 for b in second)
+
+
+def test_rate_limit_rejects_nonpositive(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "x", None)], 0)
+    with pytest.raises(Exception, match="maxVersionsPerTrigger"):
+        _drain_batches(
+            spark, str(tmp_path / "tab"), str(tmp_path / "ck"), max_versions=0
+        )
+
+
 def test_mirror_stream_replicates_table(spark, tmp_path):
     """one Structured Streaming job = exactly-once CDC mirror: the replica
     converges to the source (deletes included), resumes from its own
