@@ -436,7 +436,12 @@ class LakeTable:
         table first; opening an unknown branch raises ``LookupError``.
         """
         self.spark = spark
-        self.path = path.rstrip("/")
+        # absolutize: the Python-side ledger IO resolves relative paths
+        # against THIS process's cwd while Spark's JVM resolves data
+        # reads/writes against its own working dir — a relative table path
+        # would silently split the table across the two (ledger here, data
+        # there). One normalization point keeps every consumer agreeing.
+        self.path = os.path.abspath(path.rstrip("/"))
         self.key_cols = tuple(key_cols)
         self.bucket_col = bucket_col
         self.num_buckets = num_buckets
@@ -1123,9 +1128,11 @@ class LakeTable:
         man = self.manifest(version)
 
         def _abs(fs: dict) -> dict:
+            # abspath, not join: a source opened via a RELATIVE path must
+            # still yield refs that resolve from the clone's directory
             p = fs["path"]
             return {**fs, "path": p if os.path.isabs(p)
-                    else os.path.join(self.path, p)}
+                    else os.path.abspath(os.path.join(self.path, p))}
 
         buckets: dict = {}
         for k, e in man["buckets"].items():

@@ -146,6 +146,22 @@ def test_clone_time_travel_fork_and_compact_detach(spark, tmp_path):
     assert _texts(dst)[("c1", 0)] == "v1"
 
 
+def test_clone_from_relative_source_path(spark, tmp_path, monkeypatch):
+    """a source opened via a RELATIVE path must still produce clone refs
+    that resolve from the clone's own directory (abspath, not join)."""
+    monkeypatch.chdir(tmp_path)
+    src = _table(spark, "src-rel")
+    _apply(spark, src, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    dst = src.clone(str(tmp_path / "dst"))
+    refs = [
+        fs["path"]
+        for e in dst.manifest()["buckets"].values()
+        for fs in LakeTable._bucket_files(e)
+    ]
+    assert refs and all(os.path.isabs(p) for p in refs)
+    assert _texts(dst) == {("c1", 0): "a"}
+
+
 def test_clone_refuses_existing_destination(spark, tmp_path):
     src = _table(spark, str(tmp_path / "src"))
     _apply(spark, src, [("I", 1, "c1", 0, "user", "a", None)], 0)
