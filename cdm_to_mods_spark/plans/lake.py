@@ -1125,6 +1125,10 @@ class LakeTable:
         destructive maintenance on the source. ``version`` clones a
         historical snapshot (time-travel fork); default = current head.
         """
+        # branch states are staging: drop_branch/publish_branch may remove
+        # the very data dirs a clone would reference — fork main only
+        # (publish the branch first if its state is what you want to fork)
+        assert self.branch == "main", "clone a main-opened table"
         man = self.manifest(version)
 
         def _abs(fs: dict) -> dict:
