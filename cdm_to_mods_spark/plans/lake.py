@@ -1192,6 +1192,20 @@ class LakeTable:
         )
         return dst
 
+    def verify_integrity(self, version: int | None = None) -> dict:
+        """fsck for the lake format: audit the structural invariants the
+        engine's correctness rests on (manifest refs resolve, rows sit in
+        the bucket their key hashes to, no key is live in two buckets,
+        zone-map stats bound their data, CHECK constraints hold, ledger
+        invariants hold across retained versions). Read-only; three
+        distributed jobs regardless of table size. See
+        :mod:`cdm_to_mods_spark.plans.fsck` for the full contract — the
+        lake-scale analog of the reference's end-of-run verification pass
+        (post_cdm_cleanup.py:15-37)."""
+        from .fsck import verify_integrity
+
+        return verify_integrity(self, version)
+
     # ------------------------------------------------- schema evolution
     # Metadata-only ALTER TABLE: add/drop/rename commit a new schema list
     # entry (append-only) and rewrite NO data — old file sets keep their

@@ -1,0 +1,203 @@
+"""verify_integrity (fsck): the audit must pass on healthy tables under
+churn/evolution, and each structural-invariant breach — lost file, wrong
+bucket function (the round-2 retry-bug corruption class), stats lie,
+constraint breach, tampered ledger — must be detected and located."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from cdm_to_mods_spark.functions.chain import apply_chain
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+from tests.test_lake import EVENT_DDL, _events
+
+
+def _rows(n, start_seq=1, year=2005):
+    out = []
+    seq = start_seq
+    for i in range(n):
+        out.append(("I", seq, f"c{i:03d}", 0, "user", f"t{seq}", None,
+                    f"{year}-03-{(i % 27) + 1:02d}", None))
+        seq += 1
+    return out
+
+
+def _mk(spark, path, **kw):
+    t = LakeTable(spark, path, num_buckets=8, merge_mode="mor", **kw)
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def test_healthy_table_passes(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(20)), batch_id=0,
+                    transform=apply_chain)
+    # churn: update + delete + schema evolution + a constraint
+    t.apply_changes(
+        _events(spark, [
+            ("U", 21, "c000", 0, "user", "edit", None, "2005-03-01", None),
+            ("D", 22, "c001", 0, None, None, None, None, None),
+            ("I", 23, "c900", 0, "assistant", "new", "calc", "2006-01-02",
+             None),
+        ]),
+        batch_id=1, transform=apply_chain,
+    )
+    t.add_constraint("turn_nonneg", "turn_idx >= 0")
+    rep = t.verify_integrity()
+    assert rep["ok"], rep
+    assert all(c["ok"] for c in rep["checks"].values()), rep
+    assert rep["checks"]["manifest_refs"]["file_sets"] > 0
+    # historical snapshots audit clean too
+    assert t.verify_integrity(version=1)["ok"]
+
+
+def test_detects_missing_file_set(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(10)), batch_id=0,
+                    transform=apply_chain)
+    man = t.manifest()
+    victim = next(
+        fs["path"]
+        for e in man["buckets"].values()
+        for fs in LakeTable._bucket_files(e)
+    )
+    shutil.rmtree(os.path.join(t.path, victim))
+    rep = t.verify_integrity()
+    assert not rep["ok"]
+    assert not rep["checks"]["manifest_refs"]["ok"]
+    assert victim in rep["checks"]["manifest_refs"]["missing"]
+
+
+def _flip_bucket_fn(table_path):
+    """Simulate the round-2 retry-bug corruption: the manifest silently
+    adopts xxhash64 while the data on disk was bucketed with hash32."""
+    ledger = os.path.join(table_path, "_ledger")
+    latest = sorted(
+        f for f in os.listdir(ledger)
+        if f.startswith("v") and f.endswith(".json")
+    )[-1]
+    p = os.path.join(ledger, latest)
+    with open(p) as fh:
+        man = json.load(fh)
+    assert man["bucket_fn"] == "hash32"
+    man["bucket_fn"] = "xxhash64"
+    with open(p, "w") as fh:
+        json.dump(man, fh)
+
+
+def test_detects_wrong_bucket_function(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(20)), batch_id=0,
+                    transform=apply_chain)
+    _flip_bucket_fn(t.path)
+    rt = LakeTable(spark, t.path)
+    assert rt.bucket_fn == "xxhash64"  # the corruption took
+    rep = rt.verify_integrity()
+    assert not rep["ok"]
+    bad = rep["checks"]["bucket_assignment"]
+    assert not bad["ok"] and bad["misplaced_rows"] > 0
+    assert bad["file_set_dirs"]  # damage is located
+
+
+def test_detects_split_live_key(spark, tmp_path):
+    """after the bucket-fn flip, an update to an existing key lands in the
+    NEW function's bucket while the old row stays live in the old one —
+    the duplicate-live-rows symptom the audit must catch."""
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(20)), batch_id=0,
+                    transform=apply_chain)
+    _flip_bucket_fn(t.path)
+    rt = LakeTable(spark, t.path, num_buckets=8, merge_mode="mor")
+    rt.apply_changes(
+        _events(spark, [(("U"), 100, "c002", 0, "user", "moved", None,
+                         "2005-04-01", None)]),
+        batch_id=1, transform=apply_chain,
+    )
+    rep = rt.verify_integrity()
+    assert not rep["ok"]
+    # c002's hash32 and xxhash64 pmod-8 buckets differ, so the key is now
+    # live twice; at minimum the misplacement itself must be flagged
+    assert (rep["checks"]["unique_live_keys"]["split_keys"] > 0
+            or rep["checks"]["bucket_assignment"]["misplaced_rows"] > 0)
+
+
+def test_detects_zone_map_lie(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(12)), batch_id=0,
+                    transform=apply_chain)
+    man = t.manifest()
+    # find a stats-bearing file set and an existing key inside it
+    victim = next(
+        fs["path"]
+        for e in man["buckets"].values()
+        for fs in LakeTable._bucket_files(e)
+        if (fs.get("stats") or {}).get("ts")
+    )
+    vdir = os.path.join(t.path, victim)
+    stored = spark.read.parquet(vdir)
+    probe = stored.limit(1).collect()[0]
+    # smuggle a row far outside the recorded ts bounds into the file set
+    # (same stored schema, same conv -> bucket placement stays valid)
+    smuggled = stored.limit(1).selectExpr(
+        "conv_id", "turn_idx + 999 as turn_idx", "role", "text", "tool",
+        "timestamp'2055-01-01 00:00:00' as ts", "_seq + 1000 as _seq",
+        "_deleted",
+    ).select(*stored.columns)  # keep exact stored column order
+    smuggled.write.mode("append").parquet(vdir)
+    rep = t.verify_integrity()
+    assert not rep["ok"]
+    zm = rep["checks"]["zone_maps"]
+    assert not zm["ok"]
+    assert any(v["col"] == "ts" and v["path"] == victim
+               for v in zm["violations"]), (zm, probe)
+
+
+def test_detects_constraint_breach(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(10)), batch_id=0,
+                    transform=apply_chain)
+    # force an unvalidated constraint the existing rows violate
+    t.add_constraint("role_is_bot", "role = 'assistant'", validate=False)
+    rep = t.verify_integrity()
+    assert not rep["ok"]
+    assert rep["checks"]["constraints"]["violations"]["role_is_bot"] == 10
+
+
+def test_detects_ledger_tamper(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(5)), batch_id=0,
+                    transform=apply_chain)
+    t.apply_changes(_events(spark, _rows(5, start_seq=6)), batch_id=1,
+                    transform=apply_chain)
+    ledger = os.path.join(t.path, "_ledger")
+    first = sorted(
+        f for f in os.listdir(ledger)
+        if f.startswith("v") and f.endswith(".json")
+    )[0]
+    p = os.path.join(ledger, first)
+    with open(p) as fh:
+        man = json.load(fh)
+    man["last_batch_id"] = 99  # later versions now regress
+    with open(p, "w") as fh:
+        json.dump(man, fh)
+    rep = t.verify_integrity()
+    assert not rep["ok"]
+    assert any("last_batch_id regressed" in i
+               for i in rep["checks"]["ledger"]["issues"])
+
+
+def test_refuses_branch_handle(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(3)), batch_id=0,
+                    transform=apply_chain)
+    t.create_branch("audit")
+    b = LakeTable(spark, t.path, num_buckets=8, merge_mode="mor",
+                  branch="audit")
+    with pytest.raises(AssertionError, match="main-opened"):
+        b.verify_integrity()
