@@ -28,6 +28,14 @@ directory (bucket placement + zone-map bounds together), (2) one
 scan + two hash aggregations for cross-bucket key uniqueness, (3) one
 live read per constraint batch — plus O(file sets + retained versions)
 driver-side metadata IO. Nothing per-row crosses the driver.
+
+Repair: a bucket-placement failure (wrong ``bucket_fn``/``num_buckets``
+adopted at some point) is healed by ``rebucket(num_buckets)`` — it
+rewrites every row under the manifest's CURRENT function, which also
+collapses split keys through the ordinary last-write-wins resolution
+(pinned in ``tests/test_fsck.py``). Lost files and stats lies have no
+in-place repair — restore the file set from a snapshot/clone, or
+``compact()`` to re-derive stats from surviving data.
 """
 
 from __future__ import annotations

@@ -127,6 +127,26 @@ def test_detects_split_live_key(spark, tmp_path):
             or rep["checks"]["bucket_assignment"]["misplaced_rows"] > 0)
 
 
+def test_rebucket_heals_bucket_corruption(spark, tmp_path):
+    """the repair path: rebucket(num_buckets) rewrites every row under
+    the manifest's CURRENT bucket function, so detect -> rebucket -> clean
+    audit, with no rows lost."""
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(20)), batch_id=0,
+                    transform=apply_chain)
+    before = sorted((r.conv_id, r.turn_idx, r.text)
+                    for r in t.read().collect())
+    _flip_bucket_fn(t.path)
+    rt = LakeTable(spark, t.path)
+    assert not rt.verify_integrity()["ok"]
+    rt.rebucket(8)
+    rep = rt.verify_integrity()
+    assert rep["checks"]["bucket_assignment"]["ok"]
+    assert rep["checks"]["unique_live_keys"]["ok"]
+    assert sorted((r.conv_id, r.turn_idx, r.text)
+                  for r in rt.read().collect()) == before
+
+
 def test_detects_zone_map_lie(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "tab"))
     t.apply_changes(_events(spark, _rows(12)), batch_id=0,
