@@ -103,7 +103,10 @@ def verify_integrity(table, version: int | None = None) -> dict:
     run it from a main-opened handle."""
     assert table.branch == "main", "audit a main-opened table"
     man = table.manifest(version)
+    # judge the snapshot against ITS OWN recorded layout — a historical
+    # audit across a rebucket must not apply the head's bucket count
     nb = man.get("num_buckets", table.num_buckets)
+    fn = man.get("bucket_fn", table.bucket_fn)
     checks: dict = {}
 
     # ---- 1. manifest refs resolve on disk (driver-side, O(file sets))
@@ -133,7 +136,7 @@ def verify_integrity(table, version: int | None = None) -> dict:
         # placement mismatches and actual stats-column bounds together
         mismatch = (
             F.col("_claimed_bucket")
-            != _bucket_expr(table.bucket_col, nb, table.bucket_fn)
+            != _bucket_expr(table.bucket_col, nb, fn)
         ).cast("long")
         aggs = [F.sum(mismatch).alias("_misplaced")]
         for c in stats_cols:
