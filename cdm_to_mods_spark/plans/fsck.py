@@ -7,8 +7,9 @@ scale the things worth auditing are the STRUCTURAL invariants the engine
 relies on for correctness, because each one failing is a *silent* wrong
 answer, not an error:
 
-- every manifest file ref resolves on disk (a lost file = silently
-  missing rows on the next read);
+- every manifest file ref resolves on disk AND holds the row count the
+  manifest recorded for it (a lost file-set dir or a lost part-file
+  inside one = silently missing rows on the next read);
 - every stored row sits in the bucket its key hashes to (a mis-bucketed
   row is invisible to ``read_keys``/MERGE pruning — exactly the
   corruption class the round-2 ``bucket_fn``-dropping retry bug caused);
@@ -18,16 +19,20 @@ answer, not an error:
   lie makes ``read_range`` skip a bucket that held matching rows);
 - CHECK constraints hold over the live state (the inline apply gate can
   be bypassed by pre-constraint data or a buggy maintenance rewrite);
-- the ledger's cross-version invariants hold (``schemas`` append-only,
-  ``last_batch_id`` non-decreasing — the exactly-once and
-  schema-resolution planes both assume them).
+- the ledger's cross-version invariants hold (``schemas`` append-only
+  and a prefix of the head's, ``last_batch_id`` non-decreasing except
+  across a ``rollback`` commit, which reverts it by design — the
+  exactly-once and schema-resolution planes both assume these).
 
 Scale shape: THREE distributed jobs total, regardless of table size —
 (1) one column-pruned scan of all stored rows aggregated per file-set
-directory (bucket placement + zone-map bounds together), (2) one
-scan + two hash aggregations for cross-bucket key uniqueness, (3) one
-live read per constraint batch — plus O(file sets + retained versions)
-driver-side metadata IO. Nothing per-row crosses the driver.
+directory (row counts + bucket placement + zone-map bounds together),
+(2) one scan + two hash aggregations for cross-bucket key uniqueness,
+(3) one live read for all constraints at once — plus O(file sets +
+retained versions) driver-side metadata IO. Nothing per-row crosses the
+driver. The scan is ``LakeTable._read_raw`` itself (``file_meta=True``),
+so schema evolution/rename resolution stays in ONE place and Catalyst
+prunes the unused payload columns out of the parquet read.
 
 Repair: a bucket-placement failure (wrong ``bucket_fn``/``num_buckets``
 adopted at some point) is healed by ``rebucket(num_buckets)`` — it
@@ -40,60 +45,40 @@ in-place repair — restore the file set from a snapshot/clone, or
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 from pyspark.sql import functions as F
 
-from ..schemas import DELETED_COL, SEQ_COL, schema_from_json
-from .lake import _bucket_expr, _stat_scalar, _stored_name
+from ..schemas import DELETED_COL, SEQ_COL
+from .lake import _bucket_expr, _stat_scalar
 
 
-def _scan_stored(table, man, stats_cols):
-    """One DataFrame over every stored row of ``man``'s snapshot with:
-    the key columns (canonical name/type), ``_seq``/``_deleted``, the
-    stats columns (null where a schema version predates them), the
-    claimed bucket id (from the file path — bucket dirs are
-    ``_bucket=N``) and the file-set directory. Grouped by schema_id like
-    ``LakeTable._read_raw`` so the plan holds O(#schema-versions) scans."""
-    canon = table._canonical_schema(man)
-    by_schema: dict[int, list[str]] = {}
-    for e in man["buckets"].values():
-        for fs in table._bucket_files(e):
-            p = fs["path"]
-            ap = p if os.path.isabs(p) else os.path.join(table.path, p)
-            if os.path.exists(ap):  # lost refs are check 1's finding;
-                by_schema.setdefault(fs["schema_id"], []).append(ap)
-            # the scan audits what's actually readable
-    if not by_schema:
-        return None
-    keyset = list(dict.fromkeys([table.bucket_col, *table.key_cols]))
-    want = keyset + [c for c in stats_cols if c not in keyset]
-    parts = []
-    for sid, paths in by_schema.items():
-        stored = set(schema_from_json(man["schemas"][sid]).fieldNames())
-        cols = []
-        for name in want:
-            sname = _stored_name(man, sid, name)
-            ftype = canon[name].dataType
-            if sname in stored:
-                cols.append(F.col(sname).cast(ftype).alias(name))
-            else:
-                cols.append(F.lit(None).cast(ftype).alias(name))
-        cols += [
-            F.col(SEQ_COL),
-            F.col(DELETED_COL),
-            F.regexp_extract(
-                F.col("_metadata.file_path"), r"_bucket=([0-9]+)/", 1
-            ).cast("int").alias("_claimed_bucket"),
-            F.regexp_extract(
-                F.col("_metadata.file_path"), r"^(?:file:)?(.*_bucket=[0-9]+)/", 1
-            ).alias("_fileset_dir"),
-        ]
-        parts.append(table.spark.read.parquet(*paths).select(cols))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+def _current_name(man: dict, sid: int, name: str) -> str | None:
+    """Map a column name as recorded at schema ``sid`` (e.g. a zone-map
+    stats key) FORWARD through renames committed after ``sid`` to its
+    canonical name today — the inverse walk of ``_stored_name``. Returns
+    None when the column no longer exists (dropped): its recorded stats
+    are unverifiable and the audit skips them, mirroring
+    ``_range_buckets``'s leniency for unknown stats keys."""
+    for r in man.get("renames", []):
+        if r["at"] > sid and r["old"] == name:
+            name = r["new"]
+    return name
+
+
+def _collected_scalar(v):
+    """Like ``_stat_scalar`` but for values collected off a DataFrame:
+    ``collect()`` materializes TimestampType as a NAIVE datetime in the
+    DRIVER PROCESS's local timezone (``TimestampType.fromInternal`` —
+    note: the driver tz, not ``spark.sql.session.timeZone``), while
+    recorded zone-map stats are true UTC epochs. Attach the driver-local
+    zone before comparing, or every bound is off by the UTC offset
+    whenever the driver doesn't run in UTC (the same class of skew
+    ``read_range`` defends against on the session-tz side)."""
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        v = v.astimezone()  # interpret as driver-local wall time
+    return _stat_scalar(v)
 
 
 def verify_integrity(table, version: int | None = None) -> dict:
@@ -109,42 +94,65 @@ def verify_integrity(table, version: int | None = None) -> dict:
     fn = man.get("bucket_fn", table.bucket_fn)
     checks: dict = {}
 
-    # ---- 1. manifest refs resolve on disk (driver-side, O(file sets))
+    # ---- 1. manifest refs resolve on disk (driver-side, O(file sets));
+    # per-file-set dir info feeds the row-count and zone-map comparisons
     missing = []
-    filesets = []  # (abs_dir, stats_dict)
+    filesets = []  # (abs_dir, recorded_rows | None, {canonical_col: bounds})
     for e in man["buckets"].values():
         for fs in table._bucket_files(e):
             p = fs["path"]
             ap = p if os.path.isabs(p) else os.path.join(table.path, p)
             if not os.path.exists(ap):
                 missing.append(p)
-            else:
-                filesets.append((ap.rstrip("/"), fs.get("stats") or {}))
+                continue
+            stats = {}
+            for col, bounds in (fs.get("stats") or {}).items():
+                cur = _current_name(man, fs["schema_id"], col)
+                canon = table._canonical_schema(man)
+                if cur is not None and cur in canon.fieldNames():
+                    stats[cur] = bounds
+            filesets.append((ap.rstrip("/"), fs.get("rows"), stats))
     checks["manifest_refs"] = {
         "ok": not missing, "file_sets": len(filesets) + len(missing),
         "missing": missing,
     }
 
-    stats_cols = sorted({c for _, st in filesets for c in st})
-    scan = _scan_stored(table, man, stats_cols) if filesets else None
+    stats_cols = sorted({c for _, _, st in filesets for c in st})
+    scan = (
+        table._read_raw(man, file_meta=True, skip_missing=True)
+        if filesets else None
+    )
     if scan is None:
+        checks["row_counts"] = {"ok": True, "mismatches": []}
         checks["bucket_assignment"] = {"ok": True, "misplaced_rows": 0}
         checks["unique_live_keys"] = {"ok": True, "split_keys": 0}
         checks["zone_maps"] = {"ok": True, "violations": []}
     else:
-        # ---- 2+4. ONE scan, ONE aggregation per file-set dir: bucket
-        # placement mismatches and actual stats-column bounds together
+        # ---- 1b+2+4. ONE scan, ONE aggregation per file-set dir: actual
+        # row counts, bucket placement mismatches and stats-column bounds
         mismatch = (
             F.col("_claimed_bucket")
             != _bucket_expr(table.bucket_col, nb, fn)
         ).cast("long")
-        aggs = [F.sum(mismatch).alias("_misplaced")]
+        aggs = [
+            F.count(F.lit(1)).alias("_rows"),
+            F.sum(mismatch).alias("_misplaced"),
+        ]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
         per_dir = {
             r["_fileset_dir"]: r
             for r in scan.groupBy("_fileset_dir").agg(*aggs).collect()
         }
+        cmis = []
+        for ap, recorded, _st in filesets:
+            if recorded is None:
+                continue  # legacy entry without a count: unverifiable
+            actual = per_dir[ap]["_rows"] if ap in per_dir else 0
+            if actual != recorded:
+                cmis.append({"path": os.path.relpath(ap, table.path),
+                             "recorded": recorded, "actual": int(actual)})
+        checks["row_counts"] = {"ok": not cmis, "mismatches": cmis}
         misplaced = sum(r["_misplaced"] or 0 for r in per_dir.values())
         checks["bucket_assignment"] = {
             "ok": misplaced == 0, "misplaced_rows": int(misplaced),
@@ -153,7 +161,7 @@ def verify_integrity(table, version: int | None = None) -> dict:
             ),
         }
         zviol = []
-        for ap, st in filesets:
+        for ap, _rows, st in filesets:
             row = per_dir.get(ap)
             for col, bounds in st.items():
                 if row is None or bounds is None:
@@ -162,8 +170,8 @@ def verify_integrity(table, version: int | None = None) -> dict:
                 # (timestamps = UTC epoch floats); bring the measured
                 # bounds into the same space before comparing
                 mn, mx = bounds
-                amn = _stat_scalar(row[f"_mn_{col}"])
-                amx = _stat_scalar(row[f"_mx_{col}"])
+                amn = _collected_scalar(row[f"_mn_{col}"])
+                amx = _collected_scalar(row[f"_mx_{col}"])
                 if amn is None or amx is None:
                     continue  # all-null/NaN file set: bounds vacuously hold
                 if (mn is not None and amn < mn) or (mx is not None and amx > mx):
@@ -216,23 +224,28 @@ def verify_integrity(table, version: int | None = None) -> dict:
         "ok": all(v == 0 for v in cviol.values()), "violations": cviol,
     }
 
-    # ---- 6. ledger invariants across retained versions (driver-side)
+    # ---- 6. ledger invariants across retained versions (driver-side).
+    # Baselines come from the HEAD manifest — an audit pinned to an old
+    # version must not flag evolution that happened after it.
     issues = []
     prev_bid = None
     prev_schemas: list | None = None
-    latest_schemas = man["schemas"]
+    head_schemas = table.manifest()["schemas"]
     for v in table._versions():
         raw = table._load_version(v)
+        is_rollback = (raw.get("metrics") or {}).get("maintenance") == "rollback"
         bid = raw.get("last_batch_id", -1)
-        if prev_bid is not None and bid < prev_bid:
+        if prev_bid is not None and bid < prev_bid and not is_rollback:
+            # rollback REVERTS last_batch_id by design (so undone batches
+            # can replay); any other decrease breaks exactly-once
             issues.append(f"v{v}: last_batch_id regressed {prev_bid}->{bid}")
         prev_bid = bid
         sch = raw.get("schemas", [])
-        if prev_schemas is not None and sch[: len(prev_schemas)] != prev_schemas:
-            issues.append(f"v{v}: schemas list is not append-only")
+        if prev_schemas is not None and len(sch) < len(prev_schemas):
+            issues.append(f"v{v}: schemas list shrank")
         prev_schemas = sch
-        if sch != latest_schemas[: len(sch)]:
-            issues.append(f"v{v}: schemas diverge from the latest manifest's")
+        if sch != head_schemas[: len(sch)]:
+            issues.append(f"v{v}: schemas diverge from the head manifest's")
     checks["ledger"] = {"ok": not issues, "issues": issues}
 
     return {

@@ -1583,6 +1583,8 @@ class LakeTable:
         man: dict,
         buckets: list[int] | None = None,
         canon: T.StructType | None = None,
+        file_meta: bool = False,
+        skip_missing: bool = False,
     ) -> DataFrame:
         """Assemble stored rows (incl. tombstones + hidden cols, and — for
         buckets with delta chains — superseded row versions) at the
@@ -1590,7 +1592,11 @@ class LakeTable:
         change batch just evolved it), casting old-schema file sets up and
         null-filling newly added columns. File sets are grouped by recorded
         schema_id so we build O(#schema-versions) DataFrames, not
-        O(#buckets)."""
+        O(#buckets). ``file_meta`` appends ``_claimed_bucket`` (the bucket
+        id from the file's ``_bucket=N`` dir) and ``_fileset_dir`` (that
+        dir's absolute path) — the audit's provenance columns;
+        ``skip_missing`` drops refs that don't resolve on disk instead of
+        failing the whole scan (the audit reports them separately)."""
         if canon is None:
             canon = self._canonical_schema(man)
         entries = man["buckets"]
@@ -1602,9 +1608,11 @@ class LakeTable:
         by_schema: dict[int, list[str]] = {}
         for e in entries.values():
             for fs in self._bucket_files(e):
-                by_schema.setdefault(fs["schema_id"], []).append(
-                    os.path.join(self.path, fs["path"])
-                )
+                p = fs["path"]
+                ap = p if os.path.isabs(p) else os.path.join(self.path, p)
+                if skip_missing and not os.path.exists(ap):
+                    continue
+                by_schema.setdefault(fs["schema_id"], []).append(ap)
         if not by_schema:
             return self._empty(canon, hidden=True)
         parts: list[DataFrame] = []
@@ -1619,6 +1627,16 @@ class LakeTable:
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             cols += [F.col(SEQ_COL), F.col(DELETED_COL)]
+            if file_meta:
+                cols += [
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r"_bucket=([0-9]+)/", 1
+                    ).cast("int").alias("_claimed_bucket"),
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"),
+                        r"^(?:file:)?(.*_bucket=[0-9]+)/", 1,
+                    ).alias("_fileset_dir"),
+                ]
             parts.append(df.select(cols))
         out = parts[0]
         for p in parts[1:]:

@@ -178,6 +178,118 @@ def test_detects_zone_map_lie(spark, tmp_path):
                for v in zm["violations"]), (zm, probe)
 
 
+def test_rollback_is_not_corruption(spark, tmp_path):
+    """rollback() reverts last_batch_id BY DESIGN (undone batches must
+    replay); the ledger check must not flag it."""
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(5)), batch_id=0,
+                    transform=apply_chain)
+    t.apply_changes(_events(spark, _rows(5, start_seq=6)), batch_id=1,
+                    transform=apply_chain)
+    t.rollback(1)
+    rep = t.verify_integrity()
+    assert rep["ok"], rep["checks"]["ledger"]
+
+
+def test_historical_audit_after_evolution(spark, tmp_path):
+    """schema evolution AFTER the audited version is not divergence —
+    the baseline is the head manifest's append-only schema list."""
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(5)), batch_id=0,
+                    transform=apply_chain)
+    v = t.latest_version()
+    t.add_column("extra", "string")
+    t.apply_changes(
+        _events(spark, [("I", 50, "c900", 0, "user", "x", None,
+                         "2007-01-01", None, "e")],
+                ddl=EVENT_DDL + ", extra string"),
+        batch_id=1, transform=apply_chain,
+    )
+    assert t.verify_integrity(version=v)["ok"]
+    assert t.verify_integrity()["ok"]
+
+
+def test_audit_survives_stats_col_rename(spark, tmp_path):
+    """zone-map stats recorded under a column's old name must still be
+    verified after rename_column (forward rename-log walk), and stats of
+    a dropped column are skipped, not crashed on."""
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(8)), batch_id=0,
+                    transform=apply_chain)
+    t.rename_column("ts", "event_ts")
+    rep = t.verify_integrity()
+    assert rep["ok"], rep
+    # the renamed stats were actually CHECKED, not skipped: smuggle an
+    # out-of-bounds row in and the violation reports the canonical name
+    man = t.manifest()
+    victim = next(
+        fs["path"] for e in man["buckets"].values()
+        for fs in LakeTable._bucket_files(e)
+        if (fs.get("stats") or {}).get("ts")
+    )
+    vdir = os.path.join(t.path, victim)
+    stored = spark.read.parquet(vdir)
+    stored.limit(1).selectExpr(
+        "conv_id", "turn_idx + 999 as turn_idx", "role", "text", "tool",
+        "timestamp'2055-01-01 00:00:00' as ts", "_seq + 1000 as _seq",
+        "_deleted",
+    ).select(*stored.columns).write.mode("append").parquet(vdir)
+    rep2 = t.verify_integrity()
+    assert any(v["col"] == "event_ts"
+               for v in rep2["checks"]["zone_maps"]["violations"])
+
+
+def test_detects_lost_part_file_inside_file_set(spark, tmp_path):
+    """losing ONE parquet part-file inside a multi-file file-set dir must
+    fail the audit via the recorded-vs-actual row-count comparison (the
+    dir still exists, so the ref check alone can't see it)."""
+    t = _mk(spark, str(tmp_path / "tab"), target_file_rows=5)
+    t.apply_changes(_events(spark, _rows(40)), batch_id=0,
+                    transform=apply_chain)
+    assert t.verify_integrity()["ok"]
+    man = t.manifest()
+    victim = next(
+        (fs["path"], fs["rows"])
+        for e in man["buckets"].values()
+        for fs in LakeTable._bucket_files(e)
+        if fs.get("rows") and fs["rows"] > 5  # guaranteed multi-file
+    )
+    vdir = os.path.join(t.path, victim[0])
+    part = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))[0]
+    os.remove(os.path.join(vdir, part))
+    rep = t.verify_integrity()
+    assert not rep["ok"]
+    rc = rep["checks"]["row_counts"]
+    assert not rc["ok"]
+    assert any(m["path"] == victim[0] and m["actual"] < m["recorded"]
+               for m in rc["mismatches"])
+
+
+def test_audit_clean_on_non_utc_driver(spark, tmp_path):
+    """collect() materializes timestamps as naive datetimes in the
+    DRIVER-LOCAL tz (TimestampType.fromInternal) while recorded stats
+    are UTC epochs — a non-UTC driver must not produce phantom zone-map
+    violations. (Session tz is irrelevant here: collect() doesn't use
+    it.)"""
+    import time
+
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(8)), batch_id=0,
+                    transform=apply_chain)
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/Chicago"
+    time.tzset()
+    try:
+        rep = t.verify_integrity()
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    assert rep["checks"]["zone_maps"]["ok"], rep["checks"]["zone_maps"]
+
+
 def test_detects_constraint_breach(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "tab"))
     t.apply_changes(_events(spark, _rows(10)), batch_id=0,
