@@ -269,6 +269,10 @@ def test_maintenance_interleavings_are_read_transparent(spark, merge_mode, case)
                 [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
             )
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # and the structural invariants the audit checks must hold after
+        # ANY maintenance interleaving — fsck is clean on healthy tables
+        rep = t.verify_integrity()
+        assert rep["ok"], rep["checks"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
