@@ -226,13 +226,24 @@ def verify_integrity(table, version: int | None = None) -> dict:
 
     # ---- 6. ledger invariants across retained versions (driver-side).
     # Baselines come from the HEAD manifest — an audit pinned to an old
-    # version must not flag evolution that happened after it.
+    # version must not flag evolution that happened after it. The same
+    # pass audits the FEED plane: every retained version's cdf refs must
+    # resolve, because compaction folds the BUCKET refs to those files
+    # away while ``changes()`` discovery still reads the cdf lists — a
+    # lost feed file is invisible to the head-manifest checks above but
+    # breaks every exactly-once consumer tailing that range.
     issues = []
+    feed_missing = []
     prev_bid = None
     prev_schemas: list | None = None
     head_schemas = table.manifest()["schemas"]
     for v in table._versions():
         raw = table._load_version(v)
+        for fs in raw.get("cdf", []):
+            p = fs["path"]
+            ap = p if os.path.isabs(p) else os.path.join(table.path, p)
+            if not os.path.exists(ap):
+                feed_missing.append(f"v{v}: {p}")
         is_rollback = (raw.get("metrics") or {}).get("maintenance") == "rollback"
         bid = raw.get("last_batch_id", -1)
         if prev_bid is not None and bid < prev_bid and not is_rollback:
@@ -247,6 +258,7 @@ def verify_integrity(table, version: int | None = None) -> dict:
         if sch != head_schemas[: len(sch)]:
             issues.append(f"v{v}: schemas diverge from the head manifest's")
     checks["ledger"] = {"ok": not issues, "issues": issues}
+    checks["change_feed"] = {"ok": not feed_missing, "missing": feed_missing}
 
     return {
         "ok": all(c["ok"] for c in checks.values()),

@@ -324,6 +324,36 @@ def test_detects_ledger_tamper(spark, tmp_path):
                for i in rep["checks"]["ledger"]["issues"])
 
 
+def test_detects_lost_change_feed_file(spark, tmp_path):
+    """after compaction, a version's delta dir may survive ONLY as a cdf
+    (change-feed) ref — losing it is invisible to the head-manifest
+    checks but breaks changes() for every range crossing that version."""
+    t = _mk(spark, str(tmp_path / "tab"))
+    t.apply_changes(_events(spark, _rows(6)), batch_id=0,
+                    transform=apply_chain)
+    t.apply_changes(_events(spark, _rows(6, start_seq=7)), batch_id=1,
+                    transform=apply_chain)
+    t.compact()  # bucket refs now point at compacted bases only
+    assert t.verify_integrity()["ok"]
+    ledger = os.path.join(t.path, "_ledger")
+    v1 = json.load(open(os.path.join(
+        ledger, sorted(f for f in os.listdir(ledger)
+                       if f.startswith("v") and f.endswith(".json"))[1])))
+    victim = v1["cdf"][0]["path"]
+    # the dir must no longer be referenced by the head manifest's buckets
+    head_refs = {
+        fs["path"]
+        for e in t.manifest()["buckets"].values()
+        for fs in LakeTable._bucket_files(e)
+    }
+    assert victim not in head_refs
+    shutil.rmtree(os.path.join(t.path, victim))
+    rep = t.verify_integrity()
+    assert not rep["ok"]
+    cf = rep["checks"]["change_feed"]
+    assert not cf["ok"] and any(victim in m for m in cf["missing"])
+
+
 def test_refuses_branch_handle(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "tab"))
     t.apply_changes(_events(spark, _rows(3)), batch_id=0,
