@@ -1613,6 +1613,22 @@ class LakeTable:
                 if skip_missing and not os.path.exists(ap):
                     continue
                 by_schema.setdefault(fs["schema_id"], []).append(ap)
+        return self._assemble_stored(man, by_schema, canon, file_meta=file_meta)
+
+    def _assemble_stored(
+        self,
+        man: dict,
+        by_schema: dict[int, list[str]],
+        canon: T.StructType,
+        file_meta: bool = False,
+    ) -> DataFrame:
+        """Shared assembly for every stored-row reader (`_read_raw`, the
+        change feed): per recorded schema_id, read that group's paths,
+        resolve each canonical field through the rename log
+        (``_stored_name``), cast up / null-fill, keep the hidden columns,
+        and union the groups — ONE place owns schema-evolution resolution
+        for JVM-side reads (the streaming source's Arrow path mirrors it
+        in pure pyarrow, where no SparkSession exists)."""
         if not by_schema:
             return self._empty(canon, hidden=True)
         parts: list[DataFrame] = []
@@ -1891,25 +1907,7 @@ class LakeTable:
                 by_schema.setdefault(fs["schema_id"], []).append(
                     os.path.join(self.path, fs["path"])
                 )
-        if not by_schema:
-            return self._empty(canon, hidden=True)
-        parts: list[DataFrame] = []
-        for sid, paths in by_schema.items():
-            stored = set(schema_from_json(man["schemas"][sid]).fieldNames())
-            raw = self.spark.read.parquet(*paths)
-            cols = [
-                (
-                    F.col(_stored_name(man, sid, f.name)).cast(f.dataType)
-                    if _stored_name(man, sid, f.name) in stored
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in canon.fields
-            ] + [F.col(SEQ_COL), F.col(DELETED_COL)]
-            parts.append(raw.select(cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return self._assemble_stored(man, by_schema, canon)
 
     # ------------------------------------------------------- maintenance
     def compact(self, version_note: str | None = None, *,
