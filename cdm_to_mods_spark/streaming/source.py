@@ -73,6 +73,16 @@ query processes ONE bounded batch per ``start()`` and terminates.
 Draining a backlog that way takes repeated starts on the same
 checkpoint; :func:`mirror_stream` does that loop itself when both
 ``available_now`` and ``max_versions_per_trigger`` are set.
+
+Schema evolution mid-stream: the reader pins the source's schema and
+rename log at query start; a version written under a LATER schema_id
+cannot be resolved against that pinned state without silently dropping
+the new column (or mis-applying a newer rename) from the feed, so
+planning such a version FAILS the query with a marked error
+(``is_schema_evolution_failure``) — Delta CDF's behavior on schema
+change. Restarting re-pins the head schema and replans the failed batch
+exactly-once; ``mirror_stream``'s bounded drain restarts itself, so a
+mirrored replica adopts source evolutions automatically.
 """
 
 from __future__ import annotations
@@ -158,6 +168,15 @@ def _cdf_entries(table_path: str, v: int, lo: int, hi: int) -> list[dict]:
     return list(m.get("cdf", []))
 
 
+_EVOLVED_MARKER = "lake_cdf: source schema evolved mid-stream"
+
+
+def is_schema_evolution_failure(exc: BaseException) -> bool:
+    """True when a streaming-query failure is the mid-stream evolution
+    guard firing (the marker survives Spark's exception wrapping)."""
+    return _EVOLVED_MARKER in str(exc)
+
+
 class _CDFPartition(InputPartition):
     def __init__(self, path: str, schema_id: int, version: int) -> None:
         self.path = path
@@ -235,6 +254,22 @@ class _CDFStreamReader(DataSourceStreamReader):
         parts: list[_CDFPartition] = []
         for v in range(lo + 1, hi + 1):
             for fs in _cdf_entries(self._path, v, lo, hi):
+                if fs["schema_id"] >= len(self._schemas):
+                    # the source evolved AFTER this reader pinned its
+                    # schema/rename state: resolving the new file set
+                    # against the pinned schema would silently DROP the
+                    # added column (or mis-resolve a newer rename/widen)
+                    # from the feed — fail loudly instead, exactly like
+                    # Delta's CDF stream on schema change. A restart
+                    # re-pins the head schema and REPLANS this batch, so
+                    # nothing is lost (mirror_stream's bounded drain does
+                    # that restart itself).
+                    raise RuntimeError(
+                        f"{_EVOLVED_MARKER}: version {v} was written under "
+                        f"schema_id {fs['schema_id']} but this stream "
+                        f"pinned {len(self._schemas)} schema(s) at start — "
+                        "restart the stream to adopt the evolved schema"
+                    )
                 parts.append(
                     _CDFPartition(
                         os.path.join(self._path, fs["path"]),
@@ -401,7 +436,17 @@ def mirror_stream(
     head = _ledger_versions(src_table_path)[-1]
     while True:
         q = _start()
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except Exception as exc:
+            if is_schema_evolution_failure(exc):
+                # the source evolved under a running batch: the failed
+                # batch committed nothing, and the next _start() re-pins
+                # the head schema and replans it — the mirror adopts the
+                # evolution instead of dying (each adoption consumes one
+                # restart, so this converges)
+                continue
+            raise
         prog = q.lastProgress
         if prog is None:  # no batch ran at all: already caught up
             return q

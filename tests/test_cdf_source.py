@@ -201,6 +201,63 @@ def test_rate_limit_rejects_nonpositive(spark, tmp_path):
         )
 
 
+def test_mid_stream_evolution_fails_with_marker(spark, tmp_path):
+    """a reader pinned BEFORE a schema evolution must refuse to plan the
+    evolved version (silently dropping the new column from the feed is
+    the failure mode), with the marked error a supervisor can match."""
+    from pyspark.sql import types as T
+
+    from cdm_to_mods_spark.streaming.source import (
+        _CDFStreamReader,
+        _ledger_versions,
+        is_schema_evolution_failure,
+    )
+
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    reader = _CDFStreamReader(
+        str(tmp_path / "tab"), T.StructType([]), "earliest", None
+    )
+    # source evolves AFTER the reader pinned its schema state
+    t.apply_changes(
+        spark.createDataFrame(
+            [("I", 2, "c2", 0, "user", "b", None, "fr")],
+            EV + ", lang string",
+        ),
+        batch_id=1,
+    )
+    head = _ledger_versions(str(tmp_path / "tab"))[-1]
+    with pytest.raises(RuntimeError, match="schema evolved mid-stream") as ei:
+        list(reader.partitions({"version": 0}, {"version": head}))
+    assert is_schema_evolution_failure(ei.value)
+    # pre-evolution versions still plan fine on the pinned reader
+    assert list(reader.partitions({"version": 0}, {"version": head - 1}))
+
+
+def test_mirror_adopts_source_evolution(spark, tmp_path):
+    """the bounded drain re-pins the head schema on every restart, so a
+    mirror replica picks up a column added mid-backlog — value present
+    where the source has it, null before."""
+    from cdm_to_mods_spark.streaming.source import mirror_stream
+
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    t.apply_changes(
+        spark.createDataFrame(
+            [("I", 2, "c2", 0, "user", "b", None, "fr")],
+            EV + ", lang string",
+        ),
+        batch_id=1,
+    )
+    m = LakeTable(spark, str(tmp_path / "mirror"), num_buckets=4,
+                  merge_mode="mor")
+    m.create(t.read().schema)
+    mirror_stream(spark, str(tmp_path / "tab"), m, str(tmp_path / "ck"),
+                  max_versions_per_trigger=1)
+    got = {(r.conv_id): (r.text, r.lang) for r in m.read().collect()}
+    assert got == {"c1": ("a", None), "c2": ("b", "fr")}
+
+
 def test_mirror_stream_replicates_table(spark, tmp_path):
     """one Structured Streaming job = exactly-once CDC mirror: the replica
     converges to the source (deletes included), resumes from its own
