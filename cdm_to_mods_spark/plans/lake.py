@@ -1837,7 +1837,8 @@ class LakeTable:
         return self._canonical_schema(self.manifest())
 
     # ------------------------------------------------------- change feed
-    def changes(self, since_version: int, until_version: int | None = None) -> DataFrame:
+    def changes(self, since_version: int, until_version: int | None = None,
+                *, with_version: bool = False) -> DataFrame:
         """Change-data-feed read: the change rows committed in versions
         ``(since_version, until_version]`` — what a downstream incremental
         consumer tails instead of re-diffing snapshots. Available because
@@ -1852,10 +1853,19 @@ class LakeTable:
         bucket hit ``compact_deltas`` during that very commit. Files are
         grouped by their recorded ``schema_id`` and cast per-group to the
         canonical schema, so a schema evolution inside the requested range
-        cannot drop mid-range columns to an arbitrary inferred schema."""
+        cannot drop mid-range columns to an arbitrary inferred schema.
+
+        ``with_version=True`` adds a ``_version`` column (the commit
+        version each row belongs to — Delta ``table_changes``'s
+        ``_commit_version``, and the same column the ``lake_cdf``
+        streaming source emits). Attribution needs one assembled frame
+        per (version, schema) instead of per schema, so the plan grows
+        with the range — fine for the bounded windows consumers poll,
+        wasteful for a whole-retention scan you'd aggregate anyway."""
         man = self.manifest()
         hi = man["version"] if until_version is None else until_version
         canon = self._canonical_schema(man)
+        per_version: dict[int, dict[int, list[str]]] = {}
         by_schema: dict[int, list[str]] = {}
         for v in range(since_version + 1, hi + 1):
             try:
@@ -1907,7 +1917,25 @@ class LakeTable:
                 by_schema.setdefault(fs["schema_id"], []).append(
                     os.path.join(self.path, fs["path"])
                 )
-        return self._assemble_stored(man, by_schema, canon)
+                per_version.setdefault(v, {}).setdefault(
+                    fs["schema_id"], []
+                ).append(os.path.join(self.path, fs["path"]))
+        if not with_version:
+            return self._assemble_stored(man, by_schema, canon)
+        parts = [
+            self._assemble_stored(man, vs, canon).withColumn(
+                "_version", F.lit(v).cast("long")
+            )
+            for v, vs in sorted(per_version.items())
+        ]
+        if not parts:
+            return self._empty(canon, hidden=True).withColumn(
+                "_version", F.lit(None).cast("long")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------- maintenance
     def compact(self, version_note: str | None = None, *,

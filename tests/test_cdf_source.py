@@ -201,6 +201,31 @@ def test_rate_limit_rejects_nonpositive(spark, tmp_path):
         )
 
 
+def test_batch_with_version_matches_stream(spark, tmp_path):
+    """changes(with_version=True) attributes every row to its commit
+    version — identical to the _version the streaming source emits, and
+    value-identical to the plain feed otherwise."""
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None),
+                      ("I", 2, "c2", 0, "user", "b", None)], 0)
+    _apply(spark, t, [("U", 3, "c1", 0, "user", "a2", None),
+                      ("D", 4, "c2", 0, None, None, None)], 1)
+    batch = t.changes(0, with_version=True)
+    stream = _drain(spark, str(tmp_path / "tab"), str(tmp_path / "ck"))
+    key = lambda r: (r._seq,)  # noqa: E731
+    assert [
+        (r.conv_id, r._seq, r._deleted, r._version)
+        for r in sorted(batch.collect(), key=key)
+    ] == [
+        (r.conv_id, r._seq, r._deleted, r._version)
+        for r in sorted(stream, key=key)
+    ]
+    plain = t.changes(0)
+    assert sorted(
+        (r.conv_id, r._seq) for r in batch.collect()
+    ) == sorted((r.conv_id, r._seq) for r in plain.collect())
+
+
 def test_mid_stream_evolution_fails_with_marker(spark, tmp_path):
     """a reader pinned BEFORE a schema evolution must refuse to plan the
     evolved version (silently dropping the new column from the feed is
