@@ -164,6 +164,64 @@ def feed_to_events(feed: DataFrame) -> DataFrame:
     )
 
 
+# microsecond precision end to end: the default JSON timestamp format
+# truncates to millis, which would silently break a parse→apply mirror's
+# exact-state contract on µs-resolution ts values.
+_DZ_TS_FMT = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
+def feed_to_debezium(
+    table: LakeTable,
+    since_version: int,
+    until_version: int | None = None,
+    *,
+    table_name: str = "transcripts",
+    db: str = "cdm",
+) -> DataFrame:
+    """Publish a change-feed version range as Debezium envelope JSON lines
+    (one ``value`` column) — the OUTBOUND side of the CDC bus: tombstones
+    become ``d`` envelopes carrying the pre-image, everything else ``u``
+    (consumers upsert; insert-vs-update needs their state, not ours), the
+    hidden ``_seq`` becomes ``source.lsn`` so a downstream
+    ``parse_debezium`` → ``apply_changes`` mirror preserves last-write-wins
+    ordering, and ``ts_ms`` is the commit timestamp of each row's version
+    (driver-side map over the bounded range — O(versions), same cost class
+    as the feed's own discovery).
+
+    Round trip: ``parse_debezium(out, payload_schema=<table schema>,
+    json_options=feed.py:_DZ_TS_FMT)`` returns events whose apply to an
+    empty table reproduces the source's live state (pinned in
+    tests/test_feed.py).
+    """
+    man = table.manifest()
+    hi = man["version"] if until_version is None else until_version
+    feed = table.changes(since_version, hi, with_version=True)
+    ts_pairs: list = []
+    for v in range(since_version + 1, hi + 1):
+        ts_pairs += [F.lit(v), F.lit(int(table._load_version(v)["commit_ts"] * 1000))]
+    ts_ms = (
+        F.create_map(*ts_pairs)[F.col("_version")]
+        if ts_pairs
+        else F.lit(None).cast("long")
+    )
+    payload = [
+        c for c in feed.columns if c not in (SEQ_COL, DELETED_COL, "_version")
+    ]
+    image = F.struct(*[F.col(c) for c in payload])
+    envelope = F.struct(
+        F.when(F.col(DELETED_COL), image).alias("before"),
+        F.when(~F.col(DELETED_COL), image).alias("after"),
+        F.struct(
+            F.col(SEQ_COL).alias("lsn"),
+            F.lit(table_name).alias("table"),
+            F.lit(db).alias("db"),
+        ).alias("source"),
+        F.when(F.col(DELETED_COL), F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+    return feed.select(F.to_json(envelope, _DZ_TS_FMT).alias("value"))
+
+
 def replicate(
     consumer: ChangeFeedConsumer, dst: LakeTable, *, transform=None
 ) -> dict:

@@ -96,6 +96,17 @@ class BranchDivergedError(RuntimeError):
     (create a fresh branch, replay the audited batches, publish that)."""
 
 
+class UnsupportedFormatVersionError(RuntimeError):
+    """The table's manifest declares a ledger format newer than this
+    engine understands (Iceberg's format-version fence). Reading anyway
+    could silently misinterpret layout rules added later — refuse."""
+
+
+# Ledger format this engine reads and writes. Bump ONLY on changes an
+# older reader would misinterpret silently (new additive manifest keys
+# with safe defaults do NOT bump it).
+FORMAT_VERSION = 1
+
 # staging-branch names: one path-safe token, no "-v" parsing ambiguity with
 # the b-<name>-v<NNNNNNNN>.json version-file layout (enforced below).
 _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.]*$")
@@ -483,6 +494,18 @@ class LakeTable:
         # write strategies, not layout.
         if self.exists():
             man = self.manifest()
+            # forward-compat fence (Iceberg's format-version check): a
+            # manifest written by a NEWER engine may rely on layout rules
+            # this code predates — reading it anyway risks silent wrong
+            # results (mis-pruned buckets, unknown delta semantics), so
+            # refuse loudly. Absent field = format 1 (pre-versioned ledgers).
+            fmt_v = man.get("format_version", 1)
+            if fmt_v > FORMAT_VERSION:
+                raise UnsupportedFormatVersionError(
+                    f"table at {self.path} has format_version {fmt_v}; this "
+                    f"engine supports <= {FORMAT_VERSION} — upgrade the "
+                    "engine before opening this table"
+                )
             self.num_buckets = man.get("num_buckets", self.num_buckets)
             self.key_cols = tuple(man.get("key_cols", self.key_cols))
             self.bucket_col = man.get("bucket_col", self.bucket_col)
@@ -956,6 +979,9 @@ class LakeTable:
         try:
             self._commit(
                 {
+                    "format_version": head_raw.get(
+                        "format_version", FORMAT_VERSION
+                    ),
                     "version": new_version,
                     "batch_id": None,
                     "last_batch_id": head_raw["last_batch_id"],
@@ -1169,6 +1195,7 @@ class LakeTable:
             )
         dst._commit(
             {
+                "format_version": man.get("format_version", FORMAT_VERSION),
                 "version": 0,
                 "batch_id": None,
                 "last_batch_id": man.get("last_batch_id", -1),
@@ -1515,6 +1542,7 @@ class LakeTable:
         """Initialize an empty table at schema (snapshot v0, no data)."""
         self._commit(
             {
+                "format_version": FORMAT_VERSION,
                 "version": 0,
                 "batch_id": None,
                 "last_batch_id": -1,
@@ -3322,6 +3350,11 @@ class LakeTable:
         try:
             self._commit(
                 {
+                    # carried field-by-field (not {**man}: apply rewrites the
+                    # whole bucket map) — dropping a carried field here is the
+                    # bucket_fn-regression class; keep this list in sync with
+                    # create()/retry
+                    "format_version": man.get("format_version", FORMAT_VERSION),
                     "version": new_version,
                     "batch_id": batch_id,
                     "last_batch_id": batch_id if batch_id is not None else man["last_batch_id"],
@@ -3340,7 +3373,10 @@ class LakeTable:
                     "commit_ts": time.time(),
                 }
             )
-            return metrics
+            # committed snapshot id, for per-batch source-offset → snapshot
+            # lineage at the caller (manifest metrics stay version-free —
+            # the manifest IS the version)
+            return {**metrics, "version": new_version}
         except RuntimeError:
             # minor folds also rewrite shared chain state — decline retry
             return self._retry_commit_conflict(
@@ -3436,6 +3472,9 @@ class LakeTable:
             try:
                 self._commit(
                     {
+                        "format_version": latest.get(
+                            "format_version", FORMAT_VERSION
+                        ),
                         "version": new_version,
                         "batch_id": batch_id,
                         "last_batch_id": batch_id
@@ -3456,6 +3495,6 @@ class LakeTable:
                         "commit_ts": time.time(),
                     }
                 )
-                return {**metrics, "commit_retried": True}
+                return {**metrics, "commit_retried": True, "version": new_version}
             except RuntimeError:
                 continue  # lost again — rename forward and retry

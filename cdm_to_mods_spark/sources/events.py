@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schemas import EVENT_SCHEMA
 
-FORMATS = ("parquet", "json", "csv", "xlsx")
+FORMATS = ("parquet", "json", "csv", "xlsx", "debezium")
 
 
 def read_events(
@@ -59,6 +59,19 @@ def read_events(
     """
     if fmt not in FORMATS:
         raise ValueError(f"unsupported event format {fmt!r}; one of {FORMATS}")
+    if fmt == "debezium":
+        # Debezium envelope JSON lines (sources/debezium.py) — the landed
+        # form of a CDC bus topic; parses to EVENT_SCHEMA with pure
+        # expressions, so it streams like any other format.
+        from .debezium import read_debezium
+
+        return read_debezium(
+            spark,
+            path,
+            streaming=streaming,
+            max_files_per_trigger=max_files_per_trigger,
+            min_seq=min_seq,
+        )
     if fmt == "xlsx":
         if streaming:
             raise ValueError(

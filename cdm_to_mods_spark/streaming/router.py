@@ -1,0 +1,221 @@
+"""Multi-table WAL routing — one change stream, many lake tables.
+
+The reference processes one collection per run (convert_cdm_to_mods.py's
+single input alias); a real CDC bus carries every table of the upstream
+database in one WAL. This router fans a single event stream with a
+``table`` discriminator column (exactly what a multi-table Debezium feed
+yields via ``parse_debezium(include_table=True)``) into per-table
+``LakeTable.apply_changes`` MERGEs.
+
+Exactly-once across tables WITHOUT a cross-table transaction: every table
+keeps its own ``last_batch_id`` ledger, and the router applies one source
+micro-batch to each table under the SAME batch_id. A crash between table
+commits (A committed batch 7, B not yet) redelivers batch 7 on restart:
+A's ledger skips, B applies — the composition converges per table, and no
+reader ever sees a torn batch *within* one table. What this deliberately
+does NOT provide is cross-table snapshot isolation (a reader joining A@7
+with B@6 during the redelivery window sees the bus's ordinary eventual
+consistency — same contract as Debezium topics consumed independently).
+
+Scale shape: the micro-batch is persisted once and each table's MERGE
+filters from the cache, so k tables cost ONE source scan + k bucket-local
+merges, not k scans. The per-table row counts come from a single tiny
+groupBy over the cache (k rows to the driver — bounded by table count,
+never by data).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import deque
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.chain import apply_chain
+from ..plans.lake import LakeTable
+from ..schemas import EVENT_SCHEMA, TRANSCRIPT_SCHEMA
+from ..sources.events import read_events
+
+ROUTER_COL = "table"
+
+# EVENT_SCHEMA plus the table discriminator — the multi-table binlog shape.
+ROUTED_EVENT_SCHEMA = T.StructType(
+    list(EVENT_SCHEMA.fields) + [T.StructField(ROUTER_COL, T.StringType(), False)]
+)
+
+
+class UnknownTableError(ValueError):
+    """The batch routed events to a table the router was not configured
+    with — refusing is the strict default (silently dropping a table's
+    changes would diverge the replica forever)."""
+
+
+def apply_multi(
+    tables: dict[str, LakeTable],
+    events: DataFrame,
+    batch_id: int | None = None,
+    *,
+    router_col: str = ROUTER_COL,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    unknown_tables: str = "error",
+    source: str | None = None,
+) -> dict:
+    """Apply one routed change batch to every destination table.
+
+    ``unknown_tables``: ``"error"`` (default) raises ``UnknownTableError``
+    listing the unconfigured names; ``"ignore"`` drops their events but
+    reports them in the returned metrics (``unknown``) so the caller can
+    alert. Tables are applied in sorted-name order (deterministic logs).
+    Returns ``{"batch_id": .., "tables": {name: merge_metrics}, "unknown":
+    {name: n_events}}``.
+    """
+    if unknown_tables not in ("error", "ignore"):
+        raise ValueError("unknown_tables must be 'error' or 'ignore'")
+    # one source scan: everything below filters from this cache
+    events = events.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = {
+            r[router_col]: r["n"]
+            for r in events.groupBy(router_col).agg(F.count("*").alias("n")).collect()
+        }
+        unknown = {n: c for n, c in counts.items() if n not in tables}
+        if unknown and unknown_tables == "error":
+            raise UnknownTableError(
+                f"batch {batch_id} routes events to unconfigured tables "
+                f"{sorted(unknown)}; configured: {sorted(tables)} — pass "
+                f"unknown_tables='ignore' to drop (reported in metrics)"
+            )
+        out: dict = {"batch_id": batch_id, "tables": {}, "unknown": unknown}
+        for name in sorted(tables):
+            if not counts.get(name):
+                # no events for this table in this batch: nothing to merge,
+                # and idempotence needs no ledger advance (an empty
+                # redelivery merges nothing by definition)
+                continue
+            sub = events.filter(F.col(router_col) == name).drop(router_col)
+            out["tables"][name] = tables[name].apply_changes(
+                sub,
+                batch_id=batch_id,
+                transform=transform,
+                source=source or f"router:{name}",
+            )
+        return out
+    finally:
+        events.unpersist()
+
+
+class MultiTableReplay:
+    """Tail one multi-table event stream into several LakeTables.
+
+    ``table_paths`` maps discriminator values to lake-table paths; every
+    table is created at ``TRANSCRIPT_SCHEMA`` if absent. The source is any
+    ``read_events`` format carrying a ``table`` column (``debezium`` keeps
+    ``source.table`` automatically; parquet/json/csv binlogs carry it as a
+    plain column at ``ROUTED_EVENT_SCHEMA``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        table_paths: dict[str, str],
+        checkpoint_dir: str,
+        *,
+        num_buckets: int = 32,
+        merge_mode: str = "cow",
+        transform: Callable[[DataFrame], DataFrame] | None = apply_chain,
+        source_format: str = "parquet",
+        metrics_path: str | None = None,
+        max_files_per_trigger: int | None = None,
+        unknown_tables: str = "error",
+        quarantine_path: str | None = None,
+        compact_deltas: int = 8,
+    ) -> None:
+        if not table_paths:
+            raise ValueError("table_paths must name at least one destination")
+        self.spark = spark
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.transform = transform
+        self.source_format = source_format
+        self.metrics_path = metrics_path
+        self.max_files_per_trigger = max_files_per_trigger
+        self.unknown_tables = unknown_tables
+        self.tables: dict[str, LakeTable] = {}
+        for name, path in table_paths.items():
+            t = LakeTable(
+                spark, path, num_buckets=num_buckets, merge_mode=merge_mode,
+                compact_deltas=compact_deltas,
+                quarantine_path=(
+                    None if quarantine_path is None
+                    else f"{quarantine_path}/{name}"
+                ),
+            )
+            if not t.exists():
+                t.create(TRANSCRIPT_SCHEMA)
+            self.tables[name] = t
+        self.batch_metrics: deque = deque(maxlen=10_000)
+
+    # ------------------------------------------------------------------
+    def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        metrics = apply_multi(
+            self.tables,
+            batch_df,
+            batch_id,
+            transform=self.transform,
+            unknown_tables=self.unknown_tables,
+            source=f"stream:{self.events_dir}",
+        )
+        metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+        self.batch_metrics.append(metrics)
+        if self.metrics_path:
+            with open(self.metrics_path, "a") as fh:
+                fh.write(json.dumps(metrics) + "\n")
+
+    def _source(self) -> DataFrame:
+        if self.source_format == "debezium":
+            from ..sources.debezium import read_debezium
+
+            return read_debezium(
+                self.spark,
+                self.events_dir,
+                streaming=True,
+                include_table=True,
+                max_files_per_trigger=self.max_files_per_trigger,
+            )
+        return read_events(
+            self.spark,
+            self.events_dir,
+            fmt=self.source_format,
+            streaming=True,
+            schema=ROUTED_EVENT_SCHEMA,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+
+    def start(self, *, available_now: bool = True):
+        writer = (
+            self._source()
+            .writeStream.foreachBatch(self._on_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName("cdc-replay-multi")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, timeout_sec: float = 600.0) -> dict[str, LakeTable]:
+        """Drain the backlog; returns the converged tables by name.
+        Same partial-replay contract as ``StreamingReplay``."""
+        q = self.start(available_now=True)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"multi-table replay did not drain within {timeout_sec}s; "
+                f"progress is checkpointed at {self.checkpoint_dir} — "
+                f"re-run to resume"
+            )
+        return self.tables

@@ -10,6 +10,11 @@ Usage (local smoke):
     python scripts/run_replay.py --synth 1000000 --events /tmp/ev \
         --table /tmp/tab --checkpoint /tmp/ck
 
+Multi-table CDC bus (e.g. a landed Debezium topic-set):
+    spark-submit --py-files engine.zip scripts/run_replay.py \
+        --events /data/bus --format debezium --checkpoint /lake/_ckpt/bus \
+        --route transcripts=/lake/transcripts --route tools=/lake/tools
+
 On a real cluster no ``--master`` is passed — spark-submit decides; the
 SparkSession factory only fills local-mode defaults when nothing is set.
 The streaming tail is resumable: rerun with the same --checkpoint and it
@@ -36,9 +41,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--events", required=True, help="binlog segment directory")
-    ap.add_argument("--format", choices=["parquet", "json", "csv", "xlsx"],
-                    default="parquet", help="event source format (S6 connector)")
-    ap.add_argument("--table", required=True, help="lake table path")
+    ap.add_argument("--format",
+                    choices=["parquet", "json", "csv", "xlsx", "debezium"],
+                    default="parquet", help="event source format (S6 connector; "
+                    "debezium = envelope JSON lines, the landed CDC-bus form)")
+    ap.add_argument("--table", default=None, help="lake table path")
     ap.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
@@ -74,6 +81,17 @@ def main() -> None:
     ap.add_argument("--delete-when", default=None, metavar="SQL",
                     help="upsert mode: predicate over s.<col> marking "
                          "tombstone rows, e.g. \"s.text IS NULL\"")
+    ap.add_argument("--route", action="append", default=None,
+                    metavar="NAME=PATH",
+                    help="multi-table WAL fan-out: repeatable mapping from "
+                         "the stream's table discriminator (debezium "
+                         "source.table, or a 'table' column on "
+                         "parquet/json/csv binlogs) to a lake-table path; "
+                         "replaces --table")
+    ap.add_argument("--route-unknown", choices=["error", "ignore"],
+                    default="error",
+                    help="events routed to an unconfigured table: fail the "
+                         "batch (default) or drop-and-report in metrics")
     args = ap.parse_args()
     if (args.bootstrap is None) != (args.bootstrap_seq is None):
         ap.error("--bootstrap and --bootstrap-seq must be passed together")
@@ -81,6 +99,15 @@ def main() -> None:
                         or args.format == "xlsx" or args.synth):
         ap.error("--upsert composes with the plain streaming tail only "
                  "(no --branch/--bootstrap/--synth, streamable formats)")
+    if (args.route is None) == (args.table is None):
+        ap.error("exactly one of --table or --route must be given")
+    if args.route is not None and (
+        args.upsert or args.bootstrap is not None or args.branch != "main"
+        or args.format == "xlsx" or args.synth
+    ):
+        ap.error("--route composes with the plain streaming tail only "
+                 "(no --upsert/--bootstrap/--branch/--synth, streamable "
+                 "formats)")
 
     from cdm_to_mods_spark.session import get_spark
     from cdm_to_mods_spark.streaming.tail import StreamingReplay
@@ -156,6 +183,43 @@ def main() -> None:
             "metrics": m,
             "rows": t.read().count(),
         }))
+        return
+
+    if args.route is not None:
+        from cdm_to_mods_spark.streaming.router import MultiTableReplay
+
+        table_paths = {}
+        for spec in args.route:
+            name, sep, path = spec.partition("=")
+            if not sep or not name or not path:
+                ap.error(f"--route expects NAME=PATH, got {spec!r}")
+            table_paths[name] = path
+        mr = MultiTableReplay(
+            spark,
+            args.events,
+            table_paths,
+            args.checkpoint,
+            num_buckets=args.buckets,
+            merge_mode=args.mode,
+            metrics_path=args.metrics,
+            max_files_per_trigger=args.max_files_per_trigger,
+            source_format=args.format,
+            unknown_tables=args.route_unknown,
+            quarantine_path=args.quarantine,
+            compact_deltas=args.compact_deltas,
+        )
+        if args.continuous:
+            mr.start(available_now=False).awaitTermination()
+        else:
+            tables = mr.run_to_completion()
+            print(json.dumps({
+                name: {
+                    "snapshot": t.manifest()["version"],
+                    "last_batch_id": t.manifest()["last_batch_id"],
+                    "rows": t.read().count(),
+                }
+                for name, t in sorted(tables.items())
+            }))
         return
 
     if args.upsert:

@@ -130,3 +130,44 @@ def test_replicate_refuses_destination_with_foreign_producer(spark, tmp_path):
         replicate(c, dst)
     # the checkpoint must NOT have advanced past the dropped range
     assert c.last_consumed() == 0
+
+
+def test_feed_to_debezium_round_trip_mirror(spark, tmp_path):
+    """Outbound envelopes → parse → apply reproduces the source's live
+    state: the table→bus→table mirror (plans/feed.py feed_to_debezium)."""
+    from pyspark.sql import types as T
+
+    from cdm_to_mods_spark.plans.feed import _DZ_TS_FMT, feed_to_debezium
+    from cdm_to_mods_spark.sources.debezium import parse_debezium
+
+    src = _mk_src(spark, str(tmp_path / "src"))
+    src.apply_changes(
+        _ev(spark, [("D", 5, "c2", 0, None, None, None, None, None)]),
+        batch_id=2,
+    )
+    lines = feed_to_debezium(src, 0, table_name="transcripts")
+    rows = lines.collect()
+    assert all(r.value.startswith("{") for r in rows)
+    # tombstone rides as op=d with the pre-image in before
+    import json
+
+    envs = [json.loads(r.value) for r in rows]
+    dels = [e for e in envs if e["op"] == "d"]
+    assert dels and all(e.get("after") is None for e in dels)
+    assert all(e["source"]["table"] == "transcripts" for e in envs)
+    assert all(isinstance(e.get("ts_ms"), int) for e in envs)
+
+    payload = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in src.schema().fields]
+    )
+    ev = parse_debezium(
+        lines, payload_schema=payload, json_options=_DZ_TS_FMT
+    ).drop("ingest_ts")
+    dst = LakeTable(spark, str(tmp_path / "dst"), num_buckets=4)
+    dst.create(src.schema())
+    dst.apply_changes(ev, batch_id=0, transform=None)
+    assert _state(dst) == _state(src)
+    # full-fidelity check including ts (µs format round-trips)
+    a = {tuple(r) for r in src.read().collect()}
+    b = {tuple(r) for r in dst.read().collect()}
+    assert a == b

@@ -1,0 +1,158 @@
+"""Multi-table WAL routing: per-table convergence, unknown-table policy,
+crash-between-table-commits exactly-once, streaming fan-out, and the
+Debezium multi-table end-to-end — streaming/router.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdm_to_mods_spark.functions.chain import apply_chain
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+from cdm_to_mods_spark.sources.synth import synth_events
+from cdm_to_mods_spark.streaming.router import (
+    MultiTableReplay,
+    UnknownTableError,
+    apply_multi,
+)
+
+NAMES = ("alpha", "beta")
+
+
+def _routed(spark, n=3000, seed=5):
+    """Deterministic two-table WAL: route by conversation hash."""
+    ev = synth_events(spark, n, 60, seed=seed)
+    return ev.withColumn(
+        "table",
+        F.when(F.crc32(F.col("conv_id")) % 2 == 0, F.lit("alpha")).otherwise(
+            F.lit("beta")
+        ),
+    )
+
+
+def _fresh(spark, tmp_path, name):
+    t = LakeTable(spark, str(tmp_path / name), num_buckets=8)
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def _state(t):
+    return {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in t.read().collect()
+    }
+
+
+def _oracles(spark, tmp_path, routed):
+    """Per-table reference state: filter the WAL per table, apply directly."""
+    out = {}
+    for name in NAMES:
+        ref = _fresh(spark, tmp_path, f"ref_{name}")
+        ref.apply_changes(
+            routed.filter(F.col("table") == name).drop("table"),
+            batch_id=0,
+            transform=apply_chain,
+        )
+        out[name] = _state(ref)
+    return out
+
+
+def test_apply_multi_converges_per_table(spark, tmp_path):
+    routed = _routed(spark)
+    tables = {n: _fresh(spark, tmp_path, n) for n in NAMES}
+    # two batches split by seq — exercises cross-batch LWW per table
+    m1 = apply_multi(tables, routed.filter("seq < 1500"), 1, transform=apply_chain)
+    m2 = apply_multi(tables, routed.filter("seq >= 1500"), 2, transform=apply_chain)
+    assert set(m1["tables"]) == set(NAMES) and not m1["unknown"]
+    assert m2["tables"]["alpha"]["version"] > m1["tables"]["alpha"]["version"]
+    want = _oracles(spark, tmp_path, routed)
+    for n in NAMES:
+        assert _state(tables[n]) == want[n], n
+
+
+def test_unknown_table_error_and_ignore(spark, tmp_path):
+    routed = _routed(spark, n=400).withColumn(
+        "table", F.when(F.col("seq") % 7 == 0, F.lit("ghost")).otherwise(F.col("table"))
+    )
+    tables = {n: _fresh(spark, tmp_path, n) for n in NAMES}
+    with pytest.raises(UnknownTableError, match="ghost"):
+        apply_multi(tables, routed, 1, transform=apply_chain)
+    # error path must not half-apply: ledgers untouched
+    assert all(t.manifest()["last_batch_id"] == -1 for t in tables.values())
+    m = apply_multi(tables, routed, 1, transform=apply_chain, unknown_tables="ignore")
+    assert m["unknown"] == {"ghost": routed.filter("table = 'ghost'").count()}
+    want = _oracles(spark, tmp_path, routed.filter("table != 'ghost'"))
+    for n in NAMES:
+        assert _state(tables[n]) == want[n], n
+
+
+def test_crash_between_table_commits_converges(spark, tmp_path):
+    """Redelivery after a crash that committed alpha but not beta: alpha's
+    ledger skips, beta applies — per-table exactly-once composition."""
+    routed = _routed(spark)
+    b1, b2 = routed.filter("seq < 1500"), routed.filter("seq >= 1500")
+    tables = {n: _fresh(spark, tmp_path, n) for n in NAMES}
+    apply_multi(tables, b1, 1, transform=apply_chain)
+    # simulate the torn batch: only alpha got batch 2 before the crash
+    tables["alpha"].apply_changes(
+        b2.filter("table = 'alpha'").drop("table"), batch_id=2, transform=apply_chain
+    )
+    v_alpha = tables["alpha"].manifest()["version"]
+    m = apply_multi(tables, b2, 2, transform=apply_chain)  # redelivery
+    assert m["tables"]["alpha"].get("skipped") is True
+    assert tables["alpha"].manifest()["version"] == v_alpha  # no double-apply
+    assert "skipped" not in m["tables"]["beta"]
+    want = _oracles(spark, tmp_path, routed)
+    for n in NAMES:
+        assert _state(tables[n]) == want[n], n
+
+
+def test_empty_slice_skips_table(spark, tmp_path):
+    routed = _routed(spark, n=300).filter("table = 'alpha'")
+    tables = {n: _fresh(spark, tmp_path, n) for n in NAMES}
+    m = apply_multi(tables, routed, 1, transform=apply_chain)
+    assert "beta" not in m["tables"]  # nothing to merge, no empty commit
+    assert tables["beta"].manifest()["version"] == 0
+
+
+def test_streaming_multi_table(spark, tmp_path):
+    routed = _routed(spark, n=2500, seed=9)
+    wal_dir = str(tmp_path / "wal")
+    routed.coalesce(3).write.mode("overwrite").parquet(wal_dir)
+    replay = MultiTableReplay(
+        spark, wal_dir, {n: str(tmp_path / n) for n in NAMES},
+        str(tmp_path / "ckpt"), num_buckets=8, max_files_per_trigger=1,
+    )
+    tables = replay.run_to_completion(timeout_sec=300)
+    assert len(replay.batch_metrics) >= 2
+    want = _oracles(spark, tmp_path, routed)
+    for n in NAMES:
+        assert _state(tables[n]) == want[n], n
+    # restart on the same checkpoint: backlog drained, nothing re-applies
+    replay2 = MultiTableReplay(
+        spark, wal_dir, {n: str(tmp_path / n) for n in NAMES},
+        str(tmp_path / "ckpt"), num_buckets=8,
+    )
+    t2 = replay2.run_to_completion(timeout_sec=300)
+    for n in NAMES:
+        assert t2[n].manifest()["version"] == tables[n].manifest()["version"]
+
+
+def test_debezium_multi_table_end_to_end(spark, tmp_path):
+    """One Debezium bus carrying two tables → routed streaming replay."""
+    from cdm_to_mods_spark.sources.debezium import to_debezium
+
+    routed = _routed(spark, n=2000, seed=13)
+    dz_dir = str(tmp_path / "bus")
+    to_debezium(routed, table_col="table").coalesce(2).write.mode(
+        "overwrite"
+    ).text(dz_dir)
+    replay = MultiTableReplay(
+        spark, dz_dir, {n: str(tmp_path / n) for n in NAMES},
+        str(tmp_path / "ckpt"), num_buckets=8, source_format="debezium",
+    )
+    tables = replay.run_to_completion(timeout_sec=300)
+    want = _oracles(spark, tmp_path, routed)
+    for n in NAMES:
+        assert _state(tables[n]) == want[n], n

@@ -373,3 +373,47 @@ def test_changes_since_ts_expired_range_raises(spark, tmp_table):
         _events(spark, [("I", 1, "c0", 0, "user", "x", None)]), batch_id=0
     )
     assert t2.changes_since_ts(0.0, until_ts=0.5).count() == 0
+
+
+def test_format_version_fence(spark, tmp_table):
+    """A manifest declaring a newer ledger format refuses to open; the
+    current format (or a pre-versioned ledger with no field) opens fine."""
+    import json
+    import os
+
+    from cdm_to_mods_spark.plans.lake import (
+        FORMAT_VERSION,
+        LakeTable,
+        UnsupportedFormatVersionError,
+    )
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = LakeTable(spark, tmp_table, num_buckets=4)
+    t.create(TRANSCRIPT_SCHEMA)
+    assert t.manifest()["format_version"] == FORMAT_VERSION
+    # apply commits rebuild the manifest field-by-field — the version fence
+    # must survive them (the bucket_fn-drop regression class)
+    t.apply_changes(
+        _events(spark, [("I", 1, "c1", 0, "user", "x", None)]),
+        batch_id=0,
+    )
+    assert t.manifest()["format_version"] == FORMAT_VERSION
+    LakeTable(spark, tmp_table)  # same version reopens
+
+    ledger = os.path.join(tmp_table, "_ledger")
+    vfile = os.path.join(
+        ledger, sorted(f for f in os.listdir(ledger) if f.startswith("v"))[-1]
+    )
+    with open(vfile) as fh:
+        man = json.load(fh)
+    man["format_version"] = FORMAT_VERSION + 1
+    with open(vfile, "w") as fh:
+        json.dump(man, fh)
+    with pytest.raises(UnsupportedFormatVersionError, match="upgrade the engine"):
+        LakeTable(spark, tmp_table)
+
+    # absent field = legacy format 1: opens
+    del man["format_version"]
+    with open(vfile, "w") as fh:
+        json.dump(man, fh)
+    assert LakeTable(spark, tmp_table).manifest().get("format_version") is None
