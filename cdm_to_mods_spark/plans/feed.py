@@ -170,6 +170,37 @@ def feed_to_events(feed: DataFrame) -> DataFrame:
 _DZ_TS_FMT = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
 
 
+def change_envelope(
+    columns: list[str],
+    ts_ms: F.Column,
+    *,
+    table_name: str = "transcripts",
+    db: str = "cdm",
+) -> F.Column:
+    """Debezium envelope struct over a change-feed-shaped frame (payload
+    columns + ``_seq``/``_deleted``; feed bookkeeping columns excluded).
+    Shared by the batch publisher (:func:`feed_to_debezium`) and the
+    streaming one (``streaming.source.publish_stream``) so both buses emit
+    byte-identical envelopes for the same change rows."""
+    payload = [
+        c
+        for c in columns
+        if c not in (SEQ_COL, DELETED_COL, "_version", "_commit_ts")
+    ]
+    image = F.struct(*[F.col(c) for c in payload])
+    return F.struct(
+        F.when(F.col(DELETED_COL), image).alias("before"),
+        F.when(~F.col(DELETED_COL), image).alias("after"),
+        F.struct(
+            F.col(SEQ_COL).alias("lsn"),
+            F.lit(table_name).alias("table"),
+            F.lit(db).alias("db"),
+        ).alias("source"),
+        F.when(F.col(DELETED_COL), F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        ts_ms.alias("ts_ms"),
+    )
+
+
 def feed_to_debezium(
     table: LakeTable,
     since_version: int,
@@ -204,21 +235,7 @@ def feed_to_debezium(
         if ts_pairs
         else F.lit(None).cast("long")
     )
-    payload = [
-        c for c in feed.columns if c not in (SEQ_COL, DELETED_COL, "_version")
-    ]
-    image = F.struct(*[F.col(c) for c in payload])
-    envelope = F.struct(
-        F.when(F.col(DELETED_COL), image).alias("before"),
-        F.when(~F.col(DELETED_COL), image).alias("after"),
-        F.struct(
-            F.col(SEQ_COL).alias("lsn"),
-            F.lit(table_name).alias("table"),
-            F.lit(db).alias("db"),
-        ).alias("source"),
-        F.when(F.col(DELETED_COL), F.lit("d")).otherwise(F.lit("u")).alias("op"),
-        ts_ms.alias("ts_ms"),
-    )
+    envelope = change_envelope(feed.columns, ts_ms, table_name=table_name, db=db)
     return feed.select(F.to_json(envelope, _DZ_TS_FMT).alias("value"))
 
 

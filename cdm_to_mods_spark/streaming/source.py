@@ -100,6 +100,10 @@ from ..plans.lake import _stored_name
 from ..schemas import DELETED_COL, SEQ_COL, schema_from_json
 
 VERSION_COL = "_version"
+# optional (.option("includeCommitTs", "true")): each change row carries its
+# version's commit timestamp in epoch-millis — the Debezium ts_ms analog,
+# stamped from the manifest driver-side (no per-row work, no extra scan).
+COMMIT_TS_COL = "_commit_ts"
 
 
 def parse_offset_version(offset_str: str) -> int:
@@ -178,10 +182,13 @@ def is_schema_evolution_failure(exc: BaseException) -> bool:
 
 
 class _CDFPartition(InputPartition):
-    def __init__(self, path: str, schema_id: int, version: int) -> None:
+    def __init__(
+        self, path: str, schema_id: int, version: int, commit_ms: int | None = None
+    ) -> None:
         self.path = path
         self.schema_id = schema_id
         self.version = version
+        self.commit_ms = commit_ms
 
 
 class _CDFStreamReader(DataSourceStreamReader):
@@ -253,6 +260,11 @@ class _CDFStreamReader(DataSourceStreamReader):
         self._sync_floor(hi)
         parts: list[_CDFPartition] = []
         for v in range(lo + 1, hi + 1):
+            # per-version commit timestamp (ms) for COMMIT_TS_COL readers —
+            # one tiny manifest read per version, never a data scan
+            commit_ms = int(
+                _load_version(self._path, v).get("commit_ts", 0.0) * 1000
+            )
             for fs in _cdf_entries(self._path, v, lo, hi):
                 if fs["schema_id"] >= len(self._schemas):
                     # the source evolved AFTER this reader pinned its
@@ -275,6 +287,7 @@ class _CDFStreamReader(DataSourceStreamReader):
                         os.path.join(self._path, fs["path"]),
                         fs["schema_id"],
                         v,
+                        commit_ms,
                     )
                 )
         return parts
@@ -295,6 +308,11 @@ class _CDFStreamReader(DataSourceStreamReader):
             if field.name == VERSION_COL:
                 cols[field.name] = pa.nulls(len(tbl), type=field.type).fill_null(
                     partition.version
+                )
+                continue
+            if field.name == COMMIT_TS_COL:
+                cols[field.name] = pa.nulls(len(tbl), type=field.type).fill_null(
+                    partition.commit_ms
                 )
                 continue
             stored = (
@@ -332,14 +350,15 @@ class LakeChangeFeedDataSource(DataSource):
             raise ValueError("lake_cdf requires .option('path', <table dir>)")
         versions = _ledger_versions(path)
         canon = schema_from_json(_load_version(path, versions[-1])["schemas"][-1])
-        return T.StructType(
-            [
-                *canon.fields,
-                T.StructField(SEQ_COL, T.LongType(), True),
-                T.StructField(DELETED_COL, T.BooleanType(), True),
-                T.StructField(VERSION_COL, T.LongType(), True),
-            ]
-        )
+        fields = [
+            *canon.fields,
+            T.StructField(SEQ_COL, T.LongType(), True),
+            T.StructField(DELETED_COL, T.BooleanType(), True),
+            T.StructField(VERSION_COL, T.LongType(), True),
+        ]
+        if str(self.options.get("includeCommitTs", "false")).lower() == "true":
+            fields.append(T.StructField(COMMIT_TS_COL, T.LongType(), True))
+        return T.StructType(fields)
 
     def streamReader(self, schema) -> _CDFStreamReader:
         raw_max = self.options.get("maxVersionsPerTrigger")
@@ -429,22 +448,24 @@ def mirror_stream(
 
     if not (available_now and max_versions_per_trigger is not None):
         return _start()
+    return _drain_to_head(src_table_path, _start)
 
-    # bounded drain: one capped batch per start (module docstring,
-    # AvailableNow caveat), stop when the offset log reaches the head
-    # observed at entry — the availableNow contract
+
+def _drain_to_head(src_table_path: str, start_fn):
+    """Bounded drain: one capped batch per start (module docstring,
+    AvailableNow caveat), stop when the offset log reaches the head
+    observed at entry — the availableNow contract. Schema evolution
+    mid-drain restarts the query (the failed batch committed nothing and
+    the next ``start_fn()`` re-pins the head schema and replans it), so
+    bounded consumers ADOPT evolution instead of dying; each adoption
+    consumes one restart, so this converges."""
     head = _ledger_versions(src_table_path)[-1]
     while True:
-        q = _start()
+        q = start_fn()
         try:
             q.awaitTermination()
         except Exception as exc:
             if is_schema_evolution_failure(exc):
-                # the source evolved under a running batch: the failed
-                # batch committed nothing, and the next _start() re-pins
-                # the head schema and replans it — the mirror adopts the
-                # evolution instead of dying (each adoption consumes one
-                # restart, so this converges)
                 continue
             raise
         prog = q.lastProgress
@@ -453,3 +474,79 @@ def mirror_stream(
         end = parse_offset_version(prog["sources"][0]["endOffset"])
         if end >= head:
             return q
+
+
+def publish_stream(
+    spark,
+    src_table_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    table_name: str = "transcripts",
+    db: str = "cdm",
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+):
+    """Exactly-once streaming publisher: tail a lake table's change feed
+    and land it as Debezium-envelope JSON lines — the STREAMING outbound
+    side of the CDC bus (Debezium's outbox / Delta→Kafka connector shape),
+    batch counterpart :func:`plans.feed.feed_to_debezium`.
+
+    One Structured Streaming job: ``lake_cdf`` (with per-version commit
+    timestamps, ``includeCommitTs``) → pure-expression envelope render →
+    Spark's **text file sink**. Exactly-once comes from the sink's
+    ``_spark_metadata`` manifest: only files recorded by a committed batch
+    are visible to manifest-honoring readers (Spark batch reads and file
+    streams over the directory — e.g. ``read_events(fmt="debezium")`` or a
+    downstream ``MultiTableReplay`` tailing ``out_dir``), so a replayed
+    micro-batch's orphan files are never double-published. Restarting with
+    the same checkpoint publishes only new versions.
+
+    Envelope semantics match ``feed_to_debezium``: tombstones → ``op=d``
+    with the pre-image in ``before``, everything else ``op=u`` (consumers
+    upsert), ``_seq`` → ``source.lsn`` (total LWW order), ``ts_ms`` = the
+    row's version commit timestamp. µs-precision timestamp format so a
+    parse→apply mirror reproduces exact state.
+
+    ``available_now`` + ``max_versions_per_trigger`` drains in bounded
+    restarts exactly like :func:`mirror_stream` (Python-source AvailableNow
+    caveat); a schema evolution mid-drain restarts and adopts — the
+    re-built envelope picks up the new column.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.feed import _DZ_TS_FMT, change_envelope
+
+    register_lake_cdf(spark)
+
+    def _start():
+        reader = (
+            spark.readStream.format("lake_cdf")
+            .option("path", src_table_path)
+            .option("includeCommitTs", "true")
+        )
+        if max_versions_per_trigger is not None:
+            reader = reader.option(
+                "maxVersionsPerTrigger", str(max_versions_per_trigger)
+            )
+        df = reader.load()
+        lines = df.select(
+            F.to_json(
+                change_envelope(
+                    df.columns, F.col(COMMIT_TS_COL), table_name=table_name, db=db
+                ),
+                _DZ_TS_FMT,
+            ).alias("value")
+        )
+        writer = (
+            lines.writeStream.format("text")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    if not (available_now and max_versions_per_trigger is not None):
+        return _start()
+    return _drain_to_head(src_table_path, _start)

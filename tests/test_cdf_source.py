@@ -317,3 +317,96 @@ def test_mirror_stream_replicates_table(spark, tmp_path):
         spark, str(tmp_path / "src"), dst2, str(tmp_path / "ck2")
     ).awaitTermination(120)
     assert state(dst2) == state(src)
+
+
+def _publish(spark, path, out, ck, **kw):
+    from cdm_to_mods_spark.streaming.source import publish_stream
+
+    q = publish_stream(spark, path, out, ck, **kw)
+    q.awaitTermination(120)
+
+
+def _read_published(spark, out):
+    # batch read of a file-sink directory honors _spark_metadata: only
+    # files committed by the sink's manifest are visible (the exactly-once
+    # contract publish_stream leans on)
+    return spark.read.format("text").load(out)
+
+
+def test_publish_stream_round_trip(spark, tmp_path):
+    """table → publish_stream (Debezium lines on disk) → parse → apply
+    reproduces the source's live state; ts_ms carries each row's version
+    commit timestamp."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from cdm_to_mods_spark.plans.feed import _DZ_TS_FMT
+    from cdm_to_mods_spark.sources.debezium import parse_debezium
+
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "hello", None),
+                      ("I", 2, "c2", 0, "user", "bye", "calc")], 0)
+    _apply(spark, t, [("U", 3, "c1", 0, "user", "hello v2", None),
+                      ("D", 4, "c2", 0, None, None, None)], 1)
+    out, ck = str(tmp_path / "bus"), str(tmp_path / "ck")
+    _publish(spark, str(tmp_path / "tab"), out, ck)
+
+    lines = _read_published(spark, out)
+    envs = [_json.loads(r.value) for r in lines.collect()]
+    assert len(envs) == t.changes(0).count()
+    dels = [e for e in envs if e["op"] == "d"]
+    assert dels and all(e.get("after") is None for e in dels)
+    # ts_ms = the version's commit timestamp (stamped by includeCommitTs)
+    want_ts = {
+        v: int(t._load_version(v)["commit_ts"] * 1000)
+        for v in (1, 2)
+    }
+    assert {e["ts_ms"] for e in envs} <= set(want_ts.values())
+
+    payload = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in t.schema().fields]
+    )
+    ev = parse_debezium(
+        lines, payload_schema=payload, json_options=_DZ_TS_FMT
+    ).drop("ingest_ts")
+    dst = LakeTable(spark, str(tmp_path / "dst"), num_buckets=4)
+    dst.create(TRANSCRIPT_SCHEMA)
+    dst.apply_changes(ev, batch_id=0, transform=None)
+    a = {tuple(r) for r in t.read().collect()}
+    b = {tuple(r) for r in dst.read().collect()}
+    assert a == b
+
+
+def test_publish_stream_exactly_once_resume(spark, tmp_path):
+    """Re-running on the same checkpoint publishes ONLY new versions — no
+    duplicate envelopes; an idle rerun publishes nothing."""
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    out, ck = str(tmp_path / "bus"), str(tmp_path / "ck")
+    _publish(spark, str(tmp_path / "tab"), out, ck)
+    assert _read_published(spark, out).count() == 1
+
+    _apply(spark, t, [("U", 2, "c1", 0, "user", "b", None),
+                      ("I", 3, "c2", 0, "user", "c", "calc")], 1)
+    _publish(spark, str(tmp_path / "tab"), out, ck)
+    rows = [r.value for r in _read_published(spark, out).collect()]
+    assert len(rows) == 3 == len(set(rows))
+    # idle rerun: nothing new
+    _publish(spark, str(tmp_path / "tab"), out, ck)
+    assert _read_published(spark, out).count() == 3
+
+
+def test_publish_stream_bounded_drain(spark, tmp_path):
+    """availableNow + maxVersionsPerTrigger drains the whole backlog in
+    capped restarts (the Python-source AvailableNow caveat), still exactly
+    once."""
+    t = _table(spark, str(tmp_path / "tab"))
+    for b in range(4):
+        _apply(spark, t, [("I", b + 1, f"c{b}", 0, "user", f"t{b}", None)], b)
+    out, ck = str(tmp_path / "bus"), str(tmp_path / "ck")
+    _publish(
+        spark, str(tmp_path / "tab"), out, ck, max_versions_per_trigger=2
+    )
+    rows = [r.value for r in _read_published(spark, out).collect()]
+    assert len(rows) == 4 == len(set(rows))
