@@ -809,6 +809,11 @@ class LakeTable:
                     continue
                 seen_dirs.add(d)
                 for f in os.listdir(d):
+                    # data files only: local-mode Spark leaves .crc
+                    # checksums and _SUCCESS markers beside them, which
+                    # would double num_files and skew rows/file policy
+                    if f.startswith((".", "_")):
+                        continue
                     p = os.path.join(d, f)
                     if os.path.isfile(p):
                         n_files += 1

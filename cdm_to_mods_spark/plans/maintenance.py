@@ -1,0 +1,116 @@
+"""Policy-driven table maintenance: one call that reads the table's
+health signals and runs exactly the maintenance the thresholds say is
+due — the Delta ``OPTIMIZE`` scheduler / Iceberg maintenance-procedures
+analog (reference analog: post_cdm_cleanup.py's fixed post-run cleanup
+pass, generalized into a threshold policy an operator can cron).
+
+Decisions are driver-side over manifest/footer statistics (the same
+O(referenced files) cost class as ``describe_detail`` — never a data
+scan), so ``maintain()`` is cheap to call often:
+
+* **delta-chain fold** — merge-on-read read amplification grows with the
+  longest per-bucket delta chain; past ``max_delta_chain`` a ``compact()``
+  folds every chained bucket back to one base.
+* **small-file bin-packing** — streaming tails and tiny batches leave
+  many sub-row-group files; when the mean rows/file of populated buckets
+  drops below ``min_rows_per_file`` (and there is more than one file to
+  merge), the same ``compact()`` rewrite bin-packs them.
+* **snapshot expiry** — ``expire_keep_last`` bounds time travel and ledger
+  size (off by default: expiry destroys change-feed history, so retention
+  is an explicit operator choice — SnapshotExpiredError documents the
+  consumer contract).
+* **skew advice** — a hot bucket (``max_bucket_row_share`` above
+  threshold) is REPORTED, never auto-fixed: ``rebucket()`` rewrites the
+  whole table, which an operator schedules deliberately, and true hot-KEY
+  skew needs salting at the query site, not a layout change.
+
+Concurrency: same maintenance-owner assumption as ``expire_snapshots`` —
+don't run against an in-flight writer. ``compact`` commits through the
+normal optimistic path, so a racing append surfaces as the usual
+conflict, never corruption.
+"""
+
+from __future__ import annotations
+
+from .lake import LakeTable
+
+__all__ = ["maintain"]
+
+
+def maintain(
+    table: LakeTable,
+    *,
+    max_delta_chain: int = 8,
+    min_rows_per_file: int = 10_000,
+    expire_keep_last: int | None = None,
+    skew_share_threshold: float = 0.30,
+    cluster_by=None,
+    dry_run: bool = False,
+) -> dict:
+    """Run threshold-due maintenance on ``table``; return what ran and why.
+
+    Returns ``{"detail": <pre-maintenance signals>, "actions": [..],
+    "recommendations": [..]}`` — each action is ``{"action", "reason",
+    "result"}``. ``dry_run=True`` reports what WOULD run without touching
+    the table. ``cluster_by`` passes through to the compaction rewrite
+    (sort-order maintenance piggybacks on the fold)."""
+    d = table.describe_detail()
+    actions: list[dict] = []
+    recs: list[dict] = []
+
+    compact_reasons = []
+    if d["max_delta_chain"] >= max_delta_chain:
+        compact_reasons.append(
+            f"max_delta_chain {d['max_delta_chain']} >= {max_delta_chain}"
+        )
+    # mean rows/file over populated buckets; guard num_files > populated
+    # buckets so a naturally-small table (one tight file per bucket) never
+    # triggers an endless rewrite loop
+    if (
+        d["num_files"] > d["populated_buckets"] > 0
+        and (d["base_rows"] + d["delta_rows"]) / d["num_files"] < min_rows_per_file
+    ):
+        compact_reasons.append(
+            f"mean rows/file {round((d['base_rows'] + d['delta_rows']) / d['num_files'])} "
+            f"< {min_rows_per_file} over {d['num_files']} files"
+        )
+    if compact_reasons:
+        actions.append(
+            {
+                "action": "compact",
+                "reason": "; ".join(compact_reasons),
+                "result": None
+                if dry_run
+                else table.compact(
+                    version_note="maintain", cluster_by=cluster_by
+                ),
+            }
+        )
+
+    if expire_keep_last is not None:
+        actions.append(
+            {
+                "action": "expire_snapshots",
+                "reason": f"retention keep_last={expire_keep_last}",
+                "result": None
+                if dry_run
+                else table.expire_snapshots(keep_last=expire_keep_last),
+            }
+        )
+
+    if d["max_bucket_row_share"] > skew_share_threshold and d["populated_buckets"] > 1:
+        recs.append(
+            {
+                "recommendation": "rebucket_or_salt",
+                "reason": (
+                    f"largest bucket holds {d['max_bucket_row_share']:.0%} of rows "
+                    f"(> {skew_share_threshold:.0%}) across "
+                    f"{d['populated_buckets']} populated buckets — if one KEY "
+                    "dominates, salt at the query site; if the key space "
+                    f"outgrew {d['num_buckets']} buckets, schedule "
+                    "table.rebucket(<larger n>)"
+                ),
+            }
+        )
+
+    return {"detail": d, "actions": actions, "recommendations": recs, "dry_run": dry_run}

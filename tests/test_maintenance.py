@@ -1,0 +1,99 @@
+"""maintain(): threshold policy — folds due delta chains, bin-packs small
+files, expires on request, recommends (never auto-runs) rebucket on skew,
+no-ops on a healthy table."""
+
+from __future__ import annotations
+
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.plans.maintenance import maintain
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+EV = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string"
+)
+
+
+def _table(spark, path, **kw):
+    t = LakeTable(spark, path, num_buckets=4, merge_mode="mor", **kw)
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def _apply(spark, t, rows, bid):
+    t.apply_changes(spark.createDataFrame(rows, EV), batch_id=bid)
+
+
+def _actions(res):
+    return [a["action"] for a in res["actions"]]
+
+
+def test_healthy_table_is_a_noop(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    t.compact()
+    v = t.manifest()["version"]
+    res = maintain(t, min_rows_per_file=1)
+    assert res["actions"] == [] and res["recommendations"] == []
+    assert t.manifest()["version"] == v  # nothing committed
+
+
+def test_long_delta_chain_triggers_compaction(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    # every batch hits the same key: one bucket accumulates a chain
+    for b in range(5):
+        _apply(spark, t, [("U" if b else "I", b + 1, "c1", 0, "user", f"t{b}", None)], b)
+    before = t.describe_detail()
+    assert before["max_delta_chain"] >= 3
+    # dry_run reports, doesn't touch
+    dry = maintain(t, max_delta_chain=3, dry_run=True)
+    assert _actions(dry) == ["compact"] and dry["actions"][0]["result"] is None
+    assert t.describe_detail()["max_delta_chain"] == before["max_delta_chain"]
+
+    res = maintain(t, max_delta_chain=3)
+    assert _actions(res) == ["compact"]
+    assert res["actions"][0]["result"]["compacted"] >= 1
+    after = t.describe_detail()
+    assert after["max_delta_chain"] == 0
+    assert [r.text for r in t.read().collect()] == ["t4"]
+    # healthy now: a second pass no-ops
+    assert maintain(t, max_delta_chain=3)["actions"] == []
+
+
+def test_small_files_trigger_binpack(spark, tmp_path):
+    # many single-row files in one bucket via tiny batches
+    t = _table(spark, str(tmp_path / "tab"))
+    for b in range(4):
+        _apply(spark, t, [("I", b + 1, "c1", b, "user", "x", None)], b)
+    d = t.describe_detail()
+    assert d["num_files"] > d["populated_buckets"]
+    res = maintain(t, max_delta_chain=99, min_rows_per_file=10)
+    assert _actions(res) == ["compact"]
+    assert "rows/file" in res["actions"][0]["reason"]
+    d2 = t.describe_detail()
+    assert d2["num_files"] == d2["populated_buckets"] == 1
+    assert t.read().count() == 4
+
+
+def test_expiry_runs_only_when_asked(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    for b in range(3):
+        _apply(spark, t, [("I", b + 1, f"c{b}", 0, "user", "x", None)], b)
+    assert "expire_snapshots" not in _actions(maintain(t, min_rows_per_file=1))
+    res = maintain(t, min_rows_per_file=1, expire_keep_last=1)
+    assert "expire_snapshots" in _actions(res)
+    assert len(t.history()) == 1
+
+
+def test_skew_is_recommended_not_executed(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    rows = [("I", i + 1, "hot", i, "user", "x", None) for i in range(30)]
+    rows += [("I", 100, "cold-a", 0, "user", "x", None),
+             ("I", 101, "cold-b", 0, "user", "x", None)]
+    _apply(spark, t, rows, 0)
+    res = maintain(t, min_rows_per_file=1, skew_share_threshold=0.5)
+    assert res["actions"] == []  # freshly-written single files: nothing due
+    assert [r["recommendation"] for r in res["recommendations"]] == [
+        "rebucket_or_salt"
+    ]
+    assert t.num_buckets == 4  # nothing rewritten
