@@ -13,9 +13,14 @@ micro-batch to each table under the SAME batch_id. A crash between table
 commits (A committed batch 7, B not yet) redelivers batch 7 on restart:
 A's ledger skips, B applies — the composition converges per table, and no
 reader ever sees a torn batch *within* one table. What this deliberately
-does NOT provide is cross-table snapshot isolation (a reader joining A@7
-with B@6 during the redelivery window sees the bus's ordinary eventual
-consistency — same contract as Debezium topics consumed independently).
+does NOT provide is cross-table snapshot isolation for LIVE reads (a
+reader joining A@7 with B@6 during the redelivery window sees the bus's
+ordinary eventual consistency — same contract as Debezium topics consumed
+independently). Readers who need a consistent cross-table view time-travel
+instead: ``consistent_cut`` / ``read_consistent`` compute, per table, the
+version reflecting exactly the bus prefix ``batch_id <= cut`` — possible
+precisely because batches apply sequentially and in order, so only the
+single newest batch can ever be torn.
 
 Scale shape: the micro-batch is persisted once and each table's MERGE
 filters from the cache, so k tables cost ONE source scan + k bucket-local
@@ -105,6 +110,117 @@ def apply_multi(
         return out
     finally:
         events.unpersist()
+
+
+# maintenance/DDL commits that do not change which stream batches are
+# reflected in the live rows: a cut read may safely time-travel BELOW
+# them (schema follows the returned version, as in any version read).
+_STATE_PRESERVING = frozenset(
+    {
+        "compact",
+        "rebucket",
+        "publish",
+        "clone",
+        "add_column",
+        "widen_column",
+        "drop_column",
+        "rename_column",
+        "set_property",
+        "unset_property",
+        "add_constraint",
+        "drop_constraint",
+    }
+)
+
+
+def _version_at_batch(table: LakeTable, cut: int) -> int:
+    """Newest retained version whose live rows reflect exactly the stream
+    batches ``<= cut`` — newer stream commits are time-traveled below,
+    state-preserving maintenance is skipped, and anything that mutated
+    rows outside the stream (rollback, update_where/delete_where,
+    quarantine replay, ad-hoc merge_into) disqualifies the table from cut
+    reads: the cut's meaning is "the bus's prefix", which out-of-band
+    writes break."""
+    from ..plans.lake import SnapshotExpiredError
+
+    for h in table.history():
+        bid = h["batch_id"]
+        if bid is not None:
+            if bid <= cut:
+                return h["version"]
+            continue  # newer than the cut: read below it
+        op = h["operation"]
+        if op in _STATE_PRESERVING:
+            continue
+        if op == "CREATE" or op == "bootstrap":
+            # pre-stream base state: correct for any cut below the
+            # table's earliest applied batch
+            return h["version"]
+        raise ValueError(
+            f"table {table.path} has an out-of-band state change "
+            f"{op!r} at version {h['version']}; consistent cuts are "
+            "defined only for stream-owned replicas"
+        )
+    raise SnapshotExpiredError(
+        f"cut batch_id={cut} predates {table.path}'s retained ledger — "
+        "expire_snapshots removed the versions a cut read needs; re-seed "
+        "from a current snapshot instead"
+    )
+
+
+def consistent_cut(
+    tables: dict[str, LakeTable], *, assume_complete: bool = False
+) -> dict:
+    """Cross-table snapshot cut over one router's destination tables.
+
+    The router commits each source micro-batch to its tables sequentially
+    and in batch order, so a crash can tear AT MOST the single newest
+    batch ``M = max(last_batch_id)`` across tables: every batch ``< M``
+    provably completed on every table before ``M`` started. The returned
+    cut is therefore ``M - 1`` — or ``M`` with ``assume_complete=True``,
+    for when the caller KNOWS the stream drained cleanly (e.g. right
+    after ``run_to_completion``). Reading each table AS OF its returned
+    version yields a cross-table-consistent view: exactly the bus prefix
+    ``batch_id <= cut`` everywhere — the snapshot-isolation piece the
+    per-table ledgers deliberately do not give a live reader (module
+    docstring).
+
+    Driver-side over retained manifests (O(versions) tiny JSON reads per
+    table, no Spark job). Returns ``{"batch_id", "versions": {name:
+    version}, "last_batch_ids": {name: last}}``.
+    """
+    if not tables:
+        raise ValueError("tables must name at least one destination")
+    last = {n: t.manifest()["last_batch_id"] for n, t in tables.items()}
+    m = max(last.values())
+    cut = m if assume_complete else m - 1
+    return {
+        "batch_id": cut,
+        "last_batch_ids": last,
+        "versions": {n: _version_at_batch(t, cut) for n, t in tables.items()},
+    }
+
+
+def read_consistent(
+    tables: dict[str, LakeTable],
+    *,
+    batch_id: int | None = None,
+    assume_complete: bool = False,
+) -> dict[str, DataFrame]:
+    """Per-table DataFrames at one consistent cross-table cut (see
+    :func:`consistent_cut`). ``batch_id`` pins an explicit cut (e.g. for
+    a reproducible cross-table join in a downstream job); default is the
+    newest provably-complete one."""
+    if batch_id is None:
+        cut = consistent_cut(tables, assume_complete=assume_complete)
+    else:
+        cut = {
+            "batch_id": batch_id,
+            "versions": {n: _version_at_batch(t, batch_id) for n, t in tables.items()},
+        }
+    return {
+        n: tables[n].read(version=cut["versions"][n]) for n in sorted(tables)
+    }
 
 
 class MultiTableReplay:
@@ -206,6 +322,15 @@ class MultiTableReplay:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def consistent_read(
+        self, *, batch_id: int | None = None, assume_complete: bool = False
+    ) -> dict[str, DataFrame]:
+        """Cross-table-consistent DataFrames over this router's tables —
+        see :func:`read_consistent`."""
+        return read_consistent(
+            self.tables, batch_id=batch_id, assume_complete=assume_complete
+        )
 
     def run_to_completion(self, timeout_sec: float = 600.0) -> dict[str, LakeTable]:
         """Drain the backlog; returns the converged tables by name.

@@ -156,3 +156,110 @@ def test_debezium_multi_table_end_to_end(spark, tmp_path):
     want = _oracles(spark, tmp_path, routed)
     for n in NAMES:
         assert _state(tables[n]) == want[n], n
+
+
+# ---------------------------------------------------------- consistent cut
+def _ev_for(spark, table, rows):
+    df = spark.createDataFrame(
+        rows,
+        "op string, seq long, conv_id string, turn_idx int, role string, "
+        "text string, tool string",
+    )
+    return df.withColumn("table", F.lit(table))
+
+
+def test_consistent_cut_hides_torn_batch(spark, tmp_path):
+    """A crash window where alpha committed batch 2 but beta did not:
+    live reads are torn, the cut read is not — beta's missing batch is
+    hidden on ALPHA too by time-traveling alpha below it."""
+    from cdm_to_mods_spark.streaming.router import (
+        consistent_cut,
+        read_consistent,
+    )
+
+    tables = {n: _fresh(spark, tmp_path, n) for n in NAMES}
+    b0 = _ev_for(spark, "alpha", [("I", 1, "a1", 0, "user", "x", None)]).union(
+        _ev_for(spark, "beta", [("I", 2, "b1", 0, "user", "y", None)])
+    )
+    b1 = _ev_for(spark, "alpha", [("U", 3, "a1", 0, "user", "x2", None)]).union(
+        _ev_for(spark, "beta", [("U", 4, "b1", 0, "user", "y2", None)])
+    )
+    apply_multi(tables, b0, 0, transform=None)
+    apply_multi(tables, b1, 1, transform=None)
+    # torn batch 2: alpha commits, beta crashes before its turn
+    tables["alpha"].apply_changes(
+        _ev_for(spark, "alpha", [("U", 5, "a1", 0, "user", "x3", None)]).drop(
+            "table"
+        ),
+        batch_id=2,
+        transform=None,
+    )
+    assert [r.text for r in tables["alpha"].read().collect()] == ["x3"]  # live: torn
+
+    cut = consistent_cut(tables)
+    assert cut["batch_id"] == 1
+    assert cut["last_batch_ids"] == {"alpha": 2, "beta": 1}
+    views = read_consistent(tables)
+    assert [r.text for r in views["alpha"].collect()] == ["x2"]  # batch 2 hidden
+    assert [r.text for r in views["beta"].collect()] == ["y2"]
+
+    # assume_complete includes the newest batch (post-drain knowledge)
+    done = read_consistent(tables, assume_complete=True)
+    assert [r.text for r in done["alpha"].collect()] == ["x3"]
+    # explicit historical cut reproduces batch 0's world
+    past = read_consistent(tables, batch_id=0)
+    assert [r.text for r in past["alpha"].collect()] == ["x"]
+    assert [r.text for r in past["beta"].collect()] == ["y"]
+    # pre-stream cut: the empty CREATE state
+    empty = read_consistent(tables, batch_id=-1)
+    assert all(df.count() == 0 for df in empty.values())
+
+
+def test_consistent_cut_skips_maintenance_rejects_out_of_band(spark, tmp_path):
+    from cdm_to_mods_spark.streaming.router import consistent_cut
+
+    tables = {n: _fresh(spark, tmp_path, n) for n in NAMES}
+    apply_multi(
+        tables,
+        _ev_for(spark, "alpha", [("I", 1, "a1", 0, "user", "x", None)]).union(
+            _ev_for(spark, "beta", [("I", 2, "b1", 0, "user", "y", None)])
+        ),
+        0,
+        transform=None,
+    )
+    apply_multi(
+        tables,
+        _ev_for(spark, "alpha", [("U", 3, "a1", 0, "user", "x2", None)]),
+        1,
+        transform=None,
+    )
+    # compaction above the cut commit is skipped, not a disqualifier
+    tables["alpha"].compact()
+    cut = consistent_cut(tables, assume_complete=True)
+    assert cut["batch_id"] == 1
+    # beta had no rows in batch 1: its batch-0 version IS its cut-1 state
+    assert cut["versions"]["beta"] == 1
+
+    # out-of-band mutation disqualifies the table from cut reads
+    tables["beta"].delete_where("conv_id = 'b1'")
+    with pytest.raises(ValueError, match="out-of-band"):
+        consistent_cut(tables, assume_complete=True)
+
+
+def test_consistent_cut_expired_raises(spark, tmp_path):
+    from cdm_to_mods_spark.plans.lake import SnapshotExpiredError
+    from cdm_to_mods_spark.streaming.router import consistent_cut
+
+    tables = {"alpha": _fresh(spark, tmp_path, "alpha")}
+    for b in range(3):
+        apply_multi(
+            tables,
+            _ev_for(spark, "alpha", [("I", b + 1, f"a{b}", 0, "user", "x", None)]),
+            b,
+            transform=None,
+        )
+    tables["alpha"].expire_snapshots(keep_last=1)
+    with pytest.raises(SnapshotExpiredError, match="predates"):
+        consistent_cut(tables)  # cut 1 needs the expired batch-1 manifest
+    # the head batch is still resolvable
+    assert consistent_cut(tables, assume_complete=True)["versions"]["alpha"] == 3
