@@ -505,3 +505,115 @@ def test_merge_into_matches_clause_model(spark, merge_mode, case):
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------- cross-table cuts
+@st.composite
+def routed_cut_programs(draw):
+    """Multi-table bus: every event routed to one of n_tables, applied in
+    batches; the FINAL batch is torn — committed to only the first k
+    tables in apply order (k=0 models a crash before any commit), exactly
+    the crash window the router leaves."""
+    events, n_batches = draw(event_logs())
+    n_tables = draw(st.integers(2, 3))
+    routes = [draw(st.integers(0, n_tables - 1)) for _ in events]
+    torn_k = draw(st.integers(0, n_tables - 1))
+    compact_victim = draw(st.integers(-1, n_tables - 1))  # -1 = no compact
+    return events, n_batches, n_tables, routes, torn_k, compact_victim
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=routed_cut_programs())
+def test_consistent_cut_equals_oracle_prefix(spark, case):
+    """For ANY routed log and ANY torn final batch, read_consistent at
+    every explicit cut equals the pandas oracle replay of that table's
+    events in batches <= cut — and the default cut is torn-batch-safe."""
+    from cdm_to_mods_spark.streaming.router import (
+        consistent_cut,
+        read_consistent,
+    )
+
+    events, n_batches, n_tables, routes, torn_k, compact_victim = case
+    names = [f"t{i}" for i in range(n_tables)]
+    batches = _splits(events, n_batches)
+    route_iter = iter(routes)
+    per_batch_per_table: list[dict[str, list]] = []
+    for chunk in batches:
+        d = {n: [] for n in names}
+        for ev in chunk:
+            d[names[next(route_iter)]].append(ev)
+        per_batch_per_table.append(d)
+
+    root = tempfile.mkdtemp(prefix="prop-cut-")
+    try:
+        tables = {}
+        for n in names:
+            t = LakeTable(spark, f"{root}/{n}", num_buckets=4, merge_mode="mor")
+            t.create(TRANSCRIPT_SCHEMA)
+            tables[n] = t
+        last_full = len(per_batch_per_table) - 1  # final batch index (torn)
+        for bid, d in enumerate(per_batch_per_table):
+            receivers = (
+                sorted(names)[:torn_k] if bid == last_full else sorted(names)
+            )
+            for n in receivers:
+                if d[n]:
+                    tables[n].apply_changes(
+                        spark.createDataFrame(d[n], EVENT_DDL),
+                        batch_id=bid,
+                        transform=apply_chain,
+                    )
+        if compact_victim >= 0:
+            tables[names[compact_victim]].compact()
+
+        def oracle_at(name, cut):
+            evs = [
+                ev
+                for bid, d in enumerate(per_batch_per_table)
+                if bid <= cut
+                for ev in d[name]
+            ]
+            if not evs:
+                return None
+            return replay_oracle(
+                pd.DataFrame(
+                    evs,
+                    columns=["op", "seq", "conv_id", "turn_idx", "role",
+                             "text", "tool", "ts_raw", "ingest_ts"],
+                )
+            )
+
+        def check_cut(cut, views):
+            for n in names:
+                want = oracle_at(n, cut)
+                got = (
+                    views[n].toPandas()
+                    .sort_values(["conv_id", "turn_idx"])
+                    .reset_index(drop=True)
+                    [["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+                )
+                if want is None or len(want) == 0:
+                    assert len(got) == 0
+                else:
+                    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        # explicit cuts are meaningful up to the last FULLY applied batch
+        # (an explicit cut is the caller's completeness assertion; the
+        # torn final batch is exactly what it must not assert)
+        for cut in range(-1, last_full):
+            check_cut(cut, read_consistent(tables, batch_id=cut))
+
+        # the default cut never exposes the torn batch — it is at most
+        # max(last_batch_id)-1, which is provably complete — and its state
+        # matches the oracle prefix at that cut
+        c = consistent_cut(tables)
+        assert c["batch_id"] <= max(c["last_batch_ids"].values()) - 1
+        assert c["batch_id"] < last_full
+        check_cut(c["batch_id"], read_consistent(tables))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
