@@ -176,16 +176,20 @@ def change_envelope(
     *,
     table_name: str = "transcripts",
     db: str = "cdm",
+    exclude: tuple = (),
 ) -> F.Column:
     """Debezium envelope struct over a change-feed-shaped frame (payload
     columns + ``_seq``/``_deleted``; feed bookkeeping columns excluded).
     Shared by the batch publisher (:func:`feed_to_debezium`) and the
     streaming one (``streaming.source.publish_stream``) so both buses emit
-    byte-identical envelopes for the same change rows."""
+    byte-identical envelopes for the same change rows. ``exclude`` names
+    caller-injected helper columns (e.g. the stream's ``_commit_ts``) —
+    only the caller knows whether such a column is bookkeeping or a real
+    payload column that must ride in the image."""
     payload = [
         c
         for c in columns
-        if c not in (SEQ_COL, DELETED_COL, "_version", "_commit_ts")
+        if c not in (SEQ_COL, DELETED_COL, "_version") and c not in exclude
     ]
     image = F.struct(*[F.col(c) for c in payload])
     return F.struct(

@@ -58,23 +58,38 @@ def maintain(
     actions: list[dict] = []
     recs: list[dict] = []
 
-    compact_reasons = []
-    if d["max_delta_chain"] >= max_delta_chain:
-        compact_reasons.append(
-            f"max_delta_chain {d['max_delta_chain']} >= {max_delta_chain}"
-        )
+    chain_due = d["max_delta_chain"] >= max_delta_chain
+    # a table capped at target_file_rows can never exceed that per file —
+    # clamp the policy floor so the trigger can actually be satisfied
+    # (otherwise every run rewrites and re-triggers forever)
+    floor = min_rows_per_file
+    if table.target_file_rows is not None:
+        floor = min(floor, table.target_file_rows)
     # mean rows/file over populated buckets; guard num_files > populated
     # buckets so a naturally-small table (one tight file per bucket) never
     # triggers an endless rewrite loop
-    if (
+    smallfile_due = (
         d["num_files"] > d["populated_buckets"] > 0
-        and (d["base_rows"] + d["delta_rows"]) / d["num_files"] < min_rows_per_file
-    ):
+        and (d["base_rows"] + d["delta_rows"]) / d["num_files"] < floor
+    )
+    compact_reasons = []
+    if chain_due:
+        compact_reasons.append(
+            f"max_delta_chain {d['max_delta_chain']} >= {max_delta_chain}"
+        )
+    if smallfile_due:
         compact_reasons.append(
             f"mean rows/file {round((d['base_rows'] + d['delta_rows']) / d['num_files'])} "
-            f"< {min_rows_per_file} over {d['num_files']} files"
+            f"< {floor} over {d['num_files']} files"
         )
     if compact_reasons:
+        # plain compact() folds only delta-bearing buckets — a small-file
+        # state with NO deltas (multi-file bases) needs the every-bucket
+        # rewrite, which compact only does under cluster_by; default to the
+        # key order (same layout compact would have written)
+        eff_cluster = cluster_by
+        if smallfile_due and d["delta_rows"] == 0 and eff_cluster is None:
+            eff_cluster = list(table.key_cols)
         actions.append(
             {
                 "action": "compact",
@@ -82,7 +97,7 @@ def maintain(
                 "result": None
                 if dry_run
                 else table.compact(
-                    version_note="maintain", cluster_by=cluster_by
+                    version_note="maintain", cluster_by=eff_cluster
                 ),
             }
         )

@@ -119,8 +119,6 @@ _STATE_PRESERVING = frozenset(
     {
         "compact",
         "rebucket",
-        "publish",
-        "clone",
         "add_column",
         "widen_column",
         "drop_column",
@@ -145,26 +143,46 @@ def _version_at_batch(table: LakeTable, cut: int) -> int:
 
     for h in table.history():
         bid = h["batch_id"]
+        op = h["operation"]
+        if op == "merge_into":
+            # even WITH a batch_id: merge_into is the upsert-tail's commit,
+            # not the router's apply — its batch ids live in a different
+            # numbering, so treating one as a bus commit would mislabel
+            # the cut
+            raise ValueError(
+                f"table {table.path} has an out-of-band state change "
+                f"'merge_into' at version {h['version']}; consistent cuts "
+                "are defined only for stream-owned replicas"
+            )
         if bid is not None:
             if bid <= cut:
                 return h["version"]
             continue  # newer than the cut: read below it
-        op = h["operation"]
         if op in _STATE_PRESERVING:
             continue
-        if op == "CREATE" or op == "bootstrap":
-            # pre-stream base state: correct for any cut below the
-            # table's earliest applied batch
+        if op in ("CREATE", "bootstrap"):
+            # contain no stream batches at all: the pre-stream state
+            # serves every cut
             return h["version"]
+        if op in ("publish", "clone"):
+            # these squashes carry the exact bus prefix they folded in
+            # last_batch_id: at or below the cut they ARE the cut state;
+            # above it, look below (a publish folded past the cut still
+            # has the pre-fork main history under it)
+            lb = table._load_version(h["version"]).get("last_batch_id", -1)
+            if lb <= cut:
+                return h["version"]
+            continue
         raise ValueError(
             f"table {table.path} has an out-of-band state change "
             f"{op!r} at version {h['version']}; consistent cuts are "
             "defined only for stream-owned replicas"
         )
     raise SnapshotExpiredError(
-        f"cut batch_id={cut} predates {table.path}'s retained ledger — "
-        "expire_snapshots removed the versions a cut read needs; re-seed "
-        "from a current snapshot instead"
+        f"{table.path}'s retained ledger cannot serve cut batch_id={cut} — "
+        "the versions a cut read needs were expired (or the table was "
+        "cloned/published past the cut); re-seed from a current snapshot "
+        "instead"
     )
 
 
@@ -193,7 +211,8 @@ def consistent_cut(
         raise ValueError("tables must name at least one destination")
     last = {n: t.manifest()["last_batch_id"] for n, t in tables.items()}
     m = max(last.values())
-    cut = m if assume_complete else m - 1
+    # -1 already means "no batches": the empty prefix is trivially complete
+    cut = m if assume_complete else max(m - 1, -1)
     return {
         "batch_id": cut,
         "last_batch_ids": last,

@@ -198,9 +198,11 @@ class _CDFStreamReader(DataSourceStreamReader):
         spark_schema,
         starting: str,
         max_versions: int | None,
+        include_commit_ts: bool = False,
     ) -> None:
         self._path = table_path
         self._spark_schema = spark_schema
+        self._include_commit_ts = include_commit_ts
         versions = _ledger_versions(table_path)
         head = _load_version(table_path, versions[-1])
         # schema resolution state is pinned at query start, like the schema
@@ -261,9 +263,12 @@ class _CDFStreamReader(DataSourceStreamReader):
         parts: list[_CDFPartition] = []
         for v in range(lo + 1, hi + 1):
             # per-version commit timestamp (ms) for COMMIT_TS_COL readers —
-            # one tiny manifest read per version, never a data scan
-            commit_ms = int(
-                _load_version(self._path, v).get("commit_ts", 0.0) * 1000
+            # one tiny manifest read per version, never a data scan; only
+            # paid when the option asked for the column
+            commit_ms = (
+                int(_load_version(self._path, v).get("commit_ts", 0.0) * 1000)
+                if self._include_commit_ts
+                else None
             )
             for fs in _cdf_entries(self._path, v, lo, hi):
                 if fs["schema_id"] >= len(self._schemas):
@@ -310,7 +315,9 @@ class _CDFStreamReader(DataSourceStreamReader):
                     partition.version
                 )
                 continue
-            if field.name == COMMIT_TS_COL:
+            if field.name == COMMIT_TS_COL and self._include_commit_ts:
+                # only the option-injected column — a user payload column
+                # that happens to share the name resolves as stored data
                 cols[field.name] = pa.nulls(len(tbl), type=field.type).fill_null(
                     partition.commit_ms
                 )
@@ -357,6 +364,11 @@ class LakeChangeFeedDataSource(DataSource):
             T.StructField(VERSION_COL, T.LongType(), True),
         ]
         if str(self.options.get("includeCommitTs", "false")).lower() == "true":
+            if COMMIT_TS_COL in canon.fieldNames():
+                raise ValueError(
+                    f"includeCommitTs cannot inject {COMMIT_TS_COL!r}: the "
+                    "table already has a payload column of that name"
+                )
             fields.append(T.StructField(COMMIT_TS_COL, T.LongType(), True))
         return T.StructType(fields)
 
@@ -367,6 +379,10 @@ class LakeChangeFeedDataSource(DataSource):
             schema,
             self.options.get("startingVersion", "earliest"),
             int(raw_max) if raw_max is not None else None,
+            include_commit_ts=(
+                str(self.options.get("includeCommitTs", "false")).lower()
+                == "true"
+            ),
         )
 
 
@@ -533,7 +549,11 @@ def publish_stream(
         lines = df.select(
             F.to_json(
                 change_envelope(
-                    df.columns, F.col(COMMIT_TS_COL), table_name=table_name, db=db
+                    df.columns,
+                    F.col(COMMIT_TS_COL),
+                    table_name=table_name,
+                    db=db,
+                    exclude=(COMMIT_TS_COL,),
                 ),
                 _DZ_TS_FMT,
             ).alias("value")

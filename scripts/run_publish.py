@@ -64,7 +64,16 @@ def main() -> None:
     if args.continuous:
         q.awaitTermination()
         return
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # still publishing: a partial count reported as success would tell
+        # the operator the bus is complete when it is not
+        q.stop()
+        print(
+            json.dumps({"error": "publish did not drain within 600s; "
+                        "progress is checkpointed — re-run to resume"}),
+            file=sys.stderr,
+        )
+        sys.exit(1)
     n = spark.read.format("text").load(args.out).count()
     print(json.dumps({"published_envelopes_visible": n, "out": args.out}))
 

@@ -410,3 +410,56 @@ def test_publish_stream_bounded_drain(spark, tmp_path):
     )
     rows = [r.value for r in _read_published(spark, out).collect()]
     assert len(rows) == 4 == len(set(rows))
+
+
+def test_include_commit_ts_collision_and_isolation(spark, tmp_path):
+    """includeCommitTs refuses a table whose payload already has
+    _commit_ts; WITHOUT the option a payload column of that name reads
+    its stored data (never the lake commit time)."""
+    import pytest
+
+    from pyspark.sql import functions as F, types as T
+
+    from cdm_to_mods_spark.plans.lake import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "tab"), num_buckets=4, merge_mode="mor")
+    schema = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields)
+        + [T.StructField("_commit_ts", T.LongType(), True)]
+    )
+    t.create(schema)
+    ev = spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "x", None, 777)],
+        "op string, seq long, conv_id string, turn_idx int, role string, "
+        "text string, tool string, _commit_ts long",
+    )
+    t.apply_changes(ev, batch_id=0)
+
+    register_lake_cdf(spark)
+    # without the option: stored data comes back untouched
+    got = []
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", str(tmp_path / "tab"))
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r["_commit_ts"] for r in got] == [777]
+
+    # with the option: refused up front, not silently overwritten
+    with pytest.raises(Exception, match="already has a payload column"):
+        (
+            spark.readStream.format("lake_cdf")
+            .option("path", str(tmp_path / "tab"))
+            .option("includeCommitTs", "true")
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: None)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )

@@ -97,3 +97,30 @@ def test_skew_is_recommended_not_executed(spark, tmp_path):
         "rebucket_or_salt"
     ]
     assert t.num_buckets == 4  # nothing rewritten
+
+
+def test_deltaless_small_files_get_rewritten(spark, tmp_path):
+    """Multi-file bases with NO deltas (plain compact would no-op) are
+    bin-packed via the every-bucket rewrite; a second pass no-ops — no
+    endless trigger loop. A table still capped by target_file_rows clamps
+    the policy floor instead of rewriting forever."""
+    t = LakeTable(
+        spark, str(tmp_path / "tab"), num_buckets=4, merge_mode="mor",
+        target_file_rows=2,
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    _apply(spark, t, [("I", i + 1, "c1", i, "user", "x", None) for i in range(6)], 0)
+    t.compact()  # base split into 3 files of 2 rows, zero deltas
+    d = t.describe_detail()
+    assert d["delta_rows"] == 0 and d["num_files"] == 3
+    # same handle: floor clamps to target_file_rows=2, mean=2 → healthy
+    assert maintain(t, min_rows_per_file=10_000)["actions"] == []
+    # uncapped reopen: the small-file state is real and must be fixed
+    t2 = LakeTable(spark, str(tmp_path / "tab"))
+    res = maintain(t2, min_rows_per_file=10_000)
+    assert [a["action"] for a in res["actions"]] == ["compact"]
+    assert res["actions"][0]["result"]["compacted"] >= 1
+    d2 = t2.describe_detail()
+    assert d2["num_files"] == d2["populated_buckets"] == 1
+    assert t2.read().count() == 6
+    assert maintain(t2, min_rows_per_file=10_000)["actions"] == []

@@ -259,7 +259,55 @@ def test_consistent_cut_expired_raises(spark, tmp_path):
             transform=None,
         )
     tables["alpha"].expire_snapshots(keep_last=1)
-    with pytest.raises(SnapshotExpiredError, match="predates"):
+    with pytest.raises(SnapshotExpiredError, match="cannot serve"):
         consistent_cut(tables)  # cut 1 needs the expired batch-1 manifest
     # the head batch is still resolvable
     assert consistent_cut(tables, assume_complete=True)["versions"]["alpha"] == 3
+
+
+def test_consistent_cut_resolves_publish_and_clone(spark, tmp_path):
+    """A WAP publish squash and a shallow clone both carry the bus prefix
+    they reflect (last_batch_id) — cut reads resolve TO them instead of
+    time-traveling below into pre-fork emptiness; merge_into with a
+    batch_id is still out-of-band."""
+    from cdm_to_mods_spark.streaming.router import consistent_cut
+
+    base = _fresh(spark, tmp_path, "alpha")
+    # stage two router batches on a WAP branch, then publish
+    base.create_branch("audit")
+    staged = LakeTable(spark, str(tmp_path / "alpha"), branch="audit")
+    for b in range(2):
+        staged.apply_changes(
+            _ev_for(spark, "alpha", [("I", b + 1, f"a{b}", 0, "user", "x", None)])
+            .drop("table"),
+            batch_id=b,
+            transform=None,
+        )
+    base.publish_branch("audit")
+    pub = LakeTable(spark, str(tmp_path / "alpha"))
+    cut = consistent_cut({"alpha": pub}, assume_complete=True)
+    assert cut["batch_id"] == 1
+    from cdm_to_mods_spark.streaming.router import read_consistent
+
+    views = read_consistent({"alpha": pub}, assume_complete=True)
+    assert views["alpha"].count() == 2  # the publish squash IS the cut state
+
+    # clone inherits the prefix: head cut resolves to the clone's v0
+    cl = pub.clone(str(tmp_path / "alpha-clone"))
+    ccut = consistent_cut({"alpha": cl}, assume_complete=True)
+    assert ccut["batch_id"] == 1 and ccut["versions"]["alpha"] == 0
+    # ...but a cut BELOW the clone's prefix is unservable (no history)
+    from cdm_to_mods_spark.plans.lake import SnapshotExpiredError
+
+    with pytest.raises(SnapshotExpiredError, match="cannot serve"):
+        consistent_cut({"alpha": cl})  # cut 0 < clone's folded prefix 1
+
+    # merge_into is out-of-band even with a batch_id (upsert numbering)
+    pub.merge_into(
+        _ev_for(spark, "alpha", [("I", 9, "zz", 0, "user", "m", None)])
+        .drop("table", "op", "seq"),
+        when_not_matched_insert=True,
+        batch_id=7,
+    )
+    with pytest.raises(ValueError, match="merge_into"):
+        consistent_cut({"alpha": pub}, assume_complete=True)
