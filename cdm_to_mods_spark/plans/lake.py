@@ -63,7 +63,11 @@ from uuid import uuid4
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
-from ..operators.dedup import latest_per_key
+from ..operators.dedup import (
+    latest_per_key,
+    resolve_aggregate,
+    resolve_partial_update,
+)
 from ..schemas import (
     DELETED_COL,
     SEQ_COL,
@@ -365,6 +369,8 @@ class LakeTable:
         schema_mode: str = "evolve",
         target_file_rows: int | None = None,
         bloom_cols: dict | tuple = (),
+        merge_engine: str = "lww",
+        agg_spec: dict | None = None,
     ) -> None:
         """``merge_mode``:
 
@@ -438,6 +444,46 @@ class LakeTable:
         entries stay directory-granular (readers and footer stats already
         aggregate every file in a bucket dir). Advisory; None = no cap.
 
+        ``merge_engine``: how multiple events for one key RESOLVE.
+
+        * ``"lww"`` (default): whole-row last-write-wins — the highest
+          ``(seq, op)``-ranked event is the row (binlog semantics; every
+          U carries the full after-image, like a Debezium envelope).
+        * ``"partial_update"``: column-level merge (the Paimon
+          ``merge-engine=partial-update`` rule) — a NULL column in an I/U
+          event means "leave it alone", so producers may send patches
+          carrying only changed columns; each column independently keeps
+          its last non-null write, a D tombstone kills everything at or
+          below its rank, and a later upsert re-creates the row from
+          scratch. Resolution stays ONE hash aggregate
+          (``operators.dedup.resolve_partial_update``) at every site the
+          LWW fold runs (read, compaction folds, the cow merge, in-batch
+          collapse), so the single-shuffle apply plan is unchanged. The
+          engine choice is table state (persisted in the manifest,
+          adopted on reopen, like ``bucket_fn``): resolving the same
+          stored rows under a different engine is a silent correctness
+          fork. NOTE a ``changes()`` consumer of a partial table gets the
+          PATCH rows — replicate/mirror into another *partial* table
+          converges; an LWW destination would null untouched columns.
+          Exactness horizon (in-batch + fold collapse) documented on
+          ``resolve_partial_update``.
+        * ``"aggregate"``: per-column rollup (the Paimon
+          ``merge-engine=aggregation`` rule) — each payload column
+          combines event values with its ``agg_spec`` function (``sum`` /
+          ``max`` / ``min`` / ``bool_or`` / ``bool_and`` / ``last``
+          (default) / ``first``), so the table IS the materialized
+          aggregate (per-conversation token counters, latest-ts, flags)
+          and every plane — folds, cow merge, in-batch collapse — rolls
+          partial aggregates up associatively. Not retractable: ``D``
+          events, ``delete_where``, ``update_where`` and ``merge_into``
+          are refused (Paimon's rule — a stored sum cannot subtract).
+          A ``changes()`` consumer gets per-batch PARTIAL aggregates;
+          replaying them into another aggregate table converges.
+
+        ``agg_spec``: column → function map for ``merge_engine=
+        "aggregate"`` (unlisted columns default ``last``); persisted in
+        the manifest and adopted on reopen, like the engine itself.
+
         ``branch``: open the table AT A STAGING BRANCH (write-audit-publish,
         the Iceberg/Netflix WAP pattern — the lake-scale analog of the
         reference's validate-before-package flow, post_cdm_cleanup.py's QC
@@ -463,6 +509,23 @@ class LakeTable:
         self.quarantine_path = quarantine_path
         assert bucket_fn in ("hash32", "xxhash64"), bucket_fn
         self.bucket_fn = bucket_fn
+        assert merge_engine in ("lww", "partial_update", "aggregate"), (
+            merge_engine
+        )
+        self.merge_engine = merge_engine
+        if agg_spec and merge_engine != "aggregate":
+            raise ValueError("agg_spec requires merge_engine='aggregate'")
+        from ..operators.dedup import AGG_FNS
+
+        for c, fn in (agg_spec or {}).items():
+            if fn not in AGG_FNS:
+                raise ValueError(
+                    f"unknown agg fn {fn!r} for column {c!r}; "
+                    f"supported: {AGG_FNS}"
+                )
+            if c in key_cols:
+                raise ValueError(f"agg_spec cannot target key column {c!r}")
+        self.agg_spec = dict(agg_spec or {})
         self.stats_cols = tuple(stats_cols)
         assert schema_mode in ("evolve", "strict"), schema_mode
         self.schema_mode = schema_mode
@@ -511,6 +574,12 @@ class LakeTable:
             self.bucket_col = man.get("bucket_col", self.bucket_col)
             # manifests predating bucket_fn used the round-1 xxhash64 layout
             self.bucket_fn = man.get("bucket_fn", "xxhash64")
+            # resolution semantics are table state too: stored rows written
+            # under partial-update carry patch columns whose NULLs mean
+            # "untouched" — folding them whole-row LWW would erase data.
+            self.merge_engine = man.get("merge_engine", "lww")
+            if man.get("agg_spec"):
+                self.agg_spec = dict(man["agg_spec"])
 
     # ------------------------------------------------------------- ledger
     def _vfile_name(self, v: int, branch: str | None = None) -> str:
@@ -824,6 +893,8 @@ class LakeTable:
             "version": man["version"],
             "commit_ts": man.get("commit_ts"),
             "merge_mode": self.merge_mode,
+            "merge_engine": self.merge_engine,
+            "agg_spec": dict(self.agg_spec),
             "num_buckets": self.num_buckets,
             "bucket_fn": self.bucket_fn,
             "key_cols": list(self.key_cols),
@@ -996,6 +1067,10 @@ class LakeTable:
                     "key_cols": head_raw["key_cols"],
                     "bucket_col": head_raw["bucket_col"],
                     "bucket_fn": head_raw.get("bucket_fn", self.bucket_fn),
+                    "merge_engine": head_raw.get(
+                        "merge_engine", self.merge_engine
+                    ),
+                    "agg_spec": head_raw.get("agg_spec", self.agg_spec),
                     "cdf": union_cdf,
                     "lineage": head_raw.get("lineage", {}),
                     "renames": head_raw.get("renames", []),
@@ -1211,6 +1286,8 @@ class LakeTable:
                 "key_cols": list(self.key_cols),
                 "bucket_col": self.bucket_col,
                 "bucket_fn": self.bucket_fn,
+                "merge_engine": self.merge_engine,
+                "agg_spec": self.agg_spec,
                 "lineage": man.get("lineage", {}),
                 "constraints": man.get("constraints", []),
                 "properties": dict(man.get("properties", {})),
@@ -1557,6 +1634,8 @@ class LakeTable:
                 "key_cols": list(self.key_cols),
                 "bucket_col": self.bucket_col,
                 "bucket_fn": self.bucket_fn,
+                "merge_engine": self.merge_engine,
+                "agg_spec": self.agg_spec,
                 "lineage": {},
                 "constraints": [],
                 "metrics": {},
@@ -1747,19 +1826,71 @@ class LakeTable:
         )
         return self._resolve_live(raw, man, needed)
 
+    def _refuse_on_aggregate(self, op: str) -> None:
+        """Aggregation is not retractable (a stored sum cannot subtract
+        what a delete or a set-style update would undo) — Paimon's rule
+        for non-retractable aggregate fields, enforced at every mutation
+        entry point that re-emits or kills existing rows."""
+        if self.merge_engine == "aggregate":
+            raise ValueError(
+                f"{op} is not supported on merge_engine='aggregate' "
+                "tables: aggregates are not retractable — append "
+                "corrective contribution events instead"
+            )
+
     def _resolve_lww(self, raw: DataFrame) -> DataFrame:
-        """Last-write-wins resolution over stored rows: one row per key,
-        max ``_seq``, ties op-ranked U>I>D (stored rows re-derive ``op``
-        from the tombstone flag so maintenance folds, the cow merge and
-        the read path all share ONE tie-break — any divergence between
-        these copies is a silent correctness fork)."""
-        return latest_per_key(
-            raw.withColumn(
-                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
-            ),
-            self.key_cols,
-            SEQ_COL,
-        ).drop("op")
+        """Per-key resolution over stored rows — the ONE owner every fold,
+        the cow merge and the read path share (any divergence between
+        those copies is a silent correctness fork). Stored rows re-derive
+        ``op`` from the tombstone flag. Under the default ``lww`` engine:
+        one row per key, max ``_seq``, ties op-ranked U>I>D. Under
+        ``partial_update``: column-level last-non-null merge
+        (``operators.dedup.resolve_partial_update``) — system columns
+        (``_bucket`` etc.) resolve whole-row-style so tombstones keep
+        their bucket assignment through folds."""
+        with_op = raw.withColumn(
+            "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+        )
+        if self.merge_engine == "aggregate":
+            carry = [
+                c
+                for c in raw.columns
+                if c.startswith("_") and c not in (SEQ_COL, DELETED_COL)
+            ]
+            out = resolve_aggregate(
+                with_op.drop(DELETED_COL),
+                self.key_cols,
+                SEQ_COL,
+                "op",
+                spec=self.agg_spec,
+                carry_cols=carry,
+            )
+            # no tombstones ever land on aggregate tables (D refused)
+            return out.withColumn(
+                DELETED_COL, F.lit(False)
+            ).drop("op").select(*raw.columns)
+        if self.merge_engine == "partial_update":
+            carry = [
+                c
+                for c in raw.columns
+                if c.startswith("_") and c not in (SEQ_COL, DELETED_COL)
+            ]
+            out = resolve_partial_update(
+                with_op.drop(DELETED_COL),
+                self.key_cols,
+                SEQ_COL,
+                "op",
+                carry_cols=carry,
+                # stored state must keep each key's max delete rank as a
+                # tombstone row beside a re-created live row — collapsing
+                # it away would let pre-delete columns in OLDER file sets
+                # resurrect at the next resolution.
+                preserve_kill=True,
+            )
+            return out.withColumn(
+                DELETED_COL, F.col("op") == "D"
+            ).drop("op").select(*raw.columns)
+        return latest_per_key(with_op, self.key_cols, SEQ_COL).drop("op")
 
     @staticmethod
     def _coerce_bound(v, dtype: T.DataType):
@@ -2099,6 +2230,7 @@ class LakeTable:
         Key/bucket columns cannot be assigned (that is a delete + insert).
         The seq-domain caveat on :meth:`delete_where` applies equally.
         """
+        self._refuse_on_aggregate("update_where")
         man = self.manifest()
         canon = self._canonical_schema(man)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -2199,6 +2331,7 @@ class LakeTable:
         inserts), and Spark can only broadcast the non-preserved side —
         pruning is what keeps 100 TB out of the exchange.
         """
+        self._refuse_on_aggregate("merge_into")
         if (
             not when_matched_update
             and when_matched_delete is None
@@ -2446,6 +2579,7 @@ class LakeTable:
         ``tombstone_seq`` if the source coordinates its own LSN space and
         must not share it.
         """
+        self._refuse_on_aggregate("delete_where")
         man = self.manifest()
         canon = self._canonical_schema(man)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -2945,7 +3079,47 @@ class LakeTable:
         # two-shuffle path (dedup shuffle + bucket repartition).
         if self.bucket_fn == "hash32" and self.merge_mode == "mor":
             events = events.repartition(self.num_buckets, F.col(self.bucket_col))
-        batch = latest_per_key(events, self.key_cols, "seq")
+        if self.merge_engine == "partial_update":
+            # column-level in-batch collapse: the same single hash
+            # aggregate shape as latest_per_key (partitioning on the
+            # bucket col still satisfies the groupBy clustering — one
+            # exchange), but a key's patches MERGE instead of the last
+            # whole row winning, so earlier-in-batch columns survive.
+            # preserve_kill: a D followed by a re-creating U in the SAME
+            # batch still lands a tombstone row, so it kills columns
+            # stored by earlier batches below the delete's rank.
+            batch = resolve_partial_update(
+                events, self.key_cols, "seq", "op", preserve_kill=True
+            )
+        elif self.merge_engine == "aggregate":
+            # aggregation is not retractable: refuse D events inline (same
+            # zero-extra-pass raise_error trick as CHECK constraints —
+            # the guard rides the seq column into the rollup aggregate).
+            guarded = events.withColumn(
+                "seq",
+                F.when(
+                    F.col("op") == "D",
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "merge_engine='aggregate' refuses delete "
+                                "events (aggregates are not retractable); "
+                                "key=("
+                            ),
+                            F.concat_ws(
+                                ",",
+                                *[F.col(k).cast("string") for k in self.key_cols],
+                            ),
+                            F.lit(")"),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("seq")),
+            )
+            batch = resolve_aggregate(
+                guarded, self.key_cols, "seq", "op", spec=self.agg_spec
+            )
+        else:
+            batch = latest_per_key(events, self.key_cols, "seq")
         # 2. vectorized transform chain (the XSLT-library analog).
         if transform is not None:
             batch = transform(batch)
@@ -3369,6 +3543,8 @@ class LakeTable:
                     "key_cols": list(self.key_cols),
                     "bucket_col": self.bucket_col,
                     "bucket_fn": self.bucket_fn,
+                    "merge_engine": self.merge_engine,
+                    "agg_spec": self.agg_spec,
                     "cdf": cdf,
                     "lineage": lineage,
                     "renames": man.get("renames", []),
@@ -3491,6 +3667,8 @@ class LakeTable:
                         "key_cols": list(self.key_cols),
                         "bucket_col": self.bucket_col,
                         "bucket_fn": self.bucket_fn,
+                        "merge_engine": self.merge_engine,
+                        "agg_spec": self.agg_spec,
                         "cdf": cdf,
                         "lineage": lineage,
                         "renames": latest.get("renames", []),

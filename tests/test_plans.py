@@ -89,6 +89,32 @@ def test_apply_pipeline_is_single_shuffle(spark):
     assert "hashpartitioning(conv_id" in plan
 
 
+def test_partial_update_collapse_is_single_shuffle(spark):
+    """The partial-update in-batch collapse keeps the apply plan's shape:
+    one hash aggregate whose clustering is satisfied by the same
+    repartition(n, bucket_col), no second exchange, no window, no Python
+    nodes — swapping the merge engine must not cost a shuffle."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.operators.dedup import resolve_partial_update
+
+    ev = spark.createDataFrame(
+        [("I", 1, "c1", 0, "x")],
+        "op string, seq long, conv_id string, turn_idx int, text string",
+    )
+    df = resolve_partial_update(
+        ev.repartition(8, F.col("conv_id")),
+        ("conv_id", "turn_idx"),
+        "seq",
+        "op",
+        preserve_kill=True,
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(conv_id" in plan
+    assert "Window" not in plan and "EvalPython" not in plan
+
+
 @pytest.mark.parametrize("qname", ["p1_rename_project", "f1_xml_escape"])
 def test_scalar_chains_have_no_python_nodes(spark, qname):
     """Scalar-function families stay JVM-side: no Python eval nodes."""
