@@ -72,6 +72,38 @@ def latest_per_key_window(
     )
 
 
+def first_per_key(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Keep only the LOWEST-``seq``-ranked row per key — the Paimon
+    ``merge-engine=first-row`` rule (dedup-keep-first over an append
+    stream: event logs where the first observation is authoritative and
+    re-sends must not clobber it). First is defined by the SOURCE order
+    (min ``seq``), not arrival order: arrival-order "first" cannot
+    converge under redelivery or batch reordering, min-seq replays to the
+    same state from any batching. Ties op-ranked ascending ('I' < 'U')
+    then by payload, so output is deterministic under any partitioning.
+
+    Same single ``min_by`` hash-aggregate shape as :func:`latest_per_key`
+    — map-side partial combine absorbs hot keys; folds compose because
+    min is associative (a stored first row re-enters later resolutions
+    and keeps winning). Not retractable: callers refuse ``D`` events and
+    the row-mutation surfaces up front."""
+    payload = [c for c in df.columns if c not in keys]
+    rank = F.struct(
+        F.col(seq_col),
+        F.col("op") if "op" in df.columns else F.lit(0),
+        *[F.col(c) for c in payload if c not in (seq_col, "op")],
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.min_by(F.struct(*payload), rank).alias("_first"))
+        .select(*keys, "_first.*")
+    )
+
+
 def duplicate_keys(
     df: DataFrame, keys: Sequence[str] = ("conv_id", "turn_idx")
 ) -> DataFrame:

@@ -188,3 +188,101 @@ class ConversationStatsView:
         for d in os.listdir(self.path):
             if d.startswith("data-v") and d not in keep:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+
+class AdditiveStatsView(ConversationStatsView):
+    """Retraction-maintained aggregate view over a ``changelog="lookup"``
+    table — the consumer the typed changelog exists FOR.
+
+    ``ConversationStatsView`` (above) refreshes by RECOMPUTING touched
+    groups: feed keys → bucket-pruned point read / semi-join → re-aggregate
+    — O(touched buckets) of table reads per refresh. This view never reads
+    the table after its first build: ``row_changes()`` carries pre- and
+    post-images, so any sum/count aggregate advances ADDITIVELY — add the
+    post-image's contribution, subtract the pre-image's — exactly the
+    retract-stream maintenance Flink performs over an upsert changelog. At
+    100 TB the difference is a refresh that scans O(changed rows) of
+    changelog parquet versus re-reading every touched bucket's base+chain.
+
+    Aggregate shape: ``conv_id, n_turns (count), n_chars (sum of
+    length(text))`` — deliberately additive-only (count/sum). Non-additive
+    aggregates (countDistinct, max) need the recompute strategy; that is a
+    property of the aggregate, not of this machinery.
+
+    Falls back to a full rebuild when the changelog is unavailable
+    (``ChangelogUnavailableError`` — e.g. a rollback or a non-changelog
+    writer slipped into the range) or expired, mirroring the parent's
+    re-seed contract.
+    """
+
+    _SCHEMA = "conv_id string, n_turns long, n_chars long"
+
+    def read(self) -> DataFrame:
+        m = self._marker()
+        if m is None:
+            return self.spark.createDataFrame([], self._SCHEMA)
+        return self.spark.read.parquet(os.path.join(self.path, m["data"]))
+
+    @staticmethod
+    def _agg(rows: DataFrame) -> DataFrame:
+        return rows.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))))
+            .cast("long")
+            .alias("n_chars"),
+        )
+
+    def refresh(self) -> dict:
+        from .lake import ChangelogUnavailableError, SnapshotExpiredError
+
+        t0 = time.monotonic()
+        src_v = self.source.latest_version()
+        applied = self.applied_version()
+        if src_v is None or src_v <= applied:
+            return {"refreshed": False, "source_version": src_v}
+
+        strategy = "retract"
+        if applied < 0:
+            out = self._agg(self.source.read(src_v))
+            strategy = "full"
+        else:
+            try:
+                delta = self.source.row_changes(applied, src_v)
+                sign = F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                d = delta.groupBy("conv_id").agg(
+                    F.sum(sign).cast("long").alias("_d_turns"),
+                    F.sum(
+                        sign * F.length(F.coalesce(F.col("text"), F.lit("")))
+                    )
+                    .cast("long")
+                    .alias("_d_chars"),
+                )
+                out = (
+                    self.read()
+                    .join(d, "conv_id", "full_outer")
+                    .select(
+                        "conv_id",
+                        (
+                            F.coalesce(F.col("n_turns"), F.lit(0))
+                            + F.coalesce(F.col("_d_turns"), F.lit(0))
+                        ).alias("n_turns"),
+                        (
+                            F.coalesce(F.col("n_chars"), F.lit(0))
+                            + F.coalesce(F.col("_d_chars"), F.lit(0))
+                        ).alias("n_chars"),
+                    )
+                    # a group whose every row was retracted vanishes
+                    .filter(F.col("n_turns") > 0)
+                )
+            except (ChangelogUnavailableError, SnapshotExpiredError):
+                out = self._agg(self.source.read(src_v))
+                strategy = "reseed_full"
+
+        data_rel = f"data-v{src_v:08d}"
+        out.write.mode("overwrite").parquet(os.path.join(self.path, data_rel))
+        self._commit_marker(data_rel, src_v, -1, t0)
+        return {"refreshed": True, "source_version": src_v,
+                "strategy": strategy}

@@ -64,6 +64,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from ..operators.dedup import (
+    first_per_key,
     latest_per_key,
     resolve_aggregate,
     resolve_partial_update,
@@ -104,6 +105,14 @@ class UnsupportedFormatVersionError(RuntimeError):
     """The table's manifest declares a ledger format newer than this
     engine understands (Iceberg's format-version fence). Reading anyway
     could silently misinterpret layout rules added later — refuse."""
+
+
+class ChangelogUnavailableError(LookupError):
+    """``row_changes`` needs a typed changelog for a version that has
+    none — the commit was written without ``changelog="lookup"`` (or is a
+    rollback, which rewinds state without a representable row diff). An
+    additive consumer cannot bridge the gap incrementally: re-seed from a
+    snapshot read at the feed's head and resume from there."""
 
 
 # Ledger format this engine reads and writes. Bump ONLY on changes an
@@ -371,6 +380,7 @@ class LakeTable:
         bloom_cols: dict | tuple = (),
         merge_engine: str = "lww",
         agg_spec: dict | None = None,
+        changelog: str = "none",
     ) -> None:
         """``merge_mode``:
 
@@ -509,9 +519,9 @@ class LakeTable:
         self.quarantine_path = quarantine_path
         assert bucket_fn in ("hash32", "xxhash64"), bucket_fn
         self.bucket_fn = bucket_fn
-        assert merge_engine in ("lww", "partial_update", "aggregate"), (
-            merge_engine
-        )
+        assert merge_engine in (
+            "lww", "partial_update", "aggregate", "first_row"
+        ), merge_engine
         self.merge_engine = merge_engine
         if agg_spec and merge_engine != "aggregate":
             raise ValueError("agg_spec requires merge_engine='aggregate'")
@@ -526,6 +536,16 @@ class LakeTable:
             if c in key_cols:
                 raise ValueError(f"agg_spec cannot target key column {c!r}")
         self.agg_spec = dict(agg_spec or {})
+        # typed row-level changelog (Paimon changelog-producer=lookup /
+        # Delta CDC analog): "lookup" makes every state-changing commit
+        # also materialize insert / update_preimage / update_postimage /
+        # delete rows (read back with row_changes()), paying one
+        # bucket-pruned lookup join of old state per commit. Writer-handle
+        # choice like quarantine_path — every writer of a table should
+        # agree, and row_changes raises ChangelogUnavailableError over
+        # version ranges written without it.
+        assert changelog in ("none", "lookup"), changelog
+        self.changelog = changelog
         self.stats_cols = tuple(stats_cols)
         assert schema_mode in ("evolve", "strict"), schema_mode
         self.schema_mode = schema_mode
@@ -1030,7 +1050,7 @@ class LakeTable:
         # so changes() keeps raising the documented ValueError.
         poisoned = any(
             raw.get("metrics", {}).get("mode") == "cow"
-            and not raw.get("cdf")
+            and not self._plain_cdf(raw)
             and raw.get("metrics", {}).get("n_buckets_touched", 1) > 0
             for raw in raws
         )
@@ -1830,12 +1850,21 @@ class LakeTable:
         """Aggregation is not retractable (a stored sum cannot subtract
         what a delete or a set-style update would undo) — Paimon's rule
         for non-retractable aggregate fields, enforced at every mutation
-        entry point that re-emits or kills existing rows."""
+        entry point that re-emits or kills existing rows. First-row is
+        immutable by construction (a stored first write cannot be
+        re-emitted, killed or updated — mutations would silently lose to
+        the stored row's lower rank), so the same surfaces refuse."""
         if self.merge_engine == "aggregate":
             raise ValueError(
                 f"{op} is not supported on merge_engine='aggregate' "
                 "tables: aggregates are not retractable — append "
                 "corrective contribution events instead"
+            )
+        if self.merge_engine == "first_row":
+            raise ValueError(
+                f"{op} is not supported on merge_engine='first_row' "
+                "tables: the first write per key is immutable — a "
+                "mutation's higher-rank rows would silently lose to it"
             )
 
     def _resolve_lww(self, raw: DataFrame) -> DataFrame:
@@ -1869,6 +1898,10 @@ class LakeTable:
             return out.withColumn(
                 DELETED_COL, F.lit(False)
             ).drop("op").select(*raw.columns)
+        if self.merge_engine == "first_row":
+            # no tombstones can exist (D refused at every entry point), so
+            # whole-row min-rank is the complete rule.
+            return first_per_key(with_op, self.key_cols, SEQ_COL).drop("op")
         if self.merge_engine == "partial_update":
             carry = [
                 c
@@ -2001,6 +2034,220 @@ class LakeTable:
         return self._canonical_schema(self.manifest())
 
     # ------------------------------------------------------- change feed
+    # ---------------------------------------------------- typed changelog
+    @staticmethod
+    def _plain_cdf(m: dict) -> list:
+        """The version's replication change files — ``cdf`` entries minus
+        typed-changelog records (which carry a ``kind`` marker so the two
+        planes share one manifest list and one GC/publish/carry path)."""
+        return [e for e in m.get("cdf", []) if "kind" not in e]
+
+    def _emit_changelog(
+        self,
+        man: dict,
+        canon: T.StructType,
+        batch: DataFrame,
+        affected: list,
+        data_rel: str,
+        schema_id: int,
+    ) -> list:
+        """Materialize the typed row changelog for one commit (the Paimon
+        ``changelog-producer=lookup`` / Delta CDC ``_change_type`` role).
+
+        ``batch`` is the commit's RESOLVED change set (canonical columns +
+        ``_seq``/``_deleted``); ``man`` is the PRE-commit manifest. Old
+        values come from one bucket-pruned read of the touched buckets
+        semi-joined to the batch's keys — O(touched buckets), the same
+        cost class as the cow merge, which is exactly the lookup
+        producer's documented tax. New values are the engine's own
+        resolution of old ∪ batch, so every merge engine (lww /
+        partial_update / aggregate) yields its true post-images without
+        re-stating its semantics here. Classification and no-op
+        suppression happen in ONE projection + explode — no per-class
+        scans, no driver round trips.
+
+        Empty-table fast path (bootstrap / first load): every resolved row
+        is an insert, and the commit just wrote those rows as its change
+        files — record a ``changelog_derive_insert`` reference to them
+        instead of writing the whole snapshot twice (the same derivation
+        Delta CDC uses for insert-only commits).
+        """
+        keys = list(self.key_cols)
+        if not man["buckets"]:
+            return [
+                {
+                    "path": f"{data_rel}/_bucket={b}",
+                    "schema_id": schema_id,
+                    "kind": "changelog_derive_insert",
+                }
+                for b in affected
+            ]
+        batch = batch.select(
+            *[F.col(f.name) for f in canon.fields],
+            F.col(SEQ_COL), F.col(DELETED_COL),
+        )
+        old_raw = self._read_raw(man, buckets=affected, canon=canon)
+        old_res = self._resolve_lww(
+            old_raw.join(batch.select(*keys).distinct(), keys, "left_semi")
+        )
+        new_res = self._resolve_lww(old_res.unionByName(batch))
+        payload = [f.name for f in canon.fields if f.name not in keys]
+        o = old_res.filter(~F.col(DELETED_COL)).select(
+            *keys,
+            F.struct(*payload).alias("_po"),
+            F.col(SEQ_COL).alias("_so"),
+            F.lit(True).alias("_ho"),
+        )
+        n = new_res.filter(~F.col(DELETED_COL)).select(
+            *keys,
+            F.struct(*payload).alias("_pn"),
+            F.col(SEQ_COL).alias("_sn"),
+            F.lit(True).alias("_hn"),
+        )
+        pre = F.struct(
+            F.lit("update_preimage").alias("t"),
+            F.col("_po").alias("p"), F.col("_so").alias("s"),
+        )
+        post = F.struct(
+            F.lit("update_postimage").alias("t"),
+            F.col("_pn").alias("p"), F.col("_sn").alias("s"),
+        )
+        ins = F.struct(
+            F.lit("insert").alias("t"),
+            F.col("_pn").alias("p"), F.col("_sn").alias("s"),
+        )
+        dele = F.struct(
+            F.lit("delete").alias("t"),
+            F.col("_po").alias("p"), F.col("_so").alias("s"),
+        )
+        same = F.lit(True)
+        for c in payload:  # null-safe field-wise: struct = / <=> NULL rules
+            same = same & F.col(f"_po.{c}").eqNullSafe(F.col(f"_pn.{c}"))
+        arr = (
+            F.when(F.col("_ho").isNull(), F.array(ins))
+            .when(F.col("_hn").isNull(), F.array(dele))
+            .when(~same, F.array(pre, post))
+            # no-op update (late event lost to stored state, or equal
+            # rewrite): emit nothing — type-preserving empty array
+            .otherwise(F.filter(F.array(pre), lambda _: F.lit(False)))
+        )
+        rel = f"{data_rel}-changelog"
+        (
+            o.join(n, keys, "full_outer")
+            .select(*keys, F.explode(arr).alias("_c"))
+            .select(
+                *keys, F.col("_c.p.*"),
+                F.col("_c.s").alias(SEQ_COL),
+                F.col("_c.t").alias("_change_type"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, rel))
+        )
+        return [{"path": rel, "schema_id": schema_id, "kind": "changelog"}]
+
+    def row_changes(
+        self, since_version: int, until_version: int | None = None
+    ) -> DataFrame:
+        """Typed row-level changelog for versions ``(since, until]`` —
+        the Delta ``table_changes`` shape: canonical columns plus
+        ``_change_type`` (``insert`` / ``update_preimage`` /
+        ``update_postimage`` / ``delete``), ``_seq`` and ``_version``.
+        Unlike :meth:`changes` (resolved batch rows — the replication
+        feed), this stream is RETRACTABLE: an additive consumer maintains
+        any sum/count aggregate by adding post-images and subtracting
+        pre-images, never reading the table (see
+        ``plans.incremental.AdditiveStatsView``).
+
+        Only commits written by a ``changelog="lookup"`` handle carry it;
+        a state-changing commit without one (including any rollback,
+        whose rewind has no row representation) raises
+        :class:`ChangelogUnavailableError`. State-preserving maintenance
+        (compaction, re-layout, properties…) contributes nothing, like
+        every feed."""
+        man = self.manifest()
+        hi = man["version"] if until_version is None else until_version
+        canon = self._canonical_schema(man)
+        parts: list[DataFrame] = []
+        for v in range(since_version + 1, hi + 1):
+            try:
+                m = self._load_version(v)
+            except FileNotFoundError:
+                vs = self._versions()
+                raise SnapshotExpiredError(
+                    f"row_changes for ({since_version}, {hi}] needs version "
+                    f"{v}, removed by expire_snapshots; retention floor is "
+                    f"{vs[0] if vs else '<none>'} — re-seed from a snapshot"
+                ) from None
+            entries = [e for e in m.get("cdf", []) if "kind" in e]
+            if not entries:
+                state_changing = (
+                    bool(self._plain_cdf(m))
+                    or (
+                        m.get("metrics", {}).get("mode") == "cow"
+                        and m.get("metrics", {}).get("n_buckets_touched", 0) > 0
+                    )
+                    or m.get("metrics", {}).get("maintenance")
+                    in ("rollback", "delete_where")
+                )
+                if state_changing:
+                    raise ChangelogUnavailableError(
+                        f"version {v} changed table state but carries no "
+                        "typed changelog — it was committed without "
+                        "changelog='lookup' (or is a rollback); re-seed "
+                        "the consumer from a snapshot read"
+                    )
+                continue
+            for e in entries:
+                derive = e["kind"] == "changelog_derive_insert"
+                derive_del = e["kind"] == "changelog_derive_delete"
+                sid = e["schema_id"]
+                stored_struct = schema_from_json(man["schemas"][sid])
+                stored = set(stored_struct.fieldNames())
+                read_schema = T.StructType(
+                    [f for f in stored_struct.fields]
+                    + [T.StructField(SEQ_COL, T.LongType())]
+                    + (
+                        [T.StructField(DELETED_COL, T.BooleanType())]
+                        if (derive or derive_del)
+                        else [T.StructField("_change_type", T.StringType())]
+                    )
+                )
+                df = self.spark.read.schema(read_schema).parquet(
+                    os.path.join(self.path, e["path"])
+                )
+                cols = []
+                for f in canon.fields:
+                    sname = _stored_name(man, sid, f.name)
+                    if sname in stored:
+                        cols.append(F.col(sname).cast(f.dataType).alias(f.name))
+                    else:
+                        cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                cols.append(F.col(SEQ_COL))
+                if derive:
+                    df = df.filter(~F.col(DELETED_COL))
+                    cols.append(F.lit("insert").alias("_change_type"))
+                elif derive_del:
+                    df = df.filter(F.col(DELETED_COL))
+                    cols.append(F.lit("delete").alias("_change_type"))
+                else:
+                    cols.append(F.col("_change_type"))
+                parts.append(
+                    df.select(cols).withColumn(
+                        "_version", F.lit(v).cast("long")
+                    )
+                )
+        if not parts:
+            return (
+                self._empty(canon, hidden=False)
+                .withColumn(SEQ_COL, F.lit(None).cast("long"))
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_version", F.lit(None).cast("long"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def changes(self, since_version: int, until_version: int | None = None,
                 *, with_version: bool = False) -> DataFrame:
         """Change-data-feed read: the change rows committed in versions
@@ -2048,7 +2295,7 @@ class LakeTable:
                 ) from None
             if (
                 m.get("metrics", {}).get("mode") == "cow"
-                and not m.get("cdf")
+                and not self._plain_cdf(m)
                 # a cow commit that touched zero buckets (empty/no-op batch)
                 # contributed no changes — it cannot poison the feed.
                 and m.get("metrics", {}).get("n_buckets_touched", 1) > 0
@@ -2065,8 +2312,9 @@ class LakeTable:
             if "cdf" in m:
                 # data commits (batch_id set or ad-hoc) recorded their
                 # change files; maintenance commits carry cdf=[] and
-                # naturally contribute nothing.
-                entries = m["cdf"]
+                # naturally contribute nothing. Typed-changelog records
+                # (kind-marked) belong to row_changes, not this feed.
+                entries = self._plain_cdf(m)
             else:  # pre-cdf manifests: delta refs still under data/vN/
                 if m.get("batch_id") is None:
                     continue
@@ -2676,12 +2924,26 @@ class LakeTable:
                 lineage, b, tombstone_seq, tombstone_seq,
                 match_counts[b], new_version, f"delete_where:{note or ''}",
             )
+        delete_cdf = [{"path": cdf_rel, "schema_id": schema_id}]
+        if self.changelog != "none":
+            # typed changelog for free: the purge's change files already
+            # hold the tombstoned rows WITH their pre-delete payload (the
+            # rewrite flips _deleted/_seq without nulling columns), so a
+            # derive reference yields the 'delete' pre-images with no
+            # extra write.
+            delete_cdf.append(
+                {
+                    "path": cdf_rel,
+                    "schema_id": schema_id,
+                    "kind": "changelog_derive_delete",
+                }
+            )
         self._commit(
             {
                 **man,
                 "version": new_version,
                 "batch_id": None,
-                "cdf": [{"path": cdf_rel, "schema_id": schema_id}],
+                "cdf": delete_cdf,
                 "buckets": buckets,
                 "lineage": lineage,
                 "metrics": {
@@ -3118,6 +3380,32 @@ class LakeTable:
             batch = resolve_aggregate(
                 guarded, self.key_cols, "seq", "op", spec=self.agg_spec
             )
+        elif self.merge_engine == "first_row":
+            # first-row is not retractable either: refuse D events inline
+            # (same zero-extra-pass raise_error guard as aggregate — a
+            # tombstone would silently lose to the stored row's lower rank,
+            # which is a data bug, not a merge).
+            guarded = events.withColumn(
+                "seq",
+                F.when(
+                    F.col("op") == "D",
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "merge_engine='first_row' refuses delete "
+                                "events (the first write per key is "
+                                "immutable); key=("
+                            ),
+                            F.concat_ws(
+                                ",",
+                                *[F.col(k).cast("string") for k in self.key_cols],
+                            ),
+                            F.lit(")"),
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("seq")),
+            )
+            batch = first_per_key(guarded, self.key_cols, "seq")
         else:
             batch = latest_per_key(events, self.key_cols, "seq")
         # 2. vectorized transform chain (the XSLT-library analog).
@@ -3292,6 +3580,15 @@ class LakeTable:
                 {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
                 for b in affected
             ]
+            if self.changelog != "none" and affected:
+                # typed changelog BEFORE inline compaction (old state must
+                # be the pre-commit chains); the batch rows come back off
+                # the just-written deltas — local parquet, no recompute and
+                # no cache of the change set.
+                cdf += self._emit_changelog(
+                    man, canon, self.spark.read.parquet(vdir),
+                    affected, data_rel, schema_id,
+                )
             for b in affected:
                 e = buckets.setdefault(str(b), {"base": None, "deltas": []})
                 delta = {
@@ -3483,6 +3780,10 @@ class LakeTable:
                         os.path.join(self.path, cdf_rel)
                     )
                     cdf = [{"path": cdf_rel, "schema_id": schema_id}]
+                if self.changelog != "none":
+                    cdf += self._emit_changelog(
+                        man, canon, changes, affected, data_rel, schema_id,
+                    )
             # unpersist happens in _apply_changes_inner's finally
 
         # 8. lineage: source offsets (per-bucket max seq + rows) → snapshot.
@@ -3592,6 +3893,16 @@ class LakeTable:
                 f"concurrent commit conflict on version {lost_version}; "
                 f"{'copy-on-write' if self.merge_mode != 'mor' else 'inline-compaction'} "
                 "batches cannot be replayed onto the winner's manifest — re-apply"
+            )
+        if self.changelog != "none":
+            # the typed changelog's pre-images were looked up against the
+            # LOSER's base state; the winner may have changed those very
+            # rows, so re-appending would publish stale pre-images. The
+            # re-apply recomputes the lookup against the winner's state.
+            raise RuntimeError(
+                f"concurrent commit conflict on version {lost_version}; "
+                "changelog='lookup' batches cannot be replayed onto the "
+                "winner's manifest (stale pre-images) — re-apply"
             )
         while True:
             latest = self.manifest()

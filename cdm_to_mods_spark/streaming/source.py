@@ -160,16 +160,19 @@ def _cdf_entries(table_path: str, v: int, lo: int, hi: int) -> list[dict]:
             "snapshot read and restart the stream from a later "
             "startingVersion"
         ) from None
+    # typed-changelog records (kind-marked) belong to row_changes, not the
+    # replication feed this source streams
+    plain = [e for e in m.get("cdf", []) if "kind" not in e]
     if (
         m.get("metrics", {}).get("mode") == "cow"
-        and not m.get("cdf")
+        and not plain
         and m.get("metrics", {}).get("n_buckets_touched", 1) > 0
     ) or m.get("metrics", {}).get("cow_without_cdf"):
         raise RuntimeError(
             f"version {v} was (or contains) a copy-on-write commit without "
             "change-data files; use merge-on-read or cow_change_feed=True"
         )
-    return list(m.get("cdf", []))
+    return plain
 
 
 _EVOLVED_MARKER = "lake_cdf: source schema evolved mid-stream"

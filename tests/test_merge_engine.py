@@ -355,3 +355,94 @@ def test_agg_spec_validation(spark, tmp_table):
     with pytest.raises(ValueError, match="key column"):
         LakeTable(spark, tmp_table, merge_engine="aggregate",
                   agg_spec={"conv_id": "max"})
+
+
+# ------------------------------------------------------------ first_row
+
+
+@pytest.fixture(params=["mor", "cow"])
+def ftable(spark, tmp_table, request):
+    t = LakeTable(
+        spark,
+        tmp_table,
+        num_buckets=4,
+        merge_mode=request.param,
+        merge_engine="first_row",
+        compact_deltas=2,
+        stats_cols=(),
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def first_oracle(events):
+    """Reference semantics: per key, the event with the lowest (seq,
+    op-rank) wins forever."""
+    oprank = {"I": 0, "U": 1}
+    best: dict = {}
+    for op, seq, conv, turn, role, text, tool, _, _ in events:
+        k = (conv, turn)
+        cand = (seq, oprank[op], role, text, tool)
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    return {k: v[2:] for k, v in best.items()}
+
+
+def test_first_row_keeps_first_within_and_across_batches(spark, ftable):
+    b0 = [
+        _ev("I", 5, "c1", 0, role="u", text="first"),
+        _ev("U", 9, "c1", 0, text="second-in-batch"),
+        _ev("I", 7, "c2", 0, text="x"),
+    ]
+    # later batch: higher seq loses; LOWER seq (late arrival of the true
+    # source-order first) wins — min-seq is the convergent rule
+    b1 = [
+        _ev("U", 50, "c1", 0, text="late-high"),
+        _ev("U", 3, "c2", 0, text="early-low"),
+        _ev("I", 11, "c3", 0, text="new"),
+    ]
+    _apply(ftable, b0, 0)
+    _apply(ftable, b1, 1)
+    assert _state(ftable) == first_oracle(b0 + b1)
+
+
+def test_first_row_survives_folds_and_reopen(spark, ftable):
+    rows = []
+    for i in range(6):  # compact_deltas=2 → multiple inline folds
+        rows.append([_ev("U", 100 - i, "c1", 0, text=f"v{100 - i}"),
+                     _ev("I", 200 + i, f"c{i}", 1, text="k")])
+        _apply(ftable, rows[-1], i)
+    flat = [e for b in rows for e in b]
+    assert _state(ftable) == first_oracle(flat)
+    fresh = LakeTable(spark, ftable.path, merge_mode=ftable.merge_mode)
+    assert fresh.merge_engine == "first_row"
+    assert _state(fresh) == first_oracle(flat)
+
+
+def test_first_row_refuses_deletes_and_mutations(spark, ftable):
+    _apply(ftable, [_ev("I", 1, "c1", 0)], 0)
+    with pytest.raises(Exception, match="refuses delete"):
+        _apply(ftable, [_ev("D", 9, "c1", 0)], 1)
+    # the refused batch must not have committed — exactly-once intact
+    _apply(ftable, [_ev("I", 2, "c9", 0)], 1)
+    with pytest.raises(ValueError, match="first_row"):
+        ftable.delete_where("conv_id = 'c1'")
+    with pytest.raises(ValueError, match="first_row"):
+        ftable.update_where("conv_id = 'c1'", {"text": "'x'"})
+
+
+def test_first_row_replication_converges(spark, ftable, tmp_path):
+    if ftable.merge_mode == "cow":
+        pytest.skip("changes() under cow needs cow_change_feed (covered in test_lake)")
+    dst = LakeTable(
+        spark, str(tmp_path / "dst"), num_buckets=4,
+        merge_mode="mor", merge_engine="first_row",
+    )
+    dst.create(TRANSCRIPT_SCHEMA)
+    _apply(ftable, [_ev("I", 5, "c1", 0, text="a"), _ev("I", 3, "c2", 0)], 0)
+    _apply(ftable, [_ev("U", 2, "c1", 0, text="earlier")], 1)
+    feed = ftable.changes(0).withColumnRenamed("_seq", "seq").withColumn(
+        "op", F.lit("U")
+    ).drop("_deleted")
+    dst.apply_changes(feed, batch_id=0)
+    assert _state(dst) == _state(ftable)
