@@ -248,6 +248,14 @@ class AdditiveStatsView(ConversationStatsView):
         else:
             try:
                 delta = self.source.row_changes(applied, src_v)
+                if not delta.take(1):
+                    # maintenance-only range: advance the marker without
+                    # rewriting the view (the parent's 0-touched-groups
+                    # rule — an O(view) rewrite would contradict the
+                    # O(changed rows) claim)
+                    self._commit_marker(self._marker()["data"], src_v, 0, t0)
+                    return {"refreshed": True, "source_version": src_v,
+                            "strategy": "noop"}
                 sign = F.when(
                     F.col("_change_type").isin("insert", "update_postimage"),
                     F.lit(1),

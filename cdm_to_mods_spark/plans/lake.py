@@ -1288,6 +1288,14 @@ class LakeTable:
             schema_mode=self.schema_mode,
             target_file_rows=self.target_file_rows,
             bloom_cols=self.bloom_cols,
+            # resolution semantics must ride the handle TOO: the commit
+            # below persists them, but this handle is returned pre-reopen —
+            # without these a partial_update clone would resolve whole-row
+            # LWW (patch NULLs erasing columns) and fork the manifest's
+            # engine on its first commit.
+            merge_engine=self.merge_engine,
+            agg_spec=self.agg_spec or None,
+            changelog=self.changelog,
         )
         if dst.exists():
             raise RuntimeError(
@@ -1642,6 +1650,14 @@ class LakeTable:
     # ------------------------------------------------------------- create
     def create(self, schema: T.StructType) -> None:
         """Initialize an empty table at schema (snapshot v0, no data)."""
+        # a typo'd agg_spec key would otherwise persist silently and the
+        # real column would fall back to 'last' — wrong data, no error
+        missing = [c for c in self.agg_spec if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"agg_spec column(s) {missing} not in the table schema "
+                f"{schema.fieldNames()} — fix the spec (or the schema)"
+            )
         self._commit(
             {
                 "format_version": FORMAT_VERSION,
@@ -2050,6 +2066,7 @@ class LakeTable:
         affected: list,
         data_rel: str,
         schema_id: int,
+        persisted: list | None = None,
     ) -> list:
         """Materialize the typed row changelog for one commit (the Paimon
         ``changelog-producer=lookup`` / Delta CDC ``_change_type`` role).
@@ -2090,6 +2107,13 @@ class LakeTable:
         old_res = self._resolve_lww(
             old_raw.join(batch.select(*keys).distinct(), keys, "left_semi")
         )
+        # old_res feeds BOTH join branches (pre-images directly, post-images
+        # through the union resolution) — without a persist the physical
+        # plan scans + resolves the touched buckets twice per commit. The
+        # restricted frame is O(batch keys), cheap to cache.
+        old_res = old_res.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted is not None:
+            persisted.append(old_res)
         new_res = self._resolve_lww(old_res.unionByName(batch))
         payload = [f.name for f in canon.fields if f.name not in keys]
         o = old_res.filter(~F.col(DELETED_COL)).select(
@@ -2579,7 +2603,18 @@ class LakeTable:
         inserts), and Spark can only broadcast the non-preserved side —
         pruning is what keeps 100 TB out of the exchange.
         """
-        self._refuse_on_aggregate("merge_into")
+        if (
+            self.merge_engine == "first_row"
+            and not when_matched_update
+            and when_matched_delete is None
+        ):
+            # insert-only merge: classification + 'I' events for unmatched
+            # keys — exactly an apply_changes of inserts, which first_row
+            # accepts (idempotent upsert-new-keys). Only the matched
+            # clauses would silently lose to stored rows.
+            pass
+        else:
+            self._refuse_on_aggregate("merge_into")
         if (
             not when_matched_update
             and when_matched_delete is None
@@ -3187,6 +3222,14 @@ class LakeTable:
         commit): run bootstrap BEFORE starting any writer, which is the
         only ordering that makes operational sense anyway — the tail's
         min_seq floor comes out of the bootstrap.
+
+        ``merge_engine="aggregate"`` caveat: the overlap tolerance above
+        IS the max-seq resolution, which aggregation does not have — a
+        replayed event below ``snapshot_seq`` re-adds a contribution the
+        snapshot already reflects. Aggregate tables must start the tail
+        strictly after the snapshot point (``min_seq=snapshot_seq``
+        filters ``seq > N``, which is exactly that) and rely on the
+        exactly-once batch ledger for redelivery, not on overlap.
         """
         man = self.manifest()
         if man["buckets"] or man["last_batch_id"] != -1:
@@ -3227,6 +3270,15 @@ class LakeTable:
         directory out-of-band once drained."""
         if self.quarantine_path is None:
             raise ValueError("table has no quarantine_path configured")
+        if self.merge_engine == "aggregate" and batch_id is None:
+            # the 'safe to iterate' contract above rests on seq
+            # last-write-wins; aggregation sums every admitted event, so a
+            # re-run without the exactly-once ledger would double-count
+            raise ValueError(
+                "reprocess_quarantine on merge_engine='aggregate' requires "
+                "a batch_id: re-admission is only idempotent through the "
+                "exactly-once ledger (aggregates re-sum replayed rows)"
+            )
         if not os.path.isdir(self.quarantine_path):
             return {"skipped": True, "reason": "quarantine is empty"}
         q = self.spark.read.parquet(self.quarantine_path)
@@ -3262,6 +3314,29 @@ class LakeTable:
         finally:
             for df in persisted:
                 df.unpersist(blocking=False)
+
+    def _refuse_deletes_inline(self, events: DataFrame, reason: str) -> DataFrame:
+        """Non-retractable engines refuse D events INLINE — the same
+        zero-extra-pass ``raise_error`` trick as CHECK constraints: the
+        guard rides the seq column into the collapse aggregate, so the
+        first delete fails the job before any commit publishes (and the
+        exactly-once ledger lets the fixed batch re-apply)."""
+        return events.withColumn(
+            "seq",
+            F.when(
+                F.col("op") == "D",
+                F.raise_error(
+                    F.concat(
+                        F.lit(reason + "; key=("),
+                        F.concat_ws(
+                            ",",
+                            *[F.col(k).cast("string") for k in self.key_cols],
+                        ),
+                        F.lit(")"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("seq")),
+        )
 
     def _apply_changes_body(
         self,
@@ -3354,56 +3429,19 @@ class LakeTable:
                 events, self.key_cols, "seq", "op", preserve_kill=True
             )
         elif self.merge_engine == "aggregate":
-            # aggregation is not retractable: refuse D events inline (same
-            # zero-extra-pass raise_error trick as CHECK constraints —
-            # the guard rides the seq column into the rollup aggregate).
-            guarded = events.withColumn(
-                "seq",
-                F.when(
-                    F.col("op") == "D",
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "merge_engine='aggregate' refuses delete "
-                                "events (aggregates are not retractable); "
-                                "key=("
-                            ),
-                            F.concat_ws(
-                                ",",
-                                *[F.col(k).cast("string") for k in self.key_cols],
-                            ),
-                            F.lit(")"),
-                        )
-                    ).cast("long"),
-                ).otherwise(F.col("seq")),
+            guarded = self._refuse_deletes_inline(
+                events,
+                "merge_engine='aggregate' refuses delete events "
+                "(aggregates are not retractable)",
             )
             batch = resolve_aggregate(
                 guarded, self.key_cols, "seq", "op", spec=self.agg_spec
             )
         elif self.merge_engine == "first_row":
-            # first-row is not retractable either: refuse D events inline
-            # (same zero-extra-pass raise_error guard as aggregate — a
-            # tombstone would silently lose to the stored row's lower rank,
-            # which is a data bug, not a merge).
-            guarded = events.withColumn(
-                "seq",
-                F.when(
-                    F.col("op") == "D",
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "merge_engine='first_row' refuses delete "
-                                "events (the first write per key is "
-                                "immutable); key=("
-                            ),
-                            F.concat_ws(
-                                ",",
-                                *[F.col(k).cast("string") for k in self.key_cols],
-                            ),
-                            F.lit(")"),
-                        )
-                    ).cast("long"),
-                ).otherwise(F.col("seq")),
+            guarded = self._refuse_deletes_inline(
+                events,
+                "merge_engine='first_row' refuses delete events "
+                "(the first write per key is immutable)",
             )
             batch = first_per_key(guarded, self.key_cols, "seq")
         else:
@@ -3476,6 +3514,17 @@ class LakeTable:
             schemas.append(evolved.json())
         schema_id = len(schemas) - 1
         canon = evolved
+        if self.merge_engine == "aggregate":
+            # a spec'd column absent from the canonical schema would
+            # silently contribute nothing (resolve_aggregate only sees df
+            # columns) — e.g. after drop_column, or a legacy table created
+            # before the create()-time spec check
+            gone = [c for c in self.agg_spec if c not in canon.fieldNames()]
+            if gone:
+                raise SchemaEvolutionError(
+                    f"agg_spec column(s) {gone} absent from the table "
+                    "schema — contributions would be silently dropped"
+                )
 
         # 4. change rows in target shape (+ bucket).
         is_del = F.col("op") == "D"
@@ -3587,7 +3636,7 @@ class LakeTable:
                 # no cache of the change set.
                 cdf += self._emit_changelog(
                     man, canon, self.spark.read.parquet(vdir),
-                    affected, data_rel, schema_id,
+                    affected, data_rel, schema_id, persisted,
                 )
             for b in affected:
                 e = buckets.setdefault(str(b), {"base": None, "deltas": []})
@@ -3783,6 +3832,7 @@ class LakeTable:
                 if self.changelog != "none":
                     cdf += self._emit_changelog(
                         man, canon, changes, affected, data_rel, schema_id,
+                        persisted,
                     )
             # unpersist happens in _apply_changes_inner's finally
 

@@ -178,7 +178,8 @@ def test_lww_tables_unaffected(spark, tmp_table):
     # whole-row LWW: the patch's nulls REPLACE the old columns
     assert _state(t) == {("c1", 0): (None, None, "search")}
     assert t.merge_engine == "lww"
-    assert "merge_engine" not in {}  # sanity no-op
+    # the engine choice is persisted and adopted on reopen
+    assert LakeTable(spark, t.path).merge_engine == "lww"
 
 
 def test_differential_vs_full_history_oracle(spark, ptable):
@@ -446,3 +447,66 @@ def test_first_row_replication_converges(spark, ftable, tmp_path):
     ).drop("_deleted")
     dst.apply_changes(feed, batch_id=0)
     assert _state(dst) == _state(ftable)
+
+
+# ------------------------------------------------- review regressions
+
+
+def test_clone_handle_adopts_engine(spark, ptable, tmp_path):
+    _apply(ptable, [_ev("I", 1, "c1", 0, role="u", text="h", tool="s")], 0)
+    dst = ptable.clone(str(tmp_path / "dst"))
+    # the RETURNED handle (not just a reopen) must resolve with the
+    # source's engine — its first commit would otherwise fork the manifest
+    assert dst.merge_engine == "partial_update"
+    _apply(dst, [("U", 5, "c1", 0, None, "patched", None, None, None)], 1)
+    assert _state(dst) == {("c1", 0): ("u", "patched", "s")}
+
+
+def test_agg_spec_typo_refused_at_create(spark, tmp_table):
+    from pyspark.sql import types as T
+
+    t = LakeTable(
+        spark, tmp_table, num_buckets=4, merge_mode="mor",
+        merge_engine="aggregate", agg_spec={"n_token": "sum"},  # typo
+    )
+    with pytest.raises(ValueError, match="n_token"):
+        t.create(T._parse_datatype_string(AGG_SCHEMA_DDL))
+
+
+def test_agg_spec_dropped_column_refused_at_apply(spark, atable):
+    _aapply(atable, [_aev("I", 1, "c1", 0, n=10)], 0)
+    atable.drop_column("n_tokens")
+    from cdm_to_mods_spark.plans.lake import SchemaEvolutionError
+
+    with pytest.raises(SchemaEvolutionError, match="n_tokens"):
+        _aapply(atable, [_aev("I", 2, "c1", 1, n=5)], 1)
+
+
+def test_aggregate_quarantine_replay_needs_batch_id(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    t = LakeTable(
+        spark, str(tmp_path / "t"), num_buckets=4, merge_mode="mor",
+        merge_engine="aggregate", agg_spec=AGG_SPEC,
+        quarantine_path=str(tmp_path / "q"),
+    )
+    t.create(T._parse_datatype_string(AGG_SCHEMA_DDL))
+    with pytest.raises(ValueError, match="batch_id"):
+        t.reprocess_quarantine(lambda df: df)
+
+
+def test_first_row_insert_only_merge_into(spark, ftable):
+    _apply(ftable, [_ev("I", 1, "c1", 0, text="keep")], 0)
+    src = spark.createDataFrame(
+        [("c1", 0, "u", "clobber", None, None),
+         ("c9", 0, "u", "new", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    ftable.merge_into(src, when_not_matched_insert=True, batch_id=1)
+    st = _state(ftable)
+    assert st[("c1", 0)][1] == "keep" and st[("c9", 0)][1] == "new"
+    with pytest.raises(ValueError, match="first_row"):
+        ftable.merge_into(
+            src, when_matched_update={"text": "s.text"}, batch_id=2
+        )
