@@ -275,6 +275,75 @@ def run_wide_batch(spark, sf: float) -> dict:
         shutil.rmtree(table_dir, ignore_errors=True)
 
 
+def run_changelog_replay(spark, sf: float) -> dict:
+    """Lookup-changelog tax: the identical replay with ``changelog="off"``
+    vs ``changelog="lookup"`` (typed pre/post-image production — one
+    bucket-pruned old-state join + one O(batch) changelog write per
+    commit), interleaved best-of-2 per arm. Reported beside the headline
+    (NOT in the suite wall) so the producer's documented cost is a
+    visible round-over-round number — the judge of whether "pay in the
+    writer, save every consumer a recompute" holds at this engine's
+    constants. The on-arm also refreshes a retraction-maintained
+    AdditiveStatsView per batch (the consumer the changelog exists for),
+    reported separately."""
+    from cdm_to_mods_spark.functions.chain import apply_chain
+    from cdm_to_mods_spark.plans.incremental import AdditiveStatsView
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.sources.synth import write_event_batches
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-cl-", dir=shm)
+    try:
+        n = max(50_000, int(5_000_000 * sf))  # sf0.1 → 500k events
+        segs = write_event_batches(
+            spark, os.path.join(work, "ev"), n, max(500, n // 100),
+            n_batches=2,
+            files_per_batch=spark.sparkContext.defaultParallelism,
+            seed=13, hot_frac=0.05,
+        )
+        walls = {"off": None, "lookup": None}
+        view_sec = None
+        for attempt in range(2):
+            for mode in ("off", "lookup"):  # interleaved arms
+                t0 = time.monotonic()
+                t = LakeTable(
+                    spark, os.path.join(work, f"t-{mode}{attempt}"),
+                    num_buckets=64, merge_mode="mor",
+                    changelog="none" if mode == "off" else "lookup",
+                )
+                t.create(TRANSCRIPT_SCHEMA)
+                for b, seg in enumerate(segs):
+                    t.apply_changes(
+                        spark.read.parquet(seg), batch_id=b,
+                        transform=apply_chain, source=seg,
+                    )
+                t.read().count()
+                w = time.monotonic() - t0
+                walls[mode] = w if walls[mode] is None else min(walls[mode], w)
+                if mode == "lookup":
+                    v0 = time.monotonic()
+                    view = AdditiveStatsView(
+                        spark, t, os.path.join(work, f"v-{attempt}")
+                    )
+                    for _ in segs:
+                        view.refresh()
+                    vs = time.monotonic() - v0
+                    view_sec = vs if view_sec is None else min(view_sec, vs)
+        return {
+            "n_events": n,
+            "off_sec": round(walls["off"], 3),
+            "lookup_sec": round(walls["lookup"], 3),
+            "producer_overhead_pct": round(
+                100 * (walls["lookup"] - walls["off"]) / walls["off"], 1
+            ),
+            "events_per_sec_lookup": round(n / walls["lookup"], 1),
+            "view_refresh_sec": round(view_sec, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -344,6 +413,7 @@ def main() -> None:
     # after the timed suite — see run_wide_batch docstring; the debezium
     # ingest (also replay-class heap churn) runs back here with it
     cdc["debezium_ingest"] = run_debezium_ingest(spark, sf)
+    cdc["changelog_replay"] = run_changelog_replay(spark, sf)
     cdc["wide_batch"] = run_wide_batch(spark, sf)
 
     print(

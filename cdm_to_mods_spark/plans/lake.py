@@ -2067,6 +2067,7 @@ class LakeTable:
         data_rel: str,
         schema_id: int,
         persisted: list | None = None,
+        batch_rows: int | None = None,
     ) -> list:
         """Materialize the typed row changelog for one commit (the Paimon
         ``changelog-producer=lookup`` / Delta CDC ``_change_type`` role).
@@ -2104,8 +2105,20 @@ class LakeTable:
             F.col(SEQ_COL), F.col(DELETED_COL),
         )
         old_raw = self._read_raw(man, buckets=affected, canon=canon)
+        # broadcast the batch's key set explicitly: AQE is scoped OFF
+        # inside the apply pipeline, so without the hint this semi-join
+        # would shuffle the ENTIRE touched-bucket scan just to probe
+        # O(batch) keys — map-side semi probe keeps the old side
+        # shuffle-free. Guarded by the batch's row count (already known
+        # driver-side from the write's footer/observation stats): a
+        # wide-backfill batch with millions of keys must NOT be forced
+        # through the driver as a broadcast — shuffle is the right plan
+        # there, and both sides of that shuffle are O(batch).
+        probe = batch.select(*keys).distinct()
+        if batch_rows is not None and batch_rows <= 2_000_000:
+            probe = F.broadcast(probe)
         old_res = self._resolve_lww(
-            old_raw.join(batch.select(*keys).distinct(), keys, "left_semi")
+            old_raw.join(probe, keys, "left_semi")
         )
         # old_res feeds BOTH join branches (pre-images directly, post-images
         # through the union resolution) — without a persist the physical
@@ -3637,6 +3650,7 @@ class LakeTable:
                 cdf += self._emit_changelog(
                     man, canon, self.spark.read.parquet(vdir),
                     affected, data_rel, schema_id, persisted,
+                    batch_rows=n_written,
                 )
             for b in affected:
                 e = buckets.setdefault(str(b), {"base": None, "deltas": []})
@@ -3832,7 +3846,7 @@ class LakeTable:
                 if self.changelog != "none":
                     cdf += self._emit_changelog(
                         man, canon, changes, affected, data_rel, schema_id,
-                        persisted,
+                        persisted, batch_rows=n_written,
                     )
             # unpersist happens in _apply_changes_inner's finally
 
