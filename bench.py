@@ -344,6 +344,62 @@ def run_changelog_replay(spark, sf: float) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_delete_modes(spark, sf: float) -> dict:
+    """Compliance-delete cost, rewrite vs tombstone: the same ~per-mille
+    predicate delete (matches spread across every bucket — the worst case
+    for the rewrite, and the 100 TB-representative one: a uniform key hash
+    puts any non-trivial match set in ALL buckets) timed in both modes on
+    identically-built MoR tables, interleaved best-of-2. Only the
+    ``delete_where`` call is timed; the build is shared shape. Reported
+    beside the headline (not in the suite wall) — the number that says
+    whether the O(matches) tombstone path actually beats the O(touched
+    buckets) rewrite at this engine's constants."""
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.sources.synth import write_event_batches
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-del-", dir=shm)
+    try:
+        n = max(50_000, int(5_000_000 * sf))  # sf0.1 → 500k events
+        segs = write_event_batches(
+            spark, os.path.join(work, "ev"), n, max(500, n // 100),
+            n_batches=2,
+            files_per_batch=spark.sparkContext.defaultParallelism,
+            seed=29, hot_frac=0.05,
+        )
+        pred = "pmod(xxhash64(conv_id, turn_idx), 512) = 7"  # ~2 per mille
+        walls = {"rewrite": None, "tombstone": None}
+        deleted = None
+        for attempt in range(2):
+            for mode in ("rewrite", "tombstone"):
+                t = LakeTable(
+                    spark, os.path.join(work, f"t-{mode}{attempt}"),
+                    num_buckets=64, merge_mode="mor",
+                )
+                t.create(TRANSCRIPT_SCHEMA)
+                for b, seg in enumerate(segs):
+                    t.apply_changes(
+                        spark.read.parquet(seg), batch_id=b, source=seg
+                    )
+                t0 = time.monotonic()
+                res = t.delete_where(pred, mode=mode)
+                w = time.monotonic() - t0
+                walls[mode] = w if walls[mode] is None else min(walls[mode], w)
+                deleted = res["deleted_rows"]
+        return {
+            "n_events": n,
+            "deleted_rows": deleted,
+            "rewrite_sec": round(walls["rewrite"], 3),
+            "tombstone_sec": round(walls["tombstone"], 3),
+            "tombstone_speedup": round(
+                walls["rewrite"] / walls["tombstone"], 2
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -414,6 +470,7 @@ def main() -> None:
     # ingest (also replay-class heap churn) runs back here with it
     cdc["debezium_ingest"] = run_debezium_ingest(spark, sf)
     cdc["changelog_replay"] = run_changelog_replay(spark, sf)
+    cdc["delete_modes"] = run_delete_modes(spark, sf)
     cdc["wide_batch"] = run_wide_batch(spark, sf)
 
     print(

@@ -232,6 +232,81 @@ class AdditiveStatsView(ConversationStatsView):
             .alias("n_chars"),
         )
 
+    def _retract_fold(self, delta: DataFrame) -> DataFrame:
+        """Fold a frame of typed changelog rows (``_change_type`` +
+        canonical columns) into the current view state additively: add
+        each post-image's contribution, subtract each pre-image's — the
+        Flink retract-stream maintenance step, shared by the batch
+        ``refresh`` and the streaming :meth:`apply_delta`."""
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        d = delta.groupBy("conv_id").agg(
+            F.sum(sign).cast("long").alias("_d_turns"),
+            F.sum(
+                sign * F.length(F.coalesce(F.col("text"), F.lit("")))
+            )
+            .cast("long")
+            .alias("_d_chars"),
+        )
+        return (
+            self.read()
+            .join(d, "conv_id", "full_outer")
+            .select(
+                "conv_id",
+                (
+                    F.coalesce(F.col("n_turns"), F.lit(0))
+                    + F.coalesce(F.col("_d_turns"), F.lit(0))
+                ).alias("n_turns"),
+                (
+                    F.coalesce(F.col("n_chars"), F.lit(0))
+                    + F.coalesce(F.col("_d_chars"), F.lit(0))
+                ).alias("n_chars"),
+            )
+            # a group whose every row was retracted vanishes
+            .filter(F.col("n_turns") > 0)
+        )
+
+    def apply_delta(self, delta: DataFrame) -> dict:
+        """Advance the view by one ALREADY-READ changelog frame — the
+        streaming consumer's entry point (``maintain_view_stream`` hands
+        each ``mode="row_changes"`` micro-batch here). ``delta`` must
+        carry ``_version``; the marker lands on the frame's max version,
+        so a redelivered micro-batch (checkpoint replay, foreachBatch
+        retry) is a skip — exactly-once by the same
+        marker-as-idempotence-token rule the batch refresh uses. The
+        view must be SEEDED first (a full build ordered before the
+        stream's startingVersion); folding into an empty view would
+        silently drop pre-stream state, so that is refused."""
+        t0 = time.monotonic()
+        applied = self.applied_version()
+        if applied < 0:
+            raise ValueError(
+                "apply_delta on an unseeded view — run refresh() (full "
+                "build) first and start the stream from applied_version()"
+            )
+        head = delta.agg(
+            F.max("_version").alias("v"), F.min("_version").alias("lo")
+        ).collect()[0]
+        if head["v"] is None:  # empty micro-batch: nothing to advance
+            return {"refreshed": False, "reason": "empty batch"}
+        src_v, lo_v = int(head["v"]), int(head["lo"])
+        if src_v <= applied:
+            return {"refreshed": False, "reason": "already applied",
+                    "source_version": src_v}
+        if lo_v <= applied:
+            # partial overlap (marker advanced between retries): replaying
+            # already-folded rows would double-count — keep only the new
+            # suffix. Whole-batch redelivery is the src_v<=applied skip.
+            delta = delta.filter(F.col("_version") > F.lit(applied))
+        out = self._retract_fold(delta)
+        data_rel = f"data-v{src_v:08d}"
+        out.write.mode("overwrite").parquet(os.path.join(self.path, data_rel))
+        self._commit_marker(data_rel, src_v, -1, t0)
+        return {"refreshed": True, "source_version": src_v,
+                "strategy": "retract_stream"}
+
     def refresh(self) -> dict:
         from .lake import ChangelogUnavailableError, SnapshotExpiredError
 
@@ -256,35 +331,7 @@ class AdditiveStatsView(ConversationStatsView):
                     self._commit_marker(self._marker()["data"], src_v, 0, t0)
                     return {"refreshed": True, "source_version": src_v,
                             "strategy": "noop"}
-                sign = F.when(
-                    F.col("_change_type").isin("insert", "update_postimage"),
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-                d = delta.groupBy("conv_id").agg(
-                    F.sum(sign).cast("long").alias("_d_turns"),
-                    F.sum(
-                        sign * F.length(F.coalesce(F.col("text"), F.lit("")))
-                    )
-                    .cast("long")
-                    .alias("_d_chars"),
-                )
-                out = (
-                    self.read()
-                    .join(d, "conv_id", "full_outer")
-                    .select(
-                        "conv_id",
-                        (
-                            F.coalesce(F.col("n_turns"), F.lit(0))
-                            + F.coalesce(F.col("_d_turns"), F.lit(0))
-                        ).alias("n_turns"),
-                        (
-                            F.coalesce(F.col("n_chars"), F.lit(0))
-                            + F.coalesce(F.col("_d_chars"), F.lit(0))
-                        ).alias("n_chars"),
-                    )
-                    # a group whose every row was retracted vanishes
-                    .filter(F.col("n_turns") > 0)
-                )
+                out = self._retract_fold(delta)
             except (ChangelogUnavailableError, SnapshotExpiredError):
                 out = self._agg(self.source.read(src_v))
                 strategy = "reseed_full"

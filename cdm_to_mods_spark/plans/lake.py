@@ -2388,7 +2388,8 @@ class LakeTable:
 
     # ------------------------------------------------------- maintenance
     def compact(self, version_note: str | None = None, *,
-                cluster_by: list | tuple | str | None = None) -> dict:
+                cluster_by: list | tuple | str | None = None,
+                purge_tombstones_before_seq: int | None = None) -> dict:
         """Fold every delta chain back into per-bucket base files (one
         maintenance commit). Equivalent to the inline compaction that fires
         at ``compact_deltas``, but on demand — run it before read-heavy
@@ -2403,7 +2404,20 @@ class LakeTable:
         the zone maps admit — at 100 TB that is the difference between
         scanning a bucket and scanning a morning. Trade-off: key-ordered
         row-group pruning for ``read_keys`` point reads degrades; pick the
-        layout to match the read pattern."""
+        layout to match the read pattern.
+
+        ``purge_tombstones_before_seq``: tombstone GC — drop tombstone rows
+        whose ``_seq`` is below the floor while folding (rewrites EVERY
+        populated bucket, like ``cluster_by``). Deleted keys otherwise keep
+        a tombstone row forever (the anti-resurrection guard), which at
+        10^10 events with key churn is unbounded dead weight — the
+        Paimon/Iceberg delete-retention role. CONTRACT: dropping a
+        tombstone at seq s removes the guard for that key below s, so the
+        floor must be at or below the source's replay low-water mark — a
+        seq the binlog can no longer emit under (its retention horizon).
+        Time travel still shows pre-purge tombstone state; the change feed
+        is untouched (a tombstone row is invisible to ``read()`` — this is
+        physical, not logical, maintenance)."""
         man = self.manifest()
         canon = self._canonical_schema(man)
         if isinstance(cluster_by, str):
@@ -2419,7 +2433,9 @@ class LakeTable:
         }
         todo = sorted(
             int(b) for b, e in buckets.items()
-            if e["deltas"] or cluster_by
+            if (e["deltas"] or cluster_by
+                or purge_tombstones_before_seq is not None)
+            and self._bucket_files(e)
         )
         if not todo:
             return {"compacted": 0}
@@ -2432,9 +2448,16 @@ class LakeTable:
             # back to each file set's stored names through it
             "renames": man.get("renames", []),
         }
-        folded = self._resolve_lww(
-            self._read_raw(tmp_man, canon=canon)
-        ).withColumn(
+        folded = self._resolve_lww(self._read_raw(tmp_man, canon=canon))
+        if purge_tombstones_before_seq is not None:
+            folded = folded.filter(
+                ~(
+                    F.col(DELETED_COL)
+                    & (F.col(SEQ_COL)
+                       < F.lit(int(purge_tombstones_before_seq)))
+                )
+            )
+        folded = folded.withColumn(
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn)
         )
         (
@@ -2453,6 +2476,12 @@ class LakeTable:
             os.path.join(self.path, cdir_rel), SEQ_COL, self.stats_cols
         )
         for b in todo:
+            if b not in cstats:
+                # every row in the bucket was a purged tombstone: the fold
+                # wrote nothing — an empty entry (no file sets), the same
+                # shape a never-written bucket has
+                buckets[str(b)] = {"base": None, "deltas": []}
+                continue
             base = {
                 "path": f"{cdir_rel}/_bucket={b}",
                 "schema_id": schema_id,
@@ -2461,6 +2490,12 @@ class LakeTable:
             if cstats.get(b, {}).get("stats"):
                 base["stats"] = cstats[b]["stats"]
             buckets[str(b)] = {"base": base, "deltas": []}
+        metrics = {"maintenance": "compact", "n_buckets": len(todo),
+                   "cluster_by": cluster_by, "note": version_note}
+        if purge_tombstones_before_seq is not None:
+            metrics["purge_tombstones_before_seq"] = int(
+                purge_tombstones_before_seq
+            )
         self._commit(
             {
                 **man,
@@ -2468,8 +2503,7 @@ class LakeTable:
                 "batch_id": None,
                 "cdf": [],
                 "buckets": buckets,
-                "metrics": {"maintenance": "compact", "n_buckets": len(todo),
-                            "cluster_by": cluster_by, "note": version_note},
+                "metrics": metrics,
                 "commit_ts": time.time(),
             }
         )
@@ -2838,6 +2872,7 @@ class LakeTable:
         *,
         tombstone_seq: int | None = None,
         note: str | None = None,
+        mode: str = "rewrite",
     ) -> dict:
         """Predicate delete — the compliance/right-to-be-forgotten
         maintenance op (reference analog: the restriction purge that drops
@@ -2874,13 +2909,74 @@ class LakeTable:
         sharing the purge's LSN re-creates the key. Pass an explicit
         ``tombstone_seq`` if the source coordinates its own LSN space and
         must not share it.
+
+        ``mode="tombstone"`` — the O(matches) logical delete (the Delta
+        deletion-vector cost model, realized through this engine's own
+        merge layer instead of positional bitmaps): matched live keys are
+        routed as ordinary 'D' change events through ``apply_changes``, so
+        under merge-on-read the commit APPENDS O(matches) tombstone rows
+        (payload nulled by the merge projection — no purged bytes are
+        re-written) and never folds or rewrites a bucket. At 100 TB this is
+        the difference between a compliance delete that rewrites every
+        touched bucket in one commit and one that lands in seconds; the
+        same anti-resurrection seq guard holds (the tombstones ARE the
+        guard). Trade-off, exactly Delta's DV + ``REORG … APPLY (PURGE)``
+        two-step: the purged payload bytes remain physically present in the
+        CURRENT snapshot's older files until the next ``compact()`` of
+        those buckets folds them away (superseded versions drop at the
+        fold), then ``expire_snapshots`` removes the files — run both for
+        physical right-to-be-forgotten. Change feed, typed changelog
+        (delete pre-images via the lookup producer), constraints exemption
+        and conflict retry all ride the merge path unchanged. Under
+        copy-on-write the merge rewrites touched buckets anyway, so
+        ``mode="tombstone"`` there equals the rewrite cost class (but
+        purges only at the next fold — prefer the default).
         """
         self._refuse_on_aggregate("delete_where")
+        if mode not in ("rewrite", "tombstone"):
+            raise ValueError(
+                f"delete_where mode must be 'rewrite' or 'tombstone', got {mode!r}"
+            )
         man = self.manifest()
         canon = self._canonical_schema(man)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         if tombstone_seq is None:
             tombstone_seq = self._next_seq(man, canon)
+
+        if mode == "tombstone":
+            # matched LIVE keys as 'D' events — key columns only: the merge
+            # projection nulls a D row's payload anyway, and shipping the
+            # purged values through the shuffle would copy the very bytes
+            # the delete exists to stop copying.
+            events = (
+                self._resolve_live(self._read_raw(man, canon=canon), man)
+                .filter(pred)
+                .select(
+                    F.lit("D").alias("op"),
+                    F.lit(tombstone_seq).cast("long").alias("seq"),
+                    *[F.col(k) for k in self.key_cols],
+                )
+            )
+            if events.isEmpty():
+                return {"deleted_rows": 0, "version": man["version"],
+                        "mode": "tombstone"}
+            res = self.apply_changes(
+                events,
+                source=f"delete_where:{note or ''}",
+                _metrics_extra={
+                    "maintenance": "delete_where",
+                    "delete_mode": "tombstone",
+                    "tombstone_seq": tombstone_seq,
+                    "note": note,
+                },
+            )
+            return {
+                "deleted_rows": res["n_events"],
+                "n_buckets_rewritten": 0,
+                "tombstone_seq": tombstone_seq,
+                "mode": "tombstone",
+                "version": res["version"],
+            }
 
         # phase 1 — find matching buckets (one scan; arbitrary predicates
         # cannot be zone-pruned, but the REWRITE below is O(matches)).

@@ -45,6 +45,7 @@ def maintain(
     expire_keep_last: int | None = None,
     skew_share_threshold: float = 0.30,
     cluster_by=None,
+    purge_tombstones_before_seq: int | None = None,
     dry_run: bool = False,
 ) -> dict:
     """Run threshold-due maintenance on ``table``; return what ran and why.
@@ -82,6 +83,14 @@ def maintain(
             f"mean rows/file {round((d['base_rows'] + d['delta_rows']) / d['num_files'])} "
             f"< {floor} over {d['num_files']} files"
         )
+    if purge_tombstones_before_seq is not None:
+        # operator-supplied retention floor (a seq the source's binlog can
+        # no longer emit under — never inferable from table state, so this
+        # is a passthrough, not a threshold): fold it into the compaction
+        # pass below rather than scheduling a second full rewrite
+        compact_reasons.append(
+            f"tombstone purge below seq {purge_tombstones_before_seq}"
+        )
     if compact_reasons:
         # plain compact() folds only delta-bearing buckets — a small-file
         # state with NO deltas (multi-file bases) needs the every-bucket
@@ -97,7 +106,8 @@ def maintain(
                 "result": None
                 if dry_run
                 else table.compact(
-                    version_note="maintain", cluster_by=eff_cluster
+                    version_note="maintain", cluster_by=eff_cluster,
+                    purge_tombstones_before_seq=purge_tombstones_before_seq,
                 ),
             }
         )

@@ -33,7 +33,20 @@ re-seed instruction. The feed schema is fixed at query start (head
 canonical schema) — restart the stream to pick up later column adds, the
 same contract Delta's CDF stream has.
 
-Options: ``path`` (required); ``startingVersion`` — first UNCONSUMED
+Options: ``path`` (required); ``mode`` — ``"cdf"`` (default; the
+replication feed above) or ``"row_changes"``: stream the TYPED row-level
+changelog instead (the Delta CDF-stream ``_change_type`` shape — see
+:meth:`LakeTable.row_changes`): canonical columns + ``_seq`` +
+``_change_type`` (insert / update_preimage / update_postimage / delete)
++ ``_version``. Row-changes mode serves kind-marked changelog records
+(including the derive fast paths — bootstrap/first-load inserts and
+delete_where pre-images are read from the commit's own change files with
+the constant type injected, never re-materialized); a state-changing
+version committed WITHOUT ``changelog="lookup"`` (or any rollback) fails
+the batch with a marked error (:func:`is_changelog_unavailable_failure`)
+— the streaming face of ``ChangelogUnavailableError``, because silently
+skipping it would desynchronize every retraction-maintained consumer.
+``startingVersion`` — first UNCONSUMED
 version floor: ``"earliest"`` (default; the whole retained feed) or a
 version number N (consume strictly-after N, mirroring ``changes(N)``);
 ``maxVersionsPerTrigger`` — admission control, the Delta
@@ -100,6 +113,7 @@ from ..plans.lake import _stored_name
 from ..schemas import DELETED_COL, SEQ_COL, schema_from_json
 
 VERSION_COL = "_version"
+CHANGE_TYPE_COL = "_change_type"
 # optional (.option("includeCommitTs", "true")): each change row carries its
 # version's commit timestamp in epoch-millis — the Debezium ts_ms analog,
 # stamped from the manifest driver-side (no per-row work, no extra scan).
@@ -176,6 +190,7 @@ def _cdf_entries(table_path: str, v: int, lo: int, hi: int) -> list[dict]:
 
 
 _EVOLVED_MARKER = "lake_cdf: source schema evolved mid-stream"
+_NO_CHANGELOG_MARKER = "lake_cdf: typed changelog unavailable"
 
 
 def is_schema_evolution_failure(exc: BaseException) -> bool:
@@ -184,14 +199,62 @@ def is_schema_evolution_failure(exc: BaseException) -> bool:
     return _EVOLVED_MARKER in str(exc)
 
 
+def is_changelog_unavailable_failure(exc: BaseException) -> bool:
+    """True when a row-changes stream failed because a version in the
+    planned range changed table state without a typed changelog — the
+    streaming face of :class:`ChangelogUnavailableError` (re-seed the
+    consumer from a snapshot and restart past that version)."""
+    return _NO_CHANGELOG_MARKER in str(exc)
+
+
+def _changelog_entries(table_path: str, v: int, lo: int, hi: int) -> list[dict]:
+    """Version ``v``'s kind-marked changelog file sets — the pure-file-IO
+    mirror of :meth:`LakeTable.row_changes`' per-version guards (the
+    reader runs in the python runner with no SparkSession)."""
+    try:
+        m = _load_version(table_path, v)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"row-changes feed for ({lo}, {hi}] needs version {v}, which "
+            "was removed by expire_snapshots — re-seed the consumer from a "
+            "snapshot read and restart the stream from a later "
+            "startingVersion"
+        ) from None
+    entries = [e for e in m.get("cdf", []) if "kind" in e]
+    if not entries:
+        metrics = m.get("metrics", {})
+        state_changing = (
+            any("kind" not in e for e in m.get("cdf", []))
+            or (
+                metrics.get("mode") == "cow"
+                and metrics.get("n_buckets_touched", 0) > 0
+            )
+            or metrics.get("maintenance") in ("rollback", "delete_where")
+        )
+        if state_changing:
+            raise RuntimeError(
+                f"{_NO_CHANGELOG_MARKER}: version {v} changed table state "
+                "but carries no typed changelog — it was committed without "
+                "changelog='lookup' (or is a rollback); re-seed the "
+                "consumer from a snapshot read"
+            )
+    return entries
+
+
 class _CDFPartition(InputPartition):
     def __init__(
-        self, path: str, schema_id: int, version: int, commit_ms: int | None = None
+        self, path: str, schema_id: int, version: int,
+        commit_ms: int | None = None, kind: str | None = None,
     ) -> None:
         self.path = path
         self.schema_id = schema_id
         self.version = version
         self.commit_ms = commit_ms
+        # row-changes mode: the manifest entry's changelog kind
+        # ("changelog" = materialized records with a stored _change_type;
+        # "changelog_derive_insert"/"changelog_derive_delete" = the commit's
+        # own change files re-labeled with a constant type)
+        self.kind = kind
 
 
 class _CDFStreamReader(DataSourceStreamReader):
@@ -202,10 +265,12 @@ class _CDFStreamReader(DataSourceStreamReader):
         starting: str,
         max_versions: int | None,
         include_commit_ts: bool = False,
+        mode: str = "cdf",
     ) -> None:
         self._path = table_path
         self._spark_schema = spark_schema
         self._include_commit_ts = include_commit_ts
+        self._mode = mode
         versions = _ledger_versions(table_path)
         head = _load_version(table_path, versions[-1])
         # schema resolution state is pinned at query start, like the schema
@@ -273,7 +338,12 @@ class _CDFStreamReader(DataSourceStreamReader):
                 if self._include_commit_ts
                 else None
             )
-            for fs in _cdf_entries(self._path, v, lo, hi):
+            entries = (
+                _changelog_entries(self._path, v, lo, hi)
+                if self._mode == "row_changes"
+                else _cdf_entries(self._path, v, lo, hi)
+            )
+            for fs in entries:
                 if fs["schema_id"] >= len(self._schemas):
                     # the source evolved AFTER this reader pinned its
                     # schema/rename state: resolving the new file set
@@ -296,6 +366,7 @@ class _CDFStreamReader(DataSourceStreamReader):
                         fs["schema_id"],
                         v,
                         commit_ms,
+                        kind=fs.get("kind"),
                     )
                 )
         return parts
@@ -305,12 +376,23 @@ class _CDFStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        import pyarrow.compute as pc
+
         out_schema = to_arrow_schema(self._spark_schema)
         tbl = pq.read_table(partition.path)
+        const_type: str | None = None
+        if partition.kind == "changelog_derive_insert":
+            # the commit's own change files, live rows = the inserts
+            tbl = tbl.filter(pc.invert(pc.field(DELETED_COL)))
+            const_type = "insert"
+        elif partition.kind == "changelog_derive_delete":
+            # delete_where's tombstones carry the pre-delete payload
+            tbl = tbl.filter(pc.field(DELETED_COL))
+            const_type = "delete"
         sid = partition.schema_id
         stored_fields = set(
             schema_from_json(self._schemas[sid]).fieldNames()
-        ) | {SEQ_COL, DELETED_COL}
+        ) | {SEQ_COL, DELETED_COL, CHANGE_TYPE_COL}
         cols = {}
         for field in out_schema:
             if field.name == VERSION_COL:
@@ -325,9 +407,14 @@ class _CDFStreamReader(DataSourceStreamReader):
                     partition.commit_ms
                 )
                 continue
+            if field.name == CHANGE_TYPE_COL and const_type is not None:
+                cols[field.name] = pa.nulls(len(tbl), type=field.type).fill_null(
+                    const_type
+                )
+                continue
             stored = (
                 field.name
-                if field.name in (SEQ_COL, DELETED_COL)
+                if field.name in (SEQ_COL, DELETED_COL, CHANGE_TYPE_COL)
                 else _stored_name({"renames": self._renames}, sid, field.name)
             )
             if stored in stored_fields and stored in tbl.column_names:
@@ -358,14 +445,28 @@ class LakeChangeFeedDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("lake_cdf requires .option('path', <table dir>)")
+        mode = self._mode()
         versions = _ledger_versions(path)
         canon = schema_from_json(_load_version(path, versions[-1])["schemas"][-1])
-        fields = [
-            *canon.fields,
-            T.StructField(SEQ_COL, T.LongType(), True),
-            T.StructField(DELETED_COL, T.BooleanType(), True),
-            T.StructField(VERSION_COL, T.LongType(), True),
-        ]
+        if mode == "row_changes":
+            if CHANGE_TYPE_COL in canon.fieldNames():
+                raise ValueError(
+                    f"mode='row_changes' cannot inject {CHANGE_TYPE_COL!r}: "
+                    "the table already has a payload column of that name"
+                )
+            fields = [
+                *canon.fields,
+                T.StructField(SEQ_COL, T.LongType(), True),
+                T.StructField(CHANGE_TYPE_COL, T.StringType(), True),
+                T.StructField(VERSION_COL, T.LongType(), True),
+            ]
+        else:
+            fields = [
+                *canon.fields,
+                T.StructField(SEQ_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+                T.StructField(VERSION_COL, T.LongType(), True),
+            ]
         if str(self.options.get("includeCommitTs", "false")).lower() == "true":
             if COMMIT_TS_COL in canon.fieldNames():
                 raise ValueError(
@@ -374,6 +475,14 @@ class LakeChangeFeedDataSource(DataSource):
                 )
             fields.append(T.StructField(COMMIT_TS_COL, T.LongType(), True))
         return T.StructType(fields)
+
+    def _mode(self) -> str:
+        mode = str(self.options.get("mode", "cdf"))
+        if mode not in ("cdf", "row_changes"):
+            raise ValueError(
+                f"lake_cdf mode must be 'cdf' or 'row_changes', got {mode!r}"
+            )
+        return mode
 
     def streamReader(self, schema) -> _CDFStreamReader:
         raw_max = self.options.get("maxVersionsPerTrigger")
@@ -386,6 +495,7 @@ class LakeChangeFeedDataSource(DataSource):
                 str(self.options.get("includeCommitTs", "false")).lower()
                 == "true"
             ),
+            mode=self._mode(),
         )
 
 
@@ -468,6 +578,64 @@ def mirror_stream(
     if not (available_now and max_versions_per_trigger is not None):
         return _start()
     return _drain_to_head(src_table_path, _start)
+
+
+def maintain_view_stream(
+    spark,
+    view,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+):
+    """Continuously maintain an :class:`AdditiveStatsView` from the typed
+    changelog as ONE Structured Streaming job — the end-to-end Flink
+    retract-stream topology in Spark: ``lake_cdf`` in ``row_changes``
+    mode tails pre/post-images, each micro-batch folds additively into
+    the view (O(changed rows) per trigger, the table is never re-read),
+    and exactly-once is the composition of checkpoint redelivery with the
+    view's version-marker idempotence (``apply_delta`` skips a replayed
+    batch). Unseeded views get one full build first; the stream then
+    starts strictly after the seeded version. Use ONE checkpoint per view
+    for the view's lifetime — a fresh checkpoint over an existing view is
+    safe (the marker skips the re-delivered prefix) but wastes a backlog
+    re-read. ``available_now`` + ``max_versions_per_trigger`` drains in
+    bounded restarts exactly like :func:`mirror_stream`; a version
+    without a typed changelog fails the query with a marked error
+    (:func:`is_changelog_unavailable_failure`) — re-seed with
+    ``view.refresh()`` (which falls back to a full rebuild) and restart.
+    """
+    register_lake_cdf(spark)
+    if view.applied_version() < 0:
+        view.refresh()  # seed: one full build, marker at the source head
+    src_path = view.source.path
+
+    def _on_batch(df, batch_id: int) -> None:
+        view.apply_delta(df)
+
+    def _start():
+        reader = (
+            spark.readStream.format("lake_cdf")
+            .option("path", src_path)
+            .option("mode", "row_changes")
+            .option("startingVersion", str(view.applied_version()))
+        )
+        if max_versions_per_trigger is not None:
+            reader = reader.option(
+                "maxVersionsPerTrigger", str(max_versions_per_trigger)
+            )
+        writer = (
+            reader.load()
+            .writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    if not (available_now and max_versions_per_trigger is not None):
+        return _start()
+    return _drain_to_head(src_path, _start)
 
 
 def _drain_to_head(src_table_path: str, start_fn):
