@@ -303,7 +303,8 @@ def run_changelog_replay(spark, sf: float) -> dict:
             seed=13, hot_frac=0.05,
         )
         walls = {"off": None, "lookup": None}
-        view_sec = None
+        seed_sec = None
+        retract_sec = None
         for attempt in range(2):
             for mode in ("off", "lookup"):  # interleaved arms
                 t0 = time.monotonic()
@@ -313,23 +314,43 @@ def run_changelog_replay(spark, sf: float) -> dict:
                     changelog="none" if mode == "off" else "lookup",
                 )
                 t.create(TRANSCRIPT_SCHEMA)
+                # the view rides ALONG the replay (created before the loop,
+                # refreshed per batch) so the timed refreshes past the seed
+                # exercise the RETRACT fold — a view created after the
+                # replay would time one full build + one no-op instead
+                view = (
+                    AdditiveStatsView(
+                        spark, t, os.path.join(work, f"v-{attempt}")
+                    )
+                    if mode == "lookup"
+                    else None
+                )
+                vs_seed, vs_retract = 0.0, 0.0
                 for b, seg in enumerate(segs):
                     t.apply_changes(
                         spark.read.parquet(seg), batch_id=b,
                         transform=apply_chain, source=seg,
                     )
+                    if view is not None:
+                        v0 = time.monotonic()
+                        r = view.refresh()
+                        dv = time.monotonic() - v0
+                        if r.get("strategy") == "retract":
+                            vs_retract += dv
+                        else:
+                            vs_seed += dv
                 t.read().count()
                 w = time.monotonic() - t0
-                walls[mode] = w if walls[mode] is None else min(walls[mode], w)
-                if mode == "lookup":
-                    v0 = time.monotonic()
-                    view = AdditiveStatsView(
-                        spark, t, os.path.join(work, f"v-{attempt}")
+                if view is not None:
+                    w -= vs_seed + vs_retract  # arm wall stays replay-only
+                    seed_sec = (
+                        vs_seed if seed_sec is None else min(seed_sec, vs_seed)
                     )
-                    for _ in segs:
-                        view.refresh()
-                    vs = time.monotonic() - v0
-                    view_sec = vs if view_sec is None else min(view_sec, vs)
+                    retract_sec = (
+                        vs_retract if retract_sec is None
+                        else min(retract_sec, vs_retract)
+                    )
+                walls[mode] = w if walls[mode] is None else min(walls[mode], w)
         return {
             "n_events": n,
             "off_sec": round(walls["off"], 3),
@@ -338,7 +359,8 @@ def run_changelog_replay(spark, sf: float) -> dict:
                 100 * (walls["lookup"] - walls["off"]) / walls["off"], 1
             ),
             "events_per_sec_lookup": round(n / walls["lookup"], 1),
-            "view_refresh_sec": round(view_sec, 3),
+            "view_seed_sec": round(seed_sec, 3),
+            "view_retract_refresh_sec": round(retract_sec, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -2058,6 +2058,26 @@ class LakeTable:
         planes share one manifest list and one GC/publish/carry path)."""
         return [e for e in m.get("cdf", []) if "kind" not in e]
 
+    @staticmethod
+    def version_changed_state(m: dict) -> bool:
+        """True when the (raw or materialized) manifest ``m`` records a
+        commit that changed TABLE STATE — the classification the typed-
+        changelog readers use to refuse silently skipping a version that
+        carries no changelog records. ONE owner for the predicate: both
+        :meth:`row_changes` and the streaming ``mode="row_changes"`` reader
+        call it (a divergence would make the batch reader raise where the
+        stream silently skips, desynchronizing retraction consumers).
+        Pure dict logic — the streaming reader runs with no SparkSession."""
+        metrics = m.get("metrics", {}) or {}
+        return (
+            any("kind" not in e for e in m.get("cdf", []))
+            or (
+                metrics.get("mode") == "cow"
+                and metrics.get("n_buckets_touched", 0) > 0
+            )
+            or metrics.get("maintenance") in ("rollback", "delete_where")
+        )
+
     def _emit_changelog(
         self,
         man: dict,
@@ -2217,16 +2237,7 @@ class LakeTable:
                 ) from None
             entries = [e for e in m.get("cdf", []) if "kind" in e]
             if not entries:
-                state_changing = (
-                    bool(self._plain_cdf(m))
-                    or (
-                        m.get("metrics", {}).get("mode") == "cow"
-                        and m.get("metrics", {}).get("n_buckets_touched", 0) > 0
-                    )
-                    or m.get("metrics", {}).get("maintenance")
-                    in ("rollback", "delete_where")
-                )
-                if state_changing:
+                if self.version_changed_state(m):
                     raise ChangelogUnavailableError(
                         f"version {v} changed table state but carries no "
                         "typed changelog — it was committed without "
@@ -2947,29 +2958,59 @@ class LakeTable:
             # matched LIVE keys as 'D' events — key columns only: the merge
             # projection nulls a D row's payload anyway, and shipping the
             # purged values through the shuffle would copy the very bytes
-            # the delete exists to stop copying.
-            events = (
-                self._resolve_live(self._read_raw(man, canon=canon), man)
+            # the delete exists to stop copying. Persisted so the whole op
+            # scans the table ONCE: the guard aggregate below materializes
+            # the matched set, and apply_changes replays it from cache.
+            raw = self._read_raw(man, canon=canon)
+            if any(
+                len(self._bucket_files(e)) > 1 for e in man["buckets"].values()
+            ):
+                raw = self._resolve_lww(raw)
+            matched = (
+                raw.filter(~F.col(DELETED_COL))
                 .filter(pred)
                 .select(
                     F.lit("D").alias("op"),
                     F.lit(tombstone_seq).cast("long").alias("seq"),
+                    F.col(SEQ_COL).alias("_live_seq"),
                     *[F.col(k) for k in self.key_cols],
                 )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            if events.isEmpty():
-                return {"deleted_rows": 0, "version": man["version"],
-                        "mode": "tombstone"}
-            res = self.apply_changes(
-                events,
-                source=f"delete_where:{note or ''}",
-                _metrics_extra={
-                    "maintenance": "delete_where",
-                    "delete_mode": "tombstone",
-                    "tombstone_seq": tombstone_seq,
-                    "note": note,
-                },
-            )
+            try:
+                g = matched.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("_live_seq").alias("max_live"),
+                ).first()
+                if not g["n"]:
+                    return {"deleted_rows": 0, "version": man["version"],
+                            "mode": "tombstone"}
+                if g["max_live"] is not None and g["max_live"] >= tombstone_seq:
+                    # a 'D' event at tombstone_seq would LOSE last-write-wins
+                    # (and the U>I>D tie-break at equality) to such a row —
+                    # the delete would silently no-op while reporting
+                    # success. Only reachable with an explicit too-low
+                    # tombstone_seq; rewrite mode flips rows unconditionally,
+                    # so the modes would diverge. Refuse instead.
+                    raise ValueError(
+                        f"tombstone_seq {tombstone_seq} is not above the "
+                        f"max _seq of matched live rows ({g['max_live']}) — "
+                        "the delete events would lose the merge; pass a "
+                        "higher seq (or omit it to use the table max + 1), "
+                        "or use mode='rewrite'"
+                    )
+                res = self.apply_changes(
+                    matched.drop("_live_seq"),
+                    source=f"delete_where:{note or ''}",
+                    _metrics_extra={
+                        "maintenance": "delete_where",
+                        "delete_mode": "tombstone",
+                        "tombstone_seq": tombstone_seq,
+                        "note": note,
+                    },
+                )
+            finally:
+                matched.unpersist()
             return {
                 "deleted_rows": res["n_events"],
                 "n_buckets_rewritten": 0,
@@ -3942,7 +3983,15 @@ class LakeTable:
                 if self.changelog != "none":
                     cdf += self._emit_changelog(
                         man, canon, changes, affected, data_rel, schema_id,
-                        persisted, batch_rows=n_written,
+                        persisted,
+                        # the BATCH's resolved row count (lineage agg above),
+                        # not n_written: cow's n_written counts the whole
+                        # rewritten buckets, which would defeat the
+                        # broadcast-probe guard exactly when a small batch
+                        # merges into big buckets — the case the hint wins
+                        batch_rows=sum(
+                            s["n_changes"] for s in lineage_stats.values()
+                        ),
                     )
             # unpersist happens in _apply_changes_inner's finally
 

@@ -109,7 +109,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from ..plans.lake import _stored_name
+from ..plans.lake import LakeTable, _stored_name
 from ..schemas import DELETED_COL, SEQ_COL, schema_from_json
 
 VERSION_COL = "_version"
@@ -222,16 +222,9 @@ def _changelog_entries(table_path: str, v: int, lo: int, hi: int) -> list[dict]:
         ) from None
     entries = [e for e in m.get("cdf", []) if "kind" in e]
     if not entries:
-        metrics = m.get("metrics", {})
-        state_changing = (
-            any("kind" not in e for e in m.get("cdf", []))
-            or (
-                metrics.get("mode") == "cow"
-                and metrics.get("n_buckets_touched", 0) > 0
-            )
-            or metrics.get("maintenance") in ("rollback", "delete_where")
-        )
-        if state_changing:
+        # ONE owner for the state-changing classification (divergence from
+        # the batch reader would desynchronize retraction consumers)
+        if LakeTable.version_changed_state(m):
             raise RuntimeError(
                 f"{_NO_CHANGELOG_MARKER}: version {v} changed table state "
                 "but carries no typed changelog — it was committed without "

@@ -448,3 +448,14 @@ def test_tombstone_delete_emits_changelog_preimages(spark, tmp_table):
 def test_tombstone_mode_rejects_bad_mode(spark, table):
     with pytest.raises(ValueError, match="rewrite"):
         table.delete_where("true", mode="dv")
+
+
+def test_tombstone_mode_refuses_too_low_seq(spark, table):
+    """An explicit tombstone_seq at or below a matched live row's _seq would
+    lose the merge and silently no-op — refused up front."""
+    with pytest.raises(ValueError, match="not above the max"):
+        table.delete_where(
+            "text LIKE '%PURGE%'", mode="tombstone", tombstone_seq=2
+        )
+    # nothing landed
+    assert ("c2", 0) in _keys(table)
