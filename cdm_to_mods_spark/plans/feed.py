@@ -243,6 +243,112 @@ def feed_to_debezium(
     return feed.select(F.to_json(envelope, _DZ_TS_FMT).alias("value"))
 
 
+def changelog_to_debezium(
+    rc: DataFrame,
+    key_cols: list,
+    *,
+    table_name: str = "transcripts",
+    db: str = "cdm",
+    ts_ms: F.Column | None = None,
+) -> DataFrame:
+    """Render a TYPED-changelog frame (``row_changes`` shape: payload +
+    ``_seq`` + ``_change_type`` + ``_version``) as FULL Debezium envelopes
+    — ``before`` AND ``after`` images with true ``c``/``u``/``d`` ops,
+    which the replication feed cannot provide (its rows are resolved
+    current values; insert-vs-update and pre-images need old state — the
+    lookup changelog is exactly where that was paid for). This is the
+    Debezium wire shape a heterogeneous consumer (Kafka Connect sink, audit
+    pipeline, cache invalidator keyed on changed columns) expects.
+
+    One hash aggregate per (key, version) pairs each update's
+    pre/post-image rows into a single envelope — the only shuffle, keyed
+    the same as every merge, so at 10^10 events this is one bounded
+    exchange over O(changed rows), never a table read. ``ts_ms``: optional
+    per-row commit-timestamp column (the streaming source's
+    ``includeCommitTs`` column, or feed_to_debezium's version map).
+
+    Consumer contract: ``op`` is exact — ``c`` (insert: before null),
+    ``u`` (update: both images), ``d`` (delete: after null).
+    ``source.lsn`` is the COMMIT VERSION, not a source-domain ``_seq``:
+    a changelog delete row carries the OLD row's ``_seq`` (pre-image
+    semantics), so seq-as-lsn would make a replayed ``d`` LOSE the
+    last-write-wins tie against the very row it deletes — the version is
+    the token with a per-key total order (one outcome per key per
+    commit), so ``parse_debezium`` → ``apply_changes`` mirrors converge.
+    The image's source-domain ``_seq`` rides in ``source.seq`` for
+    consumers that need it; don't mix this bus with ``feed_to_debezium``
+    output (different lsn domains). Round-trip pinned in
+    tests/test_changelog_publish.py."""
+    typ = F.col("_change_type")
+    payload = [
+        c for c in rc.columns
+        if c not in (SEQ_COL, "_change_type", "_version") and c != "_commit_ts"
+    ]
+    image = F.struct(*[F.col(c) for c in payload])
+    is_pre = typ.isin("update_preimage", "delete")
+    grouped = rc.groupBy(*key_cols, "_version").agg(
+        F.any_value(F.when(is_pre, image), ignoreNulls=True).alias("before"),
+        F.any_value(F.when(~is_pre, image), ignoreNulls=True).alias("after"),
+        F.max(F.when(typ == "insert", 1).otherwise(0)).alias("_ins"),
+        F.max(F.when(typ == "delete", 1).otherwise(0)).alias("_del"),
+        F.max(SEQ_COL).alias("_seq_info"),
+        *(
+            [F.any_value(ts_ms, ignoreNulls=True).alias("_ts_ms")]
+            if ts_ms is not None
+            else []
+        ),
+    )
+    envelope = F.struct(
+        F.col("before"),
+        F.col("after"),
+        F.struct(
+            F.col("_version").alias("lsn"),
+            F.col("_seq_info").alias("seq"),
+            F.lit(table_name).alias("table"),
+            F.lit(db).alias("db"),
+        ).alias("source"),
+        F.when(F.col("_del") == 1, F.lit("d"))
+        .when(F.col("_ins") == 1, F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        (
+            F.col("_ts_ms") if ts_ms is not None else F.lit(None).cast("long")
+        ).alias("ts_ms"),
+    )
+    return grouped.select(F.to_json(envelope, _DZ_TS_FMT).alias("value"))
+
+
+def changelog_range_to_debezium(
+    table: LakeTable,
+    since_version: int,
+    until_version: int | None = None,
+    *,
+    table_name: str = "transcripts",
+    db: str = "cdm",
+) -> DataFrame:
+    """Batch counterpart of the streaming changelog publisher: render the
+    typed changelog for ``(since, until]`` as full Debezium envelopes
+    (commit timestamps mapped per version, same driver-side O(versions)
+    walk as :func:`feed_to_debezium`). Raises
+    ``ChangelogUnavailableError`` where ``row_changes`` does."""
+    man = table.manifest()
+    hi = man["version"] if until_version is None else until_version
+    rc = table.row_changes(since_version, hi)
+    ts_pairs: list = []
+    for v in range(since_version + 1, hi + 1):
+        ts_pairs += [
+            F.lit(v), F.lit(int(table._load_version(v)["commit_ts"] * 1000))
+        ]
+    ts_ms = (
+        F.create_map(*ts_pairs)[F.col("_version")]
+        if ts_pairs
+        else F.lit(None).cast("long")
+    )
+    return changelog_to_debezium(
+        rc, list(table.key_cols), table_name=table_name, db=db, ts_ms=ts_ms
+    )
+
+
 def replicate(
     consumer: ChangeFeedConsumer, dst: LakeTable, *, transform=None
 ) -> dict:

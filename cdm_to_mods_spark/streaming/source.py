@@ -631,6 +631,81 @@ def maintain_view_stream(
     return _drain_to_head(src_path, _start)
 
 
+def publish_changelog_stream(
+    spark,
+    src_table_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    table_name: str = "transcripts",
+    db: str = "cdm",
+    available_now: bool = True,
+    max_versions_per_trigger: int | None = None,
+):
+    """Publish the TYPED changelog as FULL Debezium envelopes — ``before``
+    AND ``after`` images with true ``c``/``u``/``d`` ops — as one
+    Structured Streaming job: ``lake_cdf`` in ``row_changes`` mode →
+    per-micro-batch image pairing (``plans.feed.changelog_to_debezium``;
+    safe batch-side because offsets are whole versions, so a key's
+    pre/post rows can never split across micro-batches) → JSON lines under
+    a DETERMINISTIC per-batch directory (``batch-<id>/``), so a replayed
+    micro-batch overwrites its own output — the idempotent-sink
+    foreachBatch pattern; exactly-once is checkpoint × that overwrite.
+    The pairing aggregate needs foreachBatch (a stateless sink can't
+    group), which is why this publisher trades ``publish_stream``'s
+    ``_spark_metadata`` manifest for per-batch dirs; read the bus back
+    with ``recursiveFileLookup`` (round-trip pinned in tests). Key
+    columns come from the source's own ledger. ``available_now`` +
+    ``max_versions_per_trigger`` drains in bounded restarts like
+    :func:`mirror_stream`; versions without a typed changelog fail with
+    :func:`is_changelog_unavailable_failure`."""
+    from pyspark.sql import functions as F
+
+    from ..plans.feed import changelog_to_debezium
+
+    register_lake_cdf(spark)
+    key_cols = list(
+        _load_version(src_table_path, _ledger_versions(src_table_path)[-1])[
+            "key_cols"
+        ]
+    )
+
+    def _on_batch(df, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        lines = changelog_to_debezium(
+            df, key_cols, table_name=table_name, db=db,
+            ts_ms=F.col(COMMIT_TS_COL),
+        )
+        lines.write.mode("overwrite").text(
+            os.path.join(out_dir, f"batch-{batch_id:08d}")
+        )
+
+    def _start():
+        reader = (
+            spark.readStream.format("lake_cdf")
+            .option("path", src_table_path)
+            .option("mode", "row_changes")
+            .option("includeCommitTs", "true")
+        )
+        if max_versions_per_trigger is not None:
+            reader = reader.option(
+                "maxVersionsPerTrigger", str(max_versions_per_trigger)
+            )
+        writer = (
+            reader.load()
+            .writeStream.foreachBatch(_on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    if not (available_now and max_versions_per_trigger is not None):
+        return _start()
+    return _drain_to_head(src_table_path, _start)
+
+
 def _drain_to_head(src_table_path: str, start_fn):
     """Bounded drain: one capped batch per start (module docstring,
     AvailableNow caveat), stop when the offset log reaches the head
