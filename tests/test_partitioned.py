@@ -1,0 +1,324 @@
+"""PartitionedTable: time(ts) x bucket(key) composite spec.
+
+The differential oracle throughout is a FLAT LakeTable fed the same
+events: under the spec's identity rule (partition value is part of row
+identity) the two agree whenever no key's ts crosses partitions, and the
+one test where a key DOES cross partitions pins the documented Paimon
+divergence (two live rows) explicitly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.plans.partitioned import (
+    NULL_PART,
+    PartitionRetentionError,
+    PartitionedTable,
+)
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+
+
+def _ts(month, day=5):
+    return dt.datetime(2025, month, day, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENT_DDL)
+
+
+THREE_MONTHS = [
+    # january conversation
+    ("I", 1, "c1", 0, "user", "jan hello", None, _ts(1)),
+    ("I", 2, "c1", 1, "assistant", "jan reply", "search", _ts(1, 6)),
+    # february conversation
+    ("I", 3, "c2", 0, "user", "feb hello", None, _ts(2)),
+    # march conversation + an update within march
+    ("I", 4, "c3", 0, "user", "mar v1", None, _ts(3)),
+    ("U", 5, "c3", 0, "user", "mar v2", None, _ts(3)),
+]
+
+
+@pytest.fixture(params=["cow", "mor"])
+def ptable(spark, tmp_path, request):
+    t = PartitionedTable(
+        spark,
+        str(tmp_path / "ptab"),
+        num_buckets=4,
+        merge_mode=request.param,
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def _state(df):
+    return {
+        (r.conv_id, r.turn_idx, r.ts): (r.role, r.text, r.tool)
+        for r in df.collect()
+    }
+
+
+def _flat_oracle(spark, tmp_path, events_batches, merge_mode):
+    o = LakeTable(spark, str(tmp_path / "flat-oracle"), num_buckets=4,
+                  merge_mode=merge_mode)
+    o.create(TRANSCRIPT_SCHEMA)
+    for i, ev in enumerate(events_batches):
+        o.apply_changes(ev, batch_id=i)
+    return o
+
+
+def test_routing_matches_flat_oracle(spark, tmp_path, ptable):
+    ev = _events(spark, THREE_MONTHS)
+    m = ptable.apply_changes(ev, batch_id=0)
+    assert m["n_parts_touched"] == 3 and not m["staged"]
+    assert ptable.partitions() == ["2025-01", "2025-02", "2025-03"]
+    for p in ptable.partitions():
+        assert os.path.isdir(os.path.join(ptable.path, f"part={p}"))
+    oracle = _flat_oracle(spark, tmp_path, [ev],
+                          ptable._lake_kwargs["merge_mode"])
+    assert _state(ptable.read()) == _state(oracle.read())
+
+
+def test_exactly_once_and_crash_replay(spark, tmp_path, ptable):
+    ev = _events(spark, THREE_MONTHS)
+    ptable.apply_changes(ev, batch_id=0)
+    assert ptable.apply_changes(ev, batch_id=0)["skipped"]
+
+    # crash mid-fan-out: partition 2025-01's slice of batch 1 committed,
+    # global commit never landed — the replay must converge
+    b1 = _events(spark, [
+        ("U", 6, "c1", 0, "user", "jan hello v2", None, _ts(1)),
+        ("U", 7, "c2", 0, "user", "feb hello v2", None, _ts(2)),
+    ])
+    jan = ptable.part("2025-01")
+    jan.apply_changes(b1.filter(F.month("ts") == 1), batch_id=1)
+    m = ptable.apply_changes(b1, batch_id=1)
+    assert m["parts"]["2025-01"].get("skipped") is True
+    oracle = _flat_oracle(spark, tmp_path,
+                          [_events(spark, THREE_MONTHS), b1],
+                          ptable._lake_kwargs["merge_mode"])
+    assert _state(ptable.read()) == _state(oracle.read())
+
+
+def test_read_range_prunes_partitions(spark, ptable, monkeypatch):
+    ptable.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    opened = []
+    orig = LakeTable.read_range
+
+    def spy(self, lo, hi, col="ts", version=None):
+        opened.append(os.path.basename(self.path))
+        return orig(self, lo, hi, col=col, version=version)
+
+    monkeypatch.setattr(LakeTable, "read_range", spy)
+    got = ptable.read_range(_ts(2, 1), _ts(2, 28)).collect()
+    assert {r.conv_id for r in got} == {"c2"}
+    # partition pruning is driver-side: only february's sub-table is opened
+    assert opened == ["part=2025-02"]
+
+    # ranging on a NON-partition column fans out (no partition prune)
+    opened.clear()
+    ptable.read_range(0, 99, col="turn_idx").collect()
+    assert len(opened) == 3
+
+
+def test_cross_partition_key_is_two_rows(spark, ptable):
+    """The documented Paimon identity rule: same (conv_id, turn_idx) in two
+    months = two rows; the flat table would LWW them into one."""
+    ptable.apply_changes(_events(spark, [
+        ("I", 1, "cx", 0, "user", "january row", None, _ts(1)),
+        ("U", 2, "cx", 0, "user", "march row", None, _ts(3)),
+    ]), batch_id=0)
+    rows = ptable.read().filter(F.col("conv_id") == "cx").collect()
+    assert len(rows) == 2
+    assert {r.text for r in rows} == {"january row", "march row"}
+
+
+def test_null_partition_routes_to_default(spark, ptable):
+    ptable.apply_changes(_events(spark, [
+        ("I", 1, "c1", 0, "user", "dated", None, _ts(1)),
+        ("I", 2, "c9", 0, "user", "undated", None, None),
+    ]), batch_id=0)
+    assert NULL_PART in ptable.partitions()
+    assert ptable.read().count() == 2
+    # a range read never matches null ts — the default partition is skipped
+    got = ptable.read_range(_ts(1, 1), _ts(12, 28)).collect()
+    assert {r.conv_id for r in got} == {"c1"}
+
+
+def test_read_keys_probes_all_partitions(spark, ptable):
+    ptable.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    got = ptable.read_keys(["c1", "c3"]).collect()
+    assert {(r.conv_id, r.turn_idx) for r in got} == {
+        ("c1", 0), ("c1", 1), ("c3", 0)
+    }
+    assert ptable.read_keys([]).count() == 0
+
+
+def test_time_travel_consistent_cut(spark, ptable):
+    ptable.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    v1 = ptable.latest_version()
+    ptable.apply_changes(_events(spark, [
+        ("U", 6, "c1", 0, "user", "jan v2", None, _ts(1)),
+        ("I", 7, "c4", 0, "user", "april", None, _ts(4)),
+    ]), batch_id=1)
+    old = _state(ptable.read(version=v1))
+    assert ("c4", 0, _ts(4)) not in old
+    assert old[("c1", 0, _ts(1))][1] == "jan hello"
+    now = _state(ptable.read())
+    assert now[("c1", 0, _ts(1))][1] == "jan v2"
+    assert ("c4", 0, _ts(4)) in now
+
+
+@pytest.fixture()
+def mor_ptable(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "pmor"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    return t
+
+
+def test_global_change_feed(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    v1 = t.latest_version()
+    t.apply_changes(_events(spark, [
+        ("U", 6, "c1", 0, "user", "jan v2", None, _ts(1)),
+        ("I", 7, "c4", 0, "user", "april", None, _ts(4)),
+    ]), batch_id=1)
+    all_rows = t.changes(0)
+    # in-batch dedup collapses c3's I+U to one resolved row
+    assert all_rows.count() == 6
+    tail = t.changes(v1, with_version=True)
+    assert {(r.conv_id, r["_version"]) for r in tail.collect()} == {
+        ("c1", v1 + 1), ("c4", v1 + 1)
+    }
+
+
+def test_drop_partition_retention(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    v1 = t.latest_version()
+    res = t.drop_partition("2025-01")
+    assert res["committed"] and res["removed_dir"]
+    assert "2025-01" not in t.partitions()
+    assert {r.conv_id for r in t.read().collect()} == {"c2", "c3"}
+    # pinned read at the pre-drop cut now raises the typed retention error
+    with pytest.raises(PartitionRetentionError):
+        t.read(version=v1).collect()
+    # change feed crossing the drop fails loud too
+    with pytest.raises(PartitionRetentionError):
+        t.changes(0)
+    # re-drop of an unknown partition is refused; of a crashed one, idempotent
+    with pytest.raises(LookupError):
+        t.drop_partition("2025-09")
+
+
+def test_expire_snapshots_bounds_time_travel(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    t.apply_changes(_events(spark, [
+        ("U", 6, "c1", 0, "user", "jan v2", None, _ts(1)),
+    ]), batch_id=1)
+    t.apply_changes(_events(spark, [
+        ("U", 7, "c2", 0, "user", "feb v2", None, _ts(2)),
+    ]), batch_id=2)
+    keep_from = t.latest_version() - 1
+    out = t.expire_snapshots(keep_last=2)
+    assert out["expired_global"] >= 1
+    with pytest.raises(LookupError):
+        t.manifest(0)
+    state = _state(t.read(version=keep_from))  # kept cut still readable
+    assert state[("c1", 0, _ts(1))][1] == "jan v2"
+    assert _state(t.read())[("c2", 0, _ts(2))][1] == "feb v2"
+
+
+def test_reopen_adopts_spec(spark, ptable):
+    ptable.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    re = PartitionedTable(spark, ptable.path,
+                          **{k: v for k, v in ptable._lake_kwargs.items()})
+    assert re.partitions() == ["2025-01", "2025-02", "2025-03"]
+    assert re.read().count() == 4  # c3's I+U collapse to one live row
+    with pytest.raises(ValueError):
+        PartitionedTable(spark, ptable.path, granularity="day")
+
+
+def test_bootstrap_then_catchup(spark, tmp_path, ptable):
+    snap = spark.createDataFrame(
+        [("c1", 0, "user", "jan hello", None, _ts(1)),
+         ("c2", 0, "user", "feb hello", None, _ts(2))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    ptable.bootstrap(snap, snapshot_seq=10)
+    with pytest.raises(RuntimeError):
+        ptable.bootstrap(snap, snapshot_seq=10)
+    # overlap-tolerant catch-up: seq 9 loses to the snapshot, 11 wins
+    ptable.apply_changes(_events(spark, [
+        ("U", 9, "c1", 0, "user", "stale", None, _ts(1)),
+        ("U", 11, "c2", 0, "user", "feb v2", None, _ts(2)),
+    ]), batch_id=0)
+    st = _state(ptable.read())
+    assert st[("c1", 0, _ts(1))][1] == "jan hello"
+    assert st[("c2", 0, _ts(2))][1] == "feb v2"
+
+
+def test_compact_and_maintain_fan_out(spark, mor_ptable):
+    t = mor_ptable
+    for i in range(3):
+        t.apply_changes(_events(spark, [
+            ("U", 10 + i, "c1", 0, "user", f"jan v{i}", None, _ts(1)),
+            ("U", 20 + i, "c2", 0, "user", f"feb v{i}", None, _ts(2)),
+        ]), batch_id=i)
+    before = _state(t.read())
+    res = t.compact()
+    assert set(res) == {"2025-01", "2025-02"}
+    assert _state(t.read()) == before
+    out = t.maintain(dry_run=True)
+    assert set(out) == {"2025-01", "2025-02"}
+
+
+def test_backfill_stages_once(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "pstage"), num_buckets=2,
+                         merge_mode="mor", stage_threshold=3)
+    t.create(TRANSCRIPT_SCHEMA)
+    rows = [
+        ("I", m, f"c{m}", 0, "user", f"month {m}", None, _ts(m))
+        for m in range(1, 7)
+    ]
+    m = t.apply_changes(_events(spark, rows), batch_id=0)
+    assert m["staged"] and m["n_parts_touched"] == 6
+    assert t.read().count() == 6
+    assert not os.path.isdir(os.path.join(t.path, "_staging"))
+
+
+def test_schema_evolution_per_partition(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    evolved = spark.createDataFrame(
+        [("I", 30, "c5", 0, "user", "with lang", None, _ts(5), "en")],
+        EVENT_DDL + ", lang string",
+    )
+    t.apply_changes(evolved, batch_id=1)
+    df = t.read()
+    assert "lang" in df.columns
+    got = {r.conv_id: r.lang for r in df.collect()}
+    assert got["c5"] == "en" and got["c1"] is None
+
+
+def test_create_validates_partition_col(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "bad"), partition_col="nope")
+    with pytest.raises(ValueError):
+        t.create(TRANSCRIPT_SCHEMA)
+    t2 = PartitionedTable(spark, str(tmp_path / "bad2"), partition_col="text")
+    with pytest.raises(ValueError):
+        t2.create(TRANSCRIPT_SCHEMA)
