@@ -422,6 +422,91 @@ def run_delete_modes(spark, sf: float) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_partition_prune(spark, sf: float) -> dict:
+    """Mid-history range-read cost, flat vs time-partitioned — the workload
+    the composite spec exists for (plans/partitioned.py). Same event stream
+    (uniform ts over 12 months) replayed into a flat 64-bucket MoR table and
+    a month-partitioned table (8 buckets/partition), both compacted so every
+    flat base spans the full year (the zone-map-defeating shape read_range's
+    docstring documents); then ONE month mid-year is range-read from each,
+    best-of-2 interleaved, forcing full row materialization (hash-sum of all
+    columns — a bare count() would satisfy itself from metadata). Reports
+    the replay walls too: the router's per-batch tax (partition discovery +
+    per-partition applies) is the price of the prune."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-part-", dir=shm)
+    try:
+        n = max(50_000, int(2_500_000 * sf))  # sf0.1 → 250k events
+        ev = (
+            synth_events(spark, n, max(500, n // 100), seed=31)
+            .drop("ts_raw")
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1735689600)  # 2025-01-01 UTC
+                    + F.pmod(F.xxhash64(F.lit(7), "seq"), F.lit(365 * 86400))
+                ),
+            )
+        )
+        seg = os.path.join(work, "ev")
+        ev.repartition(spark.sparkContext.defaultParallelism).write.parquet(seg)
+        half = n // 2
+
+        flat = LakeTable(spark, os.path.join(work, "flat"), num_buckets=64,
+                         merge_mode="mor")
+        flat.create(TRANSCRIPT_SCHEMA)
+        part = PartitionedTable(spark, os.path.join(work, "part"),
+                                num_buckets=8, merge_mode="mor")
+        part.create(TRANSCRIPT_SCHEMA)
+        walls = {"flat_replay": 0.0, "part_replay": 0.0}
+        for b, pred in enumerate(
+            (F.col("seq") < half, F.col("seq") >= half)
+        ):
+            batch = spark.read.parquet(seg).filter(pred)
+            t0 = time.monotonic()
+            flat.apply_changes(batch, batch_id=b)
+            walls["flat_replay"] += time.monotonic() - t0
+            t0 = time.monotonic()
+            part.apply_changes(batch, batch_id=b)
+            walls["part_replay"] += time.monotonic() - t0
+        flat.compact()
+        part.compact()
+
+        def _scan(tbl):
+            df = tbl.read_range("2025-06-01", "2025-06-30 23:59:59")
+            df.select(
+                F.sum(F.xxhash64(*df.columns).cast("double"))
+            ).collect()
+
+        read = {"flat": None, "part": None}
+        for _ in range(2):
+            for name, tbl in (("flat", flat), ("part", part)):
+                t0 = time.monotonic()
+                _scan(tbl)
+                w = time.monotonic() - t0
+                read[name] = w if read[name] is None else min(read[name], w)
+        return {
+            "n_events": n,
+            "flat_range_sec": round(read["flat"], 3),
+            "part_range_sec": round(read["part"], 3),
+            "prune_speedup": round(read["flat"] / read["part"], 2),
+            "flat_replay_sec": round(walls["flat_replay"], 3),
+            "part_replay_sec": round(walls["part_replay"], 3),
+            "routing_tax": round(
+                walls["part_replay"] / walls["flat_replay"], 2
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -493,6 +578,7 @@ def main() -> None:
     cdc["debezium_ingest"] = run_debezium_ingest(spark, sf)
     cdc["changelog_replay"] = run_changelog_replay(spark, sf)
     cdc["delete_modes"] = run_delete_modes(spark, sf)
+    cdc["partition_prune"] = run_partition_prune(spark, sf)
     cdc["wide_batch"] = run_wide_batch(spark, sf)
 
     print(

@@ -116,9 +116,11 @@ class PartitionedTable:
         partition_col: str = "ts",
         granularity: str = "month",
         stage_threshold: int = 8,
+        apply_concurrency: int = 4,
         **lake_kwargs,
     ) -> None:
         assert granularity in _SPARK_FMT, granularity
+        assert apply_concurrency >= 1, apply_concurrency
         self.spark = spark
         # same absolutization as LakeTable: Python ledger IO vs JVM data IO
         self.path = os.path.abspath(path.rstrip("/"))
@@ -126,6 +128,7 @@ class PartitionedTable:
         self.partition_col = partition_col
         self.granularity = granularity
         self.stage_threshold = stage_threshold
+        self.apply_concurrency = apply_concurrency
         self._lake_kwargs = dict(lake_kwargs)
         self._ledger = os.path.join(self.path, "_ledger")
         self._spec_path = os.path.join(self.path, "_spec.json")
@@ -410,20 +413,38 @@ class PartitionedTable:
                 ev.write.partitionBy("_part").parquet(staged)
                 ev.unpersist()
                 persisted = False
-            per_part: dict[str, dict] = {}
             src = source or (
                 f"router:batch={batch_id}" if batch_id is not None else "router"
             )
-            for p in parts:
+            # handle creation (spec read + sub create() commit) stays
+            # serial; the APPLIES fan out on threads — each sub-apply is a
+            # pipeline of independent Spark jobs against its own directory
+            # (no shared commits), and a multi-partition batch paying 12
+            # sequential per-apply fixed costs would make the router tax
+            # O(partitions) in wall when the cluster has idle headroom.
+            # _apply_conf_scope is refcounted + lock-protected for exactly
+            # this interleaving.
+            subs = {p: self._sub(p, create=True) for p in parts}
+
+            def _one(p: str):
                 slice_df = (
                     self.spark.read.parquet(os.path.join(staged, f"_part={p}"))
                     if staged
                     else ev.filter(F.col("_part") == p).drop("_part")
                 )
-                m = self._sub(p, create=True).apply_changes(
+                return p, subs[p].apply_changes(
                     slice_df, batch_id=batch_id, source=src
                 )
-                per_part[p] = m
+
+            if len(parts) <= 1 or self.apply_concurrency == 1:
+                per_part = dict(_one(p) for p in parts)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    min(self.apply_concurrency, len(parts))
+                ) as ex:
+                    per_part = dict(ex.map(_one, parts))
         finally:
             if persisted:
                 ev.unpersist()
