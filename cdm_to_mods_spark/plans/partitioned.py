@@ -323,7 +323,12 @@ class PartitionedTable:
                 f"{dtype.simpleString()}"
             )
         os.makedirs(self.path, exist_ok=True)
-        if os.path.exists(self._spec_path):
+        # spec-exists + g0-exists = a real table; spec-exists + NO global
+        # version = a create() that crashed between the two writes — re-run
+        # to recover (the rename below just re-publishes the spec, and the
+        # link(2)-exclusive g0 commit still refuses a concurrent double
+        # create)
+        if os.path.exists(self._spec_path) and self.exists():
             raise RuntimeError(f"table already exists at {self.path}")
         tmp = self._spec_path + f".tmp-{uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
@@ -396,6 +401,11 @@ class PartitionedTable:
             raise ValueError(
                 f"batch lacks partition column {self.partition_col!r} "
                 "(apply the transform chain that derives it)"
+            )
+        if "_part" in ev.columns:
+            # withColumn would silently overwrite the producer's column
+            raise ValueError(
+                "batch carries a reserved '_part' column — rename it"
             )
         ev = ev.withColumn("_part", self._part_expr())
         staged: str | None = None
@@ -559,19 +569,33 @@ class PartitionedTable:
         man_hi = self.manifest(until_version)
         man_lo = self.manifest(since_version)
         hi = man_hi["version"]
-        # a partition referenced ANYWHERE in the range but absent from the
-        # high cut was drop_partition'd mid-range — its committed change
-        # rows are gone, so the feed fails loud instead of silently
-        # skipping them (O(range) raw manifest reads, the same cost class
-        # as flat-table feed discovery)
-        seen = set(man_lo["parts"])
+        if since_version > hi:
+            raise ValueError(
+                f"since_version {since_version} is above until {hi}"
+            )
+        # walk the range once (O(range) raw manifest reads, the same cost
+        # class as flat-table feed discovery) to fail loud where a
+        # partition's change history is incomplete: a partition present in
+        # one cut and ABSENT from the next was drop_partition'd — its
+        # committed rows are gone, and a later RE-CREATE under the same
+        # value (fresh sub-ledger, possibly reaching the same version
+        # numbers) would otherwise make a plain (lo, hi] sub-read skip the
+        # pre-drop rows without a trace. Version regressions are caught
+        # too (belt for out-of-band ledger surgery).
+        prev_parts = man_lo["parts"]
+        lost: set[str] = set()
         for g in range(since_version + 1, hi + 1):
-            seen |= set(self.manifest(g)["parts"])
-        missing = sorted(seen - set(man_hi["parts"]))
-        if missing:
+            cur = self.manifest(g)["parts"]
+            lost |= {p for p in prev_parts if p not in cur}
+            lost |= {
+                p for p, v in cur.items() if v < prev_parts.get(p, -1)
+            }
+            prev_parts = cur
+        if lost:
             raise PartitionRetentionError(
                 f"change feed ({since_version}, {hi}] crosses "
-                f"drop_partition({missing!r}); retention removed their rows"
+                f"drop_partition({sorted(lost)!r}); retention removed "
+                "some of their rows"
             )
         dfs: list[DataFrame] = []
         if not with_version:
@@ -670,6 +694,10 @@ class PartitionedTable:
         also GCs its unreferenced data dirs and the loser/crash leftovers
         under them)."""
         gvs = self._versions()
+        if not gvs:
+            # never created / no ledger — nothing is referenced, and the
+            # unreferenced-dir sweep below must not fire on that state
+            return {"expired_global": 0, "kept": [], "parts": {}}
         keep = gvs[-keep_last:]
         drop = [v for v in gvs if v not in keep]
         kept_mans = [self.manifest(v) for v in keep]

@@ -315,6 +315,42 @@ def test_schema_evolution_per_partition(spark, mor_ptable):
     assert got["c5"] == "en" and got["c1"] is None
 
 
+def test_crashed_create_is_recoverable(spark, tmp_path):
+    """create() writes spec then g0; a crash between the two must not wedge
+    the path — re-running create() recovers it."""
+    t = PartitionedTable(spark, str(tmp_path / "pc"))
+    t.create(TRANSCRIPT_SCHEMA)
+    os.remove(os.path.join(t._ledger, "g00000000.json"))  # simulate crash
+    t2 = PartitionedTable(spark, str(tmp_path / "pc"))
+    assert not t2.exists()
+    t2.create(TRANSCRIPT_SCHEMA)  # recovery, not "already exists"
+    assert t2.exists()
+    with pytest.raises(RuntimeError):
+        t2.create(TRANSCRIPT_SCHEMA)  # real double-create still refused
+
+
+def test_reserved_part_column_refused(spark, ptable):
+    ev = _events(spark, THREE_MONTHS).withColumn("_part", F.lit("x"))
+    with pytest.raises(ValueError, match="_part"):
+        ptable.apply_changes(ev, batch_id=0)
+
+
+def test_feed_detects_drop_and_recreate(spark, mor_ptable):
+    """A partition dropped and RE-created under the same value inside a feed
+    range restarts its sub-ledger at 0 — the feed must fail loud, not skip
+    the pre-drop rows."""
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    t.drop_partition("2025-01")
+    t.apply_changes(_events(spark, [
+        ("I", 8, "c7", 0, "user", "jan reborn", None, _ts(1)),
+    ]), batch_id=1)
+    with pytest.raises(PartitionRetentionError):
+        t.changes(0)
+    # a range starting after the re-create is served fine
+    assert t.changes(t.latest_version() - 1).count() == 1
+
+
 def test_create_validates_partition_col(spark, tmp_path):
     t = PartitionedTable(spark, str(tmp_path / "bad"), partition_col="nope")
     with pytest.raises(ValueError):
