@@ -447,11 +447,20 @@ def run_partition_prune(spark, sf: float) -> dict:
         ev = (
             synth_events(spark, n, max(500, n // 100), seed=31)
             .drop("ts_raw")
+            # ts derives from the KEY, not the event: every version of a
+            # row keeps its month, so the router's (partition, key)
+            # identity equals the flat table's and the two arms hold the
+            # same live rows — a per-event random ts would fan one key's
+            # updates across months and the scan comparison would read
+            # different logical volumes
             .withColumn(
                 "ts",
                 F.timestamp_seconds(
                     F.lit(1735689600)  # 2025-01-01 UTC
-                    + F.pmod(F.xxhash64(F.lit(7), "seq"), F.lit(365 * 86400))
+                    + F.pmod(
+                        F.xxhash64(F.lit(7), "conv_id", "turn_idx"),
+                        F.lit(365 * 86400),
+                    )
                 ),
             )
         )

@@ -279,10 +279,13 @@ def changelog_to_debezium(
     consumers that need it; don't mix this bus with ``feed_to_debezium``
     output (different lsn domains). Round-trip pinned in
     tests/test_changelog_publish.py."""
+    # late import: streaming.source imports plans.lake, not this module
+    from ..streaming.source import COMMIT_TS_COL
+
     typ = F.col("_change_type")
     payload = [
         c for c in rc.columns
-        if c not in (SEQ_COL, "_change_type", "_version") and c != "_commit_ts"
+        if c not in (SEQ_COL, "_change_type", "_version", COMMIT_TS_COL)
     ]
     image = F.struct(*[F.col(c) for c in payload])
     is_pre = typ.isin("update_preimage", "delete")

@@ -78,8 +78,8 @@ from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..schemas import schema_from_json
-from .lake import LakeTable
+from ..schemas import DELETED_COL, SEQ_COL, schema_from_json
+from .lake import LakeTable, SnapshotExpiredError
 
 __all__ = ["PartitionedTable", "PartitionRetentionError", "NULL_PART"]
 
@@ -163,7 +163,7 @@ class PartitionedTable:
         if not os.path.isdir(self._ledger):
             return []
         return sorted(
-            int(f[1:9])
+            int(f[1:-5])  # width-proof, like LakeTable._versions
             for f in os.listdir(self._ledger)
             if f.startswith("g") and f.endswith(".json") and not f.startswith("g_")
         )
@@ -181,7 +181,8 @@ class PartitionedTable:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         p = os.path.join(self._ledger, f"g{v:08d}.json")
         if not os.path.exists(p):
-            raise LookupError(
+            # same typed error flat-table consumers already re-seed on
+            raise SnapshotExpiredError(
                 f"global version {v} was removed by expire_snapshots"
             )
         with open(p) as fh:
@@ -508,9 +509,12 @@ class PartitionedTable:
         )
 
     # --------------------------------------------------------------- read
-    def _union(self, dfs: list[DataFrame]) -> DataFrame:
+    def _union(self, dfs: list[DataFrame], empty=None) -> DataFrame:
         if not dfs:
-            return self.spark.createDataFrame(
+            # empty results must carry the SAME schema a non-empty result
+            # would (evolved columns, the feed's hidden _seq/_deleted) —
+            # an empty poll that loses columns crashes its consumer
+            return empty() if empty is not None else self.spark.createDataFrame(
                 [], schema_from_json(self._load_spec()["schema"])
             )
         out = dfs[0]
@@ -519,12 +523,43 @@ class PartitionedTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def _empty_cut(self, man: dict, *, hidden: bool = False,
+                   with_version: bool = False) -> DataFrame:
+        """Zero-row frame with the schema a non-empty read of this cut
+        would produce: union of every pinned partition's canonical schema
+        (falling back to the spec schema on a partitionless table), plus
+        the hidden feed columns when asked."""
+        dfs = []
+        for p, v in sorted(man["parts"].items()):
+            sub = self._sub(p)
+            dfs.append(
+                sub._empty(sub._canonical_schema(sub.manifest(v)),
+                           hidden=hidden)
+            )
+        if dfs:
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+        else:
+            schema = schema_from_json(self._load_spec()["schema"])
+            if hidden:
+                schema = T.StructType(
+                    schema.fields
+                    + [T.StructField(SEQ_COL, T.LongType(), False),
+                       T.StructField(DELETED_COL, T.BooleanType(), False)]
+                )
+            out = self.spark.createDataFrame([], schema)
+        if with_version:
+            out = out.withColumn("_version", F.lit(None).cast("long"))
+        return out
+
     def read(self, version: int | None = None) -> DataFrame:
         """Table state at a global version: each partition read at the
         sub-version that global commit pinned — one consistent cut."""
         man = self.manifest(version)
         return self._union(
-            [self._sub(p).read(version=v) for p, v in sorted(man["parts"].items())]
+            [self._sub(p).read(version=v) for p, v in sorted(man["parts"].items())],
+            empty=lambda: self._empty_cut(man),
         )
 
     def read_range(self, lo, hi, col: str | None = None,
@@ -545,7 +580,8 @@ class PartitionedTable:
             ]
         return self._union(
             [self._sub(p).read_range(lo, hi, col=col, version=v)
-             for p, v in items]
+             for p, v in items],
+            empty=lambda: self._empty_cut(man),
         )
 
     def read_keys(self, bucket_keys: list, version: int | None = None) -> DataFrame:
@@ -555,7 +591,8 @@ class PartitionedTable:
         man = self.manifest(version)
         return self._union(
             [self._sub(p).read_keys(bucket_keys, version=v)
-             for p, v in sorted(man["parts"].items())]
+             for p, v in sorted(man["parts"].items())],
+            empty=lambda: self._empty_cut(man),
         )
 
     def changes(self, since_version: int, until_version: int | None = None,
@@ -598,12 +635,15 @@ class PartitionedTable:
                 "some of their rows"
             )
         dfs: list[DataFrame] = []
+        empty = lambda: self._empty_cut(  # noqa: E731
+            man_hi, hidden=True, with_version=with_version
+        )
         if not with_version:
             for p, v_hi in sorted(man_hi["parts"].items()):
                 v_lo = man_lo["parts"].get(p, 0)
                 if v_hi > v_lo:
                     dfs.append(self._sub(p).changes(v_lo, v_hi))
-            return self._union(dfs)
+            return self._union(dfs, empty=empty)
         prev = man_lo
         for g in range(since_version + 1, hi + 1):
             cur = self.manifest(g)
@@ -613,10 +653,11 @@ class PartitionedTable:
                     dfs.append(
                         self._sub(p)
                         .changes(v_lo, v_hi)
-                        .withColumn("_version", F.lit(g))
+                        # long, matching the flat table's attribution column
+                        .withColumn("_version", F.lit(g).cast("long"))
                     )
             prev = cur
-        return self._union(dfs)
+        return self._union(dfs, empty=empty)
 
     def history(self, limit: int | None = None) -> list[dict]:
         out = [self.manifest(v) for v in reversed(self._versions())]
@@ -705,10 +746,12 @@ class PartitionedTable:
             os.remove(os.path.join(self._ledger, f"g{v:08d}.json"))
         per_part = {}
         for p in self._live_parts():
-            sub = self._sub(p)
             referenced = {
                 m["parts"][p] for m in kept_mans if p in m["parts"]
             }
+            # referenced-check BEFORE instantiating the handle: a crash
+            # leftover (directory with no committed sub version) must be
+            # GC'd here, and _sub() on it would raise instead
             if not referenced:
                 # no kept cut references this partition (created after the
                 # last kept commit crashed, or drop committed without the
@@ -717,6 +760,7 @@ class PartitionedTable:
                 self._subs.pop(p, None)
                 per_part[p] = {"removed_unreferenced_dir": True}
                 continue
+            sub = self._sub(p)
             floor = min(referenced)
             keep_n = len([sv for sv in sub._versions() if sv >= floor])
             per_part[p] = sub.expire_snapshots(keep_last=keep_n)

@@ -351,6 +351,37 @@ def test_feed_detects_drop_and_recreate(spark, mor_ptable):
     assert t.changes(t.latest_version() - 1).count() == 1
 
 
+def test_empty_results_keep_full_schema(spark, mor_ptable):
+    """An empty poll / pruned-to-zero read must carry the SAME schema a
+    non-empty one would — hidden feed columns and evolved columns included
+    — or the consumer crashes exactly on the nothing-new case."""
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    t.apply_changes(spark.createDataFrame(
+        [("I", 30, "c5", 0, "user", "x", None, _ts(5), "en")],
+        EVENT_DDL + ", lang string"), batch_id=1)
+    empty_feed = t.changes(t.latest_version())
+    assert empty_feed.count() == 0
+    assert {"_seq", "_deleted"} <= set(empty_feed.columns)
+    assert "_version" in t.changes(t.latest_version(),
+                                   with_version=True).columns
+    pruned = t.read_range(_ts(11, 1), _ts(11, 28))
+    assert pruned.count() == 0 and "lang" in pruned.columns
+    assert "lang" in t.read_keys(["nope"]).columns
+
+
+def test_expire_gcs_crash_leftover_partition_dir(spark, mor_ptable):
+    """A partition directory whose sub-create never committed (crash inside
+    the fan-out) must be GC'd by expire_snapshots, not wedge it."""
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    os.makedirs(os.path.join(t.path, "part=2025-09", "_ledger"))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["parts"]["2025-09"] == {"removed_unreferenced_dir": True}
+    assert not os.path.isdir(os.path.join(t.path, "part=2025-09"))
+    assert t.read().count() == 4
+
+
 def test_create_validates_partition_col(spark, tmp_path):
     t = PartitionedTable(spark, str(tmp_path / "bad"), partition_col="nope")
     with pytest.raises(ValueError):
