@@ -61,10 +61,14 @@ Scale shape at 100 TB:
   partition, and the operator guidance is coarse partitions (months, not
   days) for key-lookup-heavy tables.
 
-Not yet routed through the router (use per-partition handles): ALTER
-DDL (``add_column`` etc.), branches/tags, and the typed row changelog —
-each sub-table supports them individually; a global surface needs a
-cross-partition version map like ``changes(with_version=True)`` builds.
+ALTER DDL fans out (``add_column`` / ``widen_column`` / ``drop_column``
+/ ``rename_column``): existing partitions get the flat-table ALTER, the
+spec schema is rewritten for future partitions, and the spec's retired-
+name record lets the router enforce the stale-producer contract that a
+brand-new partition (no rename log yet) couldn't. Not yet routed (use
+per-partition handles): branches/tags and the typed row changelog — a
+global surface needs a cross-partition version map like
+``changes(with_version=True)`` builds.
 """
 
 from __future__ import annotations
@@ -78,7 +82,12 @@ from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..schemas import DELETED_COL, SEQ_COL, schema_from_json
+from ..schemas import (
+    DELETED_COL,
+    SEQ_COL,
+    SchemaEvolutionError,
+    schema_from_json,
+)
 from .lake import LakeTable, SnapshotExpiredError
 
 __all__ = ["PartitionedTable", "PartitionRetentionError", "NULL_PART"]
@@ -360,6 +369,137 @@ class PartitionedTable:
             }
         )
 
+    # --------------------------------------------------------- ALTER DDL
+    # Fan-out DDL: each EXISTING partition gets the flat-table ALTER (its
+    # own rename log / schema list keeps time travel per partition), and
+    # the SPEC schema is rewritten so partitions created later are born
+    # with the post-DDL shape. The spec also records every RETIRED name
+    # (dropped, or the old side of a rename) — a brand-new partition has
+    # no rename log to refuse stale producers with, so the ROUTER enforces
+    # the flat-table contract at apply time: batches using a renamed-away
+    # name are refused (error names the new name), batches still carrying
+    # a dropped column get it ignored. Single-DDL-owner assumption, like
+    # every maintenance op here.
+
+    def _rewrite_spec(self, mutate) -> None:
+        spec = self._load_spec()
+        mutate(spec)
+        tmp = self._spec_path + f".tmp-{uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(spec, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._spec_path)
+
+    def _retired(self) -> dict:
+        return self._load_spec().get("retired", {})
+
+    def _assert_fresh_spec_name(self, name: str) -> None:
+        spec = self._load_spec()
+        if name in self._retired() or name in schema_from_json(
+            spec["schema"]
+        ).fieldNames():
+            raise SchemaEvolutionError(
+                f"column name {name!r} exists or was retired by an earlier "
+                "DDL; retired names cannot return"
+            )
+
+    def _alter_fanout(self, sub_call, mutate_spec, metrics: dict) -> dict:
+        for p in sorted(self.manifest()["parts"]):
+            sub_call(self._sub(p))
+        self._rewrite_spec(mutate_spec)
+        self._commit_global(self._next_global("alter", metrics=metrics))
+        return metrics
+
+    def add_column(self, name: str, dtype) -> dict:
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        self._assert_fresh_spec_name(name)
+
+        def mutate(spec):
+            schema = schema_from_json(spec["schema"])
+            spec["schema"] = T.StructType(
+                [*schema.fields, T.StructField(name, dtype, True)]
+            ).json()
+
+        return self._alter_fanout(
+            lambda s: s.add_column(name, dtype), mutate,
+            {"op": "add_column", "column": name,
+             "dtype": dtype.simpleString()},
+        )
+
+    def widen_column(self, name: str, dtype) -> dict:
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+
+        def mutate(spec):
+            schema = schema_from_json(spec["schema"])
+            spec["schema"] = T.StructType(
+                [T.StructField(name, dtype, f.nullable)
+                 if f.name == name else f for f in schema.fields]
+            ).json()
+
+        return self._alter_fanout(
+            lambda s: s.widen_column(name, dtype), mutate,
+            {"op": "widen_column", "column": name,
+             "dtype": dtype.simpleString()},
+        )
+
+    def drop_column(self, name: str) -> dict:
+        if name in self.key_cols or name == self.partition_col:
+            raise SchemaEvolutionError(
+                f"{name!r} is a key/partition column; drop is not allowed"
+            )
+
+        def mutate(spec):
+            schema = schema_from_json(spec["schema"])
+            spec["schema"] = T.StructType(
+                [f for f in schema.fields if f.name != name]
+            ).json()
+            spec.setdefault("retired", {})[name] = {"reason": "dropped"}
+
+        return self._alter_fanout(
+            lambda s: s.drop_column(name), mutate,
+            {"op": "drop_column", "column": name},
+        )
+
+    def rename_column(self, old: str, new: str) -> dict:
+        if old in self.key_cols or old == self.partition_col:
+            raise SchemaEvolutionError(
+                f"{old!r} is a key/partition column; rename is not allowed"
+            )
+        self._assert_fresh_spec_name(new)
+
+        def mutate(spec):
+            schema = schema_from_json(spec["schema"])
+            spec["schema"] = T.StructType(
+                [T.StructField(new, f.dataType, f.nullable)
+                 if f.name == old else f for f in schema.fields]
+            ).json()
+            spec.setdefault("retired", {})[old] = {
+                "reason": "renamed", "to": new,
+            }
+
+        return self._alter_fanout(
+            lambda s: s.rename_column(old, new), mutate,
+            {"op": "rename_column", "from": old, "to": new},
+        )
+
+    def _enforce_retired(self, ev: DataFrame) -> DataFrame:
+        """Router-level stale-producer contract (see ALTER section note):
+        renamed-away names refuse, dropped names are ignored."""
+        retired = self._retired()
+        hit = [c for c in ev.columns if c in retired]
+        for c in hit:
+            meta = retired[c]
+            if meta["reason"] == "renamed":
+                raise SchemaEvolutionError(
+                    f"batch column {c!r} was renamed to {meta['to']!r}; "
+                    "update the producer"
+                )
+            ev = ev.drop(c)
+        return ev
+
     # -------------------------------------------------------------- write
     def apply_changes(
         self,
@@ -408,6 +548,7 @@ class PartitionedTable:
             raise ValueError(
                 "batch carries a reserved '_part' column — rename it"
             )
+        ev = self._enforce_retired(ev)
         ev = ev.withColumn("_part", self._part_expr())
         staged: str | None = None
         persisted = False

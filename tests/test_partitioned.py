@@ -382,6 +382,51 @@ def test_expire_gcs_crash_leftover_partition_dir(spark, mor_ptable):
     assert t.read().count() == 4
 
 
+def test_alter_fans_out_and_covers_new_partitions(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    t.add_column("lang", "string")
+    assert "lang" in t.read().columns
+    # a partition created AFTER the DDL is born with the column (spec)
+    t.apply_changes(_events(spark, [
+        ("I", 9, "c6", 0, "user", "sep", None, _ts(9)),
+    ]), batch_id=1)
+    assert "lang" in t.part("2025-09").read().columns
+
+
+def test_rename_refuses_stale_producers_everywhere(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    t.rename_column("tool", "tool_name")
+    assert "tool_name" in t.read().columns
+    from cdm_to_mods_spark.schemas import SchemaEvolutionError
+    # stale producer still writing 'tool' — refused even when the batch
+    # targets a BRAND-NEW partition with no rename log of its own
+    with pytest.raises(SchemaEvolutionError, match="tool_name"):
+        t.apply_changes(_events(spark, [
+            ("I", 9, "c6", 0, "user", "sep", "calc", _ts(9)),
+        ]), batch_id=1)
+    # retired names cannot return
+    with pytest.raises(SchemaEvolutionError):
+        t.add_column("tool", "string")
+
+
+def test_drop_column_ignores_lagging_producers(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    t.drop_column("tool")
+    assert "tool" not in t.read().columns
+    # producers lag DDL: a batch still carrying the column applies, the
+    # column is ignored — including into a new partition
+    t.apply_changes(_events(spark, [
+        ("I", 9, "c6", 0, "user", "sep", "calc", _ts(9)),
+    ]), batch_id=1)
+    df = t.read()
+    assert "tool" not in df.columns
+    assert df.filter(F.col("conv_id") == "c6").count() == 1
+    assert "tool" not in t.part("2025-09").read().columns
+
+
 def test_create_validates_partition_col(spark, tmp_path):
     t = PartitionedTable(spark, str(tmp_path / "bad"), partition_col="nope")
     with pytest.raises(ValueError):
