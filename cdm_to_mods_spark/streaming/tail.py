@@ -56,6 +56,10 @@ class StreamingReplay:
         min_seq: int | None = None,
         quarantine_path: str | None = None,
         compact_deltas: int = 8,
+        partition_by: str | None = None,
+        partition_col: str = "ts",
+        maintain_every: int | None = None,
+        maintain_policy: dict | None = None,
     ) -> None:
         self.spark = spark
         self.events_dir = events_dir
@@ -69,6 +73,65 @@ class StreamingReplay:
         # skip them at the scan (parquet footer pushdown) instead of
         # re-resolving them in the merge.
         self.min_seq = min_seq
+        # in-loop maintenance (the Paimon write-path-compaction / Delta
+        # auto-OPTIMIZE role): every N SUCCESSFUL applies, run the
+        # threshold-driven maintain() scheduler between micro-batches —
+        # same thread as the writer, so the maintenance-owner assumption
+        # (never concurrent with an in-flight commit) holds by
+        # construction. Decisions are driver-side manifest/footer reads
+        # (describe_detail cost class), so a no-op tick is cheap; actual
+        # folds/bin-packs only run when the policy thresholds say due.
+        if maintain_every is not None and maintain_every < 1:
+            raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
+        self.maintain_every = maintain_every
+        self.maintain_policy = dict(maintain_policy or {})
+        self._applies_since_maintain = 0
+        if partition_by is not None:
+            # time-partitioned ingest target: route the SAME tail into a
+            # months(ts) x bucket(key) PartitionedTable (plans/partitioned)
+            # — steady-state micro-batches land in 1-2 recent partitions,
+            # retention becomes O(1) drop_partition, and mid-history range
+            # reads prune whole partition directories. Exactly-once
+            # composes: Spark's checkpoint redelivers, the router's global
+            # ledger dedupes whole batches, and a crash mid-fan-out
+            # converges through each sub-table's own batch ledger.
+            if branch != "main":
+                raise ValueError(
+                    "partition_by does not compose with a WAP branch: the "
+                    "partition router has no branch surface (stage on a "
+                    "flat table, or audit per-partition handles)"
+                )
+            if stats_view_path is not None:
+                raise ValueError(
+                    "partition_by does not compose with stats_view_path: "
+                    "ConversationStatsView consumes a flat table's change "
+                    "feed (attach views to per-partition handles instead)"
+                )
+            from ..plans.partitioned import PartitionedTable
+
+            self.table = PartitionedTable(
+                spark, table_path,
+                granularity=partition_by,
+                partition_col=partition_col,
+                num_buckets=num_buckets, merge_mode=merge_mode,
+                quarantine_path=quarantine_path,
+                compact_deltas=compact_deltas,
+            )
+            if not self.table.exists():
+                self.table.create(TRANSCRIPT_SCHEMA)
+            self.view = None
+            self.sliding = None
+            if sliding_view_path is not None:
+                from ..operators.slicing import SlidingWindowView
+
+                self.sliding = SlidingWindowView(
+                    spark, sliding_view_path, "ingest_ts", "2 hours",
+                    "1 hour", {"n_events": ("count", "*")},
+                )
+            from collections import deque
+
+            self.batch_metrics: deque = deque(maxlen=10_000)
+            return
         if branch != "main":
             # write-audit-publish tail: stage the whole stream on a branch
             # main readers never see, audit the branch handle, then
@@ -143,11 +206,29 @@ class StreamingReplay:
             # runs even when the MERGE skipped (crash-redelivery): the
             # sliding ledger decides idempotence by its own last_batch_id
             metrics["sliding"] = self.sliding.update(batch_df, batch_id=batch_id)
+        if self.maintain_every is not None and not metrics.get("skipped"):
+            self._applies_since_maintain += 1
+            if self._applies_since_maintain >= self.maintain_every:
+                self._applies_since_maintain = 0
+                metrics["maintain"] = self._run_maintain()
         metrics["wall_sec"] = round(time.monotonic() - t0, 3)
         self.batch_metrics.append(metrics)
         if self.metrics_path:
             with open(self.metrics_path, "a") as fh:
                 fh.write(json.dumps(metrics) + "\n")
+
+    def _run_maintain(self) -> dict:
+        """One maintenance tick between micro-batches; returns a compact
+        per-action summary (full results would bloat the metrics JSONL —
+        run maintain(dry_run=True) by hand for the reasons/signals)."""
+        if hasattr(self.table, "maintain"):  # PartitionedTable fan-out
+            res = self.table.maintain(**self.maintain_policy)
+            return {p: [a["action"] for a in r["actions"]]
+                    for p, r in res.items()}
+        from ..plans.maintenance import maintain as _maintain
+
+        res = _maintain(self.table, **self.maintain_policy)
+        return {"actions": [a["action"] for a in res["actions"]]}
 
     def start(self, *, available_now: bool = True):
         """Start the tail. ``available_now`` processes the current backlog
@@ -171,8 +252,9 @@ class StreamingReplay:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def run_to_completion(self, timeout_sec: float = 600.0) -> LakeTable:
-        """Process the full backlog and return the converged table.
+    def run_to_completion(self, timeout_sec: float = 600.0):
+        """Process the full backlog and return the converged table
+        (a ``LakeTable``, or a ``PartitionedTable`` under ``partition_by``).
 
         Raises ``TimeoutError`` if the backlog did not finish inside
         ``timeout_sec`` — returning the table anyway would report a

@@ -70,6 +70,14 @@ def main() -> None:
     ap.add_argument("--quarantine", default=None, metavar="DIR",
                     help="dead-letter null-key change rows to this parquet dir "
                          "instead of aborting the replay")
+    ap.add_argument("--partition-by", choices=["year", "month", "day"],
+                    default=None,
+                    help="tail into a time-partitioned table "
+                         "(granularity(ts) x bucket(key) composite spec) "
+                         "instead of a flat LakeTable")
+    ap.add_argument("--maintain-every", type=int, default=None, metavar="N",
+                    help="run the threshold-driven maintain() scheduler "
+                         "between micro-batches, every N successful applies")
     ap.add_argument("--upsert", action="store_true",
                     help="source rows are snapshot-style (current value per "
                          "key, no op/seq; deletes = tombstone rows) — tail "
@@ -108,6 +116,12 @@ def main() -> None:
         ap.error("--route composes with the plain streaming tail only "
                  "(no --upsert/--bootstrap/--branch/--synth, streamable "
                  "formats)")
+    if args.partition_by is not None and (
+        args.upsert or args.route is not None or args.branch != "main"
+        or args.format == "xlsx"
+    ):
+        ap.error("--partition-by composes with the plain streaming tail "
+                 "only (no --upsert/--route/--branch, streamable formats)")
 
     from cdm_to_mods_spark.session import get_spark
     from cdm_to_mods_spark.streaming.tail import StreamingReplay
@@ -123,20 +137,38 @@ def main() -> None:
         )
 
     if args.bootstrap is not None:
-        from cdm_to_mods_spark.plans.lake import LakeTable
         from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
 
-        t = LakeTable(
-            spark, args.table, num_buckets=args.buckets, merge_mode=args.mode
-        )
-        if not t.exists():
-            t.create(TRANSCRIPT_SCHEMA)
-        m = t.bootstrap(
-            spark.read.parquet(args.bootstrap), args.bootstrap_seq
-        )
-        print(json.dumps({"bootstrap": {
-            "rows": m.get("rows_written"), "seq": m["bootstrap_seq"],
-        }}), file=sys.stderr)
+        if args.partition_by is not None:
+            from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+            t = PartitionedTable(
+                spark, args.table, granularity=args.partition_by,
+                num_buckets=args.buckets, merge_mode=args.mode,
+            )
+            if not t.exists():
+                t.create(TRANSCRIPT_SCHEMA)
+            m = t.bootstrap(
+                spark.read.parquet(args.bootstrap), args.bootstrap_seq
+            )
+            print(json.dumps({"bootstrap": {
+                "parts": m.get("n_parts_touched"), "seq": args.bootstrap_seq,
+            }}), file=sys.stderr)
+        else:
+            from cdm_to_mods_spark.plans.lake import LakeTable
+
+            t = LakeTable(
+                spark, args.table, num_buckets=args.buckets,
+                merge_mode=args.mode,
+            )
+            if not t.exists():
+                t.create(TRANSCRIPT_SCHEMA)
+            m = t.bootstrap(
+                spark.read.parquet(args.bootstrap), args.bootstrap_seq
+            )
+            print(json.dumps({"bootstrap": {
+                "rows": m.get("rows_written"), "seq": m["bootstrap_seq"],
+            }}), file=sys.stderr)
 
     if args.format == "xlsx":
         # xlsx is a batch-only source (binaryFile has no streaming reader —
@@ -255,6 +287,8 @@ def main() -> None:
             quarantine_path=args.quarantine,
             branch=args.branch,
             compact_deltas=args.compact_deltas,
+            partition_by=args.partition_by,
+            maintain_every=args.maintain_every,
         )
     if args.continuous:
         q = sr.start(available_now=False)

@@ -1,0 +1,177 @@
+"""Streaming binlog tail into a time-partitioned table, plus the in-loop
+maintain_every hook.
+
+Differential oracle: the streaming tail over a PartitionedTable must
+converge to the same state as the BATCH router applied the same events —
+streaming is micro-batched delivery of the identical apply path, so any
+divergence is a bug in the tail wiring (checkpointing, exactly-once
+composition), never in partition semantics (tests/test_partitioned.py
+owns those against the flat-table oracle)."""
+
+from __future__ import annotations
+
+import time as _t
+
+import pytest
+
+from cdm_to_mods_spark.functions.chain import apply_chain
+from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+from cdm_to_mods_spark.sources.synth import synth_events, write_event_batches
+from cdm_to_mods_spark.streaming.tail import StreamingReplay, resume_offsets
+
+N_EVENTS, N_CONVS = 1500, 25
+
+
+def _state(df):
+    return {
+        (r.conv_id, r.turn_idx, r.ts): (r.role, r.text, r.tool)
+        for r in df.collect()
+    }
+
+
+def _batch_oracle(spark, tmp_path, merge_mode="mor"):
+    """The same events through the batch router, one apply."""
+    o = PartitionedTable(
+        spark, str(tmp_path / "router-oracle"), num_buckets=8,
+        merge_mode=merge_mode,
+    )
+    o.create(TRANSCRIPT_SCHEMA)
+    o.apply_changes(
+        synth_events(spark, N_EVENTS, N_CONVS, seed=42),
+        batch_id=0,
+        transform=apply_chain,
+    )
+    return o
+
+
+def test_partitioned_tail_matches_batch_router(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, N_EVENTS, N_CONVS, n_batches=3,
+                        seed=42)
+    sr = StreamingReplay(
+        spark, events_dir, str(tmp_path / "ptab"), str(tmp_path / "ckpt"),
+        num_buckets=8, merge_mode="mor", partition_by="month",
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+    )
+    table = sr.run_to_completion()
+    assert isinstance(table, PartitionedTable)
+    # multi-month synth timestamps actually exercised the router
+    assert len(table.partitions()) > 1
+    want = _state(_batch_oracle(spark, tmp_path).read())
+    assert _state(table.read()) == want
+    # per-micro-batch metrics flowed (router metrics shape)
+    assert sr.batch_metrics
+    assert all(
+        "n_parts_touched" in m or m.get("skipped") for m in sr.batch_metrics
+    )
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_partitioned_tail_kill_and_resume(spark, tmp_path):
+    """Exactly-once across restart: Spark redelivers the in-flight
+    micro-batch, the router's GLOBAL ledger (plus each sub-table's batch
+    ledger mid-fan-out) dedupes it."""
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    table_path = str(tmp_path / "ptab")
+    write_event_batches(spark, events_dir, N_EVENTS, N_CONVS, n_batches=4,
+                        seed=42)
+
+    sr1 = StreamingReplay(
+        spark, events_dir, table_path, ckpt, num_buckets=8,
+        merge_mode="mor", partition_by="month", max_files_per_trigger=1,
+    )
+    q = sr1.start(available_now=False)
+    deadline = _t.monotonic() + 120
+    while not resume_offsets(ckpt) and _t.monotonic() < deadline:
+        _t.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    committed_before = len(resume_offsets(ckpt))
+    assert committed_before >= 1
+    assert sr1.table.read().count() > 0
+
+    sr2 = StreamingReplay(
+        spark, events_dir, table_path, ckpt, num_buckets=8,
+        merge_mode="mor", partition_by="month",
+    )
+    table = sr2.run_to_completion()
+    assert _state(table.read()) == _state(
+        _batch_oracle(spark, tmp_path).read()
+    )
+    assert len(resume_offsets(ckpt)) > committed_before
+
+
+def test_partitioned_tail_reopen_adopts_spec(spark, tmp_path):
+    """A second tail on the same path must adopt the on-disk spec, not
+    silently fork the layout with different constructor args."""
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, 200, 5, n_batches=1, seed=1)
+    StreamingReplay(
+        spark, events_dir, str(tmp_path / "ptab"), str(tmp_path / "ck1"),
+        partition_by="month",
+    ).run_to_completion()
+    with pytest.raises(ValueError, match="on-disk spec"):
+        StreamingReplay(
+            spark, events_dir, str(tmp_path / "ptab"), str(tmp_path / "ck2"),
+            partition_by="day",
+        )
+
+
+def test_partition_by_refuses_branch_and_stats_view(spark, tmp_path):
+    with pytest.raises(ValueError, match="branch"):
+        StreamingReplay(
+            spark, str(tmp_path / "ev"), str(tmp_path / "t"),
+            str(tmp_path / "ck"), partition_by="month", branch="audit",
+        )
+    with pytest.raises(ValueError, match="stats_view_path"):
+        StreamingReplay(
+            spark, str(tmp_path / "ev"), str(tmp_path / "t"),
+            str(tmp_path / "ck"), partition_by="month",
+            stats_view_path=str(tmp_path / "view"),
+        )
+
+
+def test_maintain_every_flat_folds_delta_chains(spark, tmp_path):
+    """maintain_every runs the threshold scheduler between micro-batches:
+    with inline compaction effectively off (compact_deltas high) and a
+    max_delta_chain=1 policy, every tick folds the chains the batches
+    just appended."""
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, 600, 10, n_batches=3, seed=7)
+    sr = StreamingReplay(
+        spark, events_dir, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        num_buckets=4, merge_mode="mor", compact_deltas=100,
+        max_files_per_trigger=1,
+        maintain_every=1, maintain_policy={"max_delta_chain": 1},
+    )
+    table = sr.run_to_completion()
+    ticked = [m["maintain"] for m in sr.batch_metrics if "maintain" in m]
+    assert ticked and any(t["actions"] for t in ticked)
+    man = table.manifest()
+    assert all(len(e.get("deltas", [])) <= 1 for e in man["buckets"].values())
+
+
+def test_maintain_every_partitioned_smoke(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, 400, 8, n_batches=2, seed=3)
+    sr = StreamingReplay(
+        spark, events_dir, str(tmp_path / "ptab"), str(tmp_path / "ckpt"),
+        num_buckets=4, merge_mode="mor", partition_by="month",
+        compact_deltas=100, max_files_per_trigger=1,
+        maintain_every=1, maintain_policy={"max_delta_chain": 1},
+    )
+    table = sr.run_to_completion()
+    ticked = [m["maintain"] for m in sr.batch_metrics if "maintain" in m]
+    # per-partition action lists; at least one partition folded
+    assert ticked and any(any(acts) for t in ticked for acts in t.values())
+    assert _state(table.read())  # table still reads fine post-maintenance
+
+
+def test_maintain_every_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="maintain_every"):
+        StreamingReplay(
+            spark, str(tmp_path / "ev"), str(tmp_path / "t"),
+            str(tmp_path / "ck"), maintain_every=0,
+        )
