@@ -516,6 +516,164 @@ def run_partition_prune(spark, sf: float) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_zorder_prune(spark, sf: float) -> dict:
+    """Multi-dimension data-skipping cost, lexicographic vs z-order
+    (operators/zorder.py). One replayed table, zero-copy cloned, each arm
+    compacted with the same cluster columns but a different layout; then
+    TWO query shapes are measured, because that is the actual trade:
+
+    - ``lead`` — a range on the leading sort column (one month of ts).
+      Lexicographic is near-optimal here (tight ts stats); z-order gives
+      some of that back by design.
+    - ``trail`` — a predicate on the trailing column alone (two turn_idx
+      values). Lexicographic admits ~every row group (turn_idx spans its
+      full range in each); the z-curve keeps it bounded. This is the
+      query z-ordering exists for.
+
+    The deterministic signal is the footer-level row-group admission
+    count per (layout, query); timings are best-of-2 interleaved. Row
+    groups are kept small (parquet.block.size) so row-group pruning has
+    granularity at bench scale — at 100 TB the default 128 MB groups over
+    multi-GB buckets give the same groups-per-bucket ratio."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-zorder-", dir=shm)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    try:
+        n = max(100_000, int(3_000_000 * sf))  # sf0.1 → 300k events
+        ev = (
+            synth_events(spark, n, max(500, n // 100), seed=47)
+            .drop("ts_raw")
+            # ts from the KEY so every version of a row keeps its slot
+            # (same rationale as the partition_prune lane)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1735689600)
+                    + F.pmod(
+                        F.xxhash64(F.lit(9), "conv_id", "turn_idx"),
+                        F.lit(365 * 86400),
+                    )
+                ),
+            )
+        )
+        # 2 buckets + 64 KB groups: enough row groups PER BUCKET (~16 at
+        # sf0.01) that the curve has granularity to work with — a z-layout
+        # with 2 groups/bucket can only lose (each group spans half of
+        # both dims). At 100 TB the same ratio comes free: a 1 GB bucket
+        # file holds ~8 default-sized groups and real tables hold many
+        # files per bucket.
+        base = LakeTable(spark, os.path.join(work, "linear"), num_buckets=2,
+                         merge_mode="mor")
+        base.create(TRANSCRIPT_SCHEMA)
+        base.apply_changes(ev, batch_id=0)
+        zt = base.clone(os.path.join(work, "zorder"))
+        hconf.set("parquet.block.size", str(64 * 1024))
+        base.compact(cluster_by=["ts", "turn_idx"], layout="linear")
+        # bits=5 measured best trail-prune here at both 100k and 300k
+        # (vs bits=6: 24/73 vs 33/73 admitted at 300k): fewer bits →
+        # longer contiguous z-runs for a fixed-bin predicate → fewer row
+        # groups touched, at bench row-group granularity
+        zt.compact(cluster_by=["ts", "turn_idx"], layout="zorder",
+                   zorder_bits=5)
+
+        lo, hi = "2025-06-01", "2025-06-30 23:59:59"
+        t_lo = dt_parse(lo)
+        t_hi = dt_parse(hi)
+
+        def _rg_stats(tbl):
+            """Yield (ts_stats, turn_stats) per row group from parquet
+            footers — deterministic, no timing noise."""
+            import pyarrow.parquet as pq
+
+            man = tbl.manifest()
+            for e in man["buckets"].values():
+                for fs in LakeTable._bucket_files(e):
+                    d = os.path.join(tbl.path, fs["path"])
+                    if not os.path.isdir(d):
+                        continue
+                    for f in os.listdir(d):
+                        if not f.endswith(".parquet"):
+                            continue
+                        md = pq.ParquetFile(os.path.join(d, f)).metadata
+                        names = [md.schema.column(i).name
+                                 for i in range(md.num_columns)]
+                        i_ts, i_turn = names.index("ts"), names.index("turn_idx")
+                        for rg in range(md.num_row_groups):
+                            yield (md.row_group(rg).column(i_ts).statistics,
+                                   md.row_group(rg).column(i_turn).statistics)
+
+        def _admitted(tbl, query: str) -> tuple[int, int]:
+            adm = tot = 0
+            for s_ts, s_tn in _rg_stats(tbl):
+                tot += 1
+                if (s_ts is None or s_tn is None
+                        or not s_ts.has_min_max or not s_tn.has_min_max):
+                    adm += 1
+                    continue
+                ts_hit = (s_ts.max.replace(tzinfo=None) >= t_lo
+                          and s_ts.min.replace(tzinfo=None) <= t_hi)
+                tn_hit = s_tn.max >= 8 and s_tn.min <= 9
+                if (ts_hit if query == "lead" else tn_hit):
+                    adm += 1
+            return adm, tot
+
+        def _scan(tbl, query: str):
+            if query == "lead":
+                df = tbl.read_range(lo, hi)
+            else:
+                df = tbl.read().filter(F.col("turn_idx").between(8, 9))
+            df.select(
+                F.sum(F.xxhash64(*df.columns).cast("double"))
+            ).collect()
+
+        walls = {}
+        for _ in range(2):
+            for query in ("lead", "trail"):
+                for name, tbl in (("linear", base), ("zorder", zt)):
+                    t0 = time.monotonic()
+                    _scan(tbl, query)
+                    w = time.monotonic() - t0
+                    k = f"{name}_{query}"
+                    walls[k] = w if k not in walls else min(walls[k], w)
+        out = {"n_events": n}
+        ratios = {}
+        for query in ("lead", "trail"):
+            lin_adm, lin_tot = _admitted(base, query)
+            z_adm, z_tot = _admitted(zt, query)
+            out[f"linear_{query}_scan_sec"] = round(walls[f"linear_{query}"], 3)
+            out[f"zorder_{query}_scan_sec"] = round(walls[f"zorder_{query}"], 3)
+            out[f"linear_{query}_rowgroups"] = f"{lin_adm}/{lin_tot}"
+            out[f"zorder_{query}_rowgroups"] = f"{z_adm}/{z_tot}"
+            ratios[query] = (lin_adm / lin_tot) / max(z_adm / z_tot, 1e-9)
+        # headline: trailing-dim prune factor (the query z-order exists
+        # for); lead ratio shows what the curve gives back on ts ranges
+        out["trail_prune_ratio"] = round(ratios["trail"], 2)
+        out["lead_giveback_ratio"] = round(ratios["lead"], 2)
+        return out
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def dt_parse(s: str):
+    import datetime as _dt
+
+    try:
+        return _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+    except ValueError:
+        return _dt.datetime.strptime(s, "%Y-%m-%d")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -588,6 +746,7 @@ def main() -> None:
     cdc["changelog_replay"] = run_changelog_replay(spark, sf)
     cdc["delete_modes"] = run_delete_modes(spark, sf)
     cdc["partition_prune"] = run_partition_prune(spark, sf)
+    cdc["zorder_prune"] = run_zorder_prune(spark, sf)
     cdc["wide_batch"] = run_wide_batch(spark, sf)
 
     print(

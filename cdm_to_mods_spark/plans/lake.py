@@ -414,8 +414,10 @@ class LakeTable:
         bucket and collide under last-write-wins). The reference ABORTS
         the whole run on invalid records (post_cdm_cleanup.py:15-37); a
         10^10-event replay can't re-run for one bad row, so the engine
-        quarantines and counts them (``metrics.n_quarantined``). Costs one
-        extra pass over the batch — enable where sources are untrusted.
+        quarantines and counts them (``metrics.n_quarantined``). The
+        quarantine write materializes the batch cache the apply reads
+        from, so routing costs ONE batch scan total, not two — enable
+        where sources are untrusted.
 
         ``stats_cols``: columns whose per-bucket min/max ZONE MAPS are
         collected from parquet footers at write time and stored on each
@@ -2400,6 +2402,9 @@ class LakeTable:
     # ------------------------------------------------------- maintenance
     def compact(self, version_note: str | None = None, *,
                 cluster_by: list | tuple | str | None = None,
+                layout: str = "linear",
+                zorder_bits: int = 6,
+                zorder_sample_fraction: float = 0.1,
                 purge_tombstones_before_seq: int | None = None) -> dict:
         """Fold every delta chain back into per-bucket base files (one
         maintenance commit). Equivalent to the inline compaction that fires
@@ -2416,6 +2421,18 @@ class LakeTable:
         scanning a bucket and scanning a morning. Trade-off: key-ordered
         row-group pruning for ``read_keys`` point reads degrades; pick the
         layout to match the read pattern.
+
+        ``layout="zorder"``: multi-dimension clustering — instead of the
+        lexicographic sort (tight row-group stats on the FIRST cluster
+        column only), rows sort by a Morton z-value interleaving
+        quantile-rank bins of every ``cluster_by`` column
+        (``operators/zorder.py``; the Delta ``OPTIMIZE … ZORDER BY``
+        role), so pushed filters on ANY clustered dimension prune row
+        groups. Costs one extra bounded-state pass over the resolved
+        bucket set for quantile boundaries (``zorder_sample_fraction``
+        bounds it, like Delta's range-id sampling); ``zorder_bits`` sets
+        bins-per-dimension (2^bits). Rank bins make the curve skew-proof
+        — a Zipf-hot column still spreads across its bins.
 
         ``purge_tombstones_before_seq``: tombstone GC — drop tombstone rows
         whose ``_seq`` is below the floor while folding (rewrites EVERY
@@ -2437,6 +2454,10 @@ class LakeTable:
             missing = [c for c in cluster_by if c not in canon.fieldNames()]
             if missing:
                 raise ValueError(f"cluster_by columns not in schema: {missing}")
+        if layout not in ("linear", "zorder"):
+            raise ValueError(f"unknown layout {layout!r} (linear|zorder)")
+        if layout == "zorder" and not cluster_by:
+            raise ValueError("layout='zorder' requires cluster_by columns")
         sort_cols = list(cluster_by) if cluster_by else list(self.key_cols)
         buckets = {
             k: (e if "path" not in e else {"base": e, "deltas": []})
@@ -2471,13 +2492,31 @@ class LakeTable:
         folded = folded.withColumn(
             "_bucket", _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn)
         )
+        if layout == "zorder":
+            from ..operators.zorder import compute_boundaries, zvalue_expr
+
+            # quantile boundaries cost one extra (sampled, bounded-state)
+            # resolve of the bucket set — the Delta ZORDER sampling pass
+            bounds = compute_boundaries(
+                folded,
+                list(cluster_by),
+                bits=zorder_bits,
+                sample_fraction=zorder_sample_fraction,
+            )
+            folded = folded.withColumn(
+                "_z", zvalue_expr(bounds, folded.schema, bits=zorder_bits)
+            )
+            sort_key = ["_bucket", "_z"]
+        else:
+            sort_key = ["_bucket", *sort_cols]
         (
             # sort by key inside each bucket file: compaction is the read-
             # optimization pass, and sorted row groups give parquet min/max
             # pruning on conv_id for read_keys point lookups.
             self._capped(
                 folded.repartition(max(len(todo), 1), "_bucket")
-                .sortWithinPartitions("_bucket", *sort_cols)
+                .sortWithinPartitions(*sort_key)
+                .drop("_z")
                 .write.partitionBy("_bucket")
                 .mode("overwrite")
             ).parquet(os.path.join(self.path, cdir_rel))
@@ -2502,7 +2541,8 @@ class LakeTable:
                 base["stats"] = cstats[b]["stats"]
             buckets[str(b)] = {"base": base, "deltas": []}
         metrics = {"maintenance": "compact", "n_buckets": len(todo),
-                   "cluster_by": cluster_by, "note": version_note}
+                   "cluster_by": cluster_by, "layout": layout,
+                   "note": version_note}
         if purge_tombstones_before_seq is not None:
             metrics["purge_tombstones_before_seq"] = int(
                 purge_tombstones_before_seq
