@@ -1728,6 +1728,21 @@ class LakeTable:
         out.extend(entry.get("deltas", []))
         return out
 
+    def _needs_resolve(self, entries) -> bool:
+        """True when a stored-row scan over ``entries`` (manifest bucket
+        values) may contain more than one version of a key, so readers
+        must run ``_resolve_lww`` before treating rows as live state.
+        Two triggers: a chain of >1 file sets (base + deltas), or ANY
+        file set marked ``unresolved`` — the native sink
+        (sources/lake_sink.py) appends RAW event batches that can hold
+        several versions of one key inside a single set, whereas apply
+        collapses in-batch before writing."""
+        return any(
+            len(self._bucket_files(e)) > 1
+            or any(fs.get("unresolved") for fs in self._bucket_files(e))
+            for e in entries
+        )
+
     def _read_raw(
         self,
         man: dict,
@@ -1822,7 +1837,7 @@ class LakeTable:
             else [man["buckets"][str(b)] for b in buckets
                   if str(b) in man["buckets"]]
         )
-        if any(len(self._bucket_files(e)) > 1 for e in sel):
+        if self._needs_resolve(sel):
             # the SAME op-ranked tie-break as every fold (_resolve_lww):
             # equal _seq arises when delete_where/update_where spend an LSN
             # a source event also uses — a bare payload-struct tie-break
@@ -3002,9 +3017,7 @@ class LakeTable:
             # scans the table ONCE: the guard aggregate below materializes
             # the matched set, and apply_changes replays it from cache.
             raw = self._read_raw(man, canon=canon)
-            if any(
-                len(self._bucket_files(e)) > 1 for e in man["buckets"].values()
-            ):
+            if self._needs_resolve(man["buckets"].values()):
                 raw = self._resolve_lww(raw)
             matched = (
                 raw.filter(~F.col(DELETED_COL))
@@ -3062,9 +3075,7 @@ class LakeTable:
         # phase 1 — find matching buckets (one scan; arbitrary predicates
         # cannot be zone-pruned, but the REWRITE below is O(matches)).
         raw_all = self._read_raw(man, canon=canon)
-        if any(
-            len(self._bucket_files(e)) > 1 for e in man["buckets"].values()
-        ):
+        if self._needs_resolve(man["buckets"].values()):
             raw_all = self._resolve_lww(raw_all)
         match_counts = {
             r["_b"]: r["n"]
@@ -3089,9 +3100,7 @@ class LakeTable:
         data_rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}-delete"
         vdir = os.path.join(self.path, data_rel)
         raw = self._read_raw(man, buckets=todo, canon=canon)
-        if any(
-            len(self._bucket_files(man["buckets"][str(b)])) > 1 for b in todo
-        ):
+        if self._needs_resolve(man["buckets"][str(b)] for b in todo):
             raw = self._resolve_lww(raw)
         newly = ~F.col(DELETED_COL) & pred
         rewritten = (
@@ -4241,3 +4250,142 @@ class LakeTable:
                 return {**metrics, "commit_retried": True, "version": new_version}
             except RuntimeError:
                 continue  # lost again — rename forward and retry
+
+    def commit_appended_deltas(
+        self,
+        entries: dict[int, dict],
+        *,
+        schema_id: int,
+        batch_id: int | None = None,
+        source: str | None = None,
+        metrics_extra: dict | None = None,
+    ) -> dict:
+        """Commit ALREADY-WRITTEN bucket-partitioned delta files as one
+        merge-on-read version — the Spark-free half of the native ``lake``
+        WRITER (sources/lake_sink.py): data source write tasks land the
+        parquet executor-side (pure Arrow), and this method publishes them
+        with plain file IO, so the commit runs in the data source's Python
+        runner where no SparkSession exists.
+
+        ``entries`` maps bucket id → ``{"path": rel-dir-under-table,
+        "rows", "max_seq", "min_seq", "stats"?}`` with every row already
+        routed to its hash32 bucket (the caller's contract — parity-pinned
+        via functions/hash32.py). The commit is the same Iceberg-style
+        fast-append the conflict-retry path performs: reload latest,
+        re-append the delta references, publish; loop on collision. Shares
+        apply's exactly-once ledger (``batch_id``), per-bucket lineage
+        high-water marks, and change-feed cdf records; inline compaction
+        cannot run here (no Spark) — chains grow until ``maintain()`` or
+        any library-side apply folds them, exactly the dedicated-compactor
+        topology Paimon's append-only tables use.
+
+        Declines (raise) when the table carries state this path cannot
+        honour: CHECK constraints (inline guards ride the Spark apply
+        plan), ``changelog='lookup'`` (pre-images need an old-state
+        lookup), or a concurrent bucket-layout change (our files were
+        routed under this handle's layout)."""
+        if self.changelog != "none":
+            raise ValueError(
+                "commit_appended_deltas cannot produce changelog records "
+                "(pre-image lookup needs Spark) — apply via apply_changes"
+            )
+        n_events = sum(e.get("rows") or 0 for e in entries.values())
+        while True:
+            latest = self.manifest()
+            if batch_id is not None and batch_id <= latest["last_batch_id"]:
+                return {"skipped": True, "batch_id": batch_id,
+                        "reason": "already committed"}
+            if (
+                latest.get("num_buckets") != self.num_buckets
+                or latest.get("bucket_fn", "xxhash64") != self.bucket_fn
+            ):
+                raise RuntimeError(
+                    "bucket layout changed since the files were routed "
+                    f"(table now {latest.get('bucket_fn')}/"
+                    f"{latest.get('num_buckets')} buckets) — re-write the batch"
+                )
+            if latest.get("constraints"):
+                raise RuntimeError(
+                    "table now carries CHECK constraints; this append path "
+                    "cannot validate rows — apply via apply_changes"
+                )
+            if schema_id >= len(latest["schemas"]):
+                raise RuntimeError(
+                    f"schema_id {schema_id} not in the ledger's append-only "
+                    f"schema list (len {len(latest['schemas'])})"
+                )
+            new_version = latest["version"] + 1
+            buckets = {
+                k: (e if "path" not in e else {"base": e, "deltas": []})
+                for k, e in latest["buckets"].items()
+            }
+            cdf = []
+            lineage = dict(latest.get("lineage", {}))
+            for b in sorted(entries):
+                s = entries[b]
+                delta = {
+                    "path": s["path"],
+                    "schema_id": schema_id,
+                    "rows": s.get("rows"),
+                    # raw event batch: may hold several versions of one key
+                    # (the apply path collapses in-batch; this path cannot)
+                    # — readers must resolve even a single-set chain
+                    "unresolved": True,
+                }
+                if s.get("stats"):
+                    delta["stats"] = s["stats"]
+                buckets.setdefault(str(b), {"base": None, "deltas": []})[
+                    "deltas"
+                ].append(delta)
+                cdf.append({"path": s["path"], "schema_id": schema_id})
+                lineage[str(b)] = _lineage_entry(
+                    lineage, b, s.get("max_seq"), s.get("min_seq"),
+                    s.get("rows"), new_version, source,
+                )
+            metrics = {
+                "batch_id": batch_id,
+                "mode": "mor",
+                "n_events": n_events,
+                "n_buckets_touched": len(entries),
+                "n_buckets_compacted": 0,
+                "rows_written": n_events,
+                **(metrics_extra or {}),
+            }
+            try:
+                self._commit(
+                    {
+                        # carried field-by-field — keep in sync with
+                        # create()/apply/_retry_commit_conflict (dropping a
+                        # carried field is the bucket_fn-regression class)
+                        "format_version": latest.get(
+                            "format_version", FORMAT_VERSION
+                        ),
+                        "version": new_version,
+                        "batch_id": batch_id,
+                        "last_batch_id": batch_id
+                        if batch_id is not None
+                        else latest["last_batch_id"],
+                        "schemas": latest["schemas"],
+                        "buckets": buckets,
+                        "num_buckets": self.num_buckets,
+                        "key_cols": list(self.key_cols),
+                        "bucket_col": self.bucket_col,
+                        "bucket_fn": self.bucket_fn,
+                        "merge_engine": self.merge_engine,
+                        "agg_spec": self.agg_spec,
+                        "cdf": cdf,
+                        "lineage": lineage,
+                        "renames": latest.get("renames", []),
+                        "constraints": latest.get("constraints", []),
+                        "properties": latest.get("properties", {}),
+                        "metrics": metrics,
+                        "commit_ts": time.time(),
+                    }
+                )
+                return {**metrics, "version": new_version}
+            except RuntimeError as e:
+                # only the version race retries; other RuntimeErrors from
+                # _commit (e.g. dropped branch) must surface, not spin
+                if "concurrent commit conflict" not in str(e):
+                    raise
+                continue  # lost the version race — fast-forward and retry

@@ -1,4 +1,5 @@
-"""``lake`` — BATCH reads of a lake table as a native Spark data source
+"""``lake`` — BATCH reads (this module) and batch/streaming WRITES
+(sources/lake_sink.py) of a lake table as a native Spark data source
 (Spark 4 Python Data Source API), with manifest-level pruning driven by
 Catalyst's pushed filters:
 
@@ -181,7 +182,8 @@ _PY_FMT = {"year": "%Y", "month": "%Y-%m", "day": "%Y-%m-%d"}
 
 class _BucketPartition(InputPartition):
     """One admitted bucket: the resolution unit. ``file_sets`` is the
-    bucket's base-then-deltas chain as (absolute dir path, schema_id)."""
+    bucket's base-then-deltas chain as (absolute dir path, schema_id,
+    unresolved) — unresolved marks a native-sink raw event batch."""
 
     def __init__(self, ctx: str, bucket: int, file_sets: list) -> None:
         self.ctx = ctx
@@ -446,6 +448,7 @@ class _LakeBatchReader(DataSourceReader):
                                 if os.path.isabs(fs["path"])
                                 else os.path.join(ctx["root"], fs["path"]),
                                 fs["schema_id"],
+                                bool(fs.get("unresolved")),
                             )
                             for fs in files
                         ],
@@ -466,7 +469,8 @@ class _LakeBatchReader(DataSourceReader):
         from ..plans.lake import _stored_name
 
         pieces = []
-        for path, sid in partition.file_sets:
+        any_unresolved = any(u for _, _, u in partition.file_sets)
+        for path, sid, _u in partition.file_sets:
             tbl = pq.read_table(path)
             stored = set(
                 schema_from_json(ctx["schemas"][sid]).fieldNames()
@@ -482,7 +486,10 @@ class _LakeBatchReader(DataSourceReader):
                 cols[hid] = tbl[hid].cast(typ)
             pieces.append(pa.table(cols))
         merged = pa.concat_tables(pieces)
-        if len(pieces) > 1:
+        # a single file set normally holds one version per key (apply
+        # collapses in-batch); native-sink deltas are RAW event batches
+        # (marked "unresolved"), so even a chain of one must resolve
+        if len(pieces) > 1 or any_unresolved:
             merged = self._resolve(merged, ctx)
         live = merged.filter(pc.invert(pc.field(DELETED_COL)))
         yield from live.select(out_schema.names).cast(out_schema).to_batches(
@@ -558,6 +565,16 @@ class LakeBatchDataSource(DataSource):
 
     def reader(self, schema) -> _LakeBatchReader:
         return _LakeBatchReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool):
+        from .lake_sink import LakeSinkWriter
+
+        return LakeSinkWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        from .lake_sink import LakeStreamSinkWriter
+
+        return LakeStreamSinkWriter(self.options, schema, overwrite)
 
 
 def register_lake(spark) -> None:
