@@ -275,6 +275,81 @@ def run_wide_batch(spark, sf: float) -> dict:
         shutil.rmtree(table_dir, ignore_errors=True)
 
 
+def run_sink_ingest(spark, sf: float) -> dict:
+    """Native datasource sink vs library apply, same input: the SAME
+    pre-transformed change batches land once through
+    ``df.write.format("lake")`` (executor-side Arrow bucket routing +
+    metadata-only fast-append — the Paimon append/dedicated-compaction
+    topology; raw chains resolve at read) and once through
+    ``apply_changes`` without a transform (shuffle + in-batch collapse at
+    write). Both arms are timed INCLUDING the final-state read, so the
+    sink pays its deferred merge inside the measurement — the honest
+    comparison of write-cheap/read-deferred vs write-resolved."""
+    from cdm_to_mods_spark.functions.chain import apply_chain
+    from cdm_to_mods_spark.replay import open_or_create
+    from cdm_to_mods_spark.sources.lake_batch import register_lake
+    from cdm_to_mods_spark.sources.synth import write_event_batches
+
+    register_lake(spark)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-sink-", dir=shm)
+    try:
+        n = max(100_000, int(10_000_000 * sf))  # sf0.1 → 1M events
+        raw_segs = write_event_batches(
+            spark,
+            os.path.join(work, "events"),
+            n,
+            max(1_000, n // 100),
+            n_batches=2,
+            files_per_batch=spark.sparkContext.defaultParallelism,
+            seed=23,
+            hot_frac=0.05,
+        )
+        # the sink takes CANONICAL change events (no transform hook — by
+        # contract, sources/lake_sink.py); transform both arms' input once,
+        # outside the timed region, so the arms measure the WRITE PATHS
+        segs = []
+        for i, seg in enumerate(raw_segs):
+            dst = os.path.join(work, f"canon-{i}")
+            apply_chain(spark.read.parquet(seg)).write.parquet(dst)
+            segs.append(dst)
+
+        out: dict = {"n_events": n, "n_batches": len(segs)}
+        finals = {}
+        for arm in ("sink", "apply"):
+            best = None
+            for attempt in range(2):  # best-of-2: host-whipsaw policy
+                path = os.path.join(work, f"t-{arm}{attempt}")
+                t0 = time.monotonic()
+                table = open_or_create(spark, path, 64, "mor")
+                # the chain adds provenance columns (ingest_ts); the sink
+                # refuses implicit evolution by contract, so declare them
+                # with DDL up front — same final schema on both arms
+                canon = {f.name for f in table.read().schema.fields}
+                for f in spark.read.parquet(segs[0]).schema.fields:
+                    if f.name not in canon and f.name not in ("op", "seq"):
+                        table.add_column(f.name, f.dataType)
+                for b, seg in enumerate(segs):
+                    df = spark.read.parquet(seg)
+                    if arm == "sink":
+                        df.write.format("lake").mode("append").option(
+                            "batchId", b
+                        ).save(path)
+                    else:
+                        table.apply_changes(df, batch_id=b, source=seg)
+                finals[arm] = table.read().count()
+                elapsed = time.monotonic() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            out[arm] = {
+                "elapsed_sec": round(best, 3),
+                "events_per_sec": round(n / best, 1),
+            }
+        out["modes_agree"] = finals["sink"] == finals["apply"]
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_changelog_replay(spark, sf: float) -> dict:
     """Lookup-changelog tax: the identical replay with ``changelog="off"``
     vs ``changelog="lookup"`` (typed pre/post-image production — one
@@ -744,6 +819,7 @@ def main() -> None:
     # ingest (also replay-class heap churn) runs back here with it
     cdc["debezium_ingest"] = run_debezium_ingest(spark, sf)
     cdc["changelog_replay"] = run_changelog_replay(spark, sf)
+    cdc["sink_ingest"] = run_sink_ingest(spark, sf)
     cdc["delete_modes"] = run_delete_modes(spark, sf)
     cdc["partition_prune"] = run_partition_prune(spark, sf)
     cdc["zorder_prune"] = run_zorder_prune(spark, sf)

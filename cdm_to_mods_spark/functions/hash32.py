@@ -13,10 +13,12 @@ numpy == scalar == JVM holds.
 
 Shape of the string/binary kernel: Arrow string arrays already store
 UTF-8 contiguously (offsets buffer + data buffer), so the ragged hash
-loops over BYTE POSITIONS, not rows — ``ceil(max_len/4)`` vectorized
-word rounds plus ≤3 tail-byte rounds, each a fancy-indexed gather over
-every row that still has bytes at that offset. For conv-id-shaped keys
-(~16 bytes) that is ~7 numpy passes per batch regardless of row count.
+loops over BYTE POSITIONS, not rows — vectorized word rounds over the
+ACTIVE row set (rows with bytes left at that offset) plus ≤3 tail-byte
+rounds. Total gather work is ``sum(len_i)/4``, so for conv-id-shaped
+keys (~16 bytes) that is ~7 numpy passes per batch regardless of row
+count, and one oversized outlier key costs only its own bytes instead
+of dragging every row through ``max_len/4`` mask passes.
 
 Spark semantics preserved exactly (they differ from textbook murmur3):
 longs hash as TWO 4-byte words (even when the value fits in 32 bits —
@@ -93,19 +95,23 @@ def murmur3_bytes_np(
         return _signed32(h1)
     d64 = data.astype(np.uint64)
     aligned = lengths - (lengths % 4)
-    maxlen = int(lengths.max())
-    for w in range(0, maxlen - maxlen % 4, 4):
-        m = aligned > w
-        if not m.any():
-            break
-        idx = starts[m] + w
+    # word rounds iterate over the ACTIVE row set (rows with bytes left at
+    # this offset), not a full-batch mask: total work is sum(len_i)/4
+    # gathers, so one oversized outlier key costs only its own bytes
+    # instead of dragging every row through max_len/4 mask passes
+    active = np.flatnonzero(aligned > 0)
+    w = 0  # plain int: starts(int64) + uint64 would upcast to float64
+    while active.size:
+        idx = starts[active] + w
         k1 = (
             d64[idx]
             | (d64[idx + 1] << np.uint64(8))
             | (d64[idx + 2] << np.uint64(16))
             | (d64[idx + 3] << np.uint64(24))
         )
-        h1[m] = _mix_h1(h1[m], _mix_k1(k1))
+        h1[active] = _mix_h1(h1[active], _mix_k1(k1))
+        w += 4
+        active = active[aligned[active] > w]
     for t in range(3):
         m = (aligned + t) < lengths
         if not m.any():

@@ -887,7 +887,7 @@ class LakeTable:
         size_bytes = 0
         seen_dirs: set[str] = set()
         for e in man["buckets"].values():
-            entry = e if "path" not in e else {"base": e, "deltas": []}
+            entry = self._mor_entry(e)
             rows_b = (entry.get("base") or {}).get("rows") or 0
             rows_d = sum(d.get("rows") or 0 for d in entry["deltas"])
             base_rows += rows_b
@@ -1728,6 +1728,19 @@ class LakeTable:
         out.extend(entry.get("deltas", []))
         return out
 
+    @staticmethod
+    def _mor_entry(entry: dict) -> dict:
+        """Normalize a manifest bucket entry to the MoR ``{"base",
+        "deltas"}`` shape (pre-MoR manifests stored the base file set
+        directly). ONE owner: every site that rewrites bucket entries
+        must normalize through here, or a future change to the entry
+        shape (like the sink's ``unresolved`` mark) silently diverges."""
+        return entry if "path" not in entry else {"base": entry, "deltas": []}
+
+    def _mor_buckets(self, buckets: dict) -> dict:
+        """`_mor_entry` over a manifest's whole ``buckets`` map."""
+        return {k: self._mor_entry(e) for k, e in buckets.items()}
+
     def _needs_resolve(self, entries) -> bool:
         """True when a stored-row scan over ``entries`` (manifest bucket
         values) may contain more than one version of a key, so readers
@@ -2474,10 +2487,7 @@ class LakeTable:
         if layout == "zorder" and not cluster_by:
             raise ValueError("layout='zorder' requires cluster_by columns")
         sort_cols = list(cluster_by) if cluster_by else list(self.key_cols)
-        buckets = {
-            k: (e if "path" not in e else {"base": e, "deltas": []})
-            for k, e in man["buckets"].items()
-        }
+        buckets = self._mor_buckets(man["buckets"])
         todo = sorted(
             int(b) for b, e in buckets.items()
             if (e["deltas"] or cluster_by
@@ -3129,10 +3139,7 @@ class LakeTable:
         )
         schema_id = len(man["schemas"]) - 1
         dstats = _footer_stats(vdir, SEQ_COL, self.stats_cols)
-        buckets = {
-            k: (e if "path" not in e else {"base": e, "deltas": []})
-            for k, e in man["buckets"].items()
-        }
+        buckets = self._mor_buckets(man["buckets"])
         for b in todo:
             base = {
                 "path": f"{data_rel}/_bucket={b}",
@@ -3336,9 +3343,25 @@ class LakeTable:
                     os.remove(os.path.join(ranges_dir, f))
                     self._range_cache.pop(rel, None)
                     removed_ranges += 1
+        # sweep native-sink staging leftovers from CRASHED writer drivers
+        # (a live run's commit/abort rmtrees its own subdir; age-gate so an
+        # in-flight write several hours long is never swept from under it)
+        swept_staging = 0
+        tmp_root = os.path.join(self.path, "_sink_tmp")
+        if os.path.isdir(tmp_root):
+            cutoff = time.time() - 86_400
+            for d in os.listdir(tmp_root):
+                p = os.path.join(tmp_root, d)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                        swept_staging += 1
+                except OSError:
+                    continue
         return {"expired_manifests": len(drop), "removed_data_dirs": removed_dirs,
                 "removed_range_manifests": removed_ranges,
                 "removed_orphan_branch_files": len(orphan_branch_files),
+                "swept_sink_staging": swept_staging,
                 "kept": sorted(keep)}
 
     # -------------------------------------------------------------- merge
@@ -3791,10 +3814,7 @@ class LakeTable:
         # uuid-named rather than version-keyed.
         data_rel = f"data/v{new_version:08d}-{uuid4().hex[:8]}"
         vdir = os.path.join(self.path, data_rel)
-        buckets = {
-            k: (e if "path" not in e else {"base": e, "deltas": []})
-            for k, e in man["buckets"].items()
-        }
+        buckets = self._mor_buckets(man["buckets"])
         n_written = 0
         n_compacted = 0
         n_minor = 0
@@ -4193,10 +4213,7 @@ class LakeTable:
                 )
             new_version = latest["version"] + 1
             schema_id = len(schemas) - 1
-            buckets = {
-                k: (e if "path" not in e else {"base": e, "deltas": []})
-                for k, e in latest["buckets"].items()
-            }
+            buckets = self._mor_buckets(latest["buckets"])
             cdf = []
             for b in sorted(lineage_stats):
                 entry = {
@@ -4315,10 +4332,7 @@ class LakeTable:
                     f"schema list (len {len(latest['schemas'])})"
                 )
             new_version = latest["version"] + 1
-            buckets = {
-                k: (e if "path" not in e else {"base": e, "deltas": []})
-                for k, e in latest["buckets"].items()
-            }
+            buckets = self._mor_buckets(latest["buckets"])
             cdf = []
             lineage = dict(latest.get("lineage", {}))
             for b in sorted(entries):

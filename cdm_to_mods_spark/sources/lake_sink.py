@@ -39,13 +39,19 @@ MERGE-ON-READ producer (the Paimon append/dedicated-compaction topology):
   concurrent-writer retry all ride the ordinary manifest commit.
 * **Exactly-once (streaming)** — the micro-batch id feeds the table's
   ``last_batch_id`` ledger, the same idempotence token ``StreamingReplay``
-  uses: checkpoint redelivery after a crash re-offers the batch and the
-  ledger skips it. Same single-producer + stable-checkpoint contract as
-  the library tail — a FRESH query (restarting batch ids at 0) against a
-  table whose ledger is further ahead would be silently skipped, so the
-  sink refuses to start when ``last_batch_id`` is ahead of the query
-  unless the producer takes over deliberately (that guard lives in the
-  ledger comparison at commit: batch ids must move forward).
+  uses: checkpoint redelivery after a crash re-offers the LAST batch and
+  the ledger skips it (``batch_id == last_batch_id``). Same
+  single-producer + stable-checkpoint contract as the library tail — a
+  FRESH query (restarting batch ids at 0) against a table whose ledger is
+  further ahead would be silently swallowed, so a streaming commit whose
+  batch id is STRICTLY below the ledger fails loudly: resume the original
+  checkpoint, or opt into at-least-once re-ingestion with
+  ``.option("ignoreLedger", "true")`` (commits without batch ids — pure
+  appends, convergent by seq LWW like any replayed change batch). The
+  equality case cannot be distinguished from legitimate redelivery, which
+  is exactly why the checkpoint must be stable. The batch face keeps the
+  plain skip-on-seen semantics: an explicit ``batchId`` IS the caller's
+  idempotence token, so re-offering an old one is a no-op by contract.
 
 Task parallelism note: each task writes one file per bucket it SEES, so
 an unpartitioned upstream at P tasks writes up to P files per bucket per
@@ -191,7 +197,12 @@ def _plan_ctx(options, input_schema) -> dict:
         "schema_id": len(man["schemas"]) - 1,
         "fields": fields,
         "stats_cols": [c for c in handle.stats_cols if c in canon_names],
-        "staging": os.path.join(path, "_sink_tmp"),
+        # per-RUN staging subdir: commit/abort rmtree the whole run, so
+        # files staged by failed/speculative tasks (which appear in no
+        # commit message) can't leak; concurrent writers have their own
+        # run dirs. Crashed-driver leftovers are swept age-based by
+        # expire_snapshots.
+        "staging": os.path.join(path, "_sink_tmp", uuid.uuid4().hex[:12]),
     }
 
 
@@ -219,6 +230,11 @@ class _LakeSinkBase:
         bucket_chunks: list = []
         op_counts = {o: 0 for o in _OPS}
         for batch in iterator:
+            if batch.num_rows == 0:
+                # a zero-row batch is valid upstream output (a filtering
+                # transform can empty a chunk); validating it would
+                # misfire (pc.all over empty = null)
+                continue
             tbl = pa.Table.from_batches([batch])
             stored, buckets = self._to_stored(tbl, op_counts)
             if len(stored):
@@ -294,6 +310,12 @@ class _LakeSinkBase:
                     "upstream or route through apply_changes with a "
                     "quarantine_path"
                 )
+        if tbl["seq"].null_count:
+            # a null LSN loses every LWW resolution (nulls rank first)
+            # and would poison the bucket's lineage high-water mark
+            raise ValueError(
+                "null seq column — every change event needs its source LSN"
+            )
         cols, names = [], []
         bucket_arr = None
         n = len(tbl)
@@ -336,19 +358,19 @@ class _LakeSinkBase:
         return zone
 
     # ------------------------------------------------------------- driver
-    def _commit_impl(self, messages, batch_id: int | None) -> None:
+    def _commit_impl(
+        self, messages, batch_id: int | None, streaming: bool = False
+    ) -> None:
         import shutil
 
         from ..plans.lake import LakeTable
 
         ctx = self._ctx
-        staged = []
         per_bucket: dict[int, dict] = {}
         for m in messages:
             if m is None:
                 continue
             for b, fpath, rows, mn, mx, zone in m.files:
-                staged.append(fpath)
                 e = per_bucket.setdefault(
                     b, {"rows": 0, "min_seq": None, "max_seq": None,
                         "files": [], "zone": {}, "zone_poisoned": set()}
@@ -382,20 +404,33 @@ class _LakeSinkBase:
             handle.num_buckets != ctx["num_buckets"]
             or handle.bucket_fn != ctx["bucket_fn"]
         ):
-            self._cleanup(staged)
+            self._cleanup()
             raise RuntimeError(
                 "bucket layout changed while the batch was in flight — "
                 "restart the writer (files were routed under "
                 f"{ctx['bucket_fn']}/{ctx['num_buckets']} buckets)"
             )
         if not per_bucket:
+            self._cleanup()
             return  # empty batch: nothing to publish, replay is a no-op
-        if (
-            batch_id is not None
-            and batch_id <= handle.manifest()["last_batch_id"]
-        ):
-            self._cleanup(staged)  # redelivered batch — ledger already has it
-            return
+        last = handle.manifest()["last_batch_id"]
+        if batch_id is not None and batch_id <= last:
+            self._cleanup()
+            if streaming and batch_id < last:
+                # a redelivered checkpoint batch can only be the LAST one;
+                # strictly-below means a FRESH query restarted its ids
+                # against a ledger that is already ahead — skipping would
+                # silently swallow every micro-batch until the counter
+                # catches up (data loss with a healthy-looking query)
+                raise RuntimeError(
+                    f"micro-batch {batch_id} is behind the table's ledger "
+                    f"(last_batch_id={last}) — this looks like a FRESH "
+                    "checkpoint against a table another query already fed. "
+                    "Resume the original checkpoint, or re-ingest "
+                    "deliberately (at-least-once, seq-LWW convergent) with "
+                    ".option('ignoreLedger', 'true')"
+                )
+            return  # redelivered batch — ledger already has it
         dest_rel = f"data/sink-{uuid.uuid4().hex[:8]}"
         dest = os.path.join(ctx["path"], dest_rel)
         entries = {}
@@ -431,20 +466,17 @@ class _LakeSinkBase:
         )
         if res.get("skipped"):
             shutil.rmtree(dest, ignore_errors=True)  # lost the ledger race
-        self._cleanup(staged)
+        self._cleanup()
 
-    @staticmethod
-    def _cleanup(staged: list) -> None:
-        for f in staged:
-            try:
-                os.unlink(f)
-            except OSError:
-                pass
+    def _cleanup(self) -> None:
+        """Remove this run's whole staging subdir — covers files staged by
+        failed/speculative tasks that no commit message ever named."""
+        import shutil
+
+        shutil.rmtree(self._ctx["staging"], ignore_errors=True)
 
     def _abort_impl(self, messages) -> None:
-        for m in messages or []:
-            if m is not None:
-                self._cleanup([f[1] for f in m.files])
+        self._cleanup()
 
 
 class LakeSinkWriter(_LakeSinkBase, DataSourceArrowWriter):
@@ -469,10 +501,22 @@ class LakeSinkWriter(_LakeSinkBase, DataSourceArrowWriter):
 class LakeStreamSinkWriter(_LakeSinkBase, DataSourceStreamArrowWriter):
     """Streaming face: ``writeStream.format("lake")`` — the micro-batch
     id IS the ledger token, so exactly-once = checkpoint redelivery × the
-    same ``last_batch_id`` skip the library tail uses."""
+    same ``last_batch_id`` skip the library tail uses. A batch id
+    STRICTLY below the ledger fails loudly (fresh-checkpoint guard — see
+    the module docstring); ``.option("ignoreLedger", "true")`` opts into
+    at-least-once re-ingestion by committing without batch ids."""
+
+    def __init__(self, options, input_schema, overwrite: bool) -> None:
+        super().__init__(options, input_schema, overwrite)
+        self._ignore_ledger = str(
+            options.get("ignoreLedger", "false")
+        ).lower() == "true"
 
     def commit(self, messages, batchId: int) -> None:
-        self._commit_impl(messages, batchId)
+        if self._ignore_ledger:
+            self._commit_impl(messages, None)
+        else:
+            self._commit_impl(messages, batchId, streaming=True)
 
     def abort(self, messages, batchId: int) -> None:
         self._abort_impl(messages)

@@ -134,6 +134,15 @@ def test_bucket_ids_match_jvm(spark):
     assert bucket_ids_np(pa.array(longs, type=pa.int64()), 7).tolist() == jvm_l
 
 
+def test_numpy_hash_long_outlier_key():
+    """Active-set word rounds: one oversized key beside short ones (the
+    adversarial shape that used to cost every row max_len/4 mask passes)
+    still hashes to exact parity."""
+    strs = ["conv-1", "z" * 50_001, "", "conv-2", "w" * 1_003]
+    got = murmur3_bytes_np(*_np_bytes([s.encode() for s in strs]))
+    assert got.tolist() == [spark_murmur3(s) for s in strs]
+
+
 def test_bucket_ids_refuse_nulls_and_unsupported():
     with pytest.raises(ValueError, match="null bucket key"):
         bucket_ids_np(pa.array(["a", None]), 4)
@@ -391,6 +400,134 @@ def test_sink_refuses_partitioned_spec_tables(spark, tmp_path):
         _events(spark, BATCH1).write.format("lake").mode("append").save(
             str(root)
         )
+
+
+def test_sink_refuses_null_seq(spark, tmp_path):
+    register_lake(spark)
+    t = _mk(spark, str(tmp_path / "t"))
+    ev = _events(spark, BATCH1).withColumn(
+        "seq", F.expr("if(conv_id = 'c2', null, seq)")
+    )
+    with pytest.raises(Exception, match="null seq"):
+        ev.write.format("lake").mode("append").save(t.path)
+
+
+def test_sink_staging_cleaned_after_commit_and_abort(spark, tmp_path):
+    register_lake(spark)
+    t = _mk(spark, str(tmp_path / "t"))
+    _events(spark, BATCH1).write.format("lake").mode("append").save(t.path)
+    tmp_root = os.path.join(t.path, "_sink_tmp")
+    assert not os.path.isdir(tmp_root) or os.listdir(tmp_root) == []
+    # failed write (null key raises in a task) must also leave no staging
+    bad = _events(spark, BATCH2).withColumn(
+        "conv_id", F.expr("if(seq = 6, null, conv_id)")
+    )
+    with pytest.raises(Exception):
+        bad.write.format("lake").mode("append").save(t.path)
+    assert not os.path.isdir(tmp_root) or os.listdir(tmp_root) == []
+
+
+def test_expire_snapshots_sweeps_stale_staging(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.apply_changes(_events(spark, BATCH1), batch_id=0)
+    stale = os.path.join(t.path, "_sink_tmp", "deadbeef0001")
+    os.makedirs(stale)
+    (open(os.path.join(stale, "x.parquet"), "w")).close()
+    two_days_ago = dt.datetime.now().timestamp() - 2 * 86_400
+    os.utime(stale, (two_days_ago, two_days_ago))
+    fresh = os.path.join(t.path, "_sink_tmp", "deadbeef0002")
+    os.makedirs(fresh)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["swept_sink_staging"] == 1
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+
+
+# ----------------------------------------- writer internals (no Spark job)
+def _unit_writer(cls, path, spark):
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA as TS
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())]
+        + list(TS.fields)
+    )
+    return cls({"path": path}, schema, False), schema
+
+
+def _arrow_batches(spark, rows):
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    df = _events(spark, rows)
+    tbl = pa.Table.from_pandas(
+        df.toPandas(),
+        schema=pa.schema(
+            [(f.name, to_arrow_type(f.dataType)) for f in df.schema.fields]
+        ),
+        preserve_index=False,
+    )
+    return tbl.to_batches()
+
+
+def test_sink_write_tolerates_empty_arrow_batch(spark, tmp_path):
+    """A zero-row RecordBatch (a filtering transform can empty a chunk)
+    must be skipped, not tripped over by the op validation (pc.all over
+    an empty array is null)."""
+    from cdm_to_mods_spark.sources.lake_sink import LakeSinkWriter
+
+    t = _mk(spark, str(tmp_path / "t"))
+    writer, schema = _unit_writer(LakeSinkWriter, t.path, spark)
+    batches = _arrow_batches(spark, BATCH1)
+    empty = batches[0].slice(0, 0)
+    msg = writer.write(iter([empty] + batches))
+    writer.commit([msg])
+    assert LakeTable(spark, t.path).read().count() == 4
+    # all-empty input commits nothing
+    writer2, _ = _unit_writer(LakeSinkWriter, t.path, spark)
+    v = LakeTable(spark, t.path).manifest()["version"]
+    writer2.commit([writer2.write(iter([empty]))])
+    assert LakeTable(spark, t.path).manifest()["version"] == v
+
+
+def test_stream_sink_refuses_fresh_checkpoint_behind_ledger(spark, tmp_path):
+    """A streaming micro-batch id STRICTLY below the ledger is a fresh
+    checkpoint against an already-fed table — must fail loudly, not
+    silently swallow batches; == stays the redelivery skip; ignoreLedger
+    re-ingests as new data."""
+    from cdm_to_mods_spark.sources.lake_sink import LakeStreamSinkWriter
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.apply_changes(_events(spark, BATCH1), batch_id=0)
+    t.apply_changes(_events(spark, BATCH2), batch_id=1)  # ledger at 1
+
+    writer, _ = _unit_writer(LakeStreamSinkWriter, t.path, spark)
+    msg = writer.write(iter(_arrow_batches(spark, BATCH1)))
+    with pytest.raises(RuntimeError, match="behind the table's ledger"):
+        writer.commit([msg], 0)
+    # == ledger head: the legitimate checkpoint-redelivery skip
+    writer2, _ = _unit_writer(LakeStreamSinkWriter, t.path, spark)
+    msg2 = writer2.write(iter(_arrow_batches(spark, BATCH1)))
+    v = LakeTable(spark, t.path).manifest()["version"]
+    writer2.commit([msg2], 1)
+    assert LakeTable(spark, t.path).manifest()["version"] == v
+    # deliberate takeover: ignoreLedger commits without batch ids
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA as TS
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("op", T.StringType()), T.StructField("seq", T.LongType())]
+        + list(TS.fields)
+    )
+    writer3 = LakeStreamSinkWriter(
+        {"path": t.path, "ignoreLedger": "true"}, schema, False
+    )
+    msg3 = writer3.write(iter(_arrow_batches(
+        spark, [("I", 99, "c9", 0, "user", "takeover", None, _ts(7))]
+    )))
+    writer3.commit([msg3], 0)
+    fresh = LakeTable(spark, t.path)
+    assert fresh.manifest()["version"] == v + 1
+    assert fresh.read_keys(["c9"]).count() == 1
+    assert fresh.manifest()["last_batch_id"] == 1  # ledger untouched
 
 
 # ------------------------------------------------------------- streaming
