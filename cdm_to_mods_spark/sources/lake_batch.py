@@ -458,80 +458,97 @@ class _LakeBatchReader(DataSourceReader):
 
     # --------------------------------------------------------------- read
     def read(self, partition: _BucketPartition):
-        import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         ctx = self._ctx[partition.ctx]
         out_schema = to_arrow_schema(self._spark_schema)
-        man_like = {"renames": ctx["renames"]}
-        from ..plans.lake import _stored_name
-
-        pieces = []
-        any_unresolved = any(u for _, _, u in partition.file_sets)
-        for path, sid, _u in partition.file_sets:
-            tbl = pq.read_table(path)
-            stored = set(
-                schema_from_json(ctx["schemas"][sid]).fieldNames()
-            ) | {SEQ_COL, DELETED_COL}
-            cols = {}
-            for field in out_schema:
-                sname = _stored_name(man_like, sid, field.name)
-                if sname in stored and sname in tbl.column_names:
-                    cols[field.name] = tbl[sname].cast(field.type)
-                else:  # column added after this file set was written
-                    cols[field.name] = pa.nulls(len(tbl), type=field.type)
-            for hid, typ in ((SEQ_COL, pa.int64()), (DELETED_COL, pa.bool_())):
-                cols[hid] = tbl[hid].cast(typ)
-            pieces.append(pa.table(cols))
-        merged = pa.concat_tables(pieces)
-        # a single file set normally holds one version per key (apply
-        # collapses in-batch); native-sink deltas are RAW event batches
-        # (marked "unresolved"), so even a chain of one must resolve
-        if len(pieces) > 1 or any_unresolved:
-            merged = self._resolve(merged, ctx)
+        merged = read_stored_resolved(ctx, partition.file_sets, out_schema)
         live = merged.filter(pc.invert(pc.field(DELETED_COL)))
         yield from live.select(out_schema.names).cast(out_schema).to_batches(
             max_chunksize=65_536
         )
 
-    @staticmethod
-    def _resolve(merged, ctx):
-        """Per-key resolution over a bucket's base+delta rows — the pandas
-        mirror of ``LakeTable._resolve_lww`` for the whole-row engines:
-        winner = max (``_seq``, live-rank D<U, payload nulls-smallest) for
-        lww, min for first_row. Differentially pinned against
-        ``LakeTable.read()`` in tests/test_lake_source.py."""
-        import pyarrow as pa
 
-        pdf = merged.to_pandas(types_mapper=None)
-        keys = ctx["key_cols"]
-        payload = [
-            c for c in pdf.columns
-            if c not in keys and c not in (SEQ_COL, DELETED_COL)
-        ]
-        pdf["_rank"] = (~pdf[DELETED_COL].astype(bool)).astype("int8")
-        first = ctx["engine"] == "first_row"
-        try:
-            pdf = pdf.sort_values(
-                [SEQ_COL, "_rank", *payload],
-                kind="stable",
-                na_position="first",
-            )
-        except TypeError:
-            # unorderable payload dtype (nested types): seq+rank ties with
-            # differing payloads are the delete_where LSN-collision corner;
-            # fall back to the engine's primary ordering only.
-            pdf = pdf.sort_values(
-                [SEQ_COL, "_rank"], kind="stable", na_position="first"
-            )
-        pdf = pdf.drop_duplicates(
-            subset=keys, keep="first" if first else "last"
-        ).drop(columns=["_rank"])
-        return pa.Table.from_pandas(
-            pdf, schema=merged.schema, preserve_index=False
+def read_stored_resolved(ctx: dict, file_sets: list, canon_fields):
+    """Read one bucket's base+delta chain to RESOLVED stored rows —
+    Spark-free (pure Arrow/pandas), shared by the batch source and the
+    ``lake_cdf`` initial-snapshot partitions. ``ctx`` needs ``schemas``,
+    ``renames``, ``key_cols``, ``engine``; ``file_sets`` is the
+    (abs path, schema_id, unresolved) chain; ``canon_fields`` the
+    pyarrow fields of the canonical output columns. Each file set casts
+    up per its recorded schema_id through the rename log; the chain then
+    LWW-resolves when it can hold >1 version of a key (multi-set, or a
+    native-sink RAW batch marked ``unresolved``). Returns resolved rows
+    INCLUDING tombstones plus ``_seq``/``_deleted`` — callers filter
+    live and project."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..plans.lake import _stored_name
+
+    man_like = {"renames": ctx["renames"]}
+    pieces = []
+    any_unresolved = any(u for _, _, u in file_sets)
+    for path, sid, _u in file_sets:
+        tbl = pq.read_table(path)
+        stored = set(
+            schema_from_json(ctx["schemas"][sid]).fieldNames()
+        ) | {SEQ_COL, DELETED_COL}
+        cols = {}
+        for field in canon_fields:
+            sname = _stored_name(man_like, sid, field.name)
+            if sname in stored and sname in tbl.column_names:
+                cols[field.name] = tbl[sname].cast(field.type)
+            else:  # column added after this file set was written
+                cols[field.name] = pa.nulls(len(tbl), type=field.type)
+        for hid, typ in ((SEQ_COL, pa.int64()), (DELETED_COL, pa.bool_())):
+            cols[hid] = tbl[hid].cast(typ)
+        pieces.append(pa.table(cols))
+    merged = pa.concat_tables(pieces)
+    # a single file set normally holds one version per key (apply
+    # collapses in-batch); native-sink deltas are RAW event batches
+    # (marked "unresolved"), so even a chain of one must resolve
+    if len(pieces) > 1 or any_unresolved:
+        merged = _resolve_stored(merged, ctx)
+    return merged
+
+
+def _resolve_stored(merged, ctx):
+    """Per-key resolution over a bucket's base+delta rows — the pandas
+    mirror of ``LakeTable._resolve_lww`` for the whole-row engines:
+    winner = max (``_seq``, live-rank D<U, payload nulls-smallest) for
+    lww, min for first_row. Differentially pinned against
+    ``LakeTable.read()`` in tests/test_lake_source.py."""
+    import pyarrow as pa
+
+    pdf = merged.to_pandas(types_mapper=None)
+    keys = ctx["key_cols"]
+    payload = [
+        c for c in pdf.columns
+        if c not in keys and c not in (SEQ_COL, DELETED_COL)
+    ]
+    pdf["_rank"] = (~pdf[DELETED_COL].astype(bool)).astype("int8")
+    first = ctx["engine"] == "first_row"
+    try:
+        pdf = pdf.sort_values(
+            [SEQ_COL, "_rank", *payload],
+            kind="stable",
+            na_position="first",
         )
+    except TypeError:
+        # unorderable payload dtype (nested types): seq+rank ties with
+        # differing payloads are the delete_where LSN-collision corner;
+        # fall back to the engine's primary ordering only.
+        pdf = pdf.sort_values(
+            [SEQ_COL, "_rank"], kind="stable", na_position="first"
+        )
+    pdf = pdf.drop_duplicates(
+        subset=keys, keep="first" if first else "last"
+    ).drop(columns=["_rank"])
+    return pa.Table.from_pandas(
+        pdf, schema=merged.schema, preserve_index=False
+    )
 
 
 class LakeBatchDataSource(DataSource):

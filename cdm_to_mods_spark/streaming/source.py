@@ -49,6 +49,21 @@ skipping it would desynchronize every retraction-maintained consumer.
 ``startingVersion`` — first UNCONSUMED
 version floor: ``"earliest"`` (default; the whole retained feed) or a
 version number N (consume strictly-after N, mirroring ``changes(N)``);
+``initialSnapshot`` — snapshot-then-tail (the Delta
+``readStream``-on-a-table initial-snapshot semantics): the FIRST
+micro-batch delivers the table's RESOLVED live state at the version
+pinned at query start (one partition per bucket, resolved executor-side
+by the batch source's shared Arrow path — rows keep their stored
+``_seq``, ``_deleted`` false, ``_version`` = the pinned version), later
+batches tail changes strictly after it. This closes the retention gap:
+a consumer bootstrapping a mirror of a long-lived table whose EARLY
+feed history was expired cannot start from ``earliest`` (expired-range
+error), but snapshot+tail needs only the current state plus the feed
+from now on. The snapshot is ONE micro-batch regardless of
+``maxVersionsPerTrigger`` (admission control resumes at the tail
+phase); cdf mode only; whole-row engines only (lww/first_row — the
+column-level engines bootstrap from ``LakeTable.read()``). Restart
+replans the pinned version from the offset log, exactly-once as usual;
 ``maxVersionsPerTrigger`` — admission control, the Delta
 ``maxFilesPerTrigger`` / Iceberg ``streaming-max-files-per-micro-batch``
 analog at this ledger's natural granularity (offsets are whole versions,
@@ -234,6 +249,24 @@ def _changelog_entries(table_path: str, v: int, lo: int, hi: int) -> list[dict]:
     return entries
 
 
+class _SnapshotPartition(InputPartition):
+    """One bucket of the initial snapshot (``initialSnapshot`` option):
+    the bucket's whole base+delta chain at the pinned version, resolved
+    executor-side to live rows via the batch source's shared Arrow
+    resolution. ``file_sets`` is (abs dir, schema_id, unresolved)."""
+
+    def __init__(
+        self, bucket: int, file_sets: list, version: int, engine: str,
+        key_cols: list, commit_ms: int | None,
+    ) -> None:
+        self.bucket = bucket
+        self.file_sets = file_sets
+        self.version = version
+        self.engine = engine
+        self.key_cols = key_cols
+        self.commit_ms = commit_ms
+
+
 class _CDFPartition(InputPartition):
     def __init__(
         self, path: str, schema_id: int, version: int,
@@ -259,6 +292,7 @@ class _CDFStreamReader(DataSourceStreamReader):
         max_versions: int | None,
         include_commit_ts: bool = False,
         mode: str = "cdf",
+        initial_snapshot: bool = False,
     ) -> None:
         self._path = table_path
         self._spark_schema = spark_schema
@@ -269,7 +303,19 @@ class _CDFStreamReader(DataSourceStreamReader):
         # schema resolution state is pinned at query start, like the schema
         self._renames = head.get("renames", [])
         self._schemas = head["schemas"]
-        if starting == "earliest":
+        # snapshot-then-tail (Delta readStream-on-a-table semantics): the
+        # FIRST micro-batch is the resolved table state at the version
+        # pinned at query start, later batches tail changes strictly
+        # after it — closes the retention gap (a mirror of a long-lived
+        # table whose early feed history expired can still bootstrap).
+        # Done state flips when the snapshot batch is planned/committed;
+        # on restart the pinned version is recovered from the OFFSET LOG
+        # (partitions() keys off the logged end offset), never from this
+        # constructor, so a restart replans the same snapshot exactly.
+        self._snap_done = not initial_snapshot
+        if initial_snapshot:
+            self._start = versions[-1]
+        elif starting == "earliest":
             # everything the retained ledger can serve: strictly after the
             # floor below the earliest retained version
             self._start = versions[0] - 1
@@ -286,16 +332,27 @@ class _CDFStreamReader(DataSourceStreamReader):
         # latestOffset can never answer behind an offset already in the log
         self._floor: int | None = None
 
-    # offsets are plain dicts (JSON) — {"version": last consumed}
+    # offsets are plain dicts (JSON) — {"version": last consumed}; with
+    # initialSnapshot the first pair also carries a "snap" phase marker
+    # ("pending" start → "done" end = the snapshot batch)
     def initialOffset(self) -> dict:
         # Spark only asks for this on a FRESH start (empty offset log), so
         # startingVersion is the exact floor — but note latestOffset fires
         # first even then (module docstring), so this is usually a no-op.
         self._sync_floor(self._start)
+        if not self._snap_done:
+            _trace(f"initialOffset -> {self._start} (snapshot pending)")
+            return {"version": self._start, "snap": "pending"}
         _trace(f"initialOffset -> {self._start}")
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
+        if not self._snap_done and self._floor is None:
+            # fresh start in snapshot mode: the first batch IS the
+            # snapshot at the pinned version, whatever the cap says
+            # (admission control resumes at the tail phase)
+            _trace(f"latestOffset -> {self._start} (snapshot batch)")
+            return {"version": self._start, "snap": "done"}
         head = _ledger_versions(self._path)[-1]
         if self._max_versions is None:
             _trace(f"latestOffset -> {head} (uncapped)")
@@ -316,6 +373,15 @@ class _CDFStreamReader(DataSourceStreamReader):
             self._floor = planned
 
     def partitions(self, start: dict, end: dict):
+        if end.get("snap") == "done" and start.get("snap") == "pending":
+            # the snapshot batch — keyed off the LOGGED end offset, so a
+            # restart replans the exact same pinned version even though
+            # this reader instance pinned a newer head at construction
+            self._sync_floor(end["version"])
+            self._snap_done = True
+            _trace(f"partitions(snapshot @ {end['version']})")
+            return self._snapshot_partitions(end["version"])
+        self._snap_done = True  # tail planning ⇒ the snapshot is behind us
         lo, hi = start["version"], end["version"]
         _trace(f"partitions({lo}, {hi})")
         # `end` is now in Spark's offset log: it is the floor for every
@@ -364,7 +430,98 @@ class _CDFStreamReader(DataSourceStreamReader):
                 )
         return parts
 
-    def read(self, partition: _CDFPartition):
+    def _snapshot_partitions(self, v0: int) -> list:
+        """One partition per populated bucket of the manifest at ``v0`` —
+        the resolution unit, scanned in parallel like the batch source."""
+        handle = LakeTable(None, self._path)
+        man = handle.manifest(v0)
+        engine = man.get("merge_engine", "lww")
+        if engine not in ("lww", "first_row"):
+            raise ValueError(
+                "initialSnapshot resolves merge_engine='lww'/'first_row' "
+                f"only; this table uses {engine!r} — bootstrap the consumer "
+                "from LakeTable.read() (which owns that engine's "
+                "column-level resolution), then tail with startingVersion"
+            )
+        commit_ms = (
+            int(man.get("commit_ts", 0.0) * 1000)
+            if self._include_commit_ts
+            else None
+        )
+        key_cols = list(man.get("key_cols", handle.key_cols))
+        parts: list[_SnapshotPartition] = []
+        for b in sorted(man["buckets"], key=int):
+            fsets = []
+            for fs in LakeTable._bucket_files(man["buckets"][b]):
+                if fs["schema_id"] >= len(self._schemas):
+                    raise RuntimeError(
+                        f"{_EVOLVED_MARKER}: snapshot version {v0} has a "
+                        f"file set under schema_id {fs['schema_id']} but "
+                        f"this stream pinned {len(self._schemas)} schema(s) "
+                        "at start — restart the stream to adopt it"
+                    )
+                p = fs["path"]
+                fsets.append(
+                    (
+                        p if os.path.isabs(p) else os.path.join(self._path, p),
+                        fs["schema_id"],
+                        bool(fs.get("unresolved")),
+                    )
+                )
+            if fsets:
+                parts.append(
+                    _SnapshotPartition(
+                        int(b), fsets, v0, engine, key_cols, commit_ms
+                    )
+                )
+        return parts
+
+    def _read_snapshot(self, partition: _SnapshotPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..sources.lake_batch import read_stored_resolved
+
+        out_schema = to_arrow_schema(self._spark_schema)
+        injected = {VERSION_COL} | (
+            {COMMIT_TS_COL} if self._include_commit_ts else set()
+        )
+        canon = [
+            f for f in out_schema
+            if f.name not in injected and f.name not in (SEQ_COL, DELETED_COL)
+        ]
+        merged = read_stored_resolved(
+            {
+                "schemas": self._schemas,
+                "renames": self._renames,
+                "key_cols": partition.key_cols,
+                "engine": partition.engine,
+            },
+            partition.file_sets,
+            canon,
+        )
+        live = merged.filter(pc.invert(pc.field(DELETED_COL)))
+        cols = {}
+        for field in out_schema:
+            if field.name == VERSION_COL:
+                cols[field.name] = pa.nulls(len(live), type=field.type).fill_null(
+                    partition.version
+                )
+            elif field.name == COMMIT_TS_COL and self._include_commit_ts:
+                cols[field.name] = pa.nulls(len(live), type=field.type).fill_null(
+                    partition.commit_ms
+                )
+            else:  # canonical payload + the rows' own _seq/_deleted
+                cols[field.name] = live[field.name].cast(field.type)
+        yield from pa.table(cols, schema=out_schema).to_batches(
+            max_chunksize=65_536
+        )
+
+    def read(self, partition):
+        if isinstance(partition, _SnapshotPartition):
+            yield from self._read_snapshot(partition)
+            return
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -479,6 +636,20 @@ class LakeChangeFeedDataSource(DataSource):
 
     def streamReader(self, schema) -> _CDFStreamReader:
         raw_max = self.options.get("maxVersionsPerTrigger")
+        snap = str(
+            self.options.get("initialSnapshot", "false")
+        ).lower() == "true"
+        if snap and self.options.get("startingVersion") is not None:
+            raise ValueError(
+                "initialSnapshot pins its own start (the head version at "
+                "query start) — drop startingVersion"
+            )
+        if snap and self._mode() != "cdf":
+            raise ValueError(
+                "initialSnapshot is a cdf-mode surface; row_changes "
+                "consumers seed from AdditiveStatsView's full build (or "
+                "LakeTable.read()) and tail from there"
+            )
         return _CDFStreamReader(
             self.options["path"],
             schema,
@@ -489,6 +660,7 @@ class LakeChangeFeedDataSource(DataSource):
                 == "true"
             ),
             mode=self._mode(),
+            initial_snapshot=snap,
         )
 
 
@@ -506,6 +678,7 @@ def mirror_stream(
     transform=None,
     available_now: bool = True,
     max_versions_per_trigger: int | None = None,
+    initial_snapshot: bool = False,
 ):
     """Exactly-once table→table CDC mirror as ONE Structured Streaming
     job: ``lake_cdf`` tails the source's change feed, each micro-batch
@@ -555,6 +728,12 @@ def mirror_stream(
         reader = spark.readStream.format("lake_cdf").option(
             "path", src_table_path
         )
+        if initial_snapshot:
+            # bootstrap from the source's CURRENT state + tail — the path
+            # for sources whose early feed history is already expired
+            # (snapshot rows arrive as U events with their stored _seq, so
+            # the destination's LWW merge seeds the exact state)
+            reader = reader.option("initialSnapshot", "true")
         if max_versions_per_trigger is not None:
             reader = reader.option(
                 "maxVersionsPerTrigger", str(max_versions_per_trigger)

@@ -463,3 +463,170 @@ def test_include_commit_ts_collision_and_isolation(spark, tmp_path):
             .start()
             .awaitTermination(120)
         )
+
+
+# ------------------------------------------------- initial snapshot + tail
+def _drain_snapshot(spark, path, ck):
+    register_lake_cdf(spark)
+    got = []
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", path)
+        .option("initialSnapshot", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: got.extend((bid, r) for r in df.collect())
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return got
+
+
+def test_initial_snapshot_then_tail(spark, tmp_path):
+    """Snapshot-then-tail over a table whose EARLY feed history is
+    expired: batch 0 = the resolved live state at query start (rows keep
+    their stored _seq), later drains deliver only post-snapshot changes —
+    the retention-gap bootstrap 'earliest' cannot serve."""
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None),
+                      ("I", 2, "c2", 0, "user", "b", "calc")], 0)
+    _apply(spark, t, [("U", 3, "c1", 0, "user", "a2", None),
+                      ("D", 4, "c2", 0, None, None, None),
+                      ("I", 5, "c3", 1, "user", "c", None)], 1)
+    t.compact()
+    t.expire_snapshots(keep_last=1)  # early feed history is GONE
+    with pytest.raises(Exception):
+        t.changes(0)  # proves 'earliest' could not have served this
+
+    ck = str(tmp_path / "ck")
+    got = _drain_snapshot(spark, str(tmp_path / "tab"), ck)
+    v0 = t.latest_version if callable(getattr(t, "latest_version", None)) else None
+    assert [
+        (r.conv_id, r.turn_idx, r.text, r._seq, r._deleted) for _, r in
+        sorted(got, key=lambda br: br[1].conv_id)
+    ] == [("c1", 0, "a2", 3, False), ("c3", 1, "c", 5, False)]
+    assert {bid for bid, _ in got} == {0}
+    snap_version = {r._version for _, r in got}
+    assert snap_version == {t.manifest()["version"]}
+
+    # tail phase: only the NEW change rows, exactly-once on the checkpoint
+    _apply(spark, t, [("U", 6, "c3", 1, "user", "c2", None)], 99)
+    got2 = _drain_snapshot(spark, str(tmp_path / "tab"), ck)
+    assert [(r.conv_id, r.text, r._seq, r._deleted) for _, r in got2] == [
+        ("c3", "c2", 6, False)
+    ]
+    assert _drain_snapshot(spark, str(tmp_path / "tab"), ck) == []
+
+
+def test_initial_snapshot_resolves_sink_chains(spark, tmp_path):
+    """The snapshot resolves RAW native-sink deltas (unresolved marks) and
+    multi-set chains through the shared Arrow path."""
+    from cdm_to_mods_spark.sources.lake_batch import register_lake
+
+    register_lake(spark)
+    t = _table(spark, str(tmp_path / "tab"))
+    ev = spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "v1", None),
+         ("U", 2, "c1", 0, "user", "v2", None)], EV
+    )
+    ev.write.format("lake").mode("append").save(t.path)
+    got = _drain_snapshot(spark, str(tmp_path / "tab"), str(tmp_path / "ck"))
+    assert [(r.conv_id, r.text, r._seq) for _, r in got] == [("c1", "v2", 2)]
+
+
+def test_initial_snapshot_refusals(spark, tmp_path):
+    t = _table(spark, str(tmp_path / "tab"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    register_lake_cdf(spark)
+
+    def _start(**opts):
+        reader = (
+            spark.readStream.format("lake_cdf")
+            .option("path", str(tmp_path / "tab"))
+            .option("initialSnapshot", "true")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(lambda df, bid: None)
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck-{len(opts)}-{sorted(opts)}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="drop startingVersion"):
+        _start(startingVersion="0")
+    with pytest.raises(Exception, match="cdf-mode surface"):
+        _start(mode="row_changes")
+
+    agg = LakeTable(
+        spark, str(tmp_path / "agg"), num_buckets=2, merge_mode="mor",
+        merge_engine="aggregate", agg_spec={"n": "sum"},
+    )
+    from pyspark.sql import types as T
+
+    agg.create(
+        T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), True),
+        ])
+    )
+    agg.apply_changes(
+        spark.createDataFrame(
+            [("I", 1, "c1", 3, 2)],
+            "op string, seq long, conv_id string, turn_idx int, n long",
+        ),
+        batch_id=0,
+    )
+    with pytest.raises(Exception, match="initialSnapshot resolves"):
+        got = []
+        q = (
+            spark.readStream.format("lake_cdf")
+            .option("path", str(tmp_path / "agg"))
+            .option("initialSnapshot", "true")
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck-agg"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        raise RuntimeError("unreachable: query should have failed")
+
+
+def test_mirror_initial_snapshot_over_expired_history(spark, tmp_path):
+    """mirror_stream(initial_snapshot=True): a replica of a table whose
+    early feed is expired still converges — snapshot seeds the state,
+    the tail keeps it current."""
+    from cdm_to_mods_spark.streaming.source import mirror_stream
+
+    src = _table(spark, str(tmp_path / "src"))
+    _apply(spark, src, [("I", 1, "c1", 0, "user", "a", None),
+                        ("I", 2, "c2", 0, "user", "b", None)], 0)
+    _apply(spark, src, [("D", 3, "c2", 0, None, None, None)], 1)
+    src.compact()
+    src.expire_snapshots(keep_last=1)
+
+    dst = _table(spark, str(tmp_path / "dst"))
+    ck = str(tmp_path / "ck")
+    q = mirror_stream(spark, str(tmp_path / "src"), dst, ck,
+                      initial_snapshot=True)
+    q.awaitTermination(120)
+    assert sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in dst.read().collect()
+    ) == [("c1", 0, "a")]
+    # tail: a post-snapshot change flows through the same checkpoint
+    _apply(spark, src, [("U", 4, "c1", 0, "user", "a2", None)], 7)
+    q = mirror_stream(spark, str(tmp_path / "src"), dst, ck,
+                      initial_snapshot=True)
+    q.awaitTermination(120)
+    assert [r.text for r in dst.read().collect()] == ["a2"]
