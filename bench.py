@@ -316,7 +316,13 @@ def run_sink_ingest(spark, sf: float) -> dict:
 
         out: dict = {"n_events": n, "n_batches": len(segs)}
         finals = {}
-        for arm in ("sink", "apply"):
+        # three arms: "sink" = unaligned upstream (each of P tasks writes a
+        # file per bucket it sees — P×buckets small files per batch, the
+        # worst shape); "sink_aligned" = upstream pre-partitioned on the
+        # bucket key (Spark's HashPartitioning IS the table's hash32
+        # layout, so tasks align to buckets — ONE file per bucket, the
+        # shape the sink docstring prescribes); "apply" = library MERGE.
+        for arm in ("sink", "sink_aligned", "apply"):
             best = None
             for attempt in range(2):  # best-of-2: host-whipsaw policy
                 path = os.path.join(work, f"t-{arm}{attempt}")
@@ -324,19 +330,21 @@ def run_sink_ingest(spark, sf: float) -> dict:
                 table = open_or_create(spark, path, 64, "mor")
                 # the chain adds provenance columns (ingest_ts); the sink
                 # refuses implicit evolution by contract, so declare them
-                # with DDL up front — same final schema on both arms
+                # with DDL up front — same final schema on every arm
                 canon = {f.name for f in table.read().schema.fields}
                 for f in spark.read.parquet(segs[0]).schema.fields:
                     if f.name not in canon and f.name not in ("op", "seq"):
                         table.add_column(f.name, f.dataType)
                 for b, seg in enumerate(segs):
                     df = spark.read.parquet(seg)
-                    if arm == "sink":
-                        df.write.format("lake").mode("append").option(
-                            "batchId", b
-                        ).save(path)
-                    else:
+                    if arm == "apply":
                         table.apply_changes(df, batch_id=b, source=seg)
+                        continue
+                    if arm == "sink_aligned":
+                        df = df.repartition(64, "conv_id")
+                    df.write.format("lake").mode("append").option(
+                        "batchId", b
+                    ).save(path)
                 finals[arm] = table.read().count()
                 elapsed = time.monotonic() - t0
                 best = elapsed if best is None else min(best, elapsed)
@@ -344,7 +352,7 @@ def run_sink_ingest(spark, sf: float) -> dict:
                 "elapsed_sec": round(best, 3),
                 "events_per_sec": round(n / best, 1),
             }
-        out["modes_agree"] = finals["sink"] == finals["apply"]
+        out["modes_agree"] = len(set(finals.values())) == 1
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
