@@ -2660,6 +2660,152 @@ class LakeTable:
         )
         return {**metrics, "update_seq": update_seq}
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        predicate,
+        *,
+        overwrite_seq: int | None = None,
+        note: str | None = None,
+    ) -> dict:
+        """Predicate-scoped atomic overwrite — the Delta ``replaceWhere`` /
+        Iceberg overwrite-by-filter analog, and the engine's form of the
+        reference's re-export rule (convert_cdm_to_mods.py:142-148: a re-run
+        deletes the collection's previous outputs and the latest export
+        wins): in ONE commit, every live row matching ``predicate`` is
+        replaced by the rows of ``df``.
+
+        Composed as ordinary change events through :meth:`apply_changes`
+        rather than file surgery — matched live keys become 'D' events and
+        ``df`` rows 'U' events, all at ``overwrite_seq`` (default
+        ``max(applied _seq) + 1``). A key both matched and re-inserted
+        collapses to its 'U' in the in-batch dedup (the op-ranked
+        U > I > D tie-break at equal seq — the same rule the bootstrap
+        overlap path relies on), so the change feed reports it as an
+        update, keys only in the matched set as deletes, and new keys as
+        inserts. The whole MERGE surface rides along: under merge-on-read
+        the commit APPENDS O(matches + len(df)) rows and rewrites nothing,
+        CHECK constraints, the change feed / typed changelog, conflict
+        retry and quarantine behave exactly as for a source batch.
+
+        Contract (Delta's): every row of ``df`` must satisfy ``predicate``
+        — violations refuse the whole op before anything lands, because a
+        row written OUTSIDE the predicate region would silently survive the
+        next overwrite of that region. ``df`` must carry the full logical
+        schema (evolve the table first for new columns) and be unique on
+        the key columns (a keyed table cannot order duplicate inserts at
+        one seq deterministically). The seq-domain caveat on
+        :meth:`delete_where` applies equally: the op spends one LSN from
+        the source's sequence domain.
+        """
+        self._refuse_on_aggregate("overwrite_where")
+        if self.merge_engine == "partial_update":
+            raise ValueError(
+                "overwrite_where is not supported on "
+                "merge_engine='partial_update' tables: null columns in the "
+                "replacement rows would KEEP the old values instead of "
+                "overwriting them — use delete_where + apply_changes"
+            )
+        man = self.manifest()
+        canon = self._canonical_schema(man)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        missing = [f.name for f in canon.fields if f.name not in df.columns]
+        if missing:
+            raise SchemaEvolutionError(
+                f"overwrite_where replacement rows are missing table "
+                f"columns {missing!r} — a replace writes whole rows; "
+                "evolve or select explicitly"
+            )
+        extra = [c for c in df.columns if c not in canon.fieldNames()]
+        if extra:
+            raise SchemaEvolutionError(
+                f"overwrite_where replacement rows carry unknown columns "
+                f"{extra!r} — add_column/widen_column the table first"
+            )
+        if overwrite_seq is None:
+            overwrite_seq = self._next_seq(man, canon)
+        inserts = df.select(
+            F.lit("U").alias("op"),
+            F.lit(overwrite_seq).cast("long").alias("seq"),
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in canon.fields],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        raw = self._read_raw(man, canon=canon)
+        if self._needs_resolve(man["buckets"].values()):
+            raw = self._resolve_lww(raw)
+        matched = (
+            raw.filter(~F.col(DELETED_COL))
+            .filter(pred)
+            .select(
+                F.lit("D").alias("op"),
+                F.lit(overwrite_seq).cast("long").alias("seq"),
+                F.col(SEQ_COL).alias("_live_seq"),
+                *[F.col(k) for k in self.key_cols],
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            # one validation job over df: replaceWhere containment + key
+            # uniqueness (countDistinct over the key struct, same pass)
+            v = inserts.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+                ).alias("violations"),
+                F.countDistinct(
+                    F.struct(*[F.col(k) for k in self.key_cols])
+                ).alias("n_keys"),
+            ).first()
+            if v["violations"]:
+                raise ValueError(
+                    f"overwrite_where refused: {v['violations']} of "
+                    f"{v['n']} replacement rows do not satisfy the "
+                    f"predicate — rows written outside the overwritten "
+                    "region would survive its next overwrite"
+                )
+            if v["n_keys"] != v["n"]:
+                raise ValueError(
+                    f"overwrite_where refused: replacement rows are not "
+                    f"unique on {list(self.key_cols)!r} "
+                    f"({v['n']} rows, {v['n_keys']} distinct keys)"
+                )
+            g = matched.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("_live_seq").alias("max_live"),
+            ).first()
+            if not v["n"] and not g["n"]:
+                return {"replaced_rows": 0, "inserted_rows": 0,
+                        "version": man["version"], "skipped": True}
+            if g["max_live"] is not None and g["max_live"] >= overwrite_seq:
+                raise ValueError(
+                    f"overwrite_seq {overwrite_seq} is not above the max "
+                    f"_seq of matched live rows ({g['max_live']}) — the "
+                    "overwrite events would lose the merge; pass a higher "
+                    "seq (or omit it to use the table max + 1)"
+                )
+            events = matched.drop("_live_seq").unionByName(
+                inserts, allowMissingColumns=True
+            )
+            res = self.apply_changes(
+                events,
+                source=f"overwrite_where:{note or ''}",
+                _metrics_extra={
+                    "maintenance": "overwrite_where",
+                    "overwrite_seq": overwrite_seq,
+                    "replaced_rows": g["n"],
+                    "inserted_rows": v["n"],
+                    "note": note,
+                },
+            )
+        finally:
+            inserts.unpersist()
+            matched.unpersist()
+        return {
+            "replaced_rows": g["n"],
+            "inserted_rows": v["n"],
+            "overwrite_seq": overwrite_seq,
+            "version": res["version"],
+        }
+
     def merge_into(
         self,
         source: DataFrame,
