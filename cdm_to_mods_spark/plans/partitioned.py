@@ -27,17 +27,25 @@ cross-partition cut ``{partition: sub_version}``. All the per-partition
 machinery (single-shuffle MERGE, zone maps, blooms, compaction tiers,
 exactly-once batch ledger) is inherited, not duplicated.
 
-Semantics — the Paimon primary-key-table partition rule, adopted
-verbatim and documented rather than papered over: the partition value is
-PART OF ROW IDENTITY. Two events for the same ``(conv_id, turn_idx)``
-whose ``ts`` falls in different partitions are DIFFERENT rows (the
-effective key is ``(partition, key_cols...)``). Cross-partition
-last-write-wins would need a global key→partition index (Paimon's
-dynamic-bucket cross-partition upsert — a second, shuffled lookup per
-batch); a table whose updates move keys across time partitions should
-stay on the flat ``LakeTable`` spec. The right fit is the common CDC
-shape where a row's event time is assigned once at insert (turns of a
-transcript, immutable facts with mutable attributes).
+Semantics — the Paimon primary-key-table partition rule by default: the
+partition value is PART OF ROW IDENTITY. Two events for the same
+``(conv_id, turn_idx)`` whose ``ts`` falls in different partitions are
+DIFFERENT rows (the effective key is ``(partition, key_cols...)``). The
+right fit is the common CDC shape where a row's event time is assigned
+once at insert (turns of a transcript, immutable facts with mutable
+attributes).
+
+``cross_partition_upsert=True`` switches to Paimon's OTHER documented
+mode (``cross-partition-upsert`` with the dynamic-bucket global index):
+the KEY ALONE is row identity. A global key→partition index — itself a
+flat bucketed ``LakeTable`` at ``<path>/_index`` — is probed once per
+batch (bucket-pruned, O(touched index buckets), never an index scan);
+an update whose derived partition differs from the key's home MOVES the
+key (synthesized ``D`` at the old home + upsert at the new — feed
+consumers see retract+insert), and a ``D`` event routes to the home
+partition regardless of its own ts. The per-batch tax is the documented
+Paimon one: one index lookup join + one O(movers+inserts) index MERGE;
+in exchange ``read_keys`` drops from O(partitions) probes to O(homes).
 
 Scale shape at 100 TB:
 
@@ -88,7 +96,8 @@ from ..schemas import (
     SchemaEvolutionError,
     schema_from_json,
 )
-from .lake import LakeTable, SnapshotExpiredError
+from ..operators.dedup import latest_per_key
+from .lake import LakeTable, SnapshotExpiredError, _bucket_expr
 
 __all__ = ["PartitionedTable", "PartitionRetentionError", "NULL_PART"]
 
@@ -126,6 +135,8 @@ class PartitionedTable:
         granularity: str = "month",
         stage_threshold: int = 8,
         apply_concurrency: int = 4,
+        cross_partition_upsert: bool = False,
+        index_buckets: int = 16,
         **lake_kwargs,
     ) -> None:
         assert granularity in _SPARK_FMT, granularity
@@ -138,10 +149,13 @@ class PartitionedTable:
         self.granularity = granularity
         self.stage_threshold = stage_threshold
         self.apply_concurrency = apply_concurrency
+        self.cross_partition_upsert = cross_partition_upsert
+        self.index_buckets = index_buckets
         self._lake_kwargs = dict(lake_kwargs)
         self._ledger = os.path.join(self.path, "_ledger")
         self._spec_path = os.path.join(self.path, "_spec.json")
         self._subs: dict[str, LakeTable] = {}
+        self._idx: LakeTable | None = None
         spec = self._load_spec()
         if spec is not None:
             # reopen ADOPTS the on-disk spec (like LakeTable's bucket_fn /
@@ -150,6 +164,9 @@ class PartitionedTable:
             for mine, theirs, name in (
                 (partition_col, spec["partition_col"], "partition_col"),
                 (granularity, spec["granularity"], "granularity"),
+                (cross_partition_upsert,
+                 spec.get("cross_partition_upsert", False),
+                 "cross_partition_upsert"),
             ):
                 if mine != theirs and mine != type(self).__init__.__kwdefaults__[name]:
                     raise ValueError(
@@ -160,6 +177,9 @@ class PartitionedTable:
             self.partition_col = spec["partition_col"]
             self.granularity = spec["granularity"]
             self.key_cols = tuple(spec["key_cols"])
+            self.cross_partition_upsert = spec.get(
+                "cross_partition_upsert", False
+            )
 
     # ------------------------------------------------------------- ledger
     def _load_spec(self) -> dict | None:
@@ -319,6 +339,155 @@ class PartitionedTable:
             v = v.replace(tzinfo=tz)
         return v.astimezone(tz).strftime(_PY_FMT[self.granularity])
 
+    # ------------------------------------ cross-partition upsert index
+    def _index(self, create: bool = False) -> LakeTable:
+        """The global key→partition index: itself a flat ``LakeTable`` at
+        ``<path>/_index`` keyed by the table's key columns with one payload
+        column ``part`` (the key's home partition). Flat-table machinery is
+        reused wholesale: bucket-pruned probes, the single-shuffle MERGE for
+        maintenance, the batch ledger for exactly-once, LWW-by-seq so
+        cross-batch ordering needs no extra bookkeeping."""
+        idx = self._idx
+        if idx is None:
+            idx = LakeTable(
+                self.spark,
+                os.path.join(self.path, "_index"),
+                key_cols=self.key_cols,
+                bucket_col=self._lake_kwargs.get("bucket_col", "conv_id"),
+                num_buckets=self.index_buckets,
+                merge_mode="mor",
+                stats_cols=(),
+            )
+            self._idx = idx
+        if create and not idx.exists():
+            spec_schema = schema_from_json(self._load_spec()["schema"])
+            idx.create(
+                T.StructType(
+                    [spec_schema[c] for c in self.key_cols]
+                    + [T.StructField("part", T.StringType(), True)]
+                )
+            )
+        return idx
+
+    def _route_cross_partition(
+        self, ev: DataFrame, valid_homes: set
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Re-route one change batch so the key — not ``(partition, key)``
+        — is row identity (the Paimon ``cross-partition-upsert`` dynamic-
+        bucket rule). Returns ``(routed events, index change events,
+        persisted intermediate to unpersist after the index apply)``.
+
+        Plan shape per batch: ONE hash aggregate collapses the batch to
+        its per-key winner (same map-side ``max_by`` as in-batch dedup —
+        sound because the engine's merge is LWW-by-seq, so non-winners
+        can never affect final state in ANY partition), one bucket-pruned
+        read of the touched index buckets (bounded by ``index_buckets``
+        manifest entries — never an O(index) scan), one join on the key,
+        then a single projection + explode classifies every key:
+
+        * new key → upsert to its derived partition, index gains the entry;
+        * home == derived → plain upsert, index untouched;
+        * MOVER (home differs) → upsert to the derived partition PLUS a
+          synthesized ``D`` at the old home carrying the winner's seq —
+          downstream feed consumers see the move as delete+insert, the
+          retract form replication already understands;
+        * incoming ``D`` → routed to the HOME partition (its own ts may
+          derive a partition the key never lived in), index entry killed.
+
+        Homes pointing outside ``valid_homes`` (the latest global cut's
+        partitions — entries staled by ``drop_partition``, or by the
+        crash window where a sub-apply committed but the global cut did
+        not) are treated as absent: the key re-routes like an insert, and
+        a replayed batch converges because every sub-table's own batch
+        ledger skips what already landed (a replay after the index commit
+        may route a ``D`` winner to its derived partition instead of the
+        already-deleted home — a no-op tombstone, never divergence)."""
+        keys = list(self.key_cols)
+        idx = self._index(create=True)
+        # null-key rows are unroutable (no identity to look up) and must
+        # reach the sub-apply UNCOLLAPSED so its quarantine counts them —
+        # bypass straight through at their derived partition
+        null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        bypass = ev.filter(null_key)
+        win = latest_per_key(ev.filter(~null_key), keys, "seq")
+        man_idx = idx.manifest()
+        if man_idx["buckets"]:
+            needed = sorted(
+                r["_b"]
+                for r in win.select(
+                    _bucket_expr(
+                        idx.bucket_col, idx.num_buckets, idx.bucket_fn
+                    ).alias("_b")
+                )
+                .distinct()
+                .collect()
+            )
+            stored = idx._resolve_lww(idx._read_raw(man_idx, buckets=needed))
+            live_idx = stored.filter(~F.col(DELETED_COL)).select(
+                *keys, F.col("part").alias("_home")
+            )
+            routed = win.join(live_idx, keys, "left")
+        else:
+            routed = win.withColumn("_home", F.lit(None).cast("string"))
+        if valid_homes:
+            routed = routed.withColumn(
+                "_home",
+                F.when(
+                    F.col("_home").isin(*sorted(valid_homes)), F.col("_home")
+                ),
+            )
+        else:
+            routed = routed.withColumn("_home", F.lit(None).cast("string"))
+        # both consumers (routed events + index events) read this frame;
+        # O(batch keys), cheap to cache — without it the index probe join
+        # runs twice per batch
+        routed = routed.persist()
+        is_d = F.col("op") == F.lit("D")
+        mover = (
+            (~is_d)
+            & F.col("_home").isNotNull()
+            & (F.col("_home") != F.col("_part"))
+        )
+        one = F.array(
+            F.struct(
+                F.when(is_d, F.coalesce("_home", "_part"))
+                .otherwise(F.col("_part"))
+                .alias("p"),
+                F.col("op").alias("o"),
+            )
+        )
+        two = F.array(
+            F.struct(F.col("_part").alias("p"), F.col("op").alias("o")),
+            F.struct(F.col("_home").alias("p"), F.lit("D").alias("o")),
+        )
+        carry = [c for c in ev.columns if c not in ("op", "_part")]
+        routed_ev = (
+            routed.withColumn("_r", F.when(mover, two).otherwise(one))
+            .select(*carry, F.explode("_r").alias("_r"))
+            .select(
+                *carry,
+                F.col("_r.o").alias("op"),
+                F.col("_r.p").alias("_part"),
+            )
+            .unionByName(bypass.select(*carry, "op", "_part"))
+        )
+        idx_ev = routed.filter(
+            (is_d & F.col("_home").isNotNull())
+            | (
+                (~is_d)
+                & (F.col("_home").isNull() | (F.col("_home") != F.col("_part")))
+            )
+        ).select(
+            F.when(is_d, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("seq"),
+            *keys,
+            F.col("_part").alias("part"),
+        )
+        return routed_ev, idx_ev, routed
+
     # --------------------------------------------------------------- DDL
     def create(self, schema: T.StructType) -> None:
         if self.partition_col not in schema.fieldNames():
@@ -348,6 +517,7 @@ class PartitionedTable:
                     "partition_col": self.partition_col,
                     "granularity": self.granularity,
                     "key_cols": list(self.key_cols),
+                    "cross_partition_upsert": self.cross_partition_upsert,
                     "schema": schema.json(),
                 },
                 fh,
@@ -543,13 +713,22 @@ class PartitionedTable:
                 f"batch lacks partition column {self.partition_col!r} "
                 "(apply the transform chain that derives it)"
             )
-        if "_part" in ev.columns:
+        reserved = {"_part"} | (
+            {"_home", "_r"} if self.cross_partition_upsert else set()
+        )
+        clash = sorted(reserved & set(ev.columns))
+        if clash:
             # withColumn would silently overwrite the producer's column
             raise ValueError(
-                "batch carries a reserved '_part' column — rename it"
+                f"batch carries reserved column(s) {clash} — rename"
             )
         ev = self._enforce_retired(ev)
         ev = ev.withColumn("_part", self._part_expr())
+        idx_ev = route_cache = None
+        if self.cross_partition_upsert:
+            ev, idx_ev, route_cache = self._route_cross_partition(
+                ev, set(man["parts"])
+            )
         staged: str | None = None
         persisted = False
         try:
@@ -597,7 +776,20 @@ class PartitionedTable:
                     min(self.apply_concurrency, len(parts))
                 ) as ex:
                     per_part = dict(ex.map(_one, parts))
+            # index commit comes LAST (after every sub-apply, before the
+            # global cut): a crash before it replays with an unchanged
+            # index → identical re-route, sub-ledgers dedupe; a crash
+            # after it means every data commit already landed, so the
+            # replay's (different) routing only reaches already-committed
+            # sub-ledgers. Either order-crossing converges.
+            idx_metrics = None
+            if idx_ev is not None:
+                idx_metrics = self._index().apply_changes(
+                    idx_ev, batch_id=batch_id, source=f"{src}:index"
+                )
         finally:
+            if route_cache is not None:
+                route_cache.unpersist()
             if persisted:
                 ev.unpersist()
             if staged:
@@ -618,6 +810,12 @@ class PartitionedTable:
             },
             "wall_sec": round(time.monotonic() - t0, 3),
         }
+        if idx_metrics is not None:
+            metrics["index"] = {
+                k: idx_metrics.get(k)
+                for k in ("n_events", "skipped", "elapsed_sec")
+                if k in idx_metrics
+            }
         self._commit_global(
             self._next_global(
                 "apply", touched=parts, batch_id=batch_id, metrics=metrics
@@ -726,15 +924,208 @@ class PartitionedTable:
         )
 
     def read_keys(self, bucket_keys: list, version: int | None = None) -> DataFrame:
-        """Point lookup. Honest trade of the composite spec (module
-        docstring): the key does not determine the partition, so every
-        partition is probed — each probe bucket-pruned and bloom-filtered."""
+        """Point lookup. Without the global index this is the honest trade
+        of the composite spec (module docstring): the key does not
+        determine the partition, so every partition is probed — each probe
+        bucket-pruned and bloom-filtered. With ``cross_partition_upsert``
+        the index turns it into O(homes): one bucket-pruned index probe
+        finds each key's home partition and only those partitions are
+        opened. Keys the index path does not surface fall back to the full
+        fan-out (covers index entries staled by ``drop_partition`` and
+        keys that predate the index) — steady state pays zero fallback.
+        The index reflects LATEST state, so time-travel reads keep the
+        fan-out. Narrow caveat (single-writer engines all share it): a
+        reader racing a CRASHED, not-yet-replayed apply whose index commit
+        landed ahead of the global cut may see a moved key at its new home
+        only — the window closes when the replay converges."""
         man = self.manifest(version)
+        parts = sorted(man["parts"].items())
+        if (
+            self.cross_partition_upsert
+            and version is None
+            and bucket_keys
+            and self._index().exists()
+        ):
+            idx = self._index()
+            pairs = (
+                idx.read_keys(bucket_keys)
+                .select(idx.bucket_col, "part")
+                .distinct()
+                .collect()
+            )
+            by_part: dict[str, set] = {}
+            for r in pairs:
+                if r["part"] in man["parts"]:
+                    by_part.setdefault(r["part"], set()).add(r[idx.bucket_col])
+            found = set().union(*by_part.values()) if by_part else set()
+            missing = [k for k in bucket_keys if k not in found]
+            probes = [
+                self._sub(p).read_keys(sorted(ks), version=man["parts"][p])
+                for p, ks in sorted(by_part.items())
+            ]
+            if missing:
+                probes.extend(
+                    self._sub(p).read_keys(missing, version=v)
+                    for p, v in parts
+                )
+            return self._union(probes, empty=lambda: self._empty_cut(man))
         return self._union(
             [self._sub(p).read_keys(bucket_keys, version=v)
-             for p, v in sorted(man["parts"].items())],
+             for p, v in parts],
             empty=lambda: self._empty_cut(man),
         )
+
+    def _index_diff(self, man: dict) -> DataFrame:
+        """Full-outer diff of live table state vs live index entries —
+        the audit plane behind ``verify_index``/``reindex``. One scan of
+        each side, one join on the key: an O(table) maintenance op, same
+        cost class as ``fsck.verify_integrity``'s stored-row audit."""
+        keys = list(self.key_cols)
+        idx = self._index()
+        actual_parts = []
+        for p, v in sorted(man["parts"].items()):
+            sub = self._sub(p)
+            res = sub._resolve_lww(sub._read_raw(sub.manifest(v)))
+            actual_parts.append(
+                res.filter(~F.col(DELETED_COL)).select(
+                    *keys,
+                    F.lit(p).alias("actual_part"),
+                    F.col(SEQ_COL).alias("actual_seq"),
+                )
+            )
+        if actual_parts:
+            actual = actual_parts[0]
+            for d in actual_parts[1:]:
+                actual = actual.unionByName(d)
+        else:
+            actual = self.spark.createDataFrame(
+                [], self._index_diff_schema("actual")
+            )
+        if idx.exists() and idx.manifest()["buckets"]:
+            claimed = (
+                idx._resolve_lww(idx._read_raw(idx.manifest()))
+                .filter(~F.col(DELETED_COL))
+                .select(
+                    *keys,
+                    F.col("part").alias("claimed_part"),
+                    F.col(SEQ_COL).alias("claimed_seq"),
+                )
+            )
+        else:
+            claimed = self.spark.createDataFrame(
+                [], self._index_diff_schema("claimed")
+            )
+        live = set(man["parts"])
+        j = actual.join(claimed, keys, "full_outer")
+        kind = (
+            F.when(
+                F.col("actual_part").isNull(),
+                F.when(
+                    F.col("claimed_part").isin(*sorted(live))
+                    if live
+                    else F.lit(False),
+                    F.lit("dangling"),
+                ).otherwise(F.lit("stale_dropped")),
+            )
+            .when(F.col("claimed_part").isNull(), F.lit("missing"))
+            .when(
+                F.col("claimed_part") != F.col("actual_part"),
+                F.lit("mismatched"),
+            )
+        )
+        return j.withColumn("kind", kind).filter(F.col("kind").isNotNull())
+
+    def _index_diff_schema(self, side: str) -> T.StructType:
+        spec_schema = schema_from_json(self._load_spec()["schema"])
+        return T.StructType(
+            [spec_schema[c] for c in self.key_cols]
+            + [
+                T.StructField(f"{side}_part", T.StringType(), True),
+                T.StructField(f"{side}_seq", T.LongType(), True),
+            ]
+        )
+
+    def verify_index(self) -> dict:
+        """Audit the global key→partition index against live table state
+        (the index plane's fsck). Returns per-kind counts:
+
+        * ``missing`` — a live row the index doesn't know (point lookups
+          still find it via the fallback, but the router would treat its
+          next update as a fresh insert: duplicate-live-row risk);
+        * ``mismatched`` — the index names the wrong home (next update
+          synthesizes a delete at a partition the key doesn't live in and
+          leaves the real old row behind);
+        * ``dangling`` — a live entry for a key with no live row in a
+          LIVE partition (harmless for reads, routes the key's next
+          delete to an empty home);
+        * ``stale_dropped`` — entries pointing at dropped partitions:
+          EXPECTED debris of ``drop_partition`` (handled lazily at route
+          time), reported for observability, not a failure.
+
+        ``ok`` is true when the first three are all zero. Repair with
+        :meth:`reindex`."""
+        if not self.cross_partition_upsert:
+            raise ValueError("table has no cross-partition index")
+        counts = {
+            r["kind"]: r["n"]
+            for r in self._index_diff(self.manifest())
+            .groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        bad = ("missing", "mismatched", "dangling")
+        return {
+            "ok": all(counts.get(k, 0) == 0 for k in bad),
+            **{k: int(counts.get(k, 0))
+               for k in (*bad, "stale_dropped")},
+        }
+
+    def reindex(self) -> dict:
+        """Repair the key→partition index from live table state — one
+        CORRECTIVE apply batch built from the same diff ``verify_index``
+        reports (O(diff) index events, never an index rewrite), so the
+        repair is crash-safe by the engine's own commit machinery and a
+        re-run converges to an empty diff. Corrections spend one LSN
+        above every applied seq on either plane (the ``delete_where``
+        seq-domain caveat applies). Maintenance-owner assumption: do not
+        run concurrently with a writer."""
+        if not self.cross_partition_upsert:
+            raise ValueError("table has no cross-partition index")
+        man = self.manifest()
+        idx = self._index(create=True)
+        keys = list(self.key_cols)
+        diff = self._index_diff(man).persist()
+        try:
+            fix_seq = max(
+                [idx._next_seq(idx.manifest(), None)]
+                + [
+                    self._sub(p)._next_seq(self._sub(p).manifest(v), None)
+                    for p, v in man["parts"].items()
+                ]
+            )
+            counts = {
+                r["kind"]: r["n"]
+                for r in diff.groupBy("kind")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            fixes = diff.select(
+                F.when(F.col("actual_part").isNull(), F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.lit(fix_seq).cast("long").alias("seq"),
+                *keys,
+                F.col("actual_part").alias("part"),
+            )
+            applied = idx.apply_changes(fixes, batch_id=None, source="reindex")
+        finally:
+            diff.unpersist()
+        return {
+            "corrections": int(applied.get("n_events", 0)),
+            "fix_seq": int(fix_seq),
+            **{k: int(counts.get(k, 0))
+               for k in ("missing", "mismatched", "dangling", "stale_dropped")},
+        }
 
     def changes(self, since_version: int, until_version: int | None = None,
                 *, with_version: bool = False) -> DataFrame:
@@ -905,7 +1296,12 @@ class PartitionedTable:
             floor = min(referenced)
             keep_n = len([sv for sv in sub._versions() if sv >= floor])
             per_part[p] = sub.expire_snapshots(keep_last=keep_n)
-        return {"expired_global": len(drop), "kept": keep, "parts": per_part}
+        out = {"expired_global": len(drop), "kept": keep, "parts": per_part}
+        if self.cross_partition_upsert and self._index().exists():
+            # the index needs no time travel beyond crash safety — its
+            # LATEST version is the only one any plane reads
+            out["index"] = self._index().expire_snapshots(keep_last=1)
+        return out
 
     def maintain(self, **policy) -> dict:
         """Policy-driven maintenance across partitions (the ``maintain()``
