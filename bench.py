@@ -599,6 +599,99 @@ def run_partition_prune(spark, sf: float) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_cross_partition(spark, sf: float) -> dict:
+    """Cross-partition-upsert tax and payoff on the time-partitioned spec
+    (plans/partitioned.py): the identical month-partitioned replay with the
+    global key→partition index OFF vs ON, interleaved best-of-2 with fresh
+    tables per attempt. The event stream derives ts from the KEY (no
+    movers), so the ON arm pays the index machinery's STEADY-STATE price —
+    winner collapse + bucket-pruned index probe + one index MERGE per
+    batch — with zero routing benefit, the honest worst case for the tax.
+    The payoff side: a point lookup (read_keys over a handful of
+    conversations) against a 12-month table, fan-out vs index-pruned,
+    interleaved best-of-2. At 10^10 events the tax stays O(batch) per
+    commit while the fan-out lookup grows O(partitions) — these constants
+    say where the crossover sits."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-xp-", dir=shm)
+    try:
+        n = max(50_000, int(2_500_000 * sf))  # sf0.1 → 250k events
+        ev = (
+            synth_events(spark, n, max(500, n // 100), seed=47)
+            .drop("ts_raw")
+            # key-derived ts: every version of a row keeps its month (same
+            # rationale as the partition_prune lane) — both arms hold
+            # identical live rows and the ON arm's index never moves a key
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1735689600)
+                    + F.pmod(
+                        F.xxhash64(F.lit(7), "conv_id", "turn_idx"),
+                        F.lit(365 * 86400),
+                    )
+                ),
+            )
+        )
+        seg = os.path.join(work, "ev")
+        ev.repartition(spark.sparkContext.defaultParallelism).write.parquet(seg)
+        half = n // 2
+        probe_keys = [
+            r["conv_id"]
+            for r in spark.read.parquet(seg)
+            .select("conv_id").distinct().limit(8).collect()
+        ]
+        walls = {"off": None, "on": None}
+        looks = {"off": None, "on": None}
+        for attempt in range(2):
+            tables = {}
+            for mode in ("off", "on"):  # interleaved arms
+                t = PartitionedTable(
+                    spark, os.path.join(work, f"t-{mode}{attempt}"),
+                    num_buckets=8, merge_mode="mor",
+                    cross_partition_upsert=(mode == "on"),
+                )
+                t.create(TRANSCRIPT_SCHEMA)
+                tables[mode] = t
+                t0 = time.monotonic()
+                for b, pred in enumerate(
+                    (F.col("seq") < half, F.col("seq") >= half)
+                ):
+                    t.apply_changes(
+                        spark.read.parquet(seg).filter(pred), batch_id=b
+                    )
+                t.read().count()
+                w = time.monotonic() - t0
+                walls[mode] = w if walls[mode] is None else min(walls[mode], w)
+            for _ in range(2):
+                for mode, t in tables.items():
+                    t0 = time.monotonic()
+                    t.read_keys(probe_keys).count()
+                    w = time.monotonic() - t0
+                    looks[mode] = (
+                        w if looks[mode] is None else min(looks[mode], w)
+                    )
+        return {
+            "n_events": n,
+            "off_replay_sec": round(walls["off"], 3),
+            "on_replay_sec": round(walls["on"], 3),
+            "index_tax_pct": round(
+                100 * (walls["on"] - walls["off"]) / walls["off"], 1
+            ),
+            "lookup_fanout_sec": round(looks["off"], 3),
+            "lookup_indexed_sec": round(looks["on"], 3),
+            "lookup_speedup": round(looks["off"] / looks["on"], 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_zorder_prune(spark, sf: float) -> dict:
     """Multi-dimension data-skipping cost, lexicographic vs z-order
     (operators/zorder.py). One replayed table, zero-copy cloned, each arm
@@ -830,6 +923,7 @@ def main() -> None:
     cdc["sink_ingest"] = run_sink_ingest(spark, sf)
     cdc["delete_modes"] = run_delete_modes(spark, sf)
     cdc["partition_prune"] = run_partition_prune(spark, sf)
+    cdc["cross_partition"] = run_cross_partition(spark, sf)
     cdc["zorder_prune"] = run_zorder_prune(spark, sf)
     cdc["wide_batch"] = run_wide_batch(spark, sf)
 
