@@ -73,10 +73,11 @@ ALTER DDL fans out (``add_column`` / ``widen_column`` / ``drop_column``
 / ``rename_column``): existing partitions get the flat-table ALTER, the
 spec schema is rewritten for future partitions, and the spec's retired-
 name record lets the router enforce the stale-producer contract that a
-brand-new partition (no rename log yet) couldn't. Not yet routed (use
-per-partition handles): branches/tags and the typed row changelog — a
-global surface needs a cross-partition version map like
-``changes(with_version=True)`` builds.
+brand-new partition (no rename log yet) couldn't. The typed row
+changelog IS routed (``row_changes`` — global-version attribution over
+the per-partition lookup producers). Not yet routed (use per-partition
+handles): branches/tags — a global WAP surface needs a branch-namespaced
+global ledger on top of the per-partition ones.
 """
 
 from __future__ import annotations
@@ -1190,6 +1191,69 @@ class PartitionedTable:
                     )
             prev = cur
         return self._union(dfs, empty=empty)
+
+    def row_changes(
+        self, since_version: int, until_version: int | None = None
+    ) -> DataFrame:
+        """Global TYPED row changelog for GLOBAL versions ``(since, until]``
+        — the Delta ``table_changes`` shape over the whole partitioned
+        table, assembled from each partition's own lookup-producer
+        changelog over the sub-version spans the global manifests pin,
+        with ``_version`` re-attributed to the GLOBAL commit (a consumer
+        keyed on sub-versions would see colliding numbers across
+        partitions). Requires the table opened with ``changelog="lookup"``
+        (the kwarg flows to every sub-table); a state-changing sub-commit
+        without a changelog raises ``ChangelogUnavailableError`` exactly
+        as on the flat table. Same drop/recreate fail-loud walk and the
+        same one-sub-read-per-(version, partition) plan-growth caveat as
+        ``changes(with_version=True)``.
+
+        A cross-partition MOVE (``cross_partition_upsert``) surfaces as
+        ``delete`` rows at the old home and ``insert`` rows at the new —
+        the retract pair an additive consumer already folds correctly."""
+        man_hi = self.manifest(until_version)
+        man_lo = self.manifest(since_version)
+        hi = man_hi["version"]
+        if since_version > hi:
+            raise ValueError(
+                f"since_version {since_version} is above until {hi}"
+            )
+        prev_parts = man_lo["parts"]
+        lost: set[str] = set()
+        for g in range(since_version + 1, hi + 1):
+            cur = self.manifest(g)["parts"]
+            lost |= {p for p in prev_parts if p not in cur}
+            lost |= {
+                p for p, v in cur.items() if v < prev_parts.get(p, -1)
+            }
+            prev_parts = cur
+        if lost:
+            raise PartitionRetentionError(
+                f"row_changes ({since_version}, {hi}] crosses "
+                f"drop_partition({sorted(lost)!r}); retention removed "
+                "some of their rows"
+            )
+        dfs: list[DataFrame] = []
+        prev = man_lo
+        for g in range(since_version + 1, hi + 1):
+            cur = self.manifest(g)
+            for p, v_hi in sorted(cur["parts"].items()):
+                v_lo = prev["parts"].get(p, 0)
+                if v_hi > v_lo:
+                    dfs.append(
+                        self._sub(p)
+                        .row_changes(v_lo, v_hi)
+                        .withColumn("_version", F.lit(g).cast("long"))
+                    )
+            prev = cur
+        def _empty():
+            return (
+                self._empty_cut(man_hi)
+                .withColumn(SEQ_COL, F.lit(None).cast("long"))
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_version", F.lit(None).cast("long"))
+            )
+        return self._union(dfs, empty=_empty)
 
     def history(self, limit: int | None = None) -> list[dict]:
         out = [self.manifest(v) for v in reversed(self._versions())]

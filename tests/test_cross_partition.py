@@ -292,6 +292,25 @@ def test_reindex_repairs_a_corrupted_index(spark, xptable):
     assert xptable.reindex()["corrections"] == 0
 
 
+def test_move_surfaces_as_retract_pair_in_row_changes(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "xprc"), num_buckets=4,
+                         merge_mode="mor", changelog="lookup",
+                         cross_partition_upsert=True, index_buckets=4)
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _ts(1)),
+    ]), batch_id=0)
+    v1 = t.latest_version()
+    t.apply_changes(_events(spark, [
+        ("U", 2, "c1", 0, "user", "moved", None, _ts(3)),
+    ]), batch_id=1)
+    got = sorted((r["_change_type"], r.text, r["_version"])
+                 for r in t.row_changes(v1).collect())
+    # the move is a retraction pair: delete at the old home, insert at
+    # the new — what an additive consumer folds correctly
+    assert got == [("delete", "jan", v1 + 1), ("insert", "moved", v1 + 1)]
+
+
 def test_reopen_adopts_flag(spark, tmp_path):
     t = PartitionedTable(spark, str(tmp_path / "xp"),
                          cross_partition_upsert=True)

@@ -204,6 +204,43 @@ def test_global_change_feed(spark, mor_ptable):
     }
 
 
+def test_global_row_changes(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "prc"), num_buckets=4,
+                         merge_mode="mor", changelog="lookup")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    v1 = t.latest_version()
+    t.apply_changes(_events(spark, [
+        ("U", 6, "c1", 0, "user", "jan v2", None, _ts(1)),
+        ("I", 7, "c4", 0, "user", "april", None, _ts(4)),
+    ]), batch_id=1)
+    tail = t.row_changes(v1)
+    got = sorted((r.conv_id, r["_change_type"], r["_version"])
+                 for r in tail.collect())
+    # _version is the GLOBAL commit, not the per-partition sub-version
+    assert got == [
+        ("c1", "update_postimage", v1 + 1),
+        ("c1", "update_preimage", v1 + 1),
+        ("c4", "insert", v1 + 1),
+    ]
+    # full-range read carries the seed inserts too
+    assert t.row_changes(0).filter(
+        F.col("_change_type") == "insert").count() >= 5
+    # drop/recreate detection matches the resolved feed's contract
+    t.drop_partition("2025-04")
+    with pytest.raises(PartitionRetentionError):
+        t.row_changes(v1).collect()
+
+
+def test_row_changes_requires_lookup_producer(spark, mor_ptable):
+    from cdm_to_mods_spark.plans.lake import ChangelogUnavailableError
+
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    with pytest.raises(ChangelogUnavailableError):
+        t.row_changes(0).collect()
+
+
 def test_drop_partition_retention(spark, mor_ptable):
     t = mor_ptable
     t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
