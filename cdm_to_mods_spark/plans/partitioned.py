@@ -75,9 +75,11 @@ spec schema is rewritten for future partitions, and the spec's retired-
 name record lets the router enforce the stale-producer contract that a
 brand-new partition (no rename log yet) couldn't. The typed row
 changelog IS routed (``row_changes`` — global-version attribution over
-the per-partition lookup producers). Not yet routed (use per-partition
-handles): branches/tags — a global WAP surface needs a branch-namespaced
-global ledger on top of the per-partition ones.
+the per-partition lookup producers), and so is write-audit-publish:
+``create_branch``/``publish_branch``/``drop_branch``/``tag`` namespace
+the GLOBAL ledger (``gb-<name>-g*.json``) and ride each partition's own
+flat branch, so staging isolation, squash publish, exactly-once survival
+and crash recovery are inherited rather than re-implemented.
 """
 
 from __future__ import annotations
@@ -98,7 +100,12 @@ from ..schemas import (
     schema_from_json,
 )
 from ..operators.dedup import latest_per_key
-from .lake import LakeTable, SnapshotExpiredError, _bucket_expr
+from .lake import (
+    BranchDivergedError,
+    LakeTable,
+    SnapshotExpiredError,
+    _bucket_expr,
+)
 
 __all__ = ["PartitionedTable", "PartitionRetentionError", "NULL_PART"]
 
@@ -138,10 +145,12 @@ class PartitionedTable:
         apply_concurrency: int = 4,
         cross_partition_upsert: bool = False,
         index_buckets: int = 16,
+        branch: str = "main",
         **lake_kwargs,
     ) -> None:
         assert granularity in _SPARK_FMT, granularity
         assert apply_concurrency >= 1, apply_concurrency
+        self.branch = branch
         self.spark = spark
         # same absolutization as LakeTable: Python ledger IO vs JVM data IO
         self.path = os.path.abspath(path.rstrip("/"))
@@ -189,13 +198,44 @@ class PartitionedTable:
         with open(self._spec_path) as fh:
             return json.load(fh)
 
+    def _gvfile_name(self, v: int, branch: str | None = None) -> str:
+        """Global version-file name in the given branch's namespace. Main
+        keeps the bare ``g<NNNNNNNN>.json`` layout; a branch's global cuts
+        live beside them as ``gb-<branch>-g<NNNNNNNN>.json`` (same shape as
+        the flat table's ``b-<name>-v*.json`` rule)."""
+        b = self.branch if branch is None else branch
+        return f"g{v:08d}.json" if b == "main" else f"gb-{b}-g{v:08d}.json"
+
+    @staticmethod
+    def _gbranch_vfile_versions(names: list[str], branch: str) -> list[int]:
+        pre = f"gb-{branch}-g"
+        return [
+            int(f[len(pre):-5])
+            for f in names
+            if f.startswith(pre) and f.endswith(".json")
+            and f[len(pre):-5].isdigit()
+        ]
+
     def _versions(self) -> list[int]:
+        """Global versions visible on THIS handle's branch: main sees the
+        bare files; a branch sees the shared main prefix up to its fork
+        plus its own commits (dense across the fork, like the flat
+        table)."""
         if not os.path.isdir(self._ledger):
             return []
-        return sorted(
+        names = os.listdir(self._ledger)
+        main = sorted(
             int(f[1:-5])  # width-proof, like LakeTable._versions
-            for f in os.listdir(self._ledger)
-            if f.startswith("g") and f.endswith(".json") and not f.startswith("g_")
+            for f in names
+            if f.startswith("g") and f.endswith(".json")
+            and f[1:-5].isdigit()
+        )
+        if self.branch == "main":
+            return main
+        fork = self._gbranch_meta(self.branch)["forked_at"]
+        return sorted(
+            [v for v in main if v <= fork]
+            + self._gbranch_vfile_versions(names, self.branch)
         )
 
     def latest_version(self) -> int | None:
@@ -209,6 +249,12 @@ class PartitionedTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
+        if self.branch != "main":
+            bp = os.path.join(self._ledger, self._gvfile_name(v))
+            if os.path.exists(bp):
+                with open(bp) as fh:
+                    return json.load(fh)
+            # at-or-before-fork versions fall through to the main files
         p = os.path.join(self._ledger, f"g{v:08d}.json")
         if not os.path.exists(p):
             # same typed error flat-table consumers already re-seed on
@@ -220,10 +266,11 @@ class PartitionedTable:
 
     def _commit_global(self, man: dict) -> None:
         """Same link(2)-exclusive protocol as ``LakeTable._commit`` — a
-        concurrent router commit surfaces as a conflict, never a clobber."""
+        concurrent router commit surfaces as a conflict, never a clobber.
+        Branch handles commit into their own namespace."""
         os.makedirs(self._ledger, exist_ok=True)
         v = man["version"]
-        final = os.path.join(self._ledger, f"g{v:08d}.json")
+        final = os.path.join(self._ledger, self._gvfile_name(v))
         tmp = os.path.join(self._ledger, f"g_tmp-{uuid4().hex[:8]}.json")
         with open(tmp, "w") as fh:
             json.dump(man, fh, indent=1)
@@ -294,13 +341,13 @@ class PartitionedTable:
         sub = self._subs.get(part)
         if sub is not None:
             return sub
-        sub = LakeTable(
+        main_sub = LakeTable(
             self.spark,
             self._part_dir(part),
             key_cols=self.key_cols,
             **self._lake_kwargs,
         )
-        if not sub.exists():
+        if not main_sub.exists():
             if not create:
                 raise PartitionRetentionError(
                     f"partition {part!r} of {self.path} is gone (never "
@@ -311,7 +358,29 @@ class PartitionedTable:
             # evolution brings them to the batch's shape, so a partition
             # born after an implicit column add still converges. Explicit
             # DDL is per-partition for now (module docstring).
-            sub.create(schema_from_json(self._load_spec()["schema"]))
+            main_sub.create(schema_from_json(self._load_spec()["schema"]))
+        sub = main_sub
+        if self.branch != "main":
+            # a partition born INSIDE a branch apply gets its sub-branch
+            # lazily (create_branch fanned out only to the partitions that
+            # existed at fork time)
+            if not any(
+                b["name"] == self.branch for b in main_sub.branches()
+            ):
+                if not create:
+                    raise LookupError(
+                        f"partition {part!r} has no branch "
+                        f"{self.branch!r} — was it created on main after "
+                        "the fork?"
+                    )
+                main_sub.create_branch(self.branch)
+            sub = LakeTable(
+                self.spark,
+                self._part_dir(part),
+                key_cols=self.key_cols,
+                branch=self.branch,
+                **self._lake_kwargs,
+            )
         self._subs[part] = sub
         return sub
 
@@ -340,6 +409,238 @@ class PartitionedTable:
             v = v.replace(tzinfo=tz)
         return v.astimezone(tz).strftime(_PY_FMT[self.granularity])
 
+    # ------------------------------------------- global branches / tags
+    def _gbranches_dir(self) -> str:
+        return os.path.join(self.path, "_gbranches")
+
+    def _gtags_dir(self) -> str:
+        return os.path.join(self.path, "_gtags")
+
+    def _gbranch_file(self, name: str) -> str:
+        return os.path.join(self._gbranches_dir(), f"{name}.json")
+
+    def _gbranch_meta(self, name: str) -> dict:
+        try:
+            with open(self._gbranch_file(name)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise LookupError(
+                f"global branch {name!r} does not exist at {self.path}"
+            ) from None
+
+    def branches(self) -> list[dict]:
+        """Live GLOBAL staging branches: ``[{name, forked_at, ...}]``."""
+        d = self._gbranches_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            (
+                self._gbranch_meta(f[:-5])
+                for f in os.listdir(d)
+                if f.endswith(".json") and not f.startswith("_tmp-")
+            ),
+            key=lambda m: m["name"],
+        )
+
+    def _write_meta_exclusive(self, directory: str, name: str,
+                              meta: dict, kind: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        tmp = os.path.join(directory, f"_tmp-{uuid4().hex[:8]}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(directory, f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(f"{kind} {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+
+    def create_branch(self, name: str) -> dict:
+        """Fork a GLOBAL write-audit-publish branch at the current global
+        head: every live partition (and the cross-partition index, when
+        present) gets a flat-table branch, then the global pointer
+        publishes atomically LAST — a usable global branch implies every
+        sub-branch exists, and a crash mid-fan-out leaves no pointer (a
+        re-run tolerates the sub-branches it already made). Open with
+        ``PartitionedTable(spark, path, branch=name)``; stage applies;
+        ``publish_branch``/``drop_branch`` from a main-opened router.
+        Single-writer assumption, like every maintenance surface here."""
+        assert self.branch == "main", "create branches from a main handle"
+        head = self.latest_version()
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        man = self.manifest()
+        handles = [self._sub(p) for p in sorted(man["parts"])]
+        if self.cross_partition_upsert:
+            idx = self._index(create=True)
+            if idx.exists():
+                handles.append(idx)
+        for h in handles:
+            if not any(b["name"] == name for b in h.branches()):
+                h.create_branch(name)
+        meta = {"name": name, "forked_at": head, "created_ts": time.time()}
+        self._write_meta_exclusive(
+            self._gbranches_dir(), name, meta, "global branch"
+        )
+        return meta
+
+    def publish_branch(self, name: str) -> dict:
+        """Atomically fast-forward main to the branch's global head: each
+        partition the branch cut pins publishes its own sub-branch (the
+        flat squash — exactly-once state, feed union, crash recovery all
+        inherited), then ONE global commit pins the published sub-versions
+        as the new main cut, then the global pointer drops. Declines with
+        ``BranchDivergedError`` if global main advanced past the fork.
+        Crash anywhere re-runs to convergence: already-published
+        sub-branches are recognized by their own recovery (or are simply
+        gone and their main head is adopted), a lost global commit is
+        recomputed, and a committed-but-undropped pointer is detected by
+        the publish marker on main's head."""
+        assert self.branch == "main", "publish from a main handle"
+        meta = self._gbranch_meta(name)
+        fork = meta["forked_at"]
+        head = self.latest_version()
+        names = os.listdir(self._ledger)
+        bvs = sorted(self._gbranch_vfile_versions(names, name))
+        if head != fork:
+            if head == fork + 1:
+                hm = self.manifest(head).get("metrics", {})
+                if hm.get("from_branch") == name and (
+                    not bvs or hm.get("branch_head") == bvs[-1]
+                ):
+                    # crash-window recovery: squash already on main, only
+                    # the pointer drop was lost — finish idempotently
+                    self.drop_branch(name)
+                    return {**hm, "published_version": head,
+                            "recovered": True}
+            raise BranchDivergedError(
+                f"global main is at {head} but branch {name!r} forked at "
+                f"{fork}; fast-forward publish would discard main commits"
+            )
+        if not bvs:  # nothing staged: publishing is just dropping the fork
+            self.drop_branch(name)
+            return {"published_version": None, "branch_versions": 0,
+                    "from_branch": name}
+        with open(os.path.join(
+            self._ledger, self._gvfile_name(bvs[-1], name)
+        )) as fh:
+            bman = json.load(fh)
+        per_part = {}
+        for p in sorted(bman["parts"]):
+            sub = self._sub(p)  # main handle (router is main-opened)
+            if any(b["name"] == name for b in sub.branches()):
+                per_part[p] = sub.publish_branch(name)
+            # else: already published by an earlier crashed run (its
+            # recovery dropped the sub pointer) — adopt the main head
+        if self.cross_partition_upsert:
+            idx = self._index()
+            if idx.exists() and any(
+                b["name"] == name for b in idx.branches()
+            ):
+                idx.publish_branch(name)
+        base = self.manifest()  # the fork cut (head == fork checked above)
+        parts = {
+            p: self._sub(p).latest_version()
+            for p in sorted(set(base["parts"]) | set(bman["parts"]))
+        }
+        metrics = {
+            "from_branch": name,
+            "branch_head": bvs[-1],
+            "published_parts": sorted(per_part),
+        }
+        self._commit_global({
+            "format_version": 1,
+            "version": fork + 1,
+            "op": "publish",
+            "batch_id": None,
+            # exactly-once replay state survives the publish, like the
+            # flat squash
+            "last_batch_id": max(
+                bman["last_batch_id"], base["last_batch_id"]
+            ),
+            "parts": parts,
+            "metrics": metrics,
+            "commit_ts": time.time(),
+        })
+        self.drop_branch(name)
+        self._subs.clear()  # cached branch-era sub handles are stale
+        return {**metrics, "published_version": fork + 1,
+                "branch_versions": len(bvs)}
+
+    def drop_branch(self, name: str) -> dict:
+        """Abandon a global staging branch: global pointer first (new
+        branch commits refused from that instant), then its global cut
+        files, then each sub-table's branch (tolerating ones a crashed
+        publish already dropped)."""
+        assert self.branch == "main", "drop branches from a main handle"
+        self._gbranch_meta(name)  # typed error if it never existed
+        os.unlink(self._gbranch_file(name))
+        removed = 0
+        for bv in self._gbranch_vfile_versions(
+            os.listdir(self._ledger), name
+        ):
+            os.remove(os.path.join(self._ledger, self._gvfile_name(bv, name)))
+            removed += 1
+        dropped_subs = []
+        targets = [self._sub(p) for p in self._live_parts()]
+        if self.cross_partition_upsert:
+            idx = self._index()
+            if idx.exists():
+                targets.append(idx)
+        for sub in targets:
+            try:
+                sub.drop_branch(name)
+                dropped_subs.append(os.path.basename(sub.path))
+            except LookupError:
+                pass
+        return {"dropped": name, "removed_global_versions": removed,
+                "dropped_sub_branches": dropped_subs}
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Immutable GLOBAL tag at ``version`` (default: head). Tagged
+        cuts — and every sub-version they pin — survive
+        ``expire_snapshots`` until the tag is deleted."""
+        assert self.branch == "main", "tag from a main handle"
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self._versions():
+            raise LookupError(f"no global version {v} to tag at {self.path}")
+        meta = {"name": name, "version": v, "created_ts": time.time()}
+        self._write_meta_exclusive(self._gtags_dir(), name, meta, "tag")
+        return meta
+
+    def tags(self) -> list[dict]:
+        d = self._gtags_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json") and not f.startswith("_tmp-"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(os.path.join(self._gtags_dir(), f"{name}.json")) as fh:
+                return json.load(fh)["version"]
+        except FileNotFoundError:
+            raise LookupError(
+                f"tag {name!r} does not exist at {self.path}"
+            ) from None
+
+    def read_tag(self, name: str) -> DataFrame:
+        return self.read(version=self.tag_version(name))
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.unlink(os.path.join(self._gtags_dir(), f"{name}.json"))
+        except FileNotFoundError:
+            raise LookupError(
+                f"tag {name!r} does not exist at {self.path}"
+            ) from None
+
     # ------------------------------------ cross-partition upsert index
     def _index(self, create: bool = False) -> LakeTable:
         """The global key→partition index: itself a flat ``LakeTable`` at
@@ -349,25 +650,43 @@ class PartitionedTable:
         maintenance, the batch ledger for exactly-once, LWW-by-seq so
         cross-batch ordering needs no extra bookkeeping."""
         idx = self._idx
-        if idx is None:
-            idx = LakeTable(
-                self.spark,
-                os.path.join(self.path, "_index"),
-                key_cols=self.key_cols,
-                bucket_col=self._lake_kwargs.get("bucket_col", "conv_id"),
-                num_buckets=self.index_buckets,
-                merge_mode="mor",
-                stats_cols=(),
-            )
-            self._idx = idx
-        if create and not idx.exists():
+        if idx is not None:
+            return idx
+        kw = dict(
+            key_cols=self.key_cols,
+            bucket_col=self._lake_kwargs.get("bucket_col", "conv_id"),
+            num_buckets=self.index_buckets,
+            merge_mode="mor",
+            stats_cols=(),
+        )
+        main_idx = LakeTable(
+            self.spark, os.path.join(self.path, "_index"), **kw
+        )
+        if not main_idx.exists():
+            if not create:
+                # uncached non-existent probe handle: a later create call
+                # must still run the full main-create + branch dance
+                return main_idx
             spec_schema = schema_from_json(self._load_spec()["schema"])
-            idx.create(
+            main_idx.create(
                 T.StructType(
                     [spec_schema[c] for c in self.key_cols]
                     + [T.StructField("part", T.StringType(), True)]
                 )
             )
+        idx = main_idx
+        if self.branch != "main":
+            # the index rides the same branch namespace as the data:
+            # branch-staged moves must not leak routing into main
+            if not any(
+                b["name"] == self.branch for b in main_idx.branches()
+            ):
+                main_idx.create_branch(self.branch)
+            idx = LakeTable(
+                self.spark, os.path.join(self.path, "_index"),
+                branch=self.branch, **kw,
+            )
+        self._idx = idx
         return idx
 
     def _route_cross_partition(
@@ -491,6 +810,7 @@ class PartitionedTable:
 
     # --------------------------------------------------------------- DDL
     def create(self, schema: T.StructType) -> None:
+        assert self.branch == "main", "create from a main handle"
         if self.partition_col not in schema.fieldNames():
             raise ValueError(
                 f"partition_col {self.partition_col!r} not in schema "
@@ -576,6 +896,9 @@ class PartitionedTable:
             )
 
     def _alter_fanout(self, sub_call, mutate_spec, metrics: dict) -> dict:
+        # the spec file is SHARED across branches — a branch-scoped DDL
+        # would silently alter main's contract for future partitions
+        assert self.branch == "main", "run DDL on a main-opened table"
         for p in sorted(self.manifest()["parts"]):
             sub_call(self._sub(p))
         self._rewrite_spec(mutate_spec)
@@ -1092,6 +1415,7 @@ class PartitionedTable:
         run concurrently with a writer."""
         if not self.cross_partition_upsert:
             raise ValueError("table has no cross-partition index")
+        assert self.branch == "main", "run maintenance on a main handle"
         man = self.manifest()
         idx = self._index(create=True)
         keys = list(self.key_cols)
@@ -1308,6 +1632,9 @@ class PartitionedTable:
         working only until the directory is gone; after that they raise
         ``PartitionRetentionError`` (retention is an operator choice, the
         ``SnapshotExpiredError`` contract at partition scope)."""
+        # the directory remove is branch-blind — a branch-scoped drop
+        # would delete data main still references
+        assert self.branch == "main", "drop partitions from a main handle"
         man = self.manifest()
         dropped = part in man["parts"]
         if dropped:
@@ -1329,22 +1656,59 @@ class PartitionedTable:
         versions, then shrink each partition's own ledger to the
         sub-versions those kept cuts still reference (sub-table expiry
         also GCs its unreferenced data dirs and the loser/crash leftovers
-        under them)."""
+        under them). Tagged cuts and live branches' fork cuts are pinned;
+        global branch version files of DROPPED branches (crash leftovers)
+        are swept."""
+        assert self.branch == "main", "run maintenance on a main handle"
         gvs = self._versions()
         if not gvs:
             # never created / no ledger — nothing is referenced, and the
             # unreferenced-dir sweep below must not fire on that state
             return {"expired_global": 0, "kept": [], "parts": {}}
         keep = gvs[-keep_last:]
+        # pinned cuts: tags (training-run reproducibility) and every live
+        # branch's fork point (branch manifests fall through to it)
+        for t in self.tags():
+            if t["version"] in gvs and t["version"] not in keep:
+                keep.append(t["version"])
+        ledger_names = os.listdir(self._ledger)
+        live_branch_files: set[str] = set()
+        branch_parts: set[str] = set()
+        for bmeta in self.branches():
+            if bmeta["forked_at"] in gvs and bmeta["forked_at"] not in keep:
+                keep.append(bmeta["forked_at"])
+            for bv in self._gbranch_vfile_versions(
+                ledger_names, bmeta["name"]
+            ):
+                fname = self._gvfile_name(bv, bmeta["name"])
+                live_branch_files.add(fname)
+                with open(os.path.join(self._ledger, fname)) as fh:
+                    branch_parts |= set(json.load(fh)["parts"])
+        keep = sorted(keep)
         drop = [v for v in gvs if v not in keep]
         kept_mans = [self.manifest(v) for v in keep]
         for v in drop:
             os.remove(os.path.join(self._ledger, f"g{v:08d}.json"))
+        # gb- files whose branch pointer is gone are crash leftovers of a
+        # drop/publish — sweep them like the flat table's orphan b- files
+        orphan_gb = [
+            f for f in ledger_names
+            if f.startswith("gb-") and f.endswith(".json")
+            and f not in live_branch_files
+        ]
+        for f in orphan_gb:
+            os.remove(os.path.join(self._ledger, f))
         per_part = {}
         for p in self._live_parts():
             referenced = {
                 m["parts"][p] for m in kept_mans if p in m["parts"]
             }
+            if not referenced and p in branch_parts:
+                # only live-branch cuts reference this partition (born
+                # inside a branch apply): its sub-table protects the
+                # branch's own files, and the dir must survive the sweep
+                per_part[p] = {"branch_only": True}
+                continue
             # referenced-check BEFORE instantiating the handle: a crash
             # leftover (directory with no committed sub version) must be
             # GC'd here, and _sub() on it would raise instead
@@ -1360,7 +1724,8 @@ class PartitionedTable:
             floor = min(referenced)
             keep_n = len([sv for sv in sub._versions() if sv >= floor])
             per_part[p] = sub.expire_snapshots(keep_last=keep_n)
-        out = {"expired_global": len(drop), "kept": keep, "parts": per_part}
+        out = {"expired_global": len(drop), "kept": keep, "parts": per_part,
+               "removed_orphan_gb": len(orphan_gb)}
         if self.cross_partition_upsert and self._index().exists():
             # the index needs no time travel beyond crash safety — its
             # LATEST version is the only one any plane reads
@@ -1370,6 +1735,7 @@ class PartitionedTable:
     def maintain(self, **policy) -> dict:
         """Policy-driven maintenance across partitions (the ``maintain()``
         scheduler fanned out), ending in one global maintenance cut."""
+        assert self.branch == "main", "run maintenance on a main handle"
         from .maintenance import maintain as _maintain
 
         results = {
