@@ -478,8 +478,13 @@ class PartitionedTable:
             if idx.exists():
                 handles.append(idx)
         for h in handles:
-            if not any(b["name"] == name for b in h.branches()):
-                h.create_branch(name)
+            if any(b["name"] == name for b in h.branches()):
+                # leftover of a crashed global create (re-run, harmless —
+                # nothing staged yet) OR of a crashed global drop (stale
+                # staging from a previous incarnation): drop and re-fork
+                # fresh so the new global branch can never resurrect it
+                h.drop_branch(name)
+            h.create_branch(name)
         meta = {"name": name, "forked_at": head, "created_ts": time.time()}
         self._write_meta_exclusive(
             self._gbranches_dir(), name, meta, "global branch"

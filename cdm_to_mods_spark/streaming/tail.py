@@ -95,12 +95,6 @@ class StreamingReplay:
             # composes: Spark's checkpoint redelivers, the router's global
             # ledger dedupes whole batches, and a crash mid-fan-out
             # converges through each sub-table's own batch ledger.
-            if branch != "main":
-                raise ValueError(
-                    "partition_by does not compose with a WAP branch: the "
-                    "partition router has no branch surface (stage on a "
-                    "flat table, or audit per-partition handles)"
-                )
             if stats_view_path is not None:
                 raise ValueError(
                     "partition_by does not compose with stats_view_path: "
@@ -109,6 +103,23 @@ class StreamingReplay:
                 )
             from ..plans.partitioned import PartitionedTable
 
+            if branch != "main":
+                # global write-audit-publish tail, same one-liner contract
+                # as the flat path: fork (and the empty table under it) is
+                # created on first use; audit the branch router, then
+                # ``publish_branch`` on a main handle fast-forwards.
+                main_t = PartitionedTable(
+                    spark, table_path, granularity=partition_by,
+                    partition_col=partition_col, num_buckets=num_buckets,
+                    merge_mode=merge_mode, compact_deltas=compact_deltas,
+                )
+                if not main_t.exists():
+                    main_t.create(TRANSCRIPT_SCHEMA)
+                if branch not in {m["name"] for m in main_t.branches()}:
+                    try:
+                        main_t.create_branch(branch)
+                    except ValueError:
+                        pass  # lost a TOCTOU race: the branch now exists
             self.table = PartitionedTable(
                 spark, table_path,
                 granularity=partition_by,
@@ -116,6 +127,7 @@ class StreamingReplay:
                 num_buckets=num_buckets, merge_mode=merge_mode,
                 quarantine_path=quarantine_path,
                 compact_deltas=compact_deltas,
+                branch=branch,
             )
             if not self.table.exists():
                 self.table.create(TRANSCRIPT_SCHEMA)

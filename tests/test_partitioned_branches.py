@@ -237,6 +237,68 @@ def test_branch_rides_the_cross_partition_index(spark, tmp_path):
     assert t.verify_index()["ok"]
 
 
+def test_recreate_after_crashed_drop_never_resurrects_staging(spark, seeded):
+    """A drop_branch that crashed after removing the global pointer (but
+    before the sub-branch fan-out) leaves stale sub-branches; a later
+    create_branch under the same name must fork FRESH, not adopt them."""
+    import os
+
+    t = seeded
+    t.create_branch("audit")
+    b = _open_branch(spark, t, "audit")
+    b.apply_changes(_events(spark, [
+        ("U", 3, "c1", 0, "user", "stale staged", None, _ts(1)),
+    ]), batch_id=1)
+    # simulate the crash window: global pointer + gb files gone, sub
+    # branches left behind
+    os.unlink(t._gbranch_file("audit"))
+    for bv in t._gbranch_vfile_versions(os.listdir(t._ledger), "audit"):
+        os.remove(os.path.join(t._ledger, t._gvfile_name(bv, "audit")))
+    assert t.part("2025-01").branches()  # stale sub branch exists
+    t.create_branch("audit")
+    b2 = _open_branch(spark, t, "audit")
+    assert _state(b2) == [("c1", "jan"), ("c2", "feb")]  # fresh fork
+    t.publish_branch("audit")  # nothing staged → pointer drop
+    assert _state(t) == [("c1", "jan"), ("c2", "feb")]
+
+
+def test_streaming_tail_stages_on_a_global_branch(spark, tmp_path):
+    """StreamingReplay(partition_by=..., branch=...) — the whole stream
+    stages invisibly, then one publish fast-forwards main (the flat
+    streaming-WAP contract composed through the router)."""
+    from cdm_to_mods_spark.functions.chain import apply_chain
+    from cdm_to_mods_spark.sources.synth import (
+        synth_events,
+        write_event_batches,
+    )
+    from cdm_to_mods_spark.streaming.tail import StreamingReplay
+
+    events_dir = str(tmp_path / "events")
+    write_event_batches(spark, events_dir, 800, 20, n_batches=2, seed=42)
+    sr = StreamingReplay(
+        spark, events_dir, str(tmp_path / "ptab"), str(tmp_path / "ckpt"),
+        num_buckets=4, merge_mode="mor", partition_by="month",
+        branch="audit",
+    )
+    staged = sr.run_to_completion()
+    assert staged.branch == "audit"
+    assert staged.read().count() > 0
+    main = PartitionedTable(spark, str(tmp_path / "ptab"))
+    assert main.read().count() == 0  # invisible until publish
+    main.publish_branch("audit")
+    # differential oracle: batch router fed the same events on main
+    o = PartitionedTable(spark, str(tmp_path / "oracle"), num_buckets=4,
+                         merge_mode="mor")
+    o.create(TRANSCRIPT_SCHEMA)
+    o.apply_changes(synth_events(spark, 800, 20, seed=42), batch_id=0,
+                    transform=apply_chain)
+    key = lambda df: {  # noqa: E731
+        (r.conv_id, r.turn_idx, r.ts): (r.role, r.text)
+        for r in df.collect()
+    }
+    assert key(main.read()) == key(o.read())
+
+
 def test_branch_refuses_maintenance_and_ddl(spark, seeded):
     t = seeded
     t.create_branch("audit")
