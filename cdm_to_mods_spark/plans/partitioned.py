@@ -101,6 +101,7 @@ from ..schemas import (
 )
 from ..operators.dedup import latest_per_key
 from .lake import (
+    _BRANCH_NAME_RE,
     BranchDivergedError,
     LakeTable,
     SnapshotExpiredError,
@@ -161,6 +162,20 @@ class PartitionedTable:
         self.apply_concurrency = apply_concurrency
         self.cross_partition_upsert = cross_partition_upsert
         self.index_buckets = index_buckets
+        if cross_partition_upsert and lake_kwargs.get(
+            "merge_engine", "lww"
+        ) != "lww":
+            # the router's winner collapse (latest_per_key) is only sound
+            # under whole-row LWW: partial_update would drop column
+            # patches, aggregate would drop contributions, first_row keeps
+            # the wrong end — and the synthesized mover 'D' events are
+            # refused outright by aggregate/first_row sub-tables
+            raise ValueError(
+                "cross_partition_upsert requires merge_engine='lww' "
+                f"(got {lake_kwargs['merge_engine']!r}): the per-batch "
+                "winner collapse and synthesized move-deletes assume "
+                "whole-row last-write-wins"
+            )
         self._lake_kwargs = dict(lake_kwargs)
         self._ledger = os.path.join(self.path, "_ledger")
         self._spec_path = os.path.join(self.path, "_spec.json")
@@ -468,6 +483,18 @@ class PartitionedTable:
         ``publish_branch``/``drop_branch`` from a main-opened router.
         Single-writer assumption, like every maintenance surface here."""
         assert self.branch == "main", "create branches from a main handle"
+        if not _BRANCH_NAME_RE.match(name) or name == "main":
+            # validated HERE, not via the sub fan-out: a zero-partition
+            # table would otherwise never check at all ('main' would alias
+            # the bare global namespace; a path-y name would escape
+            # _gbranches via os.path.join)
+            raise ValueError(f"invalid branch name {name!r}")
+        if os.path.exists(self._gbranch_file(name)):
+            # duplicate check BEFORE the sub fan-out: the drop/re-fork
+            # below is for CRASH leftovers only — running it under a LIVE
+            # global branch would destroy its staged sub versions and
+            # leave the still-live gb- cuts pointing at nothing
+            raise ValueError(f"global branch {name!r} already exists")
         head = self.latest_version()
         if head is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
@@ -555,20 +582,35 @@ class PartitionedTable:
             "branch_head": bvs[-1],
             "published_parts": sorted(per_part),
         }
-        self._commit_global({
-            "format_version": 1,
-            "version": fork + 1,
-            "op": "publish",
-            "batch_id": None,
-            # exactly-once replay state survives the publish, like the
-            # flat squash
-            "last_batch_id": max(
-                bman["last_batch_id"], base["last_batch_id"]
-            ),
-            "parts": parts,
-            "metrics": metrics,
-            "commit_ts": time.time(),
-        })
+        try:
+            self._commit_global({
+                "format_version": 1,
+                "version": fork + 1,
+                "op": "publish",
+                "batch_id": None,
+                # exactly-once replay state survives the publish, like the
+                # flat squash
+                "last_batch_id": max(
+                    bman["last_batch_id"], base["last_batch_id"]
+                ),
+                "parts": parts,
+                "metrics": metrics,
+                "commit_ts": time.time(),
+            })
+        except RuntimeError as e:
+            # flat-table parity: a concurrent main commit taking fork+1 is
+            # divergence, not an internal error. NOTE the sub squashes
+            # above already fast-forwarded sub-table main heads — publish
+            # is a maintenance op under the single-writer assumption, and
+            # a racer here means that assumption was violated; the typed
+            # error names the repair (rollback or re-publish after review)
+            raise BranchDivergedError(
+                f"global main advanced to version {fork + 1} during "
+                f"publish of {name!r}; per-partition squashes already "
+                "landed on sub-table mains — the single-writer assumption "
+                "was violated; review the racer's commit, then roll the "
+                "affected sub-tables back or re-stage"
+            ) from e
         self.drop_branch(name)
         self._subs.clear()  # cached branch-era sub handles are stale
         return {**metrics, "published_version": fork + 1,
@@ -589,7 +631,15 @@ class PartitionedTable:
             os.remove(os.path.join(self._ledger, self._gvfile_name(bv, name)))
             removed += 1
         dropped_subs = []
-        targets = [self._sub(p) for p in self._live_parts()]
+        targets = []
+        for p in self._live_parts():
+            try:
+                targets.append(self._sub(p))
+            except PartitionRetentionError:
+                # crash-leftover dir with no committed sub version (a
+                # branch apply died inside create()) — nothing to drop;
+                # expire_snapshots sweeps the dir
+                continue
         if self.cross_partition_upsert:
             idx = self._index()
             if idx.exists():
@@ -608,6 +658,8 @@ class PartitionedTable:
         cuts — and every sub-version they pin — survive
         ``expire_snapshots`` until the tag is deleted."""
         assert self.branch == "main", "tag from a main handle"
+        if not _BRANCH_NAME_RE.match(name):
+            raise ValueError(f"invalid tag name {name!r}")
         v = self.latest_version() if version is None else version
         if v is None or v not in self._versions():
             raise LookupError(f"no global version {v} to tag at {self.path}")
@@ -1259,9 +1311,15 @@ class PartitionedTable:
         bucket-pruned and bloom-filtered. With ``cross_partition_upsert``
         the index turns it into O(homes): one bucket-pruned index probe
         finds each key's home partition and only those partitions are
-        opened. Keys the index path does not surface fall back to the full
-        fan-out (covers index entries staled by ``drop_partition`` and
-        keys that predate the index) — steady state pays zero fallback.
+        opened. BUCKET KEYS the index surfaces nowhere fall back to the
+        full fan-out (covers entries staled by ``drop_partition`` and
+        conversations absent from the index wholesale) — steady state pays
+        zero fallback. The fallback is bucket-key-granular: if ANY turn of
+        a conversation is indexed, only the indexed homes are probed, so a
+        live row whose own entry is missing (the corruption state
+        ``verify_index`` reports as ``missing`` — unreachable through this
+        writer, only via out-of-band sub-table writes or an index
+        rollback) is not found until ``reindex`` repairs it.
         The index reflects LATEST state, so time-travel reads keep the
         fan-out. Narrow caveat (single-writer engines all share it): a
         reader racing a CRASHED, not-yet-replayed apply whose index commit
@@ -1379,8 +1437,9 @@ class PartitionedTable:
         (the index plane's fsck). Returns per-kind counts:
 
         * ``missing`` — a live row the index doesn't know (point lookups
-          still find it via the fallback, but the router would treat its
-          next update as a fresh insert: duplicate-live-row risk);
+          miss it whenever another turn of the same conversation IS
+          indexed — see ``read_keys`` — and the router treats its next
+          update as a fresh insert: duplicate-live-row risk);
         * ``mismatched`` — the index names the wrong home (next update
           synthesizes a delete at a partition the key doesn't live in and
           leaves the real old row behind);
@@ -1465,6 +1524,42 @@ class PartitionedTable:
         ``with_version=True`` attributes rows to GLOBAL versions (one
         sub-feed read per (global version, partition) — the same
         plan-growth caveat as the flat table's attribution)."""
+        man_lo, man_hi, hi = self._feed_bounds(
+            since_version, until_version, "change feed"
+        )
+        dfs: list[DataFrame] = []
+        empty = lambda: self._empty_cut(  # noqa: E731
+            man_hi, hidden=True, with_version=with_version
+        )
+        if not with_version:
+            for p, v_hi in sorted(man_hi["parts"].items()):
+                v_lo = man_lo["parts"].get(p, 0)
+                if v_hi > v_lo:
+                    dfs.append(self._sub(p).changes(v_lo, v_hi))
+            return self._union(dfs, empty=empty)
+        for g, p, v_lo, v_hi in self._attributed_spans(
+            man_lo, since_version, hi
+        ):
+            dfs.append(
+                self._sub(p)
+                .changes(v_lo, v_hi)
+                # long, matching the flat table's attribution column
+                .withColumn("_version", F.lit(g).cast("long"))
+            )
+        return self._union(dfs, empty=empty)
+
+    def _feed_bounds(
+        self, since_version: int, until_version: int | None, what: str
+    ) -> tuple[dict, dict, int]:
+        """Shared feed-range discovery for ``changes``/``row_changes``:
+        resolve the bounding cuts, then walk the range once (O(range) raw
+        manifest reads, the same cost class as flat-table feed discovery)
+        to fail loud where a partition's change history is incomplete — a
+        partition present in one cut and ABSENT from the next was
+        drop_partition'd (its committed rows are gone, and a re-create
+        under the same value would otherwise skip the pre-drop rows
+        without a trace); sub-version regressions are caught too (belt
+        for out-of-band ledger surgery)."""
         man_hi = self.manifest(until_version)
         man_lo = self.manifest(since_version)
         hi = man_hi["version"]
@@ -1472,15 +1567,6 @@ class PartitionedTable:
             raise ValueError(
                 f"since_version {since_version} is above until {hi}"
             )
-        # walk the range once (O(range) raw manifest reads, the same cost
-        # class as flat-table feed discovery) to fail loud where a
-        # partition's change history is incomplete: a partition present in
-        # one cut and ABSENT from the next was drop_partition'd — its
-        # committed rows are gone, and a later RE-CREATE under the same
-        # value (fresh sub-ledger, possibly reaching the same version
-        # numbers) would otherwise make a plain (lo, hi] sub-read skip the
-        # pre-drop rows without a trace. Version regressions are caught
-        # too (belt for out-of-band ledger surgery).
         prev_parts = man_lo["parts"]
         lost: set[str] = set()
         for g in range(since_version + 1, hi + 1):
@@ -1492,34 +1578,24 @@ class PartitionedTable:
             prev_parts = cur
         if lost:
             raise PartitionRetentionError(
-                f"change feed ({since_version}, {hi}] crosses "
+                f"{what} ({since_version}, {hi}] crosses "
                 f"drop_partition({sorted(lost)!r}); retention removed "
                 "some of their rows"
             )
-        dfs: list[DataFrame] = []
-        empty = lambda: self._empty_cut(  # noqa: E731
-            man_hi, hidden=True, with_version=with_version
-        )
-        if not with_version:
-            for p, v_hi in sorted(man_hi["parts"].items()):
-                v_lo = man_lo["parts"].get(p, 0)
-                if v_hi > v_lo:
-                    dfs.append(self._sub(p).changes(v_lo, v_hi))
-            return self._union(dfs, empty=empty)
+        return man_lo, man_hi, hi
+
+    def _attributed_spans(self, man_lo: dict, since_version: int, hi: int):
+        """Per-(global version, partition) sub-version spans — the
+        one-sub-read-per-pair attribution walk both typed feeds share
+        (same plan-growth caveat as the flat table's attribution)."""
         prev = man_lo
         for g in range(since_version + 1, hi + 1):
             cur = self.manifest(g)
             for p, v_hi in sorted(cur["parts"].items()):
                 v_lo = prev["parts"].get(p, 0)
                 if v_hi > v_lo:
-                    dfs.append(
-                        self._sub(p)
-                        .changes(v_lo, v_hi)
-                        # long, matching the flat table's attribution column
-                        .withColumn("_version", F.lit(g).cast("long"))
-                    )
+                    yield g, p, v_lo, v_hi
             prev = cur
-        return self._union(dfs, empty=empty)
 
     def row_changes(
         self, since_version: int, until_version: int | None = None
@@ -1540,41 +1616,18 @@ class PartitionedTable:
         A cross-partition MOVE (``cross_partition_upsert``) surfaces as
         ``delete`` rows at the old home and ``insert`` rows at the new —
         the retract pair an additive consumer already folds correctly."""
-        man_hi = self.manifest(until_version)
-        man_lo = self.manifest(since_version)
-        hi = man_hi["version"]
-        if since_version > hi:
-            raise ValueError(
-                f"since_version {since_version} is above until {hi}"
-            )
-        prev_parts = man_lo["parts"]
-        lost: set[str] = set()
-        for g in range(since_version + 1, hi + 1):
-            cur = self.manifest(g)["parts"]
-            lost |= {p for p in prev_parts if p not in cur}
-            lost |= {
-                p for p, v in cur.items() if v < prev_parts.get(p, -1)
-            }
-            prev_parts = cur
-        if lost:
-            raise PartitionRetentionError(
-                f"row_changes ({since_version}, {hi}] crosses "
-                f"drop_partition({sorted(lost)!r}); retention removed "
-                "some of their rows"
-            )
+        man_lo, man_hi, hi = self._feed_bounds(
+            since_version, until_version, "row_changes"
+        )
         dfs: list[DataFrame] = []
-        prev = man_lo
-        for g in range(since_version + 1, hi + 1):
-            cur = self.manifest(g)
-            for p, v_hi in sorted(cur["parts"].items()):
-                v_lo = prev["parts"].get(p, 0)
-                if v_hi > v_lo:
-                    dfs.append(
-                        self._sub(p)
-                        .row_changes(v_lo, v_hi)
-                        .withColumn("_version", F.lit(g).cast("long"))
-                    )
-            prev = cur
+        for g, p, v_lo, v_hi in self._attributed_spans(
+            man_lo, since_version, hi
+        ):
+            dfs.append(
+                self._sub(p)
+                .row_changes(v_lo, v_hi)
+                .withColumn("_version", F.lit(g).cast("long"))
+            )
         def _empty():
             return (
                 self._empty_cut(man_hi)

@@ -104,6 +104,13 @@ class StreamingReplay:
             from ..plans.partitioned import PartitionedTable
 
             if branch != "main":
+                if maintain_every is not None:
+                    raise ValueError(
+                        "maintain_every does not compose with a branch "
+                        "tail on a partitioned table: the router's "
+                        "maintenance surface is main-only (run maintain() "
+                        "on a main handle after publish instead)"
+                    )
                 # global write-audit-publish tail, same one-liner contract
                 # as the flat path: fork (and the empty table under it) is
                 # created on first use; audit the branch router, then

@@ -299,6 +299,81 @@ def test_streaming_tail_stages_on_a_global_branch(spark, tmp_path):
     assert key(main.read()) == key(o.read())
 
 
+def test_create_branch_refuses_duplicate_without_touching_staging(
+    spark, seeded
+):
+    """Re-creating a LIVE branch must fail BEFORE the sub fan-out — the
+    drop/re-fork recovery is for crash leftovers only, and running it
+    under a live global branch would destroy its staged sub versions."""
+    t = seeded
+    t.create_branch("audit")
+    b = _open_branch(spark, t, "audit")
+    b.apply_changes(_events(spark, [
+        ("U", 3, "c1", 0, "user", "staged", None, _ts(1)),
+    ]), batch_id=1)
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("audit")
+    assert _state(b) == [("c1", "staged"), ("c2", "feb")]  # staging intact
+    t.publish_branch("audit")
+    assert ("c1", "staged") in _state(t)
+
+
+def test_branch_and_tag_names_validated(spark, seeded):
+    t = seeded
+    for bad in ("main", "../escape", "has space", ""):
+        with pytest.raises(ValueError, match="invalid branch name"):
+            t.create_branch(bad)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("../escape")
+
+
+def test_publish_commit_conflict_raises_diverged(spark, seeded, monkeypatch):
+    t = seeded
+    t.create_branch("audit")
+    b = _open_branch(spark, t, "audit")
+    b.apply_changes(_events(spark, [
+        ("U", 3, "c1", 0, "user", "staged", None, _ts(1)),
+    ]), batch_id=1)
+
+    def conflict(self, man):
+        raise RuntimeError("concurrent commit conflict on global version 2")
+
+    monkeypatch.setattr(PartitionedTable, "_commit_global", conflict)
+    with pytest.raises(BranchDivergedError, match="single-writer"):
+        t.publish_branch("audit")
+
+
+def test_drop_branch_tolerates_crash_leftover_partition_dir(spark, seeded):
+    import os
+
+    t = seeded
+    t.create_branch("audit")
+    # a branch apply that died inside create(): directory, no commits
+    os.makedirs(os.path.join(t.path, "part=2025-09", "_ledger"),
+                exist_ok=True)
+    out = t.drop_branch("audit")
+    assert out["dropped"] == "audit"
+
+
+def test_cross_partition_refuses_non_lww_engines(spark, tmp_path):
+    for engine in ("partial_update", "aggregate", "first_row"):
+        with pytest.raises(ValueError, match="merge_engine='lww'"):
+            PartitionedTable(spark, str(tmp_path / engine),
+                             cross_partition_upsert=True,
+                             merge_engine=engine)
+
+
+def test_branch_tail_refuses_in_loop_maintenance(spark, tmp_path):
+    from cdm_to_mods_spark.streaming.tail import StreamingReplay
+
+    with pytest.raises(ValueError, match="maintain_every"):
+        StreamingReplay(
+            spark, str(tmp_path / "ev"), str(tmp_path / "pt"),
+            str(tmp_path / "ck"), partition_by="month", branch="audit",
+            maintain_every=2,
+        )
+
+
 def test_branch_refuses_maintenance_and_ddl(spark, seeded):
     t = seeded
     t.create_branch("audit")
