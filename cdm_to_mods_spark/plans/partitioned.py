@@ -1792,14 +1792,37 @@ class PartitionedTable:
 
     def maintain(self, **policy) -> dict:
         """Policy-driven maintenance across partitions (the ``maintain()``
-        scheduler fanned out), ending in one global maintenance cut."""
+        scheduler fanned out), ending in one global maintenance cut.
+
+        Fan-out runs on ``apply_concurrency`` threads, same rationale as
+        ``apply_changes``: each partition's maintenance is a pipeline of
+        independent Spark jobs against its own directory (no shared
+        commits), and a steady-state table where only 1-2 recent
+        partitions are ever DUE pays mostly no-op decision ticks
+        (driver-side manifest reads) for the rest — at hundreds of
+        partitions a serial walk would make the no-op ticks themselves
+        the wall-clock bound while the cluster idles."""
         assert self.branch == "main", "run maintenance on a main handle"
         from .maintenance import maintain as _maintain
 
-        results = {
-            p: _maintain(self._sub(p), **policy)
-            for p in sorted(self.manifest()["parts"])
-        }
+        parts = sorted(self.manifest()["parts"])
+
+        def _one(p: str):
+            return p, _maintain(self._sub(p), **policy)
+
+        if len(parts) <= 1 or self.apply_concurrency == 1:
+            results = dict(_one(p) for p in parts)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # materialize the handles serially first: _sub mutates the
+            # shared cache dict, which is not thread-safe to populate
+            for p in parts:
+                self._sub(p)
+            with ThreadPoolExecutor(
+                min(self.apply_concurrency, len(parts))
+            ) as ex:
+                results = dict(ex.map(_one, parts))
         if not policy.get("dry_run"):
             self._commit_global(
                 self._next_global("maintenance", metrics={"maintain": True})
