@@ -12,6 +12,15 @@ downstream Spark pipeline tails the table's committed change rows with
 ordinary checkpointed exactly-once semantics — no polling loop, no custom
 consumer (``plans/feed.py`` remains the non-streaming/driver-light path).
 
+PartitionedTable paths stream too (detected by ``_spec.json``): offsets
+become GLOBAL versions, each planned batch expands to the per-partition
+sub-version spans its global cuts pin (same drop/recreate fail-loud
+contract as the batch feed), ``_version`` carries the GLOBAL commit, and
+each planned file set ships its partition's pinned schema/rename state so
+months appearing mid-stream need no restart. Both ``cdf`` and
+``row_changes`` modes work; ``initialSnapshot`` is flat-only (seed from
+``PartitionedTable.read()`` instead).
+
 Mechanics — offsets ARE ledger versions:
 
 * ``initialOffset``/``latestOffset`` read the version-file ledger with
@@ -283,6 +292,41 @@ class _CDFPartition(InputPartition):
         self.kind = kind
 
 
+class _PartCDFPartition(_CDFPartition):
+    """A change-file set of ONE sub-table of a PartitionedTable, planned
+    against a GLOBAL version. Carries its partition's pinned schema/rename
+    state INSIDE the partition (not on the reader): partitions appear
+    mid-stream (a new month), and state pinned lazily on the driver after
+    the reader was first pickled would be invisible executor-side."""
+
+    def __init__(self, path, schema_id, version, commit_ms, kind,
+                 schemas: list, renames: list) -> None:
+        super().__init__(path, schema_id, version, commit_ms, kind)
+        self.schemas = schemas
+        self.renames = renames
+
+
+def _g_versions(table_path: str) -> list[int]:
+    """Main-namespace GLOBAL versions of a PartitionedTable ledger."""
+    led = os.path.join(table_path, "_ledger")
+    if not os.path.isdir(led):
+        raise FileNotFoundError(f"no partitioned table at {table_path}")
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(led)
+        if f.startswith("g") and f.endswith(".json") and f[1:-5].isdigit()
+    )
+
+
+def _g_load(table_path: str, g: int) -> dict:
+    with open(os.path.join(table_path, "_ledger", f"g{g:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _is_partitioned(table_path: str) -> bool:
+    return os.path.exists(os.path.join(table_path, "_spec.json"))
+
+
 class _CDFStreamReader(DataSourceStreamReader):
     def __init__(
         self,
@@ -298,11 +342,29 @@ class _CDFStreamReader(DataSourceStreamReader):
         self._spark_schema = spark_schema
         self._include_commit_ts = include_commit_ts
         self._mode = mode
-        versions = _ledger_versions(table_path)
-        head = _load_version(table_path, versions[-1])
-        # schema resolution state is pinned at query start, like the schema
-        self._renames = head.get("renames", [])
-        self._schemas = head["schemas"]
+        # PartitionedTable: offsets are GLOBAL versions, each planned batch
+        # expands to the per-partition sub-version spans its cuts pin
+        self._partitioned = _is_partitioned(table_path)
+        if self._partitioned:
+            if initial_snapshot:
+                raise ValueError(
+                    "initialSnapshot is not supported on a partitioned "
+                    "table — seed from PartitionedTable.read() and tail "
+                    "from the head version"
+                )
+            versions = _g_versions(table_path)
+            self._renames = None
+            self._schemas = None
+            # {part: {"schemas": [...], "renames": [...]}} — pinned lazily
+            # per partition at first encounter (new months appear
+            # mid-stream); shipped inside each planned partition object
+            self._part_state: dict[str, dict] = {}
+        else:
+            versions = _ledger_versions(table_path)
+            head = _load_version(table_path, versions[-1])
+            # schema resolution state pinned at query start, like the schema
+            self._renames = head.get("renames", [])
+            self._schemas = head["schemas"]
         # snapshot-then-tail (Delta readStream-on-a-table semantics): the
         # FIRST micro-batch is the resolved table state at the version
         # pinned at query start, later batches tail changes strictly
@@ -353,7 +415,11 @@ class _CDFStreamReader(DataSourceStreamReader):
             # (admission control resumes at the tail phase)
             _trace(f"latestOffset -> {self._start} (snapshot batch)")
             return {"version": self._start, "snap": "done"}
-        head = _ledger_versions(self._path)[-1]
+        head = (
+            _g_versions(self._path)
+            if self._partitioned
+            else _ledger_versions(self._path)
+        )[-1]
         if self._max_versions is None:
             _trace(f"latestOffset -> {head} (uncapped)")
             return {"version": head}
@@ -387,6 +453,8 @@ class _CDFStreamReader(DataSourceStreamReader):
         # `end` is now in Spark's offset log: it is the floor for every
         # later planning round (commit() may lag the next latestOffset)
         self._sync_floor(hi)
+        if self._partitioned:
+            return self._g_partitions(lo, hi)
         parts: list[_CDFPartition] = []
         for v in range(lo + 1, hi + 1):
             # per-version commit timestamp (ms) for COMMIT_TS_COL readers —
@@ -429,6 +497,121 @@ class _CDFStreamReader(DataSourceStreamReader):
                     )
                 )
         return parts
+
+    def _pin_part(self, part: str, pdir: str) -> dict:
+        """Pin one partition's schema/rename state at its CURRENT sub head
+        (both lists are append-only, so a head pin resolves every older
+        schema_id too). A partition whose canonical fields are not all in
+        this stream's pinned query schema fails with the evolution marker
+        — silently null-dropping its extra columns would desynchronize the
+        consumer exactly like a flat mid-stream evolution."""
+        state = self._part_state.get(part)
+        if state is not None:
+            return state
+        try:
+            head = _load_version(pdir, _ledger_versions(pdir)[-1])
+        except FileNotFoundError:
+            # the cut pins this partition but its directory is gone —
+            # drop_partition ran inside (or after) the planned range
+            raise RuntimeError(
+                f"global feed needs partition {part!r}, whose directory "
+                "was removed by drop_partition — re-seed the consumer "
+                "past the drop and restart from a later startingVersion"
+            ) from None
+        canon = schema_from_json(head["schemas"][-1])
+        query_fields = {f.name for f in self._spark_schema.fields}
+        extra = [n for n in canon.fieldNames() if n not in query_fields]
+        if extra:
+            raise RuntimeError(
+                f"{_EVOLVED_MARKER}: partition {part!r} carries column(s) "
+                f"{extra} this stream's schema (pinned at query start) "
+                "does not — restart the stream to adopt the evolved shape"
+            )
+        state = {
+            "schemas": head["schemas"],
+            "renames": head.get("renames", []),
+        }
+        self._part_state[part] = state
+        return state
+
+    def _g_partitions(self, lo: int, hi: int) -> list:
+        """Expand GLOBAL versions ``(lo, hi]`` of a PartitionedTable into
+        per-partition change-file input partitions: walk the global cuts
+        once (the same drop/recreate fail-loud contract as the batch
+        feed), map each step to the sub-version spans it pins, and reuse
+        the flat per-version entry discovery against each partition
+        directory. ``_version`` is attributed to the GLOBAL commit."""
+        out: list[_CDFPartition] = []
+        if lo >= 0:
+            try:
+                prev = _g_load(self._path, lo)["parts"]
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"global feed for ({lo}, {hi}] needs version {lo}, "
+                    "removed by expire_snapshots — re-seed the consumer "
+                    "and restart from a later startingVersion"
+                ) from None
+        else:  # earliest on a fresh ledger: nothing before version 0
+            prev = {}
+        for g in range(lo + 1, hi + 1):
+            try:
+                man = _g_load(self._path, g)
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"global feed for ({lo}, {hi}] needs version {g}, "
+                    "removed by expire_snapshots — re-seed the consumer "
+                    "and restart from a later startingVersion"
+                ) from None
+            cur = man["parts"]
+            lost = {p for p in prev if p not in cur} | {
+                p for p, v in cur.items() if v < prev.get(p, -1)
+            }
+            if lost:
+                raise RuntimeError(
+                    f"global feed ({lo}, {hi}] crosses drop_partition"
+                    f"({sorted(lost)!r}); retention removed some of their "
+                    "rows — re-seed the consumer past version "
+                    f"{g}"
+                )
+            commit_ms = (
+                int(man.get("commit_ts", 0.0) * 1000)
+                if self._include_commit_ts
+                else None
+            )
+            for p, v_hi in sorted(cur.items()):
+                v_lo = prev.get(p, 0)
+                if v_hi <= v_lo:
+                    continue
+                pdir = os.path.join(self._path, f"part={p}")
+                pinned = self._pin_part(p, pdir)
+                for sv in range(v_lo + 1, v_hi + 1):
+                    entries = (
+                        _changelog_entries(pdir, sv, v_lo, v_hi)
+                        if self._mode == "row_changes"
+                        else _cdf_entries(pdir, sv, v_lo, v_hi)
+                    )
+                    for fs in entries:
+                        if fs["schema_id"] >= len(pinned["schemas"]):
+                            raise RuntimeError(
+                                f"{_EVOLVED_MARKER}: partition {p!r} "
+                                f"version {sv} was written under schema_id "
+                                f"{fs['schema_id']} but this stream pinned "
+                                f"{len(pinned['schemas'])} schema(s) — "
+                                "restart the stream to adopt"
+                            )
+                        out.append(
+                            _PartCDFPartition(
+                                os.path.join(pdir, fs["path"]),
+                                fs["schema_id"],
+                                g,
+                                commit_ms,
+                                fs.get("kind"),
+                                pinned["schemas"],
+                                pinned["renames"],
+                            )
+                        )
+            prev = cur
+        return out
 
     def _snapshot_partitions(self, v0: int) -> list:
         """One partition per populated bucket of the manifest at ``v0`` —
@@ -540,8 +723,14 @@ class _CDFStreamReader(DataSourceStreamReader):
             tbl = tbl.filter(pc.field(DELETED_COL))
             const_type = "delete"
         sid = partition.schema_id
+        # partitioned plans carry their sub-table's pinned state inside
+        # the partition object (see _PartCDFPartition)
+        schemas = getattr(partition, "schemas", None) or self._schemas
+        renames = getattr(partition, "renames", None)
+        if renames is None:
+            renames = self._renames
         stored_fields = set(
-            schema_from_json(self._schemas[sid]).fieldNames()
+            schema_from_json(schemas[sid]).fieldNames()
         ) | {SEQ_COL, DELETED_COL, CHANGE_TYPE_COL}
         cols = {}
         for field in out_schema:
@@ -565,7 +754,7 @@ class _CDFStreamReader(DataSourceStreamReader):
             stored = (
                 field.name
                 if field.name in (SEQ_COL, DELETED_COL, CHANGE_TYPE_COL)
-                else _stored_name({"renames": self._renames}, sid, field.name)
+                else _stored_name({"renames": renames}, sid, field.name)
             )
             if stored in stored_fields and stored in tbl.column_names:
                 cols[field.name] = tbl[stored].cast(field.type)
@@ -596,8 +785,34 @@ class LakeChangeFeedDataSource(DataSource):
         if not path:
             raise ValueError("lake_cdf requires .option('path', <table dir>)")
         mode = self._mode()
-        versions = _ledger_versions(path)
-        canon = schema_from_json(_load_version(path, versions[-1])["schemas"][-1])
+        if _is_partitioned(path):
+            # partitioned table: the query schema is the union of every
+            # sub-table's canonical schema at the latest GLOBAL cut (spec
+            # schema when no partition exists yet) — batch changes() gets
+            # the same shape from unionByName(allowMissingColumns); a
+            # field evolved in one partition only null-fills elsewhere,
+            # and the last (widest) definition of a shared field wins.
+            with open(os.path.join(path, "_spec.json")) as fh:
+                spec = json.load(fh)
+            fields_by_name: dict = {}
+            order: list[str] = []
+            for f in schema_from_json(spec["schema"]).fields:
+                fields_by_name[f.name] = f
+                order.append(f.name)
+            g = _g_versions(path)[-1]
+            for p in sorted(_g_load(path, g)["parts"]):
+                pdir = os.path.join(path, f"part={p}")
+                head = _load_version(pdir, _ledger_versions(pdir)[-1])
+                for f in schema_from_json(head["schemas"][-1]).fields:
+                    if f.name not in fields_by_name:
+                        order.append(f.name)
+                    fields_by_name[f.name] = f
+            canon = T.StructType([fields_by_name[n] for n in order])
+        else:
+            versions = _ledger_versions(path)
+            canon = schema_from_json(
+                _load_version(path, versions[-1])["schemas"][-1]
+            )
         if mode == "row_changes":
             if CHANGE_TYPE_COL in canon.fieldNames():
                 raise ValueError(
@@ -697,7 +912,17 @@ def mirror_stream(
     of the backlog. In that mode this call BLOCKS, restarting the query
     on the same checkpoint (exactly-once holds) until the offset log
     reaches the source head as of entry, and returns the last,
-    already-terminated query."""
+    already-terminated query.
+
+    PartitionedTable sources work (the global feed streams with GLOBAL
+    ``_version`` attribution) with one identity caveat: under the
+    DEFAULT partition rule the source's row identity is
+    ``(partition, key)``, so a flat destination keyed on the key alone
+    COLLAPSES same-key rows that live in different partitions — mirror a
+    default-identity partitioned table into another partitioned table
+    (same spec), and mirror ``cross_partition_upsert`` tables anywhere
+    (key-only identity matches; moves arrive as same-seq D+U pairs whose
+    in-batch U>D tie-break lands the insert)."""
     from pyspark.sql import functions as F
 
     register_lake_cdf(spark)
@@ -893,7 +1118,11 @@ def _drain_to_head(src_table_path: str, start_fn):
     the next ``start_fn()`` re-pins the head schema and replans it), so
     bounded consumers ADOPT evolution instead of dying; each adoption
     consumes one restart, so this converges."""
-    head = _ledger_versions(src_table_path)[-1]
+    head = (
+        _g_versions(src_table_path)
+        if _is_partitioned(src_table_path)
+        else _ledger_versions(src_table_path)
+    )[-1]
     while True:
         q = start_fn()
         try:

@@ -1,5 +1,8 @@
 """Streaming binlog tail into a time-partitioned table, plus the in-loop
-maintain_every hook.
+maintain_every hook, plus the GLOBAL change-feed stream (lake_cdf over a
+PartitionedTable: offsets are global versions, each batch expands to the
+per-partition sub-spans its cuts pin, ``_version`` carries the GLOBAL
+commit).
 
 Differential oracle: the streaming tail over a PartitionedTable must
 converge to the same state as the BATCH router applied the same events —
@@ -119,12 +122,10 @@ def test_partitioned_tail_reopen_adopts_spec(spark, tmp_path):
         )
 
 
-def test_partition_by_refuses_branch_and_stats_view(spark, tmp_path):
-    with pytest.raises(ValueError, match="branch"):
-        StreamingReplay(
-            spark, str(tmp_path / "ev"), str(tmp_path / "t"),
-            str(tmp_path / "ck"), partition_by="month", branch="audit",
-        )
+def test_partition_by_refuses_stats_view(spark, tmp_path):
+    # branch + partition_by COMPOSES now (global WAP tail — see
+    # tests/test_partitioned_branches.py); only the flat-table-only
+    # stats view remains refused
     with pytest.raises(ValueError, match="stats_view_path"):
         StreamingReplay(
             spark, str(tmp_path / "ev"), str(tmp_path / "t"),
@@ -175,3 +176,161 @@ def test_maintain_every_validation(spark, tmp_path):
             spark, str(tmp_path / "ev"), str(tmp_path / "t"),
             str(tmp_path / "ck"), maintain_every=0,
         )
+
+
+# --------------------------- global change-feed stream (lake_cdf)
+
+
+import datetime as dt  # noqa: E402
+
+from cdm_to_mods_spark.plans.lake import LakeTable  # noqa: E402
+from cdm_to_mods_spark.streaming.source import (  # noqa: E402
+    mirror_stream,
+    register_lake_cdf,
+)
+
+DDL = ("op string, seq long, conv_id string, turn_idx int, role string, "
+       "text string, tool string, ts timestamp")
+
+
+def _mts(month):
+    return dt.datetime(2025, month, 5, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, DDL)
+
+
+def _drain(spark, path, ck, **opts):
+    register_lake_cdf(spark)
+    reader = spark.readStream.format("lake_cdf").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    rows: list = []
+    q = (
+        reader.load().writeStream
+        .foreachBatch(lambda d, b: rows.extend(d.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return rows
+
+
+def test_partitioned_cdf_stream_matches_batch_feed(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+        ("I", 2, "c2", 0, "user", "feb", None, _mts(2)),
+    ]), batch_id=0)
+    t.apply_changes(_ev(spark, [
+        ("U", 3, "c1", 0, "user", "jan2", None, _mts(1)),
+        ("D", 4, "c2", 0, None, None, None, _mts(2)),
+    ]), batch_id=1)
+    got = {
+        (r.conv_id, r.text, r._deleted, r._version)
+        for r in _drain(spark, t.path, str(tmp_path / "ck"))
+    }
+    want = {
+        (r.conv_id, r.text, r["_deleted"], r["_version"])
+        for r in t.changes(0, with_version=True).collect()
+    }
+    assert got == want
+    assert {v for (_, _, _, v) in got} == {1, 2}  # GLOBAL attribution
+
+
+def test_partitioned_stream_sees_new_partition_mid_stream(spark, tmp_path):
+    """A new month appearing between micro-batches is pinned lazily —
+    no restart needed (the partition object ships its own schema state)."""
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+    ]), batch_id=0)
+    ck = str(tmp_path / "ck")
+    first = _drain(spark, t.path, ck)
+    assert {r.conv_id for r in first} == {"c1"}
+    t.apply_changes(_ev(spark, [
+        ("I", 2, "c9", 0, "user", "june", None, _mts(6)),
+    ]), batch_id=1)
+    second = _drain(spark, t.path, ck)  # same checkpoint: tail only
+    assert {(r.conv_id, r.text) for r in second} == {("c9", "june")}
+
+
+def test_partitioned_mirror_converges_including_moves(spark, tmp_path):
+    src = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                           merge_mode="mor", cross_partition_upsert=True,
+                           index_buckets=4)
+    src.create(TRANSCRIPT_SCHEMA)
+    src.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+        ("I", 2, "c2", 0, "user", "feb", None, _mts(2)),
+    ]), batch_id=0)
+    src.apply_changes(_ev(spark, [
+        ("U", 3, "c1", 0, "user", "moved", None, _mts(3)),  # cross-part move
+    ]), batch_id=1)
+    dst = LakeTable(spark, str(tmp_path / "dst"), num_buckets=4,
+                    merge_mode="mor")
+    dst.create(TRANSCRIPT_SCHEMA)
+    q = mirror_stream(spark, src.path, dst, str(tmp_path / "mck"))
+    q.awaitTermination(180)
+    key = lambda df: sorted(  # noqa: E731
+        (r.conv_id, r.turn_idx, r.text) for r in df.collect()
+    )
+    assert key(dst.read()) == key(src.read())
+
+
+def test_partitioned_row_changes_stream(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor", changelog="lookup")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+    ]), batch_id=0)
+    t.apply_changes(_ev(spark, [
+        ("U", 2, "c1", 0, "user", "jan2", None, _mts(1)),
+    ]), batch_id=1)
+    rows = _drain(spark, t.path, str(tmp_path / "ck"), mode="row_changes")
+    got = sorted((r._change_type, r.text, r._version) for r in rows)
+    assert got == [
+        ("insert", "jan", 1),
+        ("update_postimage", "jan2", 2),
+        ("update_preimage", "jan", 2),
+    ]
+
+
+def test_partitioned_stream_refuses_initial_snapshot(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+    ]), batch_id=0)
+    register_lake_cdf(spark)
+    with pytest.raises(Exception, match="initialSnapshot"):
+        (spark.readStream.format("lake_cdf")
+         .option("path", t.path)
+         .option("initialSnapshot", "true")
+         .load()
+         .writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True)
+         .start()
+         .awaitTermination(120))
+
+
+def test_partitioned_stream_fails_loud_across_drop(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+        ("I", 2, "c2", 0, "user", "feb", None, _mts(2)),
+    ]), batch_id=0)
+    t.drop_partition("2025-01")
+    with pytest.raises(Exception, match="drop_partition"):
+        _drain(spark, t.path, str(tmp_path / "ck"))
