@@ -378,9 +378,16 @@ class _CDFStreamReader(DataSourceStreamReader):
         if initial_snapshot:
             self._start = versions[-1]
         elif starting == "earliest":
-            # everything the retained ledger can serve: strictly after the
-            # floor below the earliest retained version
-            self._start = versions[0] - 1
+            # everything the retained ledger can serve. Flat: strictly
+            # after the floor below the earliest retained version (each
+            # version's cdf entries are self-contained). Partitioned: the
+            # earliest retained GLOBAL cut itself is the baseline — its
+            # sub-span expansion needs the PREVIOUS cut's parts, which
+            # retention removed — so the stream starts strictly after it
+            # (a create-cut v0 pins no parts, so nothing is skipped on a
+            # fresh table; after expiry the skipped cut's changes belong
+            # to the expired prefix).
+            self._start = versions[0] if self._partitioned else versions[0] - 1
         else:
             self._start = int(starting)
         if max_versions is not None and max_versions < 1:
@@ -518,14 +525,46 @@ class _CDFStreamReader(DataSourceStreamReader):
                 "was removed by drop_partition — re-seed the consumer "
                 "past the drop and restart from a later startingVersion"
             ) from None
+        except IndexError:
+            # directory with a _ledger but no committed version: a
+            # sub-table create that crashed before its v0 landed — a cut
+            # can't pin it, so reaching here means out-of-band surgery
+            raise RuntimeError(
+                f"global feed needs partition {part!r}, whose ledger has "
+                "no committed version (crashed create leftover) — run "
+                "expire_snapshots to sweep it and re-seed the consumer"
+            ) from None
         canon = schema_from_json(head["schemas"][-1])
-        query_fields = {f.name for f in self._spark_schema.fields}
-        extra = [n for n in canon.fieldNames() if n not in query_fields]
+        query_types = {f.name: f.dataType for f in self._spark_schema.fields}
+        extra = [n for n in canon.fieldNames() if n not in query_types]
         if extra:
             raise RuntimeError(
                 f"{_EVOLVED_MARKER}: partition {part!r} carries column(s) "
                 f"{extra} this stream's schema (pinned at query start) "
                 "does not — restart the stream to adopt the evolved shape"
+            )
+        # a type WIDENED after query start (this partition pins lazily at
+        # its current head, possibly long after) would otherwise surface
+        # as an unmarked ArrowInvalid narrowing cast in read() — fail with
+        # the marker so bounded drains restart-adopt, like the flat guard.
+        # A partition NARROWER than the query schema is fine (another
+        # partition widened the union; the up-cast is lossless).
+        rank = {"integer": 0, "long": 1, "float": 0, "double": 1}
+        mismatched = [
+            f.name
+            for f in canon.fields
+            if f.dataType != query_types[f.name]
+            and not (
+                rank.get(f.dataType.typeName(), 99)
+                < rank.get(query_types[f.name].typeName(), -1)
+            )
+        ]
+        if mismatched:
+            raise RuntimeError(
+                f"{_EVOLVED_MARKER}: partition {part!r} column(s) "
+                f"{mismatched} evolved to a different type than this "
+                "stream's schema (pinned at query start) — restart the "
+                "stream to adopt"
             )
         state = {
             "schemas": head["schemas"],
@@ -541,76 +580,68 @@ class _CDFStreamReader(DataSourceStreamReader):
         feed), map each step to the sub-version spans it pins, and reuse
         the flat per-version entry discovery against each partition
         directory. ``_version`` is attributed to the GLOBAL commit."""
+        # ONE owner for the range walk + drop/recreate fail-loud contract:
+        # PartitionedTable._feed_bounds/_attributed_spans (pure manifest
+        # file IO — no SparkSession needed), with its typed errors mapped
+        # to the streaming re-seed guidance. Divergence between the batch
+        # and streaming feeds' retention semantics would desynchronize
+        # consumers that mix the two.
+        from ..plans.lake import SnapshotExpiredError
+        from ..plans.partitioned import (
+            PartitionedTable,
+            PartitionRetentionError,
+        )
+
+        pt = PartitionedTable(None, self._path)
+        try:
+            man_lo, _man_hi, _hi = pt._feed_bounds(lo, hi, "global feed")
+        except (SnapshotExpiredError, FileNotFoundError) as e:
+            raise RuntimeError(
+                f"global feed for ({lo}, {hi}]: {e} — re-seed the "
+                "consumer and restart from a later startingVersion"
+            ) from None
+        except PartitionRetentionError as e:
+            raise RuntimeError(
+                f"{e} — re-seed the consumer past the drop and restart "
+                "from a later startingVersion"
+            ) from None
         out: list[_CDFPartition] = []
-        if lo >= 0:
-            try:
-                prev = _g_load(self._path, lo)["parts"]
-            except FileNotFoundError:
-                raise RuntimeError(
-                    f"global feed for ({lo}, {hi}] needs version {lo}, "
-                    "removed by expire_snapshots — re-seed the consumer "
-                    "and restart from a later startingVersion"
-                ) from None
-        else:  # earliest on a fresh ledger: nothing before version 0
-            prev = {}
-        for g in range(lo + 1, hi + 1):
-            try:
-                man = _g_load(self._path, g)
-            except FileNotFoundError:
-                raise RuntimeError(
-                    f"global feed for ({lo}, {hi}] needs version {g}, "
-                    "removed by expire_snapshots — re-seed the consumer "
-                    "and restart from a later startingVersion"
-                ) from None
-            cur = man["parts"]
-            lost = {p for p in prev if p not in cur} | {
-                p for p, v in cur.items() if v < prev.get(p, -1)
-            }
-            if lost:
-                raise RuntimeError(
-                    f"global feed ({lo}, {hi}] crosses drop_partition"
-                    f"({sorted(lost)!r}); retention removed some of their "
-                    "rows — re-seed the consumer past version "
-                    f"{g}"
+        commit_ms_by_g: dict[int, int | None] = {}
+        for g, p, v_lo, v_hi in pt._attributed_spans(man_lo, lo, hi):
+            if g not in commit_ms_by_g:
+                commit_ms_by_g[g] = (
+                    int(_g_load(self._path, g).get("commit_ts", 0.0) * 1000)
+                    if self._include_commit_ts
+                    else None
                 )
-            commit_ms = (
-                int(man.get("commit_ts", 0.0) * 1000)
-                if self._include_commit_ts
-                else None
-            )
-            for p, v_hi in sorted(cur.items()):
-                v_lo = prev.get(p, 0)
-                if v_hi <= v_lo:
-                    continue
-                pdir = os.path.join(self._path, f"part={p}")
-                pinned = self._pin_part(p, pdir)
-                for sv in range(v_lo + 1, v_hi + 1):
-                    entries = (
-                        _changelog_entries(pdir, sv, v_lo, v_hi)
-                        if self._mode == "row_changes"
-                        else _cdf_entries(pdir, sv, v_lo, v_hi)
-                    )
-                    for fs in entries:
-                        if fs["schema_id"] >= len(pinned["schemas"]):
-                            raise RuntimeError(
-                                f"{_EVOLVED_MARKER}: partition {p!r} "
-                                f"version {sv} was written under schema_id "
-                                f"{fs['schema_id']} but this stream pinned "
-                                f"{len(pinned['schemas'])} schema(s) — "
-                                "restart the stream to adopt"
-                            )
-                        out.append(
-                            _PartCDFPartition(
-                                os.path.join(pdir, fs["path"]),
-                                fs["schema_id"],
-                                g,
-                                commit_ms,
-                                fs.get("kind"),
-                                pinned["schemas"],
-                                pinned["renames"],
-                            )
+            pdir = os.path.join(self._path, f"part={p}")
+            pinned = self._pin_part(p, pdir)
+            for sv in range(v_lo + 1, v_hi + 1):
+                entries = (
+                    _changelog_entries(pdir, sv, v_lo, v_hi)
+                    if self._mode == "row_changes"
+                    else _cdf_entries(pdir, sv, v_lo, v_hi)
+                )
+                for fs in entries:
+                    if fs["schema_id"] >= len(pinned["schemas"]):
+                        raise RuntimeError(
+                            f"{_EVOLVED_MARKER}: partition {p!r} "
+                            f"version {sv} was written under schema_id "
+                            f"{fs['schema_id']} but this stream pinned "
+                            f"{len(pinned['schemas'])} schema(s) — "
+                            "restart the stream to adopt"
                         )
-            prev = cur
+                    out.append(
+                        _PartCDFPartition(
+                            os.path.join(pdir, fs["path"]),
+                            fs["schema_id"],
+                            g,
+                            commit_ms_by_g[g],
+                            fs.get("kind"),
+                            pinned["schemas"],
+                            pinned["renames"],
+                        )
+                    )
         return out
 
     def _snapshot_partitions(self, v0: int) -> list:
@@ -794,6 +825,18 @@ class LakeChangeFeedDataSource(DataSource):
             # and the last (widest) definition of a shared field wins.
             with open(os.path.join(path, "_spec.json")) as fh:
                 spec = json.load(fh)
+            # implicit evolution only widens along int→long / float→double
+            # (lake.py's batch-drift rules), so a name collision between
+            # partitions resolves to the WIDER type — last-partition-wins
+            # would pin a narrowed type and fail the Arrow cast on the
+            # widened partition's data
+            _rank = {"integer": 0, "long": 1, "float": 0, "double": 1}
+
+            def _wider(a, b):
+                ra = _rank.get(a.dataType.typeName(), -1)
+                rb = _rank.get(b.dataType.typeName(), -1)
+                return b if rb > ra else a
+
             fields_by_name: dict = {}
             order: list[str] = []
             for f in schema_from_json(spec["schema"]).fields:
@@ -806,7 +849,11 @@ class LakeChangeFeedDataSource(DataSource):
                 for f in schema_from_json(head["schemas"][-1]).fields:
                     if f.name not in fields_by_name:
                         order.append(f.name)
-                    fields_by_name[f.name] = f
+                        fields_by_name[f.name] = f
+                    else:
+                        fields_by_name[f.name] = _wider(
+                            fields_by_name[f.name], f
+                        )
             canon = T.StructType([fields_by_name[n] for n in order])
         else:
             versions = _ledger_versions(path)
@@ -1069,9 +1116,13 @@ def publish_changelog_stream(
 
     register_lake_cdf(spark)
     key_cols = list(
-        _load_version(src_table_path, _ledger_versions(src_table_path)[-1])[
+        json.load(open(os.path.join(src_table_path, "_spec.json")))[
             "key_cols"
         ]
+        if _is_partitioned(src_table_path)
+        else _load_version(
+            src_table_path, _ledger_versions(src_table_path)[-1]
+        )["key_cols"]
     )
 
     def _on_batch(df, batch_id: int) -> None:

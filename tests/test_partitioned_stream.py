@@ -334,3 +334,47 @@ def test_partitioned_stream_fails_loud_across_drop(spark, tmp_path):
     t.drop_partition("2025-01")
     with pytest.raises(Exception, match="drop_partition"):
         _drain(spark, t.path, str(tmp_path / "ck"))
+
+
+def test_partitioned_stream_earliest_after_expiry(spark, tmp_path):
+    """Default startingVersion='earliest' must serve the retained feed
+    after expire_snapshots: the earliest retained GLOBAL cut is the
+    baseline and the stream starts strictly after it."""
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    for i in range(3):
+        t.apply_changes(_ev(spark, [
+            ("I", i + 1, f"c{i}", 0, "user", f"v{i}", None, _mts(1 + i)),
+        ]), batch_id=i)
+    t.expire_snapshots(keep_last=2)  # earliest retained cut = baseline
+    rows = _drain(spark, t.path, str(tmp_path / "ck"))
+    # only the changes AFTER the earliest retained cut stream
+    assert {(r.conv_id, r.text) for r in rows} == {("c2", "v2")}
+
+
+def test_partitioned_stream_schema_union_prefers_wider(spark, tmp_path):
+    """One partition implicitly widened turn_idx to long; the stream's
+    pinned union schema must be long even though a later-sorted partition
+    still holds int (a narrowing pin would fail the Arrow cast)."""
+    from pyspark.sql import functions as F, types as T
+
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+        ("I", 2, "c2", 0, "user", "feb", None, _mts(2)),
+    ]), batch_id=0)
+    widened = _ev(spark, [
+        ("U", 3, "c1", 0, "user", "jan2", None, _mts(1)),
+    ]).withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    t.apply_changes(widened, batch_id=1)  # widens 2025-01 only
+    rows = _drain(spark, t.path, str(tmp_path / "ck"))
+    assert {(r.conv_id, r.text) for r in rows} >= {("c1", "jan2"),
+                                                   ("c2", "feb")}
+    # the pinned union type is the wide one
+    register_lake_cdf(spark)
+    sch = (spark.readStream.format("lake_cdf")
+           .option("path", t.path).load().schema)
+    assert isinstance(sch["turn_idx"].dataType, T.LongType)
