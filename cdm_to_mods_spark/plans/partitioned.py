@@ -1637,6 +1637,84 @@ class PartitionedTable:
             )
         return self._union(dfs, empty=_empty)
 
+    def rollback(self, version: int) -> dict:
+        """Roll the whole partitioned table back to GLOBAL ``version``:
+        each partition that cut pins rolls back to its pinned sub-version
+        (the flat rollback — a NEW sub manifest referencing the old
+        snapshot, nothing rewritten), then ONE new global cut pins the
+        rolled-back sub heads with ``last_batch_id`` reverted, so
+        replaying the undone batches converges exactly as the first time.
+        Partitions created AFTER the target cut drop out of the new cut
+        (their directories stay for time travel until ``expire_snapshots``
+        finds them unreferenced; a replayed batch that touches them
+        re-pins their existing heads — the sub batch ledger already
+        reflects those events, so convergence holds). Idempotent per
+        partition: a sub already at its pinned head is not re-rolled.
+
+        ``cross_partition_upsert`` tables roll the global key index back
+        too — to the latest index version whose ``last_batch_id`` does not
+        exceed the target cut's (index commits are per-batch but not
+        pinned in global cuts, so the batch-id floor is the correct join
+        point): that restores the mapping AND the index's own batch
+        ledger, so replayed batches re-apply their index events with
+        their ORIGINAL seqs. If the floor version was expired
+        (``expire_snapshots`` keeps only the index head), rollback falls
+        back to :meth:`reindex` — corrections then outrank the replayed
+        span's original seqs, so run ``verify_index``/``reindex`` again
+        once the replay converges (reported in the result). Maintenance-
+        owner assumption throughout."""
+        assert self.branch == "main", "run maintenance on a main handle"
+        man = self.manifest(version)
+        cur = self.manifest()
+        for p, v_sub in sorted(man["parts"].items()):
+            sub = self._sub(p)
+            if sub.latest_version() != v_sub:
+                sub.rollback(v_sub)
+        parts = {
+            p: self._sub(p).latest_version() for p in sorted(man["parts"])
+        }
+        new_version = cur["version"] + 1
+        self._commit_global(
+            {
+                "format_version": 1,
+                "version": new_version,
+                "op": "rollback",
+                "batch_id": None,
+                "last_batch_id": man["last_batch_id"],
+                "parts": parts,
+                "metrics": {
+                    "maintenance": "rollback", "to_version": version,
+                },
+                "commit_ts": time.time(),
+            }
+        )
+        out = {"rolled_back_to": version, "version": new_version}
+        if self.cross_partition_upsert and self._index().exists():
+            idx = self._index()
+            floor = man["last_batch_id"]
+            target_iv = None
+            for iv in idx._versions():
+                if idx._load_version(iv).get("last_batch_id", -1) <= floor:
+                    target_iv = iv
+                else:
+                    break  # last_batch_id is monotone over versions
+            if target_iv is None:
+                # every retained index version postdates the target
+                # (expire_snapshots keeps only the head) — corrective
+                # repair is the only option left
+                out["index"] = {
+                    "rolled_back_to": None,
+                    "reindex": self.reindex(),
+                    "note": "index history expired; reindex corrections "
+                            "outrank replayed original seqs — re-run "
+                            "reindex after the replay converges",
+                }
+            else:
+                if target_iv != idx.latest_version():
+                    idx.rollback(target_iv)
+                out["index"] = {"rolled_back_to": target_iv}
+        return out
+
     def history(self, limit: int | None = None) -> list[dict]:
         out = [self.manifest(v) for v in reversed(self._versions())]
         return out[:limit] if limit else out

@@ -471,3 +471,53 @@ def test_create_validates_partition_col(spark, tmp_path):
     t2 = PartitionedTable(spark, str(tmp_path / "bad2"), partition_col="text")
     with pytest.raises(ValueError):
         t2.create(TRANSCRIPT_SCHEMA)
+
+
+def test_global_rollback_restores_state_and_replays_converge(
+    spark, mor_ptable
+):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    v1 = t.latest_version()
+    before = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    # batch 1 updates january AND creates a new june partition
+    b1 = _events(spark, [
+        ("U", 6, "c1", 0, "user", "jan v2", None, _ts(1)),
+        ("I", 7, "c9", 0, "user", "june", None, _ts(6)),
+    ])
+    t.apply_changes(b1, batch_id=1)
+    out = t.rollback(v1)
+    assert out["rolled_back_to"] == v1
+    assert {(r.conv_id, r.turn_idx): r.text
+            for r in t.read().collect()} == before
+    assert "2025-06" not in t.partitions()  # post-target partition dropped
+    # undone batch replays to convergence (last_batch_id reverted)
+    t.apply_changes(b1, batch_id=1)
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got[("c1", 0)] == "jan v2" and got[("c9", 0)] == "june"
+    assert "2025-06" in t.partitions()
+
+
+def test_global_rollback_repairs_cross_partition_index(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "xprb"), num_buckets=4,
+                         merge_mode="mor", cross_partition_upsert=True,
+                         index_buckets=4)
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _ts(1)),
+    ]), batch_id=0)
+    v1 = t.latest_version()
+    # move the key to march, then roll the move back
+    t.apply_changes(_events(spark, [
+        ("U", 2, "c1", 0, "user", "mar", None, _ts(3)),
+    ]), batch_id=1)
+    out = t.rollback(v1)
+    assert out["index"]["rolled_back_to"] is not None
+    assert t.verify_index()["ok"]
+    # the repaired index routes point reads AND the replayed move
+    assert [r.text for r in t.read_keys(["c1"]).collect()] == ["jan"]
+    t.apply_changes(_events(spark, [
+        ("U", 2, "c1", 0, "user", "mar", None, _ts(3)),
+    ]), batch_id=1)
+    assert [r.text for r in t.read_keys(["c1"]).collect()] == ["mar"]
+    assert t.part("2025-01").read().count() == 0
