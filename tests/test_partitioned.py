@@ -521,3 +521,29 @@ def test_global_rollback_repairs_cross_partition_index(spark, tmp_path):
     ]), batch_id=1)
     assert [r.text for r in t.read_keys(["c1"]).collect()] == ["mar"]
     assert t.part("2025-01").read().count() == 0
+
+
+def test_verify_integrity_composed(spark, tmp_path):
+    import shutil
+
+    t = PartitionedTable(spark, str(tmp_path / "pfsck"), num_buckets=4,
+                         merge_mode="mor", cross_partition_upsert=True,
+                         index_buckets=4)
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    rep = t.verify_integrity()
+    assert rep["ok"]
+    assert set(rep["parts"]) == {"2025-01", "2025-02", "2025-03"}
+    assert rep["index"]["ok"] and rep["index_mapping"]["ok"]
+    # damage one partition's data dir: the composed audit localizes it
+    jan = t.part("2025-01")
+    victim = next(
+        os.path.join(jan.path, e2["path"])
+        for e in jan.manifest()["buckets"].values()
+        for e2 in jan._bucket_files(e)
+    )
+    shutil.rmtree(victim, ignore_errors=True)
+    rep2 = t.verify_integrity()
+    assert not rep2["ok"]
+    assert not rep2["parts"]["2025-01"]["checks"]["manifest_refs"]["ok"]
+    assert rep2["parts"]["2025-02"]["ok"]  # damage localized
