@@ -1715,6 +1715,79 @@ class PartitionedTable:
                 out["index"] = {"rolled_back_to": target_iv}
         return out
 
+    def _fleet_seq(self, man: dict) -> int:
+        """One LSN above every applied seq in every pinned partition —
+        fan-out mutations spend a SINGLE coherent seq across partitions
+        (per-sub defaults would hand out different seqs for one logical
+        statement, making 'which write wins' depend on the partition)."""
+        seqs = [1]
+        for p, v in man["parts"].items():
+            sub = self._sub(p)
+            seqs.append(sub._next_seq(sub.manifest(v), None))
+        return max(seqs)
+
+    def delete_where(self, predicate, *, mode: str = "rewrite",
+                     note: str | None = None) -> dict:
+        """Predicate delete fanned across partitions (the flat
+        ``delete_where`` per partition — rewrite or tombstone mode — at
+        ONE fleet-wide tombstone seq), ending in one global cut. Each
+        partition's own zone maps skip its untouched buckets; partitions
+        with zero matches commit nothing. ``cross_partition_upsert``
+        caveat: purged keys leave DANGLING index entries (benign —
+        ``verify_index`` reports them, routing treats the empty home
+        correctly); run ``reindex`` to tidy."""
+        assert self.branch == "main", "run maintenance on a main handle"
+        man = self.manifest()
+        seq = self._fleet_seq(man)
+        per = {
+            p: self._sub(p).delete_where(
+                predicate, tombstone_seq=seq, mode=mode, note=note
+            )
+            for p in sorted(man["parts"])
+        }
+        metrics = {
+            "maintenance": "delete_where", "predicate": str(predicate),
+            "mode": mode, "tombstone_seq": seq,
+            "parts": {p: r.get("deleted_rows") for p, r in per.items()},
+        }
+        self._commit_global(
+            self._next_global("delete_where", metrics=metrics)
+        )
+        return {"tombstone_seq": seq, "parts": per}
+
+    def update_where(self, predicate, assignments: dict, *,
+                     note: str | None = None) -> dict:
+        """UPDATE ... SET ... WHERE fanned across partitions at one
+        fleet-wide update seq. Assignments may not touch the PARTITION
+        column: a row's partition is its directory, so an in-place ts
+        rewrite would silently break range pruning (default identity) or
+        the key's home (``cross_partition_upsert``) — route such moves as
+        ordinary change events through ``apply_changes`` instead."""
+        assert self.branch == "main", "run maintenance on a main handle"
+        if self.partition_col in assignments:
+            raise ValueError(
+                f"update_where cannot assign the partition column "
+                f"{self.partition_col!r} — emit change events through "
+                "apply_changes so the router re-partitions the rows"
+            )
+        man = self.manifest()
+        seq = self._fleet_seq(man)
+        per = {
+            p: self._sub(p).update_where(
+                predicate, assignments, update_seq=seq, note=note
+            )
+            for p in sorted(man["parts"])
+        }
+        metrics = {
+            "maintenance": "update_where", "predicate": str(predicate),
+            "update_seq": seq,
+            "parts": {p: r.get("n_events") for p, r in per.items()},
+        }
+        self._commit_global(
+            self._next_global("update_where", metrics=metrics)
+        )
+        return {"update_seq": seq, "parts": per}
+
     def verify_integrity(self, version: int | None = None) -> dict:
         """fsck for the whole partitioned table: every partition the
         global cut pins is audited by the flat integrity audit at its

@@ -547,3 +547,32 @@ def test_verify_integrity_composed(spark, tmp_path):
     assert not rep2["ok"]
     assert not rep2["parts"]["2025-01"]["checks"]["manifest_refs"]["ok"]
     assert rep2["parts"]["2025-02"]["ok"]  # damage localized
+
+
+def test_delete_where_fans_across_partitions(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    out = t.delete_where("role = 'user'")
+    # one coherent fleet seq, matches in all three months
+    assert out["tombstone_seq"] > 5
+    assert {(r.conv_id, r.turn_idx) for r in t.read().collect()} == {
+        ("c1", 1)  # the assistant row survives
+    }
+    # a late lower-seq event cannot resurrect a purged key
+    t.apply_changes(_events(spark, [
+        ("U", 3, "c2", 0, "user", "late echo", None, _ts(2)),
+    ]), batch_id=1)
+    assert t.read().filter(F.col("conv_id") == "c2").count() == 0
+
+
+def test_update_where_fans_and_refuses_partition_col(spark, mor_ptable):
+    t = mor_ptable
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    out = t.update_where("role = 'user'", {"text": "concat(text, '!')"})
+    assert out["update_seq"] > 5
+    got = {r.conv_id: r.text for r in
+           t.read().filter(F.col("role") == "user").collect()}
+    assert got == {"c1": "jan hello!", "c2": "feb hello!",
+                   "c3": "mar v2!"}
+    with pytest.raises(ValueError, match="partition column"):
+        t.update_where("role = 'user'", {"ts": "ts + interval 1 day"})
