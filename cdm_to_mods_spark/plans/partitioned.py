@@ -373,7 +373,14 @@ class PartitionedTable:
             # evolution brings them to the batch's shape, so a partition
             # born after an implicit column add still converges. Explicit
             # DDL is per-partition for now (module docstring).
-            main_sub.create(schema_from_json(self._load_spec()["schema"]))
+            spec = self._load_spec()
+            main_sub.create(schema_from_json(spec["schema"]))
+            # partitions born after ADD CONSTRAINT inherit every spec
+            # CHECK at create (empty table — nothing to validate), the
+            # same future-partition contract as retired names
+            for c in spec.get("constraints", []):
+                main_sub.add_constraint(c["name"], c["expr"],
+                                        validate=False)
         sub = main_sub
         if self.branch != "main":
             # a partition born INSIDE a branch apply gets its sub-branch
@@ -1714,6 +1721,187 @@ class PartitionedTable:
                     idx.rollback(target_iv)
                 out["index"] = {"rolled_back_to": target_iv}
         return out
+
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel at GLOBAL scope: the highest global cut
+        committed at or before unix-time ``ts`` (the flat contract over
+        the global ledger — O(versions) raw manifest reads)."""
+        best = None
+        for v in self._versions():
+            cts = self.manifest(v).get("commit_ts")
+            if cts is not None and cts <= ts:
+                best = v
+        if best is None:
+            raise LookupError(f"no global cut committed at or before {ts}")
+        return best
+
+    def changes_since_ts(self, ts, until_ts=None) -> DataFrame:
+        """Timestamp-bounded GLOBAL change feed — the flat
+        ``changes_since_ts`` contract (Delta ``startingTimestamp``) over
+        global cuts: resolution is ledger-only, the read is the ordinary
+        :meth:`changes`, and a ``ts`` at or before the earliest retained
+        cut fails loud instead of silently truncating the feed."""
+        from .lake import _to_unix
+
+        lo = _to_unix(ts)
+        hi = None if until_ts is None else _to_unix(until_ts)
+        try:
+            since_v = self.version_as_of(lo)
+        except LookupError:
+            vmin = min(self._versions())
+            if vmin > 0:
+                raise SnapshotExpiredError(
+                    f"timestamp {lo} is at or before the earliest retained "
+                    f"global cut (g{vmin}); the feed before it was expired "
+                    "— re-seed the consumer from a full read"
+                ) from None
+            # ts precedes the first commit: global v0 is the dataless
+            # create cut, so the whole feed is everything after it
+            since_v = vmin
+        if hi is None:
+            return self.changes(since_v)
+        try:
+            until_v = self.version_as_of(hi)
+        except LookupError:
+            until_v = since_v
+        return self.changes(since_v, until_v)
+
+    # ----------------------------------------- properties / constraints
+    def properties(self) -> dict:
+        return dict(self._load_spec().get("properties", {}))
+
+    def set_property(self, key: str, value: str) -> dict:
+        """TBLPROPERTIES at table (spec) scope — one place, not one copy
+        per partition."""
+        assert self.branch == "main", "run DDL on a main-opened table"
+
+        def mutate(spec):
+            spec.setdefault("properties", {})[str(key)] = str(value)
+
+        self._rewrite_spec(mutate)
+        self._commit_global(self._next_global(
+            "set_property", metrics={"key": str(key), "value": str(value)}
+        ))
+        return self.properties()
+
+    def unset_property(self, key: str) -> dict:
+        assert self.branch == "main", "run DDL on a main-opened table"
+
+        def mutate(spec):
+            spec.get("properties", {}).pop(str(key), None)
+
+        self._rewrite_spec(mutate)
+        self._commit_global(self._next_global(
+            "unset_property", metrics={"key": str(key)}
+        ))
+        return self.properties()
+
+    def constraints(self) -> list[dict]:
+        return list(self._load_spec().get("constraints", []))
+
+    def add_constraint(self, name: str, expr: str, *,
+                       validate: bool = True) -> dict:
+        """ADD CONSTRAINT fanned out: every existing partition gets the
+        flat CHECK (each validates its own rows when ``validate``), and
+        the SPEC records it so partitions born later inherit it at create
+        — the same future-partition contract as retired names."""
+        assert self.branch == "main", "run DDL on a main-opened table"
+        if any(c["name"] == name for c in self.constraints()):
+            raise ValueError(f"constraint {name!r} already exists")
+        for p in sorted(self.manifest()["parts"]):
+            sub = self._sub(p)
+            if not any(c["name"] == name for c in sub.constraints()):
+                sub.add_constraint(name, expr, validate=validate)
+
+        def mutate(spec):
+            spec.setdefault("constraints", []).append(
+                {"name": name, "expr": expr}
+            )
+
+        self._rewrite_spec(mutate)
+        self._commit_global(self._next_global(
+            "add_constraint", metrics={"name": name, "expr": expr}
+        ))
+        return {"constraint": name}
+
+    def drop_constraint(self, name: str) -> dict:
+        assert self.branch == "main", "run DDL on a main-opened table"
+        if not any(c["name"] == name for c in self.constraints()):
+            raise ValueError(f"no constraint {name!r}")
+        for p in sorted(self.manifest()["parts"]):
+            try:
+                self._sub(p).drop_constraint(name)
+            except ValueError:
+                pass  # added out-of-band per-partition asymmetry
+
+        def mutate(spec):
+            spec["constraints"] = [
+                c for c in spec.get("constraints", [])
+                if c["name"] != name
+            ]
+
+        self._rewrite_spec(mutate)
+        self._commit_global(self._next_global(
+            "drop_constraint", metrics={"name": name}
+        ))
+        return {"dropped": name}
+
+    def clone(self, dst_path: str, version: int | None = None
+              ) -> "PartitionedTable":
+        """Zero-copy SHALLOW CLONE of the whole partitioned table at a
+        GLOBAL cut: each pinned partition is flat-cloned at its pinned
+        sub-version (absolute-path refs, no bytes move), the spec is
+        copied, and ONE global v0 pins every clone at its v0 —
+        ``last_batch_id`` carries over so a forked ingest pipeline
+        resumes exactly-once. Like the flat clone, history and the
+        change feed restart at the clone. ``cross_partition_upsert``
+        clones include the index (head-state index for a head clone; a
+        HISTORICAL clone's index is rebuilt with :meth:`reindex` since
+        index versions aren't pinned in global cuts)."""
+        man = self.manifest(version)
+        dst = PartitionedTable(
+            self.spark,
+            dst_path,
+            key_cols=self.key_cols,
+            partition_col=self.partition_col,
+            granularity=self.granularity,
+            stage_threshold=self.stage_threshold,
+            apply_concurrency=self.apply_concurrency,
+            cross_partition_upsert=self.cross_partition_upsert,
+            index_buckets=self.index_buckets,
+            **self._lake_kwargs,
+        )
+        if dst.exists():
+            raise RuntimeError(f"table already exists at {dst.path}")
+        dst.create(schema_from_json(self._load_spec()["schema"]))
+        # carry spec extras (constraints / properties / retired names)
+        src_spec = self._load_spec()
+
+        def mutate(spec):
+            for k in ("constraints", "properties", "retired"):
+                if k in src_spec:
+                    spec[k] = src_spec[k]
+
+        dst._rewrite_spec(mutate)
+        for p, v in sorted(man["parts"].items()):
+            self._sub(p).clone(dst._part_dir(p), version=v)
+        dst._commit_global({
+            "format_version": 1,
+            "version": 1,
+            "op": "clone",
+            "batch_id": None,
+            "last_batch_id": man["last_batch_id"],
+            "parts": {p: 0 for p in man["parts"]},
+            "metrics": {"cloned_from": self.path,
+                        "at_global_version": man["version"]},
+            "commit_ts": time.time(),
+        })
+        if self.cross_partition_upsert and self._index().exists():
+            if version is None:
+                self._index().clone(os.path.join(dst.path, "_index"))
+            else:
+                dst.reindex()
+        return dst
 
     def _fleet_seq(self, man: dict) -> int:
         """One LSN above every applied seq in every pinned partition —
