@@ -205,6 +205,11 @@ class PartitionedTable:
             self.cross_partition_upsert = spec.get(
                 "cross_partition_upsert", False
             )
+            if "num_buckets" in spec:
+                # a table-scope rebucket recorded the new count; partitions
+                # born after it must be created at that count, not the
+                # constructor default
+                self._lake_kwargs["num_buckets"] = spec["num_buckets"]
 
     # ------------------------------------------------------------- ledger
     def _load_spec(self) -> dict | None:
@@ -1878,7 +1883,8 @@ class PartitionedTable:
         src_spec = self._load_spec()
 
         def mutate(spec):
-            for k in ("constraints", "properties", "retired"):
+            for k in ("constraints", "properties", "retired",
+                      "num_buckets"):
                 if k in src_spec:
                     spec[k] = src_spec[k]
 
@@ -1975,6 +1981,183 @@ class PartitionedTable:
             self._next_global("update_where", metrics=metrics)
         )
         return {"update_seq": seq, "parts": per}
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Partition-spec evolution at table scope: every partition is
+        rewritten at the new bucket count (the flat Iceberg-style
+        ``rebucket`` per sub-table), and the SPEC records it so partitions
+        born LATER are created at the new count too — without the spec
+        record a future partition would silently fork back to the
+        constructor default. Existing subs keep self-adopting their
+        on-disk layout, so a crash mid-fan-out is re-runnable (already-
+        rebucketed partitions rewrite again at the same count — idempotent
+        in state, wasteful only in IO)."""
+        assert self.branch == "main", "run maintenance on a main handle"
+        man = self.manifest()
+        per = {
+            p: self._sub(p).rebucket(new_num_buckets)
+            for p in sorted(man["parts"])
+        }
+
+        def mutate(spec):
+            spec["num_buckets"] = int(new_num_buckets)
+
+        self._rewrite_spec(mutate)
+        self._lake_kwargs["num_buckets"] = int(new_num_buckets)
+        self._commit_global(self._next_global(
+            "rebucket",
+            metrics={"maintenance": "rebucket",
+                     "num_buckets": int(new_num_buckets),
+                     "parts": sorted(per)},
+        ))
+        return {"num_buckets": int(new_num_buckets), "parts": per}
+
+    def overwrite_where(self, df: DataFrame, predicate, *,
+                        note: str | None = None) -> dict:
+        """Predicate-scoped atomic replace (Delta ``replaceWhere``) fanned
+        across partitions at one fleet-wide seq: replacement rows route by
+        their partition value; EVERY existing partition runs the flat
+        :meth:`LakeTable.overwrite_where` on its slice (an empty slice is
+        a pure delete of that partition's predicate region — the classic
+        replace-a-partition call is ``overwrite_where(rows, "ts >= ... and
+        ts < ...")``), and rows for a partition that doesn't exist yet
+        create it. Each partition's zone maps bound the matched-scan cost;
+        partitions with zero matches and zero rows commit nothing (the
+        flat op's no-op skip). Refused on
+        ``cross_partition_upsert`` tables for the same identity reason as
+        :meth:`merge_into`."""
+        if self.cross_partition_upsert:
+            raise ValueError(
+                "overwrite_where is partition-local; on a cross_partition_"
+                "upsert table a key's home may differ from the replacement "
+                "row's partition value — delete_where + apply_changes "
+                "instead"
+            )
+        assert self.branch == "main", "run maintenance on a main handle"
+        if self.partition_col not in df.columns:
+            raise ValueError(
+                f"replacement rows lack partition column "
+                f"{self.partition_col!r}"
+            )
+        if "_part" in df.columns:
+            raise ValueError("rows carry reserved column '_part'")
+        rows = self._enforce_retired(df)
+        man = self.manifest()
+        seq = self._fleet_seq(man)
+        rows = rows.withColumn("_part", self._part_expr())
+        per: dict = {}
+        try:
+            rows.persist()
+            row_parts = sorted(
+                r[0] for r in rows.select("_part").distinct().collect()
+            )
+            for p in sorted(set(man["parts"]) | set(row_parts)):
+                sub = self._sub(p, create=True)
+                per[p] = sub.overwrite_where(
+                    rows.filter(F.col("_part") == p).drop("_part"),
+                    predicate, overwrite_seq=seq, note=note,
+                )
+        finally:
+            rows.unpersist()
+        metrics = {
+            "maintenance": "overwrite_where", "predicate": str(predicate),
+            "overwrite_seq": seq,
+            "parts": {p: {k: r.get(k)
+                          for k in ("replaced_rows", "inserted_rows",
+                                    "skipped")
+                          if k in r}
+                      for p, r in per.items()},
+        }
+        self._commit_global(self._next_global(
+            "overwrite_where", touched=row_parts, metrics=metrics,
+        ))
+        return {"overwrite_seq": seq, "parts": per}
+
+    def merge_into(self, source: DataFrame, *, batch_id: int | None = None,
+                   merge_seq: int | None = None, note: str | None = None,
+                   **clauses) -> dict:
+        """Declarative MERGE INTO fanned across partitions: ``source``
+        rows route by their partition value and each touched partition
+        runs the flat :meth:`LakeTable.merge_into` on its slice — valid
+        because under the spec's identity rule the partition value is
+        part of row identity, so a source row can only match rows in its
+        own partition (the same Paimon trade :meth:`read_keys`
+        documents). All slices share ONE fleet-wide ``merge_seq`` and the
+        statement ends in one global cut; exactly-once composes exactly
+        like :meth:`apply_changes` (global ledger dedupes the statement,
+        per-partition ledgers dedupe crash-replayed slices). Unmatched
+        source rows may create brand-new partitions (born at the spec
+        schema + constraints). Refused on ``cross_partition_upsert``
+        tables — there a key's home partition, not the row's partition
+        value, owns its identity, so route through ``apply_changes``
+        (which consults the index) instead."""
+        if self.cross_partition_upsert:
+            raise ValueError(
+                "merge_into is partition-local; on a cross_partition_"
+                "upsert table a key's home may differ from the source "
+                "row's partition value — emit change events through "
+                "apply_changes instead"
+            )
+        man = self.manifest()
+        if batch_id is not None and batch_id <= man["last_batch_id"]:
+            return {"skipped": True, "batch_id": batch_id,
+                    "reason": "already committed"}
+        if self.partition_col not in source.columns:
+            raise ValueError(
+                f"merge source lacks partition column "
+                f"{self.partition_col!r}"
+            )
+        if "_part" in source.columns:
+            raise ValueError("source carries reserved column '_part'")
+        src = self._enforce_retired(source)
+        seq = self._fleet_seq(man) if merge_seq is None else merge_seq
+        src = src.withColumn("_part", self._part_expr())
+        t0 = time.monotonic()
+        per_part: dict = {}
+        try:
+            src.persist()
+            parts = sorted(
+                r[0] for r in src.select("_part").distinct().collect()
+            )
+            subs = {p: self._sub(p, create=True) for p in parts}
+
+            def _one(p: str):
+                return p, subs[p].merge_into(
+                    src.filter(F.col("_part") == p).drop("_part"),
+                    merge_seq=seq, batch_id=batch_id, note=note, **clauses,
+                )
+
+            if len(parts) <= 1 or self.apply_concurrency == 1:
+                per_part = dict(_one(p) for p in parts)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    min(self.apply_concurrency, len(parts))
+                ) as ex:
+                    per_part = dict(ex.map(_one, parts))
+        finally:
+            src.unpersist()
+        metrics = {
+            "n_parts_touched": len(parts),
+            "merge_seq": seq,
+            "parts": {
+                p: {
+                    k: m.get(k)
+                    for k in ("n_events", "skipped", "elapsed_sec")
+                    if k in m
+                }
+                for p, m in per_part.items()
+            },
+            "wall_sec": round(time.monotonic() - t0, 3),
+        }
+        self._commit_global(
+            self._next_global(
+                "merge_into", touched=parts, batch_id=batch_id,
+                metrics=metrics,
+            )
+        )
+        return metrics
 
     def verify_integrity(self, version: int | None = None) -> dict:
         """fsck for the whole partitioned table: every partition the

@@ -229,3 +229,27 @@ def test_clone_carries_cross_partition_index(spark, tmp_path):
     ]), batch_id=1)
     rows = [r for r in c.read().collect() if r.conv_id == "c1"]
     assert len(rows) == 1 and rows[0].text == "moved"
+
+
+# --------------------------------------------------------------- rebucket
+def test_rebucket_fans_out_and_covers_future_partitions(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "prb"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, BATCH0), batch_id=0)
+    before = _state(t.read())
+    m = t.rebucket(8)
+    assert m["num_buckets"] == 8
+    assert _state(t.read()) == before  # state-transparent rewrite
+    for p in t.partitions():
+        assert t.part(p).num_buckets == 8
+    # a partition born AFTER the rebucket — on a FRESH handle — is
+    # created at the new count, not the constructor default
+    fresh = PartitionedTable(spark, t.path, num_buckets=4,
+                             merge_mode="mor")
+    fresh.apply_changes(_events(spark, [
+        ("I", 9, "c9", 0, "user", "sep", None, _ts(9)),
+    ]), batch_id=1)
+    assert fresh.part("2025-09").num_buckets == 8
+    # point reads prune correctly through the new layout
+    assert fresh.read_keys(["c1"]).count() == 1
