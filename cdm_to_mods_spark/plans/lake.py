@@ -1209,8 +1209,24 @@ class LakeTable:
                 # against the latest manifest's schemas, so truncating here
                 # would break feeds spanning pre-rollback schema evolutions
                 # (the old snapshot's file refs index a prefix, so reads of
-                # the rolled-back state are unaffected).
-                "schemas": cur["schemas"],
+                # the rolled-back state are unaffected). One exception: if
+                # a post-target RENAME/DROP removed a column the old
+                # canonical schema still had, keeping the head canonical
+                # would REFUSE replays of the undone span ('renamed to
+                # ...; update the producer') — so re-append the old
+                # canonical as a NEW entry, restoring the contract while
+                # the list stays append-only. Purely additive evolution
+                # (columns gained after the target) keeps the wider head
+                # canonical: old-shape replays null-fill fine and the
+                # change feed keeps resolving evolved spans.
+                "schemas": (
+                    [*cur["schemas"], man["schemas"][-1]]
+                    if not (
+                        set(schema_from_json(man["schemas"][-1]).fieldNames())
+                        <= set(schema_from_json(cur["schemas"][-1]).fieldNames())
+                    )
+                    else cur["schemas"]
+                ),
                 # same append-only rule as schemas: the rename log indexes
                 # into the full schema list, so the CURRENT log survives a
                 # rollback (old snapshots' schema_ids resolve through it).
@@ -2666,6 +2682,7 @@ class LakeTable:
         predicate,
         *,
         overwrite_seq: int | None = None,
+        batch_id: int | None = None,
         note: str | None = None,
     ) -> dict:
         """Predicate-scoped atomic overwrite — the Delta ``replaceWhere`` /
@@ -2707,6 +2724,12 @@ class LakeTable:
                 "overwriting them — use delete_where + apply_changes"
             )
         man = self.manifest()
+        # exactly-once short-circuit (same contract as apply/merge): a
+        # redelivered statement skips before validation jobs — and before
+        # the max-live-seq check its OWN committed rows would now trip
+        if batch_id is not None and batch_id <= man["last_batch_id"]:
+            return {"skipped": True, "batch_id": batch_id,
+                    "reason": "already committed"}
         canon = self._canonical_schema(man)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         missing = [f.name for f in canon.fields if f.name not in df.columns]
@@ -2787,6 +2810,7 @@ class LakeTable:
             )
             res = self.apply_changes(
                 events,
+                batch_id=batch_id,
                 source=f"overwrite_where:{note or ''}",
                 _metrics_extra={
                     "maintenance": "overwrite_where",

@@ -106,6 +106,7 @@ from .lake import (
     LakeTable,
     SnapshotExpiredError,
     _bucket_expr,
+    _to_unix,
 )
 
 __all__ = ["PartitionedTable", "PartitionRetentionError", "NULL_PART"]
@@ -330,6 +331,13 @@ class PartitionedTable:
                 else prev["last_batch_id"]
             ),
             "parts": parts,
+            # snapshot of the spec AT this cut (DDL mutates the spec file
+            # first, so this is the post-statement state — the Iceberg
+            # metadata-file model): historical clones and rollback restore
+            # the table CONTRACT (schema/constraints/properties/retired),
+            # not just the data, from it. Pre-snapshot manifests simply
+            # lack the key and fall back to the live spec.
+            "spec": self._load_spec(),
             "metrics": metrics or {},
             "commit_ts": time.time(),
         }
@@ -924,6 +932,7 @@ class PartitionedTable:
                 "batch_id": None,
                 "last_batch_id": -1,
                 "parts": {},
+                "spec": self._load_spec(),
                 "metrics": {},
                 "commit_ts": time.time(),
             }
@@ -1119,6 +1128,12 @@ class PartitionedTable:
         ev = ev.withColumn("_part", self._part_expr())
         idx_ev = route_cache = None
         if self.cross_partition_upsert:
+            if man["parts"] and not self._index().exists():
+                # self-heal a missing index on a populated table (the
+                # crash window between a historical clone's global commit
+                # and its reindex): routing against an empty index would
+                # treat every key as new and skip the mover deletes
+                self.reindex()
             ev, idx_ev, route_cache = self._route_cross_partition(
                 ev, set(man["parts"])
             )
@@ -1678,6 +1693,20 @@ class PartitionedTable:
         assert self.branch == "main", "run maintenance on a main handle"
         man = self.manifest(version)
         cur = self.manifest()
+        spec_at = man.get("spec")
+        if spec_at is not None and spec_at != self._load_spec():
+            # restore the table CONTRACT too: DDL after the target cut
+            # (constraints, properties, renames/retired names, rebucket's
+            # num_buckets) is undone with the data it described —
+            # otherwise replays of the undone span would be refused by
+            # retired-name records from a future the rollback erased
+            def mutate(spec):
+                spec.clear()
+                spec.update(spec_at)
+
+            self._rewrite_spec(mutate)
+            if "num_buckets" in spec_at:
+                self._lake_kwargs["num_buckets"] = spec_at["num_buckets"]
         for p, v_sub in sorted(man["parts"].items()):
             sub = self._sub(p)
             if sub.latest_version() != v_sub:
@@ -1694,6 +1723,7 @@ class PartitionedTable:
                 "batch_id": None,
                 "last_batch_id": man["last_batch_id"],
                 "parts": parts,
+                "spec": self._load_spec(),
                 "metrics": {
                     "maintenance": "rollback", "to_version": version,
                 },
@@ -1746,8 +1776,6 @@ class PartitionedTable:
         global cuts: resolution is ledger-only, the read is the ordinary
         :meth:`changes`, and a ``ts`` at or before the earliest retained
         cut fails loud instead of silently truncating the feed."""
-        from .lake import _to_unix
-
         lo = _to_unix(ts)
         hi = None if until_ts is None else _to_unix(until_ts)
         try:
@@ -1807,16 +1835,34 @@ class PartitionedTable:
     def add_constraint(self, name: str, expr: str, *,
                        validate: bool = True) -> dict:
         """ADD CONSTRAINT fanned out: every existing partition gets the
-        flat CHECK (each validates its own rows when ``validate``), and
-        the SPEC records it so partitions born later inherit it at create
-        — the same future-partition contract as retired names."""
+        flat CHECK, and the SPEC records it so partitions born later
+        inherit it at create — the same future-partition contract as
+        retired names. Validation runs ONCE at table scope BEFORE the
+        fan-out (one read-only job over the global state): a per-slice
+        refusal after earlier partitions committed would strand the CHECK
+        enforced on a prefix with no spec record and no router-level
+        undo. The remaining fan is metadata-only and re-runnable (a
+        crash-replay skips partitions that already carry it)."""
         assert self.branch == "main", "run DDL on a main-opened table"
         if any(c["name"] == name for c in self.constraints()):
             raise ValueError(f"constraint {name!r} already exists")
+        if validate:
+            # doubles as the typo gate: analyzing the filter against the
+            # canonical schema fails here, not inside a later sub-apply
+            n_bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {n_bad} existing "
+                    f"rows violate CHECK ({expr})"
+                )
         for p in sorted(self.manifest()["parts"]):
             sub = self._sub(p)
             if not any(c["name"] == name for c in sub.constraints()):
-                sub.add_constraint(name, expr, validate=validate)
+                sub.add_constraint(name, expr, validate=False)
 
         def mutate(spec):
             spec.setdefault("constraints", []).append(
@@ -1862,8 +1908,17 @@ class PartitionedTable:
         change feed restart at the clone. ``cross_partition_upsert``
         clones include the index (head-state index for a head clone; a
         HISTORICAL clone's index is rebuilt with :meth:`reindex` since
-        index versions aren't pinned in global cuts)."""
+        index versions aren't pinned in global cuts). The clone's
+        CONTRACT comes from the manifest's at-cut spec snapshot (a
+        historical clone of a since-renamed table keeps the old names so
+        replaying its span isn't refused by future retired-name records);
+        pre-snapshot manifests fall back to the live spec. Any failure
+        mid-clone removes the partial destination, so a retry starts
+        clean (the flat clone is one atomic commit; this one is N+3
+        steps)."""
+        assert self.branch == "main", "clone from a main-opened handle"
         man = self.manifest(version)
+        spec_at = man.get("spec") or self._load_spec()
         dst = PartitionedTable(
             self.spark,
             dst_path,
@@ -1878,35 +1933,47 @@ class PartitionedTable:
         )
         if dst.exists():
             raise RuntimeError(f"table already exists at {dst.path}")
-        dst.create(schema_from_json(self._load_spec()["schema"]))
-        # carry spec extras (constraints / properties / retired names)
-        src_spec = self._load_spec()
+        try:
+            dst.create(schema_from_json(spec_at["schema"]))
 
-        def mutate(spec):
-            for k in ("constraints", "properties", "retired",
-                      "num_buckets"):
-                if k in src_spec:
-                    spec[k] = src_spec[k]
+            # carry the at-cut spec extras (constraints / properties /
+            # retired names / rebucket record)
+            def mutate(spec):
+                for k in ("constraints", "properties", "retired",
+                          "num_buckets"):
+                    if k in spec_at:
+                        spec[k] = spec_at[k]
 
-        dst._rewrite_spec(mutate)
-        for p, v in sorted(man["parts"].items()):
-            self._sub(p).clone(dst._part_dir(p), version=v)
-        dst._commit_global({
-            "format_version": 1,
-            "version": 1,
-            "op": "clone",
-            "batch_id": None,
-            "last_batch_id": man["last_batch_id"],
-            "parts": {p: 0 for p in man["parts"]},
-            "metrics": {"cloned_from": self.path,
-                        "at_global_version": man["version"]},
-            "commit_ts": time.time(),
-        })
-        if self.cross_partition_upsert and self._index().exists():
-            if version is None:
+            dst._rewrite_spec(mutate)
+            for p, v in sorted(man["parts"].items()):
+                self._sub(p).clone(dst._part_dir(p), version=v)
+            if (self.cross_partition_upsert and version is None
+                    and self._index().exists()):
+                # head clone: index travels BEFORE the global commit so a
+                # published clone can never look complete while missing
+                # its routing state
                 self._index().clone(os.path.join(dst.path, "_index"))
-            else:
+            dst._commit_global({
+                "format_version": 1,
+                "version": 1,
+                "op": "clone",
+                "batch_id": None,
+                "last_batch_id": man["last_batch_id"],
+                "parts": {p: 0 for p in man["parts"]},
+                "spec": dst._load_spec(),
+                "metrics": {"cloned_from": self.path,
+                            "at_global_version": man["version"]},
+                "commit_ts": time.time(),
+            })
+            if (self.cross_partition_upsert and version is not None
+                    and self._index().exists()):
+                # historical clone: reindex needs the committed cut; the
+                # crash window between commit and reindex is closed by
+                # apply_changes' missing-index self-heal
                 dst.reindex()
+        except BaseException:
+            shutil.rmtree(dst.path, ignore_errors=True)
+            raise
         return dst
 
     def _fleet_seq(self, man: dict) -> int:
@@ -2013,6 +2080,7 @@ class PartitionedTable:
         return {"num_buckets": int(new_num_buckets), "parts": per}
 
     def overwrite_where(self, df: DataFrame, predicate, *,
+                        batch_id: int | None = None,
                         note: str | None = None) -> dict:
         """Predicate-scoped atomic replace (Delta ``replaceWhere``) fanned
         across partitions at one fleet-wide seq: replacement rows route by
@@ -2043,11 +2111,40 @@ class PartitionedTable:
             raise ValueError("rows carry reserved column '_part'")
         rows = self._enforce_retired(df)
         man = self.manifest()
+        if batch_id is not None and batch_id <= man["last_batch_id"]:
+            return {"skipped": True, "batch_id": batch_id,
+                    "reason": "already committed"}
         seq = self._fleet_seq(man)
         rows = rows.withColumn("_part", self._part_expr())
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         per: dict = {}
         try:
             rows.persist()
+            # validate the WHOLE frame BEFORE any sub commits: slice-level
+            # refusal after earlier partitions committed would leak a
+            # partial statement into the next global cut (the flat checks
+            # still run per slice, but never first-fail mid-fan-out)
+            v = rows.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+                ).alias("violations"),
+                F.countDistinct(F.struct(
+                    *[F.col(k) for k in self.key_cols], F.col("_part")
+                )).alias("n_keys"),
+            ).first()
+            if v["violations"]:
+                raise ValueError(
+                    f"overwrite_where refused: {v['violations']} of "
+                    f"{v['n']} replacement rows do not satisfy the "
+                    "predicate — rows written outside the overwritten "
+                    "region would survive its next overwrite"
+                )
+            if v["n_keys"] != v["n"]:
+                raise ValueError(
+                    "overwrite_where refused: replacement rows are not "
+                    f"unique on {list(self.key_cols)!r} within a partition"
+                )
             row_parts = sorted(
                 r[0] for r in rows.select("_part").distinct().collect()
             )
@@ -2055,7 +2152,8 @@ class PartitionedTable:
                 sub = self._sub(p, create=True)
                 per[p] = sub.overwrite_where(
                     rows.filter(F.col("_part") == p).drop("_part"),
-                    predicate, overwrite_seq=seq, note=note,
+                    predicate, overwrite_seq=seq, batch_id=batch_id,
+                    note=note,
                 )
         finally:
             rows.unpersist()
@@ -2069,7 +2167,8 @@ class PartitionedTable:
                       for p, r in per.items()},
         }
         self._commit_global(self._next_global(
-            "overwrite_where", touched=row_parts, metrics=metrics,
+            "overwrite_where", touched=row_parts, batch_id=batch_id,
+            metrics=metrics,
         ))
         return {"overwrite_seq": seq, "parts": per}
 
@@ -2090,7 +2189,17 @@ class PartitionedTable:
         schema + constraints). Refused on ``cross_partition_upsert``
         tables — there a key's home partition, not the row's partition
         value, owns its identity, so route through ``apply_changes``
-        (which consults the index) instead."""
+        (which consults the index) instead.
+
+        Partial-failure contract (same as ``apply_changes``): if one
+        slice fails mid-fan-out (e.g. an inherited CHECK), already-
+        committed slices stand in their sub-ledgers and the global cut
+        never lands — re-running the SAME statement converges (committed
+        slices skip, the failing one re-runs). Re-using the ``batch_id``
+        with an AMENDED source diverges on the skipped slices — amend
+        under a NEW batch_id, or :meth:`rollback` first. Exactly-once
+        assumes a batch's content is immutable per id, here as
+        everywhere in the engine."""
         if self.cross_partition_upsert:
             raise ValueError(
                 "merge_into is partition-local; on a cross_partition_"
@@ -2109,6 +2218,31 @@ class PartitionedTable:
             )
         if "_part" in source.columns:
             raise ValueError("source carries reserved column '_part'")
+        # a row's partition is its directory: assigning the partition col
+        # in place (or inserting a ts that differs from the routing value)
+        # would desync data from layout — the same invariant update_where
+        # enforces. Insert dicts get the routing value injected; anything
+        # else is refused toward apply_changes (which re-partitions moves).
+        wmu = clauses.get("when_matched_update")
+        if wmu and self.partition_col in wmu:
+            raise ValueError(
+                f"merge_into cannot assign the partition column "
+                f"{self.partition_col!r} — emit change events through "
+                "apply_changes so the router re-partitions the rows"
+            )
+        wni = clauses.get("when_not_matched_insert")
+        if isinstance(wni, dict):
+            want = f"s.{self.partition_col}"
+            got = wni.get(self.partition_col)
+            if got is None:
+                clauses = {**clauses, "when_not_matched_insert":
+                           {**wni, self.partition_col: want}}
+            elif not (isinstance(got, str)
+                      and got.strip().lower() == want.lower()):
+                raise ValueError(
+                    f"insert clause must keep the partition column at the "
+                    f"source value ({want!r}) — rows are routed by it"
+                )
         src = self._enforce_retired(source)
         seq = self._fleet_seq(man) if merge_seq is None else merge_seq
         src = src.withColumn("_part", self._part_expr())
