@@ -373,7 +373,7 @@ class PartitionedTable:
             self.spark,
             self._part_dir(part),
             key_cols=self.key_cols,
-            **self._lake_kwargs,
+            **self._sub_kwargs(),
         )
         if not main_sub.exists():
             if not create:
@@ -414,10 +414,19 @@ class PartitionedTable:
                 self._part_dir(part),
                 key_cols=self.key_cols,
                 branch=self.branch,
-                **self._lake_kwargs,
+                **self._sub_kwargs(),
             )
         self._subs[part] = sub
         return sub
+
+    def _sub_kwargs(self) -> dict:
+        """Per-partition LakeTable kwargs. The ROUTER owns the dead-letter
+        sink: null-key rows are split off once before routing (one writer,
+        one scan), because threaded sub-applies append-writing one shared
+        quarantine directory would race FileOutputCommitter staging —
+        so subs never see a quarantine_path."""
+        return {k: v for k, v in self._lake_kwargs.items()
+                if k != "quarantine_path"}
 
     def _part_expr(self) -> F.Column:
         c = F.col(self.partition_col)
@@ -1125,6 +1134,36 @@ class PartitionedTable:
                 f"batch carries reserved column(s) {clash} — rename"
             )
         ev = self._enforce_retired(ev)
+        # dead-letter routing at ROUTER scope (see _sub_kwargs): split the
+        # unmergeable null-key rows off once, before routing — the same
+        # cache-then-filter single-scan shape as the flat path
+        n_quarantined = 0
+        q_cache = None
+        qpath = self._lake_kwargs.get("quarantine_path")
+        if qpath is not None:
+            from pyspark.sql import Observation
+            from pyspark.storagelevel import StorageLevel
+
+            from .lake import _observed
+
+            bad_pred = None
+            for k in self.key_cols:
+                p = F.col(k).isNull()
+                bad_pred = p if bad_pred is None else (bad_pred | p)
+            q_cache = ev.persist(StorageLevel.MEMORY_AND_DISK)
+            bad = q_cache.filter(bad_pred).withColumn(
+                "_quarantine_batch",
+                F.lit(batch_id).cast("long"),
+            )
+            obs_bad = Observation()
+            (
+                bad.observe(obs_bad, F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .parquet(qpath)
+            )
+            got = _observed(obs_bad)
+            n_quarantined = int(got["n"]) if got else 0
+            ev = q_cache.filter(~bad_pred)
         ev = ev.withColumn("_part", self._part_expr())
         idx_ev = route_cache = None
         if self.cross_partition_upsert:
@@ -1200,6 +1239,8 @@ class PartitionedTable:
                 route_cache.unpersist()
             if persisted:
                 ev.unpersist()
+            if q_cache is not None:
+                q_cache.unpersist()
             if staged:
                 shutil.rmtree(staged, ignore_errors=True)
                 staging_root = os.path.join(self.path, "_staging")
@@ -1207,6 +1248,7 @@ class PartitionedTable:
                     os.rmdir(staging_root)
         metrics = {
             "n_parts_touched": len(parts),
+            "n_quarantined": n_quarantined,
             "staged": staged is not None,
             "parts": {
                 p: {
@@ -2048,6 +2090,29 @@ class PartitionedTable:
             self._next_global("update_where", metrics=metrics)
         )
         return {"update_seq": seq, "parts": per}
+
+    def reprocess_quarantine(self, fix, *, batch_id: int | None = None,
+                             transform=None) -> dict:
+        """Re-admit dead-letter rows through the ROUTER (the flat
+        contract, plans/lake.py reprocess_quarantine): reads the shared
+        quarantine parquet, hands the rows minus the bookkeeping column
+        to ``fix``, and routes the result like any change batch — a fix
+        that supplies the key sends the row to the partition its ts
+        derives, which a per-partition re-admission could not do (the
+        quarantining partition is not necessarily the fixed row's home).
+        Rows ``fix`` leaves unmergeable simply re-quarantine; the file
+        set is not truncated (idempotence by seq LWW, same as flat)."""
+        qpath = self._lake_kwargs.get("quarantine_path")
+        if qpath is None:
+            raise ValueError("table has no quarantine_path configured")
+        if not os.path.isdir(qpath):
+            return {"skipped": True, "reason": "quarantine is empty"}
+        q = self.spark.read.parquet(qpath)
+        fixed = fix(q.drop("_quarantine_batch"))
+        return self.apply_changes(
+            fixed, batch_id=batch_id, transform=transform,
+            source="quarantine-replay",
+        )
 
     def rebucket(self, new_num_buckets: int) -> dict:
         """Partition-spec evolution at table scope: every partition is

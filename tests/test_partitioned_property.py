@@ -1,0 +1,121 @@
+"""Property-based router convergence: for ANY event log spread over
+months, ANY batch split, and ANY crash point mid-fan-out (an arbitrary
+subset of one batch's per-partition slices committed directly, global
+cut never landed), replaying every batch through the router converges
+to the flat-table oracle — the composed exactly-once story (global
+ledger + per-partition batch ledgers) as a property, not an example.
+
+Identity convention: each conversation keeps a FIXED month so no key
+crosses partitions and the flat table is a valid oracle (the module's
+documented Paimon identity trade).
+
+Deterministic: hypothesis derandomized, few examples (each drives many
+real Spark jobs)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+
+_TEXTS = [None, "x", "a b", "longer text here", ""]
+_ROLES = ["user", "assistant", "tool"]
+
+
+@st.composite
+def torn_fanout_cases(draw):
+    import datetime as dt
+
+    n_convs = draw(st.integers(1, 4))
+    month_of = {c: draw(st.integers(1, 3)) for c in range(n_convs)}
+    n_events = draw(st.integers(1, 24))
+    arrival = draw(st.permutations(range(1, n_events + 1)))
+    events = []
+    for i in range(n_events):
+        c = draw(st.integers(0, n_convs - 1))
+        events.append((
+            draw(st.sampled_from(["I", "U", "D"])),
+            arrival[i],
+            f"c{c}",
+            draw(st.integers(0, 2)),
+            draw(st.sampled_from(_ROLES)),
+            draw(st.sampled_from(_TEXTS)),
+            None,
+            dt.datetime(2025, month_of[c], draw(st.integers(1, 28)), 12),
+        ))
+    n_batches = draw(st.integers(1, 3))
+    torn_batch = draw(st.integers(0, n_batches - 1))
+    # which months' slices of the torn batch committed before the crash
+    pre_months = draw(st.sets(st.integers(1, 3)))
+    return events, n_batches, torn_batch, sorted(
+        f"2025-{m:02d}" for m in pre_months
+    )
+
+
+def _splits(events, n_batches):
+    size = max(1, len(events) // n_batches)
+    return [events[i: i + size] for i in range(0, len(events), size)]
+
+
+def _state(df):
+    return {
+        (r.conv_id, r.turn_idx, r.ts): (r.role, r.text, r.tool)
+        for r in df.collect()
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=torn_fanout_cases())
+def test_any_torn_fanout_replay_converges(spark, case):
+    events, n_batches, torn_batch, pre_parts = case
+    root = tempfile.mkdtemp(prefix="prop-router-")
+    try:
+        pt = PartitionedTable(spark, f"{root}/pt", num_buckets=4,
+                              merge_mode="mor")
+        pt.create(TRANSCRIPT_SCHEMA)
+        flat = LakeTable(spark, f"{root}/flat", num_buckets=4,
+                         merge_mode="mor")
+        flat.create(TRANSCRIPT_SCHEMA)
+
+        batches = _splits(events, n_batches)
+        for bid, chunk in enumerate(batches):
+            df = spark.createDataFrame(chunk, EVENT_DDL)
+            if bid == torn_batch and pre_parts:
+                # crash mid-fan-out: an arbitrary subset of this batch's
+                # per-partition slices committed, no global cut
+                part_expr = F.date_format("ts", "yyyy-MM")
+                for p in pre_parts:
+                    sl = df.filter(part_expr == p)
+                    if sl.take(1):
+                        pt._sub(p, create=True).apply_changes(
+                            sl, batch_id=bid)
+            pt.apply_changes(df, batch_id=bid)
+            flat.apply_changes(df, batch_id=bid)
+
+        assert _state(pt.read()) == _state(flat.read())
+        # whole-statement redelivery is a global no-op
+        res = pt.apply_changes(
+            spark.createDataFrame(batches[-1], EVENT_DDL),
+            batch_id=len(batches) - 1,
+        )
+        assert res.get("skipped") is True
+        assert _state(pt.read()) == _state(flat.read())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
