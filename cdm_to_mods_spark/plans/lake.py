@@ -2095,6 +2095,13 @@ class LakeTable:
     def schema(self) -> T.StructType:
         return self._canonical_schema(self.manifest())
 
+    def next_seq(self) -> int:
+        """The next free event sequence number (1 + max applied ``_seq``)
+        — the seq an external producer (e.g. the SQL INSERT router)
+        should stamp on change events it synthesizes itself."""
+        man = self.manifest()
+        return self._next_seq(man, self._canonical_schema(man))
+
     # ------------------------------------------------------- change feed
     # ---------------------------------------------------- typed changelog
     @staticmethod

@@ -1852,6 +1852,17 @@ class PartitionedTable:
         return self.changes(since_v, until_v)
 
     # ----------------------------------------- properties / constraints
+    def schema(self) -> T.StructType:
+        """The table-scope canonical schema (the spec copy — the one DDL
+        fan-outs keep authoritative for future partitions)."""
+        return schema_from_json(self._load_spec()["schema"])
+
+    def next_seq(self) -> int:
+        """One LSN above every applied seq in every partition — the
+        fleet-coherent seq an external producer (e.g. the SQL INSERT
+        router) should stamp on events it synthesizes itself."""
+        return self._fleet_seq(self.manifest())
+
     def properties(self) -> dict:
         return dict(self._load_spec().get("properties", {}))
 

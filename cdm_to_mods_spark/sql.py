@@ -1,0 +1,764 @@
+"""SQL statement front-end over lake tables — the Delta/Iceberg
+SQL-extension analog (``spark.sql("MERGE INTO ...")``,
+``DESCRIBE HISTORY``, ``OPTIMIZE``, ``VACUUM``) re-founded on this
+engine's table APIs.
+
+The reference drives every mutation imperatively (a Python loop calling
+lxml/XSLT per record, ``convert_cdm_to_mods.py:37-74``); an engine a user
+can *switch to* needs the declarative surface their existing jobs speak:
+SQL DDL/DML. Spark's parser cannot be extended from Python (Delta/Iceberg
+inject Scala parser extensions), so :class:`LakeCatalog` fronts a
+statement router: a fixed, documented grammar is recognized here and
+routed to the table APIs (``merge_into``, ``delete_where``,
+``update_where``, ``rollback``, ``compact``/``maintain``,
+``expire_snapshots``, ALTER/property/constraint methods); everything
+SELECT-shaped is delegated to ``spark.sql`` verbatim after the catalog
+registers each referenced lake table's CURRENT state as a temp view —
+including Delta-style time travel (``VERSION AS OF`` / ``TIMESTAMP AS
+OF`` rewritten to snapshot views before delegation).
+
+Supported statements (case-insensitive keywords; one statement per call):
+
+- ``CREATE TABLE [IF NOT EXISTS] t (col type, ...) USING lake
+  LOCATION '/path' [OPTIONS (k 'v', ...)] [TBLPROPERTIES (k 'v', ...)]``
+  — OPTIONS map to :class:`~cdm_to_mods_spark.plans.lake.LakeTable`
+  constructor args (``key_cols`` comma-joined, ``num_buckets``,
+  ``merge_mode``, ``partition_by`` = time granularity → a
+  :class:`~cdm_to_mods_spark.plans.partitioned.PartitionedTable`, ...).
+- ``DROP TABLE t`` — catalog unregister; data stays (external-table rule).
+- ``SHOW TABLES`` / ``DESCRIBE [HISTORY | DETAIL] t``
+- ``ALTER TABLE t ADD COLUMN c type | DROP COLUMN c |
+  RENAME COLUMN a TO b | SET TBLPROPERTIES (...) |
+  UNSET TBLPROPERTIES (...) | ADD CONSTRAINT n CHECK (expr) |
+  DROP CONSTRAINT n``
+- ``OPTIMIZE t`` — policy-driven maintenance
+  (:func:`~cdm_to_mods_spark.plans.maintenance.maintain`).
+- ``VACUUM t [RETAIN n SNAPSHOTS]`` — ``expire_snapshots(keep_last=n)``.
+- ``RESTORE TABLE t TO VERSION AS OF v`` — ``rollback(v)``.
+- ``DELETE FROM t WHERE pred`` / ``TRUNCATE TABLE t``
+- ``UPDATE t SET c = expr, ... WHERE pred``
+- ``INSERT INTO t [(cols)] VALUES (...), ... | <select>`` — keyed
+  insert: rows become 'I' change events at the next sequence number, so
+  inserting an existing key is an upsert (last-write-wins), never a
+  duplicate — the keyed-table INSERT rule, documented divergence from
+  Delta's append-duplicates.
+- ``MERGE INTO t [AS a] USING src|(<select>) [AS b] ON <key equality>
+  [WHEN MATCHED [AND c] THEN UPDATE SET ...|DELETE]
+  [WHEN NOT MATCHED [AND c] THEN INSERT *|(cols) VALUES (exprs)]`` —
+  the ON clause must be exactly the table's key-column equality (the
+  engine merges by key; any other join shape is refused with the key
+  list in the error).
+- anything starting with SELECT / WITH / VALUES — delegated to
+  ``spark.sql``.
+
+DML statements return a ONE-ROW DataFrame of the operation's metrics
+(the Delta convention of ``num_affected_rows``-style results), so every
+``sql()`` call uniformly returns a DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .plans.lake import LakeTable
+from .plans.maintenance import maintain
+from .plans.partitioned import PartitionedTable
+
+
+class LakeSqlError(ValueError):
+    """A statement the router recognizes but cannot execute, or one it
+    does not recognize at all. The message always names the supported
+    grammar so a failing statement is actionable."""
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote nesting depth 0 (SQL expression
+    lists contain commas inside function calls and string literals)."""
+    out, depth, buf, i, n = [], 0, [], 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+            i += 1
+            while i < n:
+                buf.append(s[i])
+                if s[i] == q:
+                    # SQL escapes a quote by doubling it
+                    if i + 1 < n and s[i + 1] == q:
+                        buf.append(s[i + 1])
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _parse_kv_list(body: str) -> dict:
+    """``k 'v', k2 = 'v2', k3 'v3'`` → dict (OPTIONS/TBLPROPERTIES body)."""
+    out = {}
+    for item in _split_top(body):
+        m = re.match(
+            rf"^['\"]?({_IDENT}(?:\.{_IDENT})*)['\"]?\s*=?\s*'([^']*)'$",
+            item.strip(),
+        )
+        if not m:
+            raise LakeSqlError(
+                f"cannot parse option {item!r}: expected key 'value' or "
+                "key = 'value'"
+            )
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+def _schema_from_ddl(cols_ddl: str) -> T.StructType:
+    try:
+        return T.StructType.fromDDL(cols_ddl)
+    except AttributeError:  # older pyspark
+        return T._parse_datatype_string(cols_ddl)
+
+
+def _metrics_df(spark: SparkSession, metrics: dict) -> DataFrame:
+    """One-row result frame; nested values JSON-stringified so the schema
+    stays flat and stable."""
+    flat = {
+        k: (v if isinstance(v, (int, float, str, bool)) or v is None
+            else json.dumps(v, default=str))
+        for k, v in sorted(metrics.items())
+    }
+    fields, row = [], []
+    for k, v in flat.items():
+        if isinstance(v, bool):
+            t = T.BooleanType()
+        elif isinstance(v, int):
+            t = T.LongType()
+        elif isinstance(v, float):
+            t = T.DoubleType()
+        else:
+            t = T.StringType()
+        fields.append(T.StructField(k, t, True))
+        row.append(v)
+    return spark.createDataFrame([tuple(row)], T.StructType(fields))
+
+
+# Constructor args an OPTIONS clause may set, with coercions.
+_LAKE_OPTS = {
+    "key_cols": lambda v: tuple(c.strip() for c in v.split(",")),
+    "bucket_col": str,
+    "num_buckets": int,
+    "merge_mode": str,
+    "compact_deltas": int,
+    "cow_change_feed": lambda v: v.lower() == "true",
+    "quarantine_path": str,
+    "bucket_fn": str,
+    "stats_cols": lambda v: tuple(c.strip() for c in v.split(",")),
+    "schema_mode": str,
+    "target_file_rows": int,
+    "bloom_cols": lambda v: tuple(c.strip() for c in v.split(",")),
+    "merge_engine": str,
+    "agg_spec": json.loads,
+    "changelog": str,
+}
+_PARTITIONED_OPTS = {
+    "partition_col": str,
+    "granularity": str,
+    "stage_threshold": int,
+    "apply_concurrency": int,
+    "cross_partition_upsert": lambda v: v.lower() == "true",
+    "index_buckets": int,
+}
+
+
+class LakeCatalog:
+    """Name → lake-table registry plus the SQL statement router.
+
+    The catalog is session-scoped metadata only (like a Hive metastore
+    client): tables are *external* — ``register``/``DROP TABLE`` bind and
+    unbind names, never touch data. Handles are duck-typed, so flat
+    :class:`LakeTable` and composite :class:`PartitionedTable` both work;
+    a statement needing an API the handle lacks fails with a typed error
+    naming the gap.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, object] = {}
+
+    # ------------------------------------------------------------ registry
+    def register(self, name: str, table) -> None:
+        if not re.fullmatch(_IDENT, name):
+            raise LakeSqlError(f"invalid table name {name!r}")
+        if isinstance(table, str):
+            table = LakeTable(self.spark, table)
+        self._tables[name] = table
+
+    def table(self, name: str):
+        try:
+            return self._tables[name]
+        except KeyError:
+            raise LakeSqlError(
+                f"table {name!r} is not registered; known tables: "
+                f"{sorted(self._tables)}"
+            ) from None
+
+    def tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    # ----------------------------------------------------------- dispatch
+    def sql(self, statement: str) -> DataFrame:
+        stmt = statement.strip().rstrip(";").strip()
+        head = stmt.split(None, 2)
+        kw = (head[0].upper() if head else "")
+        kw2 = (head[1].upper() if len(head) > 1 else "")
+        if kw in ("SELECT", "WITH", "VALUES"):
+            return self._select(stmt)
+        if kw == "CREATE" and kw2 == "TABLE":
+            return self._create_table(stmt)
+        if kw == "DROP" and kw2 == "TABLE":
+            return self._drop_table(stmt)
+        if kw == "SHOW" and kw2 == "TABLES":
+            return self.spark.createDataFrame(
+                [(n,) for n in self.tables()], "tableName string"
+            )
+        if kw == "DESCRIBE" or kw == "DESC":
+            return self._describe(stmt)
+        if kw == "ALTER" and kw2 == "TABLE":
+            return self._alter(stmt)
+        if kw == "OPTIMIZE":
+            return self._optimize(stmt)
+        if kw == "VACUUM":
+            return self._vacuum(stmt)
+        if kw == "RESTORE":
+            return self._restore(stmt)
+        if kw == "DELETE":
+            return self._delete(stmt)
+        if kw == "TRUNCATE":
+            return self._truncate(stmt)
+        if kw == "UPDATE":
+            return self._update(stmt)
+        if kw == "INSERT":
+            return self._insert(stmt)
+        if kw == "MERGE":
+            return self._merge(stmt)
+        raise LakeSqlError(
+            f"unsupported statement {kw} {kw2}: the router handles "
+            "SELECT/WITH/VALUES, CREATE/DROP TABLE, SHOW TABLES, "
+            "DESCRIBE [HISTORY|DETAIL], ALTER TABLE, OPTIMIZE, VACUUM, "
+            "RESTORE, DELETE, TRUNCATE, UPDATE, INSERT, MERGE INTO "
+            "(see cdm_to_mods_spark/sql.py docstring for shapes)"
+        )
+
+    # ------------------------------------------------------------- SELECT
+    def _referenced(self, stmt: str) -> list[str]:
+        toks = set(re.findall(_IDENT, stmt))
+        return [n for n in self._tables if n in toks]
+
+    def _select(self, stmt: str) -> DataFrame:
+        # Delta-style time travel: rewrite `t VERSION AS OF 3` /
+        # `t TIMESTAMP AS OF '...'` to a snapshot temp view BEFORE
+        # delegation (Spark's parser would reject the suffix).
+        for name in self._referenced(stmt):
+            pat = re.compile(
+                rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
+            )
+            for m in set(pat.findall(stmt)):
+                v = int(m)
+                view = f"{name}__v{v}"
+                self.table(name).read(version=v).createOrReplaceTempView(view)
+                stmt = re.sub(
+                    rf"\b{name}\s+VERSION\s+AS\s+OF\s+{m}\b", view, stmt,
+                    flags=re.I,
+                )
+            tpat = re.compile(
+                rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.I
+            )
+            for m in set(tpat.findall(stmt)):
+                t = self.table(name)
+                v = t.version_as_of(_coerce_ts(m))
+                view = f"{name}__v{v}"
+                t.read(version=v).createOrReplaceTempView(view)
+                stmt = re.sub(
+                    rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+'{re.escape(m)}'",
+                    view, stmt, flags=re.I,
+                )
+        # current heads for every (remaining) referenced table: a temp
+        # view over table.read() is a lazy logical plan — zero I/O until
+        # the delegated query executes, and each call re-registers so the
+        # view can never serve a stale snapshot.
+        for name in self._referenced(stmt):
+            self.table(name).read().createOrReplaceTempView(name)
+        return self.spark.sql(stmt)
+
+    # ---------------------------------------------------------------- DDL
+    def _create_table(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?({_IDENT})\s*"
+            rf"\((.*)\)\s*USING\s+lake\s+LOCATION\s+'([^']+)'\s*(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise LakeSqlError(
+                "CREATE TABLE shape: CREATE TABLE [IF NOT EXISTS] name "
+                "(col type, ...) USING lake LOCATION '/path' "
+                "[OPTIONS (...)] [TBLPROPERTIES (...)]"
+            )
+        if_not_exists, name, cols_ddl, location, tail = m.groups()
+        if name in self._tables:
+            if if_not_exists:
+                return _metrics_df(self.spark, {"table": name,
+                                                "created": False})
+            raise LakeSqlError(f"table {name!r} already registered")
+        opts, props = {}, {}
+        om = re.search(r"OPTIONS\s*\((.*?)\)\s*(?:TBLPROPERTIES|$)",
+                       tail, re.I | re.S)
+        if om:
+            opts = _parse_kv_list(om.group(1))
+        pm = re.search(r"TBLPROPERTIES\s*\((.*)\)\s*$", tail, re.I | re.S)
+        if pm:
+            props = _parse_kv_list(pm.group(1))
+        schema = _schema_from_ddl(cols_ddl)
+        kwargs, pkwargs = {}, {}
+        partitioned = "partition_col" in opts or "granularity" in opts \
+            or opts.pop("partitioned", "").lower() == "true"
+        for k, v in opts.items():
+            if k in _PARTITIONED_OPTS:
+                pkwargs[k] = _PARTITIONED_OPTS[k](v)
+                partitioned = True
+            elif k in _LAKE_OPTS:
+                kwargs[k] = _LAKE_OPTS[k](v)
+            else:
+                raise LakeSqlError(
+                    f"unknown OPTION {k!r}; lake options: "
+                    f"{sorted(_LAKE_OPTS)}; partitioned options: "
+                    f"{sorted(_PARTITIONED_OPTS)}"
+                )
+        if partitioned:
+            key_cols = kwargs.pop("key_cols", ("conv_id", "turn_idx"))
+            t = PartitionedTable(self.spark, location, key_cols,
+                                 **pkwargs, **kwargs)
+        else:
+            t = LakeTable(self.spark, location, **kwargs)
+        if not t.exists():
+            t.create(schema)
+        for k, v in props.items():
+            t.set_property(k, v)
+        self._tables[name] = t
+        return _metrics_df(self.spark, {"table": name, "created": True,
+                                        "location": location})
+
+    def _drop_table(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?({_IDENT})$", stmt, re.I
+        )
+        if not m:
+            raise LakeSqlError("DROP TABLE shape: DROP TABLE [IF EXISTS] t")
+        if_exists, name = m.groups()
+        if name not in self._tables:
+            if if_exists:
+                return _metrics_df(self.spark, {"table": name,
+                                                "dropped": False})
+            raise LakeSqlError(f"table {name!r} is not registered")
+        # external-table rule: unbind the name, keep the data. A real
+        # delete is expire_snapshots + filesystem removal, deliberately
+        # not reachable from one SQL string.
+        del self._tables[name]
+        self.spark.catalog.dropTempView(name)
+        return _metrics_df(self.spark, {"table": name, "dropped": True})
+
+    def _describe(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+({_IDENT})"
+            r"(?:\s+LIMIT\s+(\d+))?$",
+            stmt, re.I,
+        )
+        if not m:
+            raise LakeSqlError(
+                "DESCRIBE shape: DESCRIBE HISTORY|DETAIL t [LIMIT n]"
+            )
+        what, name, limit = m.group(1).upper(), m.group(2), m.group(3)
+        t = self.table(name)
+        if what == "DETAIL":
+            return _metrics_df(self.spark, t.describe_detail())
+        hist = t.history(int(limit) if limit else None)
+        rows = [
+            tuple(
+                json.dumps(h.get(k), default=str)
+                if isinstance(h.get(k), (dict, list))
+                else h.get(k)
+                for k in ("version", "operation", "commit_ts", "metrics")
+            )
+            for h in hist
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, commit_ts double, "
+            "metrics string",
+        )
+
+    def _alter(self, stmt: str) -> DataFrame:
+        body = re.match(rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", stmt,
+                        re.I | re.S)
+        if not body:
+            raise LakeSqlError("ALTER TABLE shape: ALTER TABLE t <action>")
+        name, action = body.group(1), body.group(2).strip()
+        t = self.table(name)
+        m = re.match(
+            rf"ADD\s+COLUMNS?\s*\(?\s*({_IDENT})\s+([A-Za-z0-9_<>,() ]+?)\s*\)?$",
+            action, re.I,
+        )
+        if m:
+            return _metrics_df(
+                self.spark, t.add_column(m.group(1), m.group(2).strip())
+            )
+        m = re.match(rf"DROP\s+COLUMN\s+({_IDENT})$", action, re.I)
+        if m:
+            return _metrics_df(self.spark, t.drop_column(m.group(1)))
+        m = re.match(
+            rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})$", action, re.I
+        )
+        if m:
+            return _metrics_df(
+                self.spark, t.rename_column(m.group(1), m.group(2))
+            )
+        m = re.match(
+            rf"ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+([A-Za-z0-9_() ]+)$",
+            action, re.I,
+        )
+        if m:
+            return _metrics_df(
+                self.spark, t.widen_column(m.group(1), m.group(2).strip())
+            )
+        m = re.match(r"SET\s+TBLPROPERTIES\s*\((.*)\)$", action, re.I | re.S)
+        if m:
+            out = {}
+            for k, v in _parse_kv_list(m.group(1)).items():
+                out = t.set_property(k, v)
+            return _metrics_df(self.spark, out)
+        m = re.match(r"UNSET\s+TBLPROPERTIES\s*\((.*)\)$", action,
+                     re.I | re.S)
+        if m:
+            out = {}
+            for item in _split_top(m.group(1)):
+                out = t.unset_property(item.strip().strip("'\""))
+            return _metrics_df(self.spark, out)
+        m = re.match(
+            rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)$",
+            action, re.I | re.S,
+        )
+        if m:
+            return _metrics_df(
+                self.spark, t.add_constraint(m.group(1), m.group(2).strip())
+            )
+        m = re.match(rf"DROP\s+CONSTRAINT\s+({_IDENT})$", action, re.I)
+        if m:
+            return _metrics_df(self.spark, t.drop_constraint(m.group(1)))
+        raise LakeSqlError(
+            f"unsupported ALTER action {action!r}: ADD COLUMN c type | "
+            "DROP COLUMN c | RENAME COLUMN a TO b | ALTER COLUMN c TYPE t "
+            "| SET/UNSET TBLPROPERTIES (...) | ADD CONSTRAINT n CHECK "
+            "(expr) | DROP CONSTRAINT n"
+        )
+
+    # -------------------------------------------------------- maintenance
+    def _optimize(self, stmt: str) -> DataFrame:
+        m = re.match(rf"OPTIMIZE\s+({_IDENT})$", stmt, re.I)
+        if not m:
+            raise LakeSqlError("OPTIMIZE shape: OPTIMIZE t")
+        t = self.table(m.group(1))
+        if isinstance(t, PartitionedTable):
+            return _metrics_df(self.spark, t.maintain())
+        return _metrics_df(self.spark, maintain(t))
+
+    def _vacuum(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?$",
+            stmt, re.I,
+        )
+        if not m:
+            raise LakeSqlError("VACUUM shape: VACUUM t [RETAIN n SNAPSHOTS]")
+        keep = int(m.group(2)) if m.group(2) else 1
+        return _metrics_df(
+            self.spark, self.table(m.group(1)).expire_snapshots(keep_last=keep)
+        )
+
+    def _restore(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            stmt, re.I,
+        )
+        if not m:
+            raise LakeSqlError(
+                "RESTORE shape: RESTORE TABLE t TO VERSION AS OF v"
+            )
+        return _metrics_df(
+            self.spark, self.table(m.group(1)).rollback(int(m.group(2)))
+        )
+
+    # ---------------------------------------------------------------- DML
+    def _delete(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)$", stmt, re.I | re.S
+        )
+        if not m:
+            raise LakeSqlError(
+                "DELETE shape: DELETE FROM t WHERE pred (unconditional "
+                "delete: TRUNCATE TABLE t)"
+            )
+        return _metrics_df(
+            self.spark, self.table(m.group(1)).delete_where(m.group(2).strip())
+        )
+
+    def _truncate(self, stmt: str) -> DataFrame:
+        m = re.match(rf"TRUNCATE\s+TABLE\s+({_IDENT})$", stmt, re.I)
+        if not m:
+            raise LakeSqlError("TRUNCATE shape: TRUNCATE TABLE t")
+        return _metrics_df(
+            self.spark, self.table(m.group(1)).delete_where("true")
+        )
+
+    def _update(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise LakeSqlError(
+                "UPDATE shape: UPDATE t SET c = expr, ... WHERE pred"
+            )
+        name, set_body, pred = m.groups()
+        assignments = {}
+        for item in _split_top(set_body):
+            am = re.match(rf"({_IDENT})\s*=\s*(.+)$", item, re.S)
+            if not am:
+                raise LakeSqlError(f"cannot parse assignment {item!r}")
+            assignments[am.group(1)] = am.group(2).strip()
+        return _metrics_df(
+            self.spark,
+            self.table(name).update_where(pred.strip(), assignments),
+        )
+
+    def _insert(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise LakeSqlError(
+                "INSERT shape: INSERT INTO t [(cols)] VALUES (...), ... "
+                "| INSERT INTO t [(cols)] SELECT ..."
+            )
+        name, _, cols_body, rest = m.groups()
+        t = self.table(name)
+        schema = t.schema()
+        cols = (
+            [c.strip() for c in cols_body.split(",")]
+            if cols_body else schema.fieldNames()
+        )
+        unknown = [c for c in cols if c not in schema.fieldNames()]
+        if unknown:
+            raise LakeSqlError(
+                f"INSERT column(s) {unknown} not in table schema "
+                f"{schema.fieldNames()}"
+            )
+        rest = rest.strip()
+        if re.match(r"VALUES\b", rest, re.I):
+            named = ", ".join(cols)
+            src = self.spark.sql(f"SELECT * FROM {rest} AS _v({named})")
+        else:
+            src = self._select(rest)
+            if len(src.columns) != len(cols):
+                raise LakeSqlError(
+                    f"INSERT SELECT produces {len(src.columns)} columns "
+                    f"for {len(cols)} target columns"
+                )
+            src = src.toDF(*cols)
+        missing_keys = [k for k in t.key_cols if k not in cols]
+        if missing_keys:
+            raise LakeSqlError(
+                f"INSERT must supply key column(s) {missing_keys}"
+            )
+        # keyed insert = 'I' events at the next seq — an existing key is
+        # upserted (LWW), never duplicated (keyed-table divergence from
+        # Delta's blind append, stated in the module docstring)
+        from pyspark.sql import functions as F
+
+        seq = t.next_seq()
+        events = src.select(
+            F.lit("I").alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in cols
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in schema.fields
+                if not f.name.startswith("_")
+            ],
+        )
+        out = t.apply_changes(events, source="sql:insert")
+        return _metrics_df(self.spark, {**out, "insert_seq": seq})
+
+    # -------------------------------------------------------------- MERGE
+    def _merge(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})"
+            rf"(?:\s+(?:AS\s+)?(?!USING\b)({_IDENT}))?\s+"
+            rf"USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
+            rf"(?:\s+(?:AS\s+)?(?!ON\b)({_IDENT}))?\s+"
+            rf"ON\s+(.*?)\s+(WHEN\s+.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise LakeSqlError(
+                "MERGE shape: MERGE INTO t [AS a] USING src|(<select>) "
+                "[AS s] ON <key equality> WHEN ... (at least one WHEN "
+                "clause)"
+            )
+        name, talias, src_ref, salias, on_body, when_body = m.groups()
+        t = self.table(name)
+        talias = talias or name
+        if src_ref.startswith("("):
+            src = self._select(src_ref[1:-1].strip())
+            salias = salias or "s"
+        else:
+            if src_ref in self._tables:
+                src = self.table(src_ref).read()
+            else:
+                src = self.spark.table(src_ref)  # temp view
+            salias = salias or src_ref
+        # ON must be exactly key equality: the engine merges by key.
+        on_keys = set()
+        for conj in re.split(r"\bAND\b", on_body, flags=re.I):
+            em = re.match(
+                rf"\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+                conj,
+            )
+            if not em:
+                raise LakeSqlError(
+                    f"MERGE ON clause term {conj.strip()!r} is not a "
+                    "qualified column equality; the engine merges by key "
+                    f"columns {list(t.key_cols)} only"
+                )
+            a, ac, b, bc = em.groups()
+            pair = {a: ac, b: bc}
+            if set(pair) != {talias, salias} or pair[talias] != pair[salias]:
+                raise LakeSqlError(
+                    f"MERGE ON term {conj.strip()!r} must equate the same "
+                    f"column across aliases {talias!r}/{salias!r}"
+                )
+            on_keys.add(pair[talias])
+        if on_keys != set(t.key_cols):
+            raise LakeSqlError(
+                f"MERGE ON columns {sorted(on_keys)} != table key "
+                f"{sorted(t.key_cols)}: the engine merges by exactly the "
+                "key columns"
+            )
+
+        def _norm(expr: str) -> str:
+            # merge_into's expression scope is t./s. — rewrite the
+            # statement's aliases onto it
+            expr = re.sub(rf"\b{talias}\.", "t.", expr)
+            return re.sub(rf"\b{salias}\.", "s.", expr)
+
+        kwargs = {
+            "when_matched_update": None,
+            "when_matched_delete": None,
+            "when_not_matched_insert": False,
+        }
+        clause_re = re.compile(
+            r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+",
+            re.I | re.S,
+        )
+        starts = list(clause_re.finditer(when_body))
+        if not starts:
+            raise LakeSqlError("MERGE needs at least one WHEN clause")
+        for i, cm in enumerate(starts):
+            body_end = (
+                starts[i + 1].start() if i + 1 < len(starts)
+                else len(when_body)
+            )
+            action = when_body[cm.end():body_end].strip()
+            is_not_matched = bool(cm.group(1))
+            cond = _norm(cm.group(2).strip()) if cm.group(2) else None
+            if is_not_matched:
+                im = re.match(r"INSERT\s*(\*|\(([^)]*)\)\s*VALUES\s*\((.*)\))$",
+                              action, re.I | re.S)
+                if not im:
+                    raise LakeSqlError(
+                        f"WHEN NOT MATCHED action {action!r}: INSERT * or "
+                        "INSERT (cols) VALUES (exprs)"
+                    )
+                if im.group(1) == "*":
+                    kwargs["when_not_matched_insert"] = True
+                else:
+                    cols = [c.strip() for c in im.group(2).split(",")]
+                    exprs = _split_top(im.group(3))
+                    if len(cols) != len(exprs):
+                        raise LakeSqlError(
+                            "INSERT column/expression count mismatch"
+                        )
+                    kwargs["when_not_matched_insert"] = {
+                        c: _norm(e) for c, e in zip(cols, exprs)
+                    }
+                if cond:
+                    kwargs["not_matched_condition"] = cond
+            elif re.match(r"DELETE$", action, re.I):
+                kwargs["when_matched_delete"] = cond if cond else True
+            else:
+                um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+                if not um:
+                    raise LakeSqlError(
+                        f"WHEN MATCHED action {action!r}: UPDATE SET ... "
+                        "or DELETE"
+                    )
+                assignments = {}
+                for item in _split_top(um.group(1)):
+                    am = re.match(rf"(?:{_IDENT}\.)?({_IDENT})\s*=\s*(.+)$",
+                                  item, re.S)
+                    if not am:
+                        raise LakeSqlError(
+                            f"cannot parse MERGE assignment {item!r}"
+                        )
+                    assignments[am.group(1)] = _norm(am.group(2).strip())
+                kwargs["when_matched_update"] = assignments
+                if cond:
+                    kwargs["matched_condition"] = cond
+        out = t.merge_into(src, **kwargs)
+        return _metrics_df(self.spark, out)
+
+
+def _coerce_ts(s: str):
+    from datetime import datetime
+
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    try:
+        return float(s)
+    except ValueError:
+        raise LakeSqlError(
+            f"cannot parse timestamp {s!r}: use 'YYYY-MM-DD[ HH:MM:SS]' "
+            "or a unix epoch number"
+        ) from None

@@ -1,0 +1,327 @@
+"""SQL statement front-end (cdm_to_mods_spark/sql.py): the Delta/Iceberg
+SQL-extension analog routed onto the engine's table APIs. Every DML
+statement must produce the same state as the equivalent direct API call,
+and SELECT delegation (incl. time travel) must read through live views.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+from cdm_to_mods_spark.sql import LakeCatalog, LakeSqlError, _split_top
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string"
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENT_DDL)
+
+
+@pytest.fixture()
+def cat(spark):
+    return LakeCatalog(spark)
+
+
+@pytest.fixture()
+def seeded(spark, cat, tmp_path):
+    """A registered table `tr` with three live rows."""
+    t = LakeTable(spark, str(tmp_path / "tr"), num_buckets=4,
+                  merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _events(spark, [
+            ("I", 1, "c1", 0, "user", "hello", None),
+            ("I", 2, "c1", 1, "assistant", "hi there", None),
+            ("I", 3, "c2", 0, "user", "ping", "search"),
+        ]),
+        batch_id=0,
+    )
+    cat.register("tr", t)
+    return t
+
+
+# ------------------------------------------------------------- registry
+def test_register_by_path_and_show_tables(spark, cat, tmp_path, seeded):
+    cat.register("tr2", seeded.path)  # path form opens a handle
+    names = [r.tableName for r in cat.sql("SHOW TABLES").collect()]
+    assert names == ["tr", "tr2"]
+    assert cat.sql("SELECT count(*) AS n FROM tr2").first().n == 3
+
+
+def test_unknown_table_and_statement_fail_typed(cat):
+    with pytest.raises(LakeSqlError, match="not registered"):
+        cat.sql("DELETE FROM nope WHERE true")
+    with pytest.raises(LakeSqlError, match="unsupported statement"):
+        cat.sql("GRANT ALL ON x TO y")
+
+
+# --------------------------------------------------------------- SELECT
+def test_select_reads_current_head_not_a_stale_view(spark, cat, seeded):
+    assert cat.sql("SELECT count(*) AS n FROM tr").first().n == 3
+    seeded.apply_changes(
+        _events(spark, [("I", 4, "c3", 0, "user", "new", None)]),
+        batch_id=1,
+    )
+    # re-running the same statement must see the new commit
+    assert cat.sql("SELECT count(*) AS n FROM tr").first().n == 4
+
+
+def test_select_time_travel_version_and_timestamp(spark, cat, seeded):
+    v1 = seeded.latest_version()
+    ts1 = seeded.manifest()["commit_ts"]
+    seeded.delete_where("conv_id = 'c2'")
+    assert cat.sql("SELECT count(*) AS n FROM tr").first().n == 2
+    assert (
+        cat.sql(f"SELECT count(*) AS n FROM tr VERSION AS OF {v1}").first().n
+        == 3
+    )
+    got = cat.sql(
+        f"SELECT count(*) AS n FROM tr TIMESTAMP AS OF '{ts1}'"
+    ).first().n
+    assert got == 3
+
+
+def test_select_join_across_two_lake_tables(spark, cat, tmp_path, seeded):
+    dim = LakeTable(spark, str(tmp_path / "dim"), key_cols=("conv_id",),
+                    num_buckets=2)
+    dim.create(T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("label", T.StringType(), True),
+    ]))
+    dim.apply_changes(spark.createDataFrame(
+        [("I", 1, "c1", "alpha"), ("I", 2, "c2", "beta")],
+        "op string, seq long, conv_id string, label string",
+    ))
+    cat.register("dim", dim)
+    rows = cat.sql(
+        "SELECT tr.conv_id, dim.label FROM tr JOIN dim USING (conv_id) "
+        "WHERE tr.turn_idx = 0 ORDER BY tr.conv_id"
+    ).collect()
+    assert [(r.conv_id, r.label) for r in rows] == [
+        ("c1", "alpha"), ("c2", "beta")
+    ]
+
+
+# ------------------------------------------------------------------ DDL
+def test_create_table_options_and_tblproperties(spark, cat, tmp_path):
+    loc = str(tmp_path / "made")
+    out = cat.sql(
+        f"""CREATE TABLE made (conv_id string, turn_idx int, text string)
+        USING lake LOCATION '{loc}'
+        OPTIONS (key_cols 'conv_id,turn_idx', num_buckets '2',
+                 merge_mode 'mor')
+        TBLPROPERTIES (owner 'ingest-team')"""
+    ).first()
+    assert out.created is True
+    t = cat.table("made")
+    assert t.num_buckets == 2 and t.merge_mode == "mor"
+    assert t.properties()["owner"] == "ingest-team"
+    assert t.schema().fieldNames() == ["conv_id", "turn_idx", "text"]
+    # IF NOT EXISTS on a registered name is a no-op, bare CREATE refuses
+    assert cat.sql(
+        f"CREATE TABLE IF NOT EXISTS made (a string) USING lake "
+        f"LOCATION '{loc}'"
+    ).first().created is False
+    with pytest.raises(LakeSqlError, match="already registered"):
+        cat.sql(
+            f"CREATE TABLE made (a string) USING lake LOCATION '{loc}'"
+        )
+
+
+def test_create_partitioned_table_via_options(spark, cat, tmp_path):
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    loc = str(tmp_path / "parted")
+    cat.sql(
+        f"""CREATE TABLE parted (conv_id string, turn_idx int,
+        text string, ts timestamp) USING lake LOCATION '{loc}'
+        OPTIONS (key_cols 'conv_id,turn_idx', partition_col 'ts',
+                 granularity 'month', num_buckets '2')"""
+    )
+    t = cat.table("parted")
+    assert isinstance(t, PartitionedTable)
+    assert t.partition_col == "ts" and t.granularity == "month"
+    cat.sql(
+        "INSERT INTO parted VALUES "
+        "('c1', 0, 'jan row', timestamp'2024-01-05 10:00:00'), "
+        "('c2', 0, 'mar row', timestamp'2024-03-09 11:00:00')"
+    )
+    assert sorted(t.partitions()) == ["2024-01", "2024-03"]
+    assert cat.sql("SELECT count(*) AS n FROM parted").first().n == 2
+
+
+def test_drop_table_unbinds_but_keeps_data(spark, cat, seeded):
+    path = seeded.path
+    assert cat.sql("DROP TABLE tr").first().dropped is True
+    # an unregistered name in a SELECT falls through to Spark's own
+    # resolution error (the router cannot know which identifiers were
+    # meant as lake tables); DML on it gets the typed catalog error
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        cat.sql("SELECT * FROM tr WHERE conv_id = 'c1'")
+    with pytest.raises(LakeSqlError, match="not registered"):
+        cat.sql("DELETE FROM tr WHERE true")
+    # data untouched: a fresh handle still reads it
+    assert LakeTable(cat.spark, path).read().count() == 3
+    assert cat.sql("DROP TABLE IF EXISTS tr").first().dropped is False
+
+
+def test_alter_table_column_ddl_roundtrip(spark, cat, seeded):
+    cat.sql("ALTER TABLE tr ADD COLUMN lang string")
+    assert "lang" in seeded.schema().fieldNames()
+    cat.sql("ALTER TABLE tr RENAME COLUMN lang TO language")
+    assert "language" in seeded.schema().fieldNames()
+    cat.sql("ALTER TABLE tr DROP COLUMN language")
+    assert "language" not in seeded.schema().fieldNames()
+    cat.sql("ALTER TABLE tr SET TBLPROPERTIES (tier 'gold', pii 'false')")
+    assert seeded.properties() == {"tier": "gold", "pii": "false"}
+    cat.sql("ALTER TABLE tr UNSET TBLPROPERTIES (pii)")
+    assert seeded.properties() == {"tier": "gold"}
+
+
+def test_alter_constraint_and_widen(spark, cat, seeded):
+    cat.sql("ALTER TABLE tr ADD CONSTRAINT role_known "
+            "CHECK (role IN ('user','assistant','tool'))")
+    assert [c["name"] for c in seeded.constraints()] == ["role_known"]
+    with pytest.raises(Exception, match="CHECK constraint violated"):
+        cat.sql("INSERT INTO tr (conv_id, turn_idx, role) "
+                "VALUES ('c9', 0, 'robot')")
+    cat.sql("ALTER TABLE tr DROP CONSTRAINT role_known")
+    assert seeded.constraints() == []
+    cat.sql("ALTER TABLE tr ALTER COLUMN turn_idx TYPE bigint")
+    assert seeded.schema()["turn_idx"].dataType == T.LongType()
+
+
+# ------------------------------------------------------------------ DML
+def test_insert_values_and_keyed_upsert(spark, cat, seeded):
+    out = cat.sql(
+        "INSERT INTO tr VALUES "
+        "('c3', 0, 'user', 'fresh', NULL, NULL), "
+        "('c1', 0, 'user', 'rewritten', NULL, NULL)"
+    ).first()
+    assert out.n_events == 2
+    rows = {
+        (r.conv_id, r.turn_idx): r.text for r in seeded.read().collect()
+    }
+    assert rows[("c3", 0)] == "fresh"
+    # keyed insert upserts the existing key instead of duplicating it
+    assert rows[("c1", 0)] == "rewritten"
+    assert len(rows) == 4
+
+
+def test_insert_column_list_and_select_source(spark, cat, seeded):
+    cat.sql("INSERT INTO tr (conv_id, turn_idx, text) "
+            "SELECT conv_id, turn_idx + 100, upper(text) FROM tr "
+            "WHERE conv_id = 'c2'")
+    r = seeded.read().filter("turn_idx = 100").first()
+    assert (r.conv_id, r.text, r.role) == ("c2", "PING", None)
+    with pytest.raises(LakeSqlError, match="key column"):
+        cat.sql("INSERT INTO tr (text) VALUES ('no key')")
+    with pytest.raises(LakeSqlError, match="not in table schema"):
+        cat.sql("INSERT INTO tr (conv_id, turn_idx, nope) "
+                "VALUES ('x', 0, 'y')")
+
+
+def test_update_delete_truncate(spark, cat, seeded):
+    cat.sql("UPDATE tr SET text = concat(text, '!'), tool = 'edited' "
+            "WHERE role = 'user'")
+    texts = {r.conv_id: (r.text, r.tool)
+             for r in seeded.read().filter("role = 'user'").collect()}
+    assert texts == {"c1": ("hello!", "edited"), "c2": ("ping!", "edited")}
+    out = cat.sql("DELETE FROM tr WHERE conv_id = 'c2'").first()
+    assert out.deleted_rows == 1
+    assert seeded.read().count() == 2
+    cat.sql("TRUNCATE TABLE tr")
+    assert seeded.read().count() == 0
+
+
+def test_dml_rides_the_change_feed(spark, cat, seeded):
+    v0 = seeded.latest_version()
+    cat.sql("UPDATE tr SET tool = 'patched' WHERE conv_id = 'c1'")
+    feed = seeded.changes(v0).collect()
+    assert sorted((r.conv_id, r.turn_idx, r.tool, r._deleted)
+                  for r in feed) == [
+        ("c1", 0, "patched", False), ("c1", 1, "patched", False)
+    ]
+
+
+# ---------------------------------------------------------------- MERGE
+def test_merge_into_full_three_clause(spark, cat, seeded):
+    src = spark.createDataFrame(
+        [("c1", 0, "patched"), ("c2", 0, "DROP"), ("c9", 0, "brand new")],
+        "conv_id string, turn_idx int, text string",
+    )
+    src.createOrReplaceTempView("updates")
+    out = cat.sql(
+        """MERGE INTO tr AS t USING updates AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND s.text = 'DROP' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET text = s.text
+        WHEN NOT MATCHED THEN INSERT *"""
+    ).first()
+    assert out.n_events == 3
+    rows = {(r.conv_id, r.turn_idx): r.text
+            for r in seeded.read().collect()}
+    assert rows[("c1", 0)] == "patched"
+    assert ("c2", 0) not in rows
+    assert rows[("c9", 0)] == "brand new"
+    assert rows[("c1", 1)] == "hi there"  # untouched
+
+
+def test_merge_using_subquery_and_insert_columns(spark, cat, seeded):
+    cat.sql(
+        """MERGE INTO tr t
+        USING (SELECT 'c7' AS conv_id, 0 AS turn_idx, 'seven' AS body) s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN NOT MATCHED THEN INSERT (conv_id, turn_idx, text, role)
+        VALUES (s.conv_id, s.turn_idx, upper(s.body), 'user')"""
+    )
+    r = seeded.read().filter("conv_id = 'c7'").first()
+    assert (r.text, r.role) == ("SEVEN", "user")
+
+
+def test_merge_refuses_non_key_on_clause(spark, cat, seeded):
+    seeded.read().limit(1).createOrReplaceTempView("one_row")
+    with pytest.raises(LakeSqlError, match="key"):
+        cat.sql(
+            """MERGE INTO tr t USING one_row s ON t.conv_id = s.conv_id
+            WHEN MATCHED THEN DELETE"""
+        )
+    with pytest.raises(LakeSqlError, match="column equality"):
+        cat.sql(
+            """MERGE INTO tr t USING one_row s
+            ON t.conv_id = s.conv_id AND t.turn_idx > s.turn_idx
+            WHEN MATCHED THEN DELETE"""
+        )
+
+
+# ---------------------------------------------- maintenance / utilities
+def test_describe_optimize_vacuum_restore(spark, cat, seeded):
+    hist = cat.sql("DESCRIBE HISTORY tr").collect()
+    assert [r.operation for r in hist] == ["MERGE", "CREATE"]
+    assert cat.sql("DESCRIBE HISTORY tr LIMIT 1").count() == 1
+    detail = cat.sql("DESCRIBE DETAIL tr").first()
+    assert detail.num_buckets == 4
+    v_before = seeded.latest_version()
+    cat.sql("DELETE FROM tr WHERE conv_id = 'c1'")
+    cat.sql(f"RESTORE TABLE tr TO VERSION AS OF {v_before}")
+    assert seeded.read().count() == 3
+    cat.sql("OPTIMIZE tr")
+    out = cat.sql("VACUUM tr RETAIN 1 SNAPSHOTS").first()
+    assert out.expired_manifests >= 0
+    assert seeded.read().count() == 3
+
+
+# ------------------------------------------------------------- plumbing
+def test_split_top_respects_nesting_and_strings():
+    assert _split_top("a = f(x, y), b = 'p,q', c = (1, 2)") == [
+        "a = f(x, y)", "b = 'p,q'", "c = (1, 2)"
+    ]
+    assert _split_top("concat(a, ','), b") == ["concat(a, ',')", "b"]
