@@ -1,0 +1,438 @@
+"""Multi-table atomic transactions — a TABLE GROUP with a group ledger
+of consistent cuts and branch-staged two-phase commit.
+
+The reference's pipeline mutates several outputs per run (converted MODS
+dir, restriction report, reconciliation counts — `post_cdm_cleanup.py`)
+and its integrity story is "abort the whole run if any piece fails". At
+lake scale the same need is cross-TABLE atomicity: an ingest that lands
+transcript rows AND a stats rollup AND an audit record must never be
+half-visible. Filesystem tables have no shared catalog to make N
+independent directory commits atomic, so the engine does what Iceberg's
+REST-catalog multi-table transactions / Nessie do: introduce the catalog.
+
+:class:`TableGroup` is that catalog — the heterogeneous-table
+generalization of :class:`~cdm_to_mods_spark.plans.partitioned
+.PartitionedTable`'s global ledger (same link(2)-exclusive cut commits,
+same ledger-as-idempotence-token recovery), with members that are
+ordinary external :class:`LakeTable` s instead of partitions:
+
+- every group version pins one CONSISTENT CUT ``{name: sub_version}``;
+- ``read(name)`` resolves through the latest cut, so a group reader can
+  never observe table A's transaction output next to table B's
+  pre-transaction state (cross-table snapshot isolation — the reason a
+  plain ``LakeTable.read()`` of each member is not enough);
+- a :class:`GroupTransaction` stages writes on per-table branches (the
+  WAP machinery), then commits in two phases: a durable WAL record is
+  the commit point, branch publishes + the cut commit are its redo log,
+  and ``recover()`` completes or discards torn transactions.
+
+Concurrency contract (same single-writer-per-table rule as every
+maintenance op in this engine): member tables must not take DIRECT main
+commits while a group transaction is committing — the pre-commit fork
+check turns the common race into a clean
+:class:`TransactionConflictError` abort, but a main commit that lands
+inside the publish window surfaces later as a
+``BranchDivergedError`` from ``recover()``. Direct (non-transactional)
+writes between transactions are fine: ``sync()`` advances the cut to
+the current heads as an ordinary group commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from uuid import uuid4
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .lake import BranchDivergedError, LakeTable
+
+
+class TransactionConflictError(RuntimeError):
+    """A member table's main advanced past the transaction's fork point
+    before the commit point — the transaction aborted cleanly (no table
+    published); re-stage and retry."""
+
+
+class TransactionTornError(RuntimeError):
+    """A transaction passed its commit point (durable WAL) but could not
+    complete — run :meth:`TableGroup.recover` to finish or inspect."""
+
+
+def _fsync_write(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp-{uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)
+
+
+class TableGroup:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path.rstrip("/"))
+        self._ledger = os.path.join(self.path, "_ledger")
+        self._txn_dir = os.path.join(self.path, "_txn")
+        self._spec_path = os.path.join(self.path, "_group.json")
+        self._handles: dict[str, LakeTable] = {}
+
+    # ----------------------------------------------------------- members
+    def _spec(self) -> dict:
+        try:
+            with open(self._spec_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no table group at {self.path}; create() it first"
+            ) from None
+
+    def exists(self) -> bool:
+        return os.path.exists(self._spec_path)
+
+    def members(self) -> list[str]:
+        return sorted(self._spec()["tables"])
+
+    def table(self, name: str) -> LakeTable:
+        """The member's RAW handle (main branch, current head) — reads
+        through it see uncoordinated state; group-consistent reads go
+        through :meth:`read`."""
+        if name not in self._handles:
+            spec = self._spec()
+            if name not in spec["tables"]:
+                raise LookupError(
+                    f"no member {name!r} in group {self.path}; members: "
+                    f"{sorted(spec['tables'])}"
+                )
+            self._handles[name] = LakeTable(self.spark, spec["tables"][name])
+        return self._handles[name]
+
+    def create(self, tables: dict[str, LakeTable]) -> None:
+        """Register ``tables`` (existing lake tables — the group stores
+        their paths, external-table style) and commit the g0 cut at
+        their current heads."""
+        if self.exists() and self.latest_version() is not None:
+            raise RuntimeError(f"group already exists at {self.path}")
+        for name, t in tables.items():
+            if t.latest_version() is None:
+                raise FileNotFoundError(
+                    f"member {name!r} has no snapshots at {t.path}; "
+                    "create it before grouping"
+                )
+        os.makedirs(self.path, exist_ok=True)
+        _fsync_write(
+            self._spec_path,
+            {
+                "format_version": 1,
+                "tables": {n: t.path for n, t in sorted(tables.items())},
+            },
+        )
+        self._commit(
+            {
+                "format_version": 1,
+                "version": 0,
+                "op": "create",
+                "tables": {
+                    n: t.latest_version() for n, t in tables.items()
+                },
+                "txn_id": None,
+                "metrics": {},
+                "commit_ts": time.time(),
+            }
+        )
+
+    # ------------------------------------------------------------ ledger
+    def _gfile(self, v: int) -> str:
+        return os.path.join(self._ledger, f"g{v:08d}.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._ledger):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self._ledger)
+            if f.startswith("g") and f.endswith(".json")
+            and not f.startswith("g_tmp")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v is None or not os.path.exists(self._gfile(v)):
+            raise LookupError(f"no group version {version} at {self.path}")
+        with open(self._gfile(v)) as fh:
+            return json.load(fh)
+
+    def _commit(self, man: dict) -> None:
+        # link(2)-exclusive, like every ledger in this engine: a racing
+        # group commit surfaces as a conflict, never a clobber
+        os.makedirs(self._ledger, exist_ok=True)
+        final = self._gfile(man["version"])
+        tmp = os.path.join(self._ledger, f"g_tmp-{uuid4().hex[:8]}.json")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent group commit conflict on version "
+                f"{man['version']}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def cut(self, version: int | None = None) -> dict:
+        """The consistent cut ``{name: sub_version}`` at a group version
+        (default: latest)."""
+        return dict(self.manifest(version)["tables"])
+
+    def read(self, name: str, group_version: int | None = None) -> DataFrame:
+        """Member state AT the group cut — cross-table snapshot
+        isolation (and group-level time travel via ``group_version``)."""
+        c = self.cut(group_version)
+        if name not in c:
+            raise LookupError(f"no member {name!r} in group cut {c}")
+        return self.table(name).read(version=c[name])
+
+    def sync(self, note: str | None = None) -> dict:
+        """Advance the cut to every member's current head — the
+        non-transactional commit for direct writes made between
+        transactions. NOT atomic across tables (the writes already
+        happened); it just republishes a coherent observation point."""
+        man = self.manifest()
+        tables = {n: self.table(n).latest_version() for n in man["tables"]}
+        out = {
+            "format_version": 1,
+            "version": man["version"] + 1,
+            "op": "sync",
+            "tables": tables,
+            "txn_id": None,
+            "metrics": {"note": note} if note else {},
+            "commit_ts": time.time(),
+        }
+        self._commit(out)
+        return {"version": out["version"], "tables": tables}
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        vs = self._versions()[::-1]
+        if limit is not None:
+            vs = vs[:limit]
+        return [self.manifest(v) for v in vs]
+
+    # ------------------------------------------------------ transactions
+    def transaction(self) -> "GroupTransaction":
+        if self.pending_transactions():
+            # a torn txn holds branch forks that any new commit's fork
+            # check would trip over anyway — fail early with the cure
+            raise TransactionTornError(
+                f"group {self.path} has torn transaction(s) "
+                f"{self.pending_transactions()}; run recover() first"
+            )
+        return GroupTransaction(self)
+
+    def pending_transactions(self) -> list[str]:
+        if not os.path.isdir(self._txn_dir):
+            return []
+        return sorted(
+            f[:-5] for f in os.listdir(self._txn_dir)
+            if f.endswith(".json") and not f.startswith("_tmp")
+        )
+
+    def _wal_path(self, txn_id: str) -> str:
+        return os.path.join(self._txn_dir, f"{txn_id}.json")
+
+    def abandoned_branches(self) -> dict:
+        """``{member: [branch, ...]}`` of ``txn_*`` staging branches with
+        no WAL — left by a process that crashed BEFORE its commit point.
+        They hold no group state (the transaction never happened) but pin
+        member snapshots; ``recover(drop_abandoned=True)`` clears them.
+        Only call when no transaction is actively staging in another
+        process — the group cannot tell a crash from a slow stager."""
+        pending = set(self.pending_transactions())
+        out = {}
+        for name in self.members():
+            orphans = [
+                b["name"] for b in self.table(name).branches()
+                if b["name"].startswith("txn_") and b["name"] not in pending
+            ]
+            if orphans:
+                out[name] = orphans
+        return out
+
+    def recover(self, drop_abandoned: bool = False) -> dict:
+        """Finish torn transactions: a WAL passed its commit point, so
+        its remaining branch publishes are replayed (``publish_branch``
+        is crash-idempotent) and the group cut committed if missing.
+        Safe to run any time; no-op when nothing is pending."""
+        done = []
+        for txn_id in self.pending_transactions():
+            with open(self._wal_path(txn_id)) as fh:
+                wal = json.load(fh)
+            # redo the publishes, then the cut
+            for name, st in wal["tables"].items():
+                t = self.table(name)
+                try:
+                    t.publish_branch(st["branch"])
+                except LookupError:
+                    pass  # this table's publish already completed
+            self._commit_cut(wal)
+            os.unlink(self._wal_path(txn_id))
+            done.append(txn_id)
+        dropped = {}
+        if drop_abandoned:
+            for name, branches in self.abandoned_branches().items():
+                for b in branches:
+                    self.table(name).drop_branch(b)
+                dropped[name] = branches
+        return {"recovered": done, "dropped_abandoned": dropped}
+
+    def _commit_cut(self, wal: dict) -> None:
+        man = self.manifest()
+        if man.get("txn_id") == wal["txn_id"]:
+            return  # cut landed before the crash; only the WAL remained
+        tables = dict(man["tables"])
+        for name in wal["tables"]:
+            tables[name] = self.table(name).latest_version()
+        self._commit(
+            {
+                "format_version": 1,
+                "version": man["version"] + 1,
+                "op": "txn",
+                "tables": tables,
+                "txn_id": wal["txn_id"],
+                "metrics": {"staged_tables": sorted(wal["tables"])},
+                "commit_ts": time.time(),
+            }
+        )
+
+
+class GroupTransaction:
+    """Stage writes to any members on transaction branches, then commit
+    all-or-nothing. Use as a context manager: an exception inside the
+    block rolls every staged branch back; ``commit()`` publishes them
+    and advances the group cut in one logical step.
+
+    ::
+
+        with group.transaction() as txn:
+            txn.table("transcripts").apply_changes(ev, batch_id=7)
+            txn.table("audit").apply_changes(audit_rows)
+            txn.commit()
+
+    Any branch-capable table API works on ``txn.table(name)`` handles
+    (``apply_changes``, ``merge_into``, ``delete_where``, ...). Reads on
+    the handle see the staged state (read-your-writes); group readers
+    see nothing until the commit's cut lands.
+    """
+
+    def __init__(self, group: TableGroup):
+        self.group = group
+        self.txn_id = f"txn_{uuid4().hex[:12]}"
+        self._staged: dict[str, dict] = {}  # name -> {branch, forked_at}
+        self._branch_handles: dict[str, LakeTable] = {}
+        self._state = "staging"
+
+    # ------------------------------------------------------------ handles
+    def table(self, name: str) -> LakeTable:
+        if self._state != "staging":
+            raise RuntimeError(f"transaction is {self._state}")
+        if name not in self._branch_handles:
+            raw = self.group.table(name)
+            meta = raw.create_branch(self.txn_id)
+            self._staged[name] = {
+                "branch": self.txn_id,
+                "forked_at": meta["forked_at"],
+            }
+            self._branch_handles[name] = LakeTable(
+                self.group.spark, raw.path, branch=self.txn_id
+            )
+        return self._branch_handles[name]
+
+    # ------------------------------------------------------------- commit
+    def commit(self) -> dict:
+        if self._state != "staging":
+            raise RuntimeError(f"transaction is {self._state}")
+        if not self._staged:
+            self._state = "committed"
+            return {"txn_id": self.txn_id, "staged_tables": [],
+                    "version": self.group.latest_version()}
+        # optimistic fork check BEFORE the commit point: the common
+        # conflict (another writer advanced a member's main) aborts the
+        # whole transaction cleanly — nothing published anywhere
+        for name, st in self._staged.items():
+            head = self.group.table(name).latest_version()
+            if head != st["forked_at"]:
+                self.rollback()
+                raise TransactionConflictError(
+                    f"member {name!r} advanced to version {head} past the "
+                    f"transaction fork {st['forked_at']}; transaction "
+                    "aborted — re-stage and retry"
+                )
+        # COMMIT POINT: once this WAL is durable the transaction MUST
+        # complete; everything after is its redo log (recover() replays)
+        os.makedirs(self.group._txn_dir, exist_ok=True)
+        _fsync_write(
+            self.group._wal_path(self.txn_id),
+            {
+                "txn_id": self.txn_id,
+                "state": "committing",
+                "tables": self._staged,
+                "ts": time.time(),
+            },
+        )
+        self._state = "committing"
+        published = {}
+        for name, st in self._staged.items():
+            try:
+                out = self.group.table(name).publish_branch(st["branch"])
+            except BranchDivergedError as e:
+                # contract violation (a direct main write landed inside
+                # the publish window). The WAL stays: recover() will
+                # retry once the violator's state is reconciled.
+                raise TransactionTornError(
+                    f"transaction {self.txn_id} torn at member {name!r}: "
+                    f"{e}; already published: {sorted(published)}. Run "
+                    "TableGroup.recover() after resolving the divergence"
+                ) from e
+            published[name] = out.get("published_version")
+        self.group._commit_cut(
+            {"txn_id": self.txn_id, "tables": self._staged}
+        )
+        os.unlink(self.group._wal_path(self.txn_id))
+        self._state = "committed"
+        return {
+            "txn_id": self.txn_id,
+            "staged_tables": sorted(self._staged),
+            "published": published,
+            "version": self.group.latest_version(),
+        }
+
+    def rollback(self) -> dict:
+        if self._state in ("committed", "rolled_back"):
+            return {"txn_id": self.txn_id, "state": self._state}
+        for name, st in self._staged.items():
+            try:
+                self.group.table(name).drop_branch(st["branch"])
+            except LookupError:
+                pass
+        self._staged.clear()
+        self._branch_handles.clear()
+        self._state = "rolled_back"
+        return {"txn_id": self.txn_id, "state": "rolled_back"}
+
+    # ----------------------------------------------------- context mgmt
+    def __enter__(self) -> "GroupTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None or self._state == "staging":
+            # an un-committed exit (exception OR forgotten commit) must
+            # not leave staging branches pinning the members
+            self.rollback()
+        return False

@@ -1,0 +1,241 @@
+"""Multi-table atomic transactions (plans/txn.py): group cuts give
+cross-table snapshot isolation, the WAL is the commit point, and crash
+recovery converges to all-or-nothing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from cdm_to_mods_spark.plans.lake import LakeTable
+from cdm_to_mods_spark.plans.txn import (
+    TableGroup,
+    TransactionConflictError,
+    TransactionTornError,
+)
+from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+EVENT_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EVENT_DDL)
+
+
+@pytest.fixture()
+def group(spark, tmp_path):
+    tr = LakeTable(spark, str(tmp_path / "tr"), num_buckets=2,
+                   merge_mode="mor")
+    tr.create(TRANSCRIPT_SCHEMA)
+    tr.apply_changes(
+        _ev(spark, [("I", 1, "c1", 0, "user", "hello", None)]), batch_id=0
+    )
+    audit = LakeTable(spark, str(tmp_path / "audit"),
+                      key_cols=("conv_id",), bucket_col="conv_id",
+                      num_buckets=2, merge_mode="mor")
+    import pyspark.sql.types as T
+
+    audit.create(T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), True),
+    ]))
+    g = TableGroup(spark, str(tmp_path / "grp"))
+    g.create({"tr": tr, "audit": audit})
+    return g
+
+
+def test_create_pins_current_heads(group):
+    assert group.members() == ["audit", "tr"]
+    assert group.cut() == {"tr": 1, "audit": 0}
+    assert group.read("tr").count() == 1
+    assert group.read("audit").count() == 0
+
+
+def test_commit_is_atomic_across_tables(spark, group):
+    g0 = group.latest_version()
+    with group.transaction() as txn:
+        txn.table("tr").apply_changes(
+            _ev(spark, [("I", 2, "c2", 0, "user", "second", None)]),
+            batch_id=1,
+        )
+        txn.table("audit").apply_changes(spark.createDataFrame(
+            [("I", 1, "c2", "ingested")],
+            "op string, seq long, conv_id string, status string",
+        ))
+        # staged: the txn handle reads its own writes, the group doesn't
+        assert txn.table("tr").read().count() == 2
+        assert group.read("tr").count() == 1
+        assert group.read("audit").count() == 0
+        out = txn.commit()
+    assert out["staged_tables"] == ["audit", "tr"]
+    assert group.latest_version() == g0 + 1
+    assert group.read("tr").count() == 2
+    assert group.read("audit").count() == 1
+    # group time travel still shows the pre-txn cut
+    assert group.read("tr", group_version=g0).count() == 1
+    # no branches or WALs left behind
+    assert group.table("tr").branches() == []
+    assert group.pending_transactions() == []
+
+
+def test_exception_in_block_rolls_back_everything(spark, group):
+    with pytest.raises(RuntimeError, match="boom"):
+        with group.transaction() as txn:
+            txn.table("tr").apply_changes(
+                _ev(spark, [("I", 9, "c9", 0, "user", "never", None)]),
+                batch_id=5,
+            )
+            raise RuntimeError("boom")
+    assert group.read("tr").count() == 1
+    assert group.table("tr").read().count() == 1  # main untouched
+    assert group.table("tr").branches() == []
+    # the aborted batch_id was never committed: replaying it converges
+    with group.transaction() as txn:
+        txn.table("tr").apply_changes(
+            _ev(spark, [("I", 9, "c9", 0, "user", "now", None)]),
+            batch_id=5,
+        )
+        txn.commit()
+    assert group.read("tr").count() == 2
+
+
+def test_forgotten_commit_rolls_back(spark, group):
+    with group.transaction() as txn:
+        txn.table("tr").apply_changes(
+            _ev(spark, [("I", 3, "c3", 0, "user", "limbo", None)]),
+        )
+    assert group.table("tr").branches() == []
+    assert group.read("tr").count() == 1
+
+
+def test_conflict_aborts_cleanly_before_any_publish(spark, group):
+    txn = group.transaction()
+    txn.table("tr").apply_changes(
+        _ev(spark, [("I", 4, "c4", 0, "user", "staged", None)]), batch_id=2
+    )
+    txn.table("audit").apply_changes(spark.createDataFrame(
+        [("I", 2, "c4", "staged")],
+        "op string, seq long, conv_id string, status string",
+    ))
+    # a direct main write to one member lands before the commit point
+    group.table("audit").apply_changes(spark.createDataFrame(
+        [("I", 3, "cX", "direct")],
+        "op string, seq long, conv_id string, status string",
+    ))
+    with pytest.raises(TransactionConflictError, match="audit"):
+        txn.commit()
+    # nothing published anywhere, branches gone, no WAL
+    assert group.table("tr").read().count() == 1
+    assert group.table("tr").branches() == []
+    assert group.table("audit").branches() == []
+    assert group.pending_transactions() == []
+    # the direct write is visible after a sync commit
+    assert group.read("audit").count() == 0
+    group.sync()
+    assert group.read("audit").count() == 1
+
+
+def test_crash_after_commit_point_recovers_to_committed(spark, group):
+    """Simulate a crash between the WAL write and the publishes: write
+    the WAL exactly as commit() would, then abandon the process state.
+    recover() must publish both branches and land the cut."""
+    txn = group.transaction()
+    txn.table("tr").apply_changes(
+        _ev(spark, [("I", 5, "c5", 0, "user", "crashy", None)]), batch_id=3
+    )
+    txn.table("audit").apply_changes(spark.createDataFrame(
+        [("I", 4, "c5", "crashy")],
+        "op string, seq long, conv_id string, status string",
+    ))
+    os.makedirs(group._txn_dir, exist_ok=True)
+    with open(group._wal_path(txn.txn_id), "w") as fh:
+        json.dump({"txn_id": txn.txn_id, "state": "committing",
+                   "tables": txn._staged, "ts": 0}, fh)
+    # a new transaction refuses while the torn one is pending
+    with pytest.raises(TransactionTornError, match="recover"):
+        group.transaction()
+    out = group.recover()
+    assert out["recovered"] == [txn.txn_id]
+    assert group.pending_transactions() == []
+    assert group.read("tr").count() == 2
+    assert group.read("audit").count() == 1
+    assert group.table("tr").branches() == []
+
+
+def test_crash_mid_publish_recovers_the_remainder(spark, group):
+    """Crash AFTER one member published but before the other: recover()
+    replays only the missing publish (the completed one raises
+    LookupError internally and is skipped) and commits the cut once."""
+    txn = group.transaction()
+    txn.table("tr").apply_changes(
+        _ev(spark, [("I", 6, "c6", 0, "user", "half", None)]), batch_id=4
+    )
+    txn.table("audit").apply_changes(spark.createDataFrame(
+        [("I", 5, "c6", "half")],
+        "op string, seq long, conv_id string, status string",
+    ))
+    os.makedirs(group._txn_dir, exist_ok=True)
+    with open(group._wal_path(txn.txn_id), "w") as fh:
+        json.dump({"txn_id": txn.txn_id, "state": "committing",
+                   "tables": txn._staged, "ts": 0}, fh)
+    group.table("tr").publish_branch(txn.txn_id)  # first publish landed
+    out = group.recover()
+    assert out["recovered"] == [txn.txn_id]
+    assert group.read("tr").count() == 2
+    assert group.read("audit").count() == 1
+    # recovery is idempotent
+    assert group.recover()["recovered"] == []
+
+
+def test_abandoned_staging_branches_are_discoverable(spark, group):
+    txn = group.transaction()
+    txn.table("tr").apply_changes(
+        _ev(spark, [("I", 7, "c7", 0, "user", "orphan", None)]),
+    )
+    # process dies before commit(): no WAL, branch remains
+    del txn
+    orphans = group.abandoned_branches()
+    assert list(orphans) == ["tr"] and len(orphans["tr"]) == 1
+    out = group.recover(drop_abandoned=True)
+    assert out["dropped_abandoned"] == orphans
+    assert group.table("tr").branches() == []
+    assert group.read("tr").count() == 1
+
+
+def test_empty_transaction_commit_is_a_noop(group):
+    v = group.latest_version()
+    with group.transaction() as txn:
+        out = txn.commit()
+    assert out["staged_tables"] == []
+    assert group.latest_version() == v
+
+
+def test_group_reader_never_sees_half_state(spark, group):
+    """The isolation property the group exists for: between the two
+    member publishes, raw reads CAN be torn but group reads are not."""
+    txn = group.transaction()
+    txn.table("tr").apply_changes(
+        _ev(spark, [("I", 8, "c8", 0, "user", "pair", None)]), batch_id=6
+    )
+    txn.table("audit").apply_changes(spark.createDataFrame(
+        [("I", 6, "c8", "pair")],
+        "op string, seq long, conv_id string, status string",
+    ))
+    os.makedirs(group._txn_dir, exist_ok=True)
+    with open(group._wal_path(txn.txn_id), "w") as fh:
+        json.dump({"txn_id": txn.txn_id, "state": "committing",
+                   "tables": txn._staged, "ts": 0}, fh)
+    group.table("tr").publish_branch(txn.txn_id)
+    # torn window: member main has the row, the cut does not...
+    assert group.table("tr").read().count() == 2
+    assert group.read("tr").count() == 1
+    assert group.read("audit").count() == 0
+    group.recover()
+    # ...and after recovery both appear together
+    assert group.read("tr").count() == 2
+    assert group.read("audit").count() == 1
