@@ -46,6 +46,9 @@ def maintain(
     skew_share_threshold: float = 0.30,
     cluster_by=None,
     purge_tombstones_before_seq: int | None = None,
+    ttl_col: str | None = None,
+    ttl_older_than=None,
+    ttl_mode: str = "rewrite",
     dry_run: bool = False,
 ) -> dict:
     """Run threshold-due maintenance on ``table``; return what ran and why.
@@ -54,9 +57,41 @@ def maintain(
     "recommendations": [..]}`` — each action is ``{"action", "reason",
     "result"}``. ``dry_run=True`` reports what WOULD run without touching
     the table. ``cluster_by`` passes through to the compaction rewrite
-    (sort-order maintenance piggybacks on the fold)."""
-    d = table.describe_detail()
+    (sort-order maintenance piggybacks on the fold).
+
+    ``ttl_col``/``ttl_older_than`` is the row-retention policy (the
+    Paimon ``record-level.expire`` / Bigtable TTL role): rows whose
+    ``ttl_col`` is strictly below the bound are deleted through the
+    ordinary ``delete_where`` path — tombstones + change-feed D rows, so
+    downstream consumers observe the expiry like any delete. Runs BEFORE
+    the compaction decision so the fold reclaims the expired rows in the
+    same pass. ``ttl_mode="tombstone"`` makes it O(matches) logical
+    deletion (physical purge at the next compact); default ``"rewrite"``
+    reclaims space immediately. On a flat hash-bucketed table every
+    bucket holds all ages, so TTL costs O(matching buckets) — at
+    retention scale prefer a PartitionedTable, where ``drop_partition``
+    is the O(1) form of the same policy."""
     actions: list[dict] = []
+    if (ttl_col is None) != (ttl_older_than is None):
+        raise ValueError("ttl_col and ttl_older_than must be set together")
+    if ttl_col is not None:
+        from pyspark.sql import functions as F
+
+        dtype = table.schema()[ttl_col].dataType
+        pred = F.col(ttl_col) < F.lit(ttl_older_than).cast(dtype)
+        reason = f"retention: {ttl_col} < {ttl_older_than!r}"
+        if dry_run:
+            n = table.read().filter(pred).count()
+            actions.append({"action": "ttl_delete", "reason": reason,
+                            "result": None, "would_delete_rows": n})
+        else:
+            actions.append({
+                "action": "ttl_delete",
+                "reason": reason,
+                "result": table.delete_where(pred, mode=ttl_mode,
+                                             note="maintain:ttl"),
+            })
+    d = table.describe_detail()
     recs: list[dict] = []
 
     chain_due = d["max_delta_chain"] >= max_delta_chain

@@ -50,6 +50,13 @@ Supported statements (case-insensitive keywords; one statement per call):
   list in the error).
 - anything starting with SELECT / WITH / VALUES — delegated to
   ``spark.sql``.
+- ``BEGIN [TRANSACTION]`` / ``COMMIT`` / ``ROLLBACK`` — available when
+  the catalog is constructed over a
+  :class:`~cdm_to_mods_spark.plans.txn.TableGroup`: member DML between
+  BEGIN and COMMIT stages on transaction branches and becomes visible
+  atomically (one group cut) at COMMIT; SELECT inside the transaction
+  reads the staged state of staged members (read-your-writes); DDL and
+  maintenance on members are refused until the transaction closes.
 
 DML statements return a ONE-ROW DataFrame of the operation's metrics
 (the Delta convention of ``num_affected_rows``-style results), so every
@@ -202,9 +209,22 @@ class LakeCatalog:
     naming the gap.
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, group=None):
+        """``group``: an optional :class:`~cdm_to_mods_spark.plans.txn
+        .TableGroup` — its members are auto-registered, and the catalog
+        gains SQL transactions: ``BEGIN [TRANSACTION]`` stages subsequent
+        member DML on transaction branches, ``COMMIT`` publishes them
+        atomically (group cut), ``ROLLBACK`` discards them. While a
+        transaction is open, SELECT sees the staged state of staged
+        members (read-your-writes) and DDL/maintenance statements on
+        members are refused (branch handles cannot run them)."""
         self.spark = spark
         self._tables: dict[str, object] = {}
+        self._group = group
+        self._txn = None
+        if group is not None:
+            for name in group.members():
+                self.register(name, group.table(name))
 
     # ------------------------------------------------------------ registry
     def register(self, name: str, table) -> None:
@@ -214,14 +234,33 @@ class LakeCatalog:
             table = LakeTable(self.spark, table)
         self._tables[name] = table
 
-    def table(self, name: str):
+    def table(self, name: str, for_write: bool = False):
         try:
-            return self._tables[name]
+            t = self._tables[name]
         except KeyError:
             raise LakeSqlError(
                 f"table {name!r} is not registered; known tables: "
                 f"{sorted(self._tables)}"
             ) from None
+        if self._txn is not None and name in self._group_members():
+            if for_write:
+                # first write stages the member on the transaction branch
+                return self._txn.table(name)
+            staged = self._txn._branch_handles.get(name)
+            if staged is not None:  # read-your-writes for staged members
+                return staged
+        return t
+
+    def _group_members(self) -> set:
+        return set(self._group.members()) if self._group is not None else set()
+
+    def _refuse_in_txn(self, name: str, op: str) -> None:
+        if self._txn is not None and name in self._group_members():
+            raise LakeSqlError(
+                f"{op} on group member {name!r} inside an open transaction"
+                " — COMMIT or ROLLBACK first (DDL and maintenance do not"
+                " stage on branches)"
+            )
 
     def tables(self) -> list[str]:
         return sorted(self._tables)
@@ -234,6 +273,12 @@ class LakeCatalog:
         kw2 = (head[1].upper() if len(head) > 1 else "")
         if kw in ("SELECT", "WITH", "VALUES"):
             return self._select(stmt)
+        if kw in ("BEGIN", "START"):
+            return self._begin()
+        if kw == "COMMIT":
+            return self._commit_txn()
+        if kw == "ROLLBACK":
+            return self._rollback_txn()
         if kw == "CREATE" and kw2 == "TABLE":
             return self._create_table(stmt)
         if kw == "DROP" and kw2 == "TABLE":
@@ -269,6 +314,48 @@ class LakeCatalog:
             "RESTORE, DELETE, TRUNCATE, UPDATE, INSERT, MERGE INTO "
             "(see cdm_to_mods_spark/sql.py docstring for shapes)"
         )
+
+    # ------------------------------------------------------- transactions
+    def _begin(self) -> DataFrame:
+        if self._group is None:
+            raise LakeSqlError(
+                "BEGIN needs a catalog constructed over a TableGroup "
+                "(LakeCatalog(spark, group=...)); standalone tables have "
+                "no cross-table commit point"
+            )
+        if self._txn is not None:
+            raise LakeSqlError(
+                f"transaction {self._txn.txn_id} is already open — "
+                "COMMIT or ROLLBACK it first (no nesting)"
+            )
+        self._txn = self._group.transaction()
+        return _metrics_df(self.spark, {"txn_id": self._txn.txn_id,
+                                        "state": "open"})
+
+    def _commit_txn(self) -> DataFrame:
+        if self._txn is None:
+            raise LakeSqlError("COMMIT outside a transaction")
+        txn, self._txn = self._txn, None
+        try:
+            out = txn.commit()
+        except Exception:
+            # a conflict abort already rolled the branches back; either
+            # way the catalog session leaves the transaction
+            raise
+        return _metrics_df(self.spark, {
+            "txn_id": out["txn_id"],
+            "staged_tables": out.get("staged_tables", []),
+            "version": out.get("version"),
+            "state": "committed",
+        })
+
+    def _rollback_txn(self) -> DataFrame:
+        if self._txn is None:
+            raise LakeSqlError("ROLLBACK outside a transaction")
+        txn, self._txn = self._txn, None
+        out = txn.rollback()
+        return _metrics_df(self.spark, {"txn_id": out["txn_id"],
+                                        "state": "rolled_back"})
 
     # ------------------------------------------------------------- SELECT
     def _referenced(self, stmt: str) -> list[str]:
@@ -423,6 +510,7 @@ class LakeCatalog:
         if not body:
             raise LakeSqlError("ALTER TABLE shape: ALTER TABLE t <action>")
         name, action = body.group(1), body.group(2).strip()
+        self._refuse_in_txn(name, "ALTER TABLE")
         t = self.table(name)
         m = re.match(
             rf"ADD\s+COLUMNS?\s*\(?\s*({_IDENT})\s+([A-Za-z0-9_<>,() ]+?)\s*\)?$",
@@ -486,6 +574,7 @@ class LakeCatalog:
         m = re.match(rf"OPTIMIZE\s+({_IDENT})$", stmt, re.I)
         if not m:
             raise LakeSqlError("OPTIMIZE shape: OPTIMIZE t")
+        self._refuse_in_txn(m.group(1), "OPTIMIZE")
         t = self.table(m.group(1))
         if isinstance(t, PartitionedTable):
             return _metrics_df(self.spark, t.maintain())
@@ -499,6 +588,7 @@ class LakeCatalog:
         if not m:
             raise LakeSqlError("VACUUM shape: VACUUM t [RETAIN n SNAPSHOTS]")
         keep = int(m.group(2)) if m.group(2) else 1
+        self._refuse_in_txn(m.group(1), "VACUUM")
         return _metrics_df(
             self.spark, self.table(m.group(1)).expire_snapshots(keep_last=keep)
         )
@@ -512,6 +602,7 @@ class LakeCatalog:
             raise LakeSqlError(
                 "RESTORE shape: RESTORE TABLE t TO VERSION AS OF v"
             )
+        self._refuse_in_txn(m.group(1), "RESTORE")
         return _metrics_df(
             self.spark, self.table(m.group(1)).rollback(int(m.group(2)))
         )
@@ -527,7 +618,9 @@ class LakeCatalog:
                 "delete: TRUNCATE TABLE t)"
             )
         return _metrics_df(
-            self.spark, self.table(m.group(1)).delete_where(m.group(2).strip())
+            self.spark,
+            self.table(m.group(1), for_write=True)
+            .delete_where(m.group(2).strip()),
         )
 
     def _truncate(self, stmt: str) -> DataFrame:
@@ -535,7 +628,8 @@ class LakeCatalog:
         if not m:
             raise LakeSqlError("TRUNCATE shape: TRUNCATE TABLE t")
         return _metrics_df(
-            self.spark, self.table(m.group(1)).delete_where("true")
+            self.spark,
+            self.table(m.group(1), for_write=True).delete_where("true"),
         )
 
     def _update(self, stmt: str) -> DataFrame:
@@ -556,7 +650,8 @@ class LakeCatalog:
             assignments[am.group(1)] = am.group(2).strip()
         return _metrics_df(
             self.spark,
-            self.table(name).update_where(pred.strip(), assignments),
+            self.table(name, for_write=True)
+            .update_where(pred.strip(), assignments),
         )
 
     def _insert(self, stmt: str) -> DataFrame:
@@ -570,7 +665,7 @@ class LakeCatalog:
                 "| INSERT INTO t [(cols)] SELECT ..."
             )
         name, _, cols_body, rest = m.groups()
-        t = self.table(name)
+        t = self.table(name, for_write=True)
         schema = t.schema()
         cols = (
             [c.strip() for c in cols_body.split(",")]
@@ -635,7 +730,7 @@ class LakeCatalog:
                 "clause)"
             )
         name, talias, src_ref, salias, on_body, when_body = m.groups()
-        t = self.table(name)
+        t = self.table(name, for_write=True)
         talias = talias or name
         if src_ref.startswith("("):
             src = self._select(src_ref[1:-1].strip())

@@ -124,3 +124,45 @@ def test_deltaless_small_files_get_rewritten(spark, tmp_path):
     assert d2["num_files"] == d2["populated_buckets"] == 1
     assert t2.read().count() == 6
     assert maintain(t2, min_rows_per_file=10_000)["actions"] == []
+
+
+def test_ttl_policy_expires_old_rows_through_the_delete_path(spark, tmp_path):
+    from datetime import datetime
+
+    t = _table(spark, str(tmp_path / "ttl"))
+    ev = spark.createDataFrame(
+        [("I", 1, "old", 0, "user", "ancient", None, datetime(2020, 1, 1)),
+         ("I", 2, "new", 0, "user", "recent", None, datetime(2025, 6, 1))],
+        EV + ", ts timestamp",
+    )
+    t.apply_changes(ev, batch_id=0)
+    v0 = t.latest_version()
+    # dry run reports, touches nothing
+    res = maintain(t, ttl_col="ts", ttl_older_than="2024-01-01",
+                   dry_run=True, min_rows_per_file=1)
+    ttl = next(a for a in res["actions"] if a["action"] == "ttl_delete")
+    assert ttl["would_delete_rows"] == 1 and t.latest_version() == v0
+    # real run deletes exactly the expired row and rides the change feed
+    res = maintain(t, ttl_col="ts", ttl_older_than="2024-01-01",
+                   min_rows_per_file=1)
+    ttl = next(a for a in res["actions"] if a["action"] == "ttl_delete")
+    assert ttl["result"]["deleted_rows"] == 1
+    assert [r.conv_id for r in t.read().collect()] == ["new"]
+    feed = t.changes(t.latest_version() - 1).collect()
+    assert [(r.conv_id, r._deleted) for r in feed] == [("old", True)]
+    # repeat is a no-op delete
+    res = maintain(t, ttl_col="ts", ttl_older_than="2024-01-01",
+                   min_rows_per_file=1)
+    ttl = next(a for a in res["actions"] if a["action"] == "ttl_delete")
+    assert ttl["result"]["deleted_rows"] == 0
+
+
+def test_ttl_args_must_come_together(spark, tmp_path):
+    import pytest
+
+    t = _table(spark, str(tmp_path / "ttl2"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    with pytest.raises(ValueError, match="together"):
+        maintain(t, ttl_col="ts")
+    with pytest.raises(ValueError, match="together"):
+        maintain(t, ttl_older_than="2024-01-01")

@@ -325,3 +325,71 @@ def test_split_top_respects_nesting_and_strings():
         "a = f(x, y)", "b = 'p,q'", "c = (1, 2)"
     ]
     assert _split_top("concat(a, ','), b") == ["concat(a, ',')", "b"]
+
+
+# --------------------------------------------------- SQL transactions
+@pytest.fixture()
+def grouped_cat(spark, tmp_path, seeded):
+    from cdm_to_mods_spark.plans.txn import TableGroup
+    from cdm_to_mods_spark.sql import LakeCatalog
+
+    audit = LakeTable(spark, str(tmp_path / "audit"),
+                      key_cols=("conv_id",), num_buckets=2,
+                      merge_mode="mor")
+    audit.create(T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), True),
+    ]))
+    g = TableGroup(spark, str(tmp_path / "grp"))
+    g.create({"tr": seeded, "audit": audit})
+    return LakeCatalog(spark, group=g), g
+
+
+def test_sql_txn_commit_is_atomic(spark, grouped_cat):
+    cat, g = grouped_cat
+    assert cat.sql("SHOW TABLES").count() == 2
+    cat.sql("BEGIN")
+    cat.sql("INSERT INTO tr (conv_id, turn_idx, text) "
+            "VALUES ('txn1', 0, 'staged row')")
+    cat.sql("INSERT INTO audit (conv_id, status) VALUES ('txn1', 'ok')")
+    # read-your-writes inside the transaction...
+    assert cat.sql(
+        "SELECT count(*) AS n FROM tr WHERE conv_id = 'txn1'"
+    ).first().n == 1
+    # ...but the group (and raw main) see nothing yet
+    assert g.read("tr").filter("conv_id = 'txn1'").count() == 0
+    assert g.table("tr").read().filter("conv_id = 'txn1'").count() == 0
+    out = cat.sql("COMMIT").first()
+    assert out.state == "committed"
+    assert g.read("tr").filter("conv_id = 'txn1'").count() == 1
+    assert g.read("audit").count() == 1
+
+
+def test_sql_txn_rollback_discards(spark, grouped_cat):
+    cat, g = grouped_cat
+    cat.sql("BEGIN TRANSACTION")
+    cat.sql("UPDATE tr SET text = 'gone' WHERE conv_id = 'c1'")
+    cat.sql("ROLLBACK")
+    assert g.table("tr").read().filter("text = 'gone'").count() == 0
+    assert g.table("tr").branches() == []
+    # catalog usable again after rollback
+    assert cat.sql("SELECT count(*) AS n FROM tr").first().n == 3
+
+
+def test_sql_txn_guards(spark, grouped_cat):
+    cat, g = grouped_cat
+    with pytest.raises(LakeSqlError, match="outside a transaction"):
+        cat.sql("COMMIT")
+    cat.sql("BEGIN")
+    with pytest.raises(LakeSqlError, match="already open"):
+        cat.sql("BEGIN")
+    with pytest.raises(LakeSqlError, match="open transaction"):
+        cat.sql("ALTER TABLE tr ADD COLUMN x string")
+    with pytest.raises(LakeSqlError, match="open transaction"):
+        cat.sql("OPTIMIZE tr")
+    cat.sql("ROLLBACK")
+    # non-group catalogs have no BEGIN
+    from cdm_to_mods_spark.sql import LakeCatalog
+
+    with pytest.raises(LakeSqlError, match="TableGroup"):
+        LakeCatalog(spark).sql("BEGIN")
