@@ -78,7 +78,23 @@ def maintain(
         from pyspark.sql import functions as F
 
         dtype = table.schema()[ttl_col].dataType
-        pred = F.col(ttl_col) < F.lit(ttl_older_than).cast(dtype)
+        bound = F.lit(ttl_older_than).cast(dtype)
+        # an unparsable bound casts to NULL under non-ANSI Spark, which
+        # would make the retention predicate never-true — a compliance
+        # policy that silently stops expiring; under ANSI the same cast
+        # throws mid-delete. Validate eagerly either way (one local row,
+        # no table scan) and surface one typed error.
+        try:
+            probe = table.spark.range(1).select(bound.alias("b")).first()["b"]
+        except Exception:
+            probe = None
+        if probe is None:
+            raise ValueError(
+                f"ttl_older_than {ttl_older_than!r} does not parse as "
+                f"{dtype.simpleString()} — fix the bound (the policy "
+                "would otherwise expire nothing or fail mid-delete)"
+            )
+        pred = F.col(ttl_col) < bound
         reason = f"retention: {ttl_col} < {ttl_older_than!r}"
         if dry_run:
             n = table.read().filter(pred).count()

@@ -60,6 +60,17 @@ class TransactionTornError(RuntimeError):
     complete — run :meth:`TableGroup.recover` to finish or inspect."""
 
 
+def _fsync_dir(path: str) -> None:
+    # the rename/link itself lives in the DIRECTORY: without fsyncing it,
+    # a power loss can forget the entry even though the file bytes are
+    # durable — fatal for a file that claims to be a commit point
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _fsync_write(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp-{uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
@@ -67,6 +78,7 @@ def _fsync_write(path: str, payload: dict) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, path)
+    _fsync_dir(os.path.dirname(path))
 
 
 class TableGroup:
@@ -186,6 +198,7 @@ class TableGroup:
             ) from None
         finally:
             os.unlink(tmp)
+        _fsync_dir(self._ledger)
 
     def cut(self, version: int | None = None) -> dict:
         """The consistent cut ``{name: sub_version}`` at a group version
@@ -205,6 +218,14 @@ class TableGroup:
         non-transactional commit for direct writes made between
         transactions. NOT atomic across tables (the writes already
         happened); it just republishes a coherent observation point."""
+        if self.pending_transactions():
+            # a torn transaction's redo window holds half-published member
+            # heads; snapshotting them now would commit exactly the
+            # half-visible cut the group exists to prevent
+            raise TransactionTornError(
+                f"group {self.path} has torn transaction(s) "
+                f"{self.pending_transactions()}; run recover() before sync"
+            )
         man = self.manifest()
         tables = {n: self.table(n).latest_version() for n in man["tables"]}
         out = {
@@ -416,6 +437,13 @@ class GroupTransaction:
     def rollback(self) -> dict:
         if self._state in ("committed", "rolled_back"):
             return {"txn_id": self.txn_id, "state": self._state}
+        if self._state == "committing":
+            # past the commit point the staged branches ARE the redo log:
+            # dropping them would let recover() mistake "publish missing"
+            # for "publish completed" and half-commit the transaction.
+            # Only recover() may touch this state.
+            return {"txn_id": self.txn_id, "state": "committing",
+                    "action": "none — run TableGroup.recover()"}
         for name, st in self._staged.items():
             try:
                 self.group.table(name).drop_branch(st["branch"])
@@ -431,8 +459,10 @@ class GroupTransaction:
         return self
 
     def __exit__(self, exc_type, exc, tb) -> bool:
-        if exc_type is not None or self._state == "staging":
+        if self._state == "staging":
             # an un-committed exit (exception OR forgotten commit) must
-            # not leave staging branches pinning the members
+            # not leave staging branches pinning the members. A txn torn
+            # mid-commit ("committing") is deliberately NOT rolled back —
+            # rollback() no-ops there; recover() owns that state.
             self.rollback()
         return False

@@ -97,6 +97,11 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
             i += 1
             while i < n:
                 buf.append(s[i])
+                if s[i] == "\\" and i + 1 < n:
+                    # Spark SQL also accepts backslash escapes ('it\'s')
+                    buf.append(s[i + 1])
+                    i += 2
+                    continue
                 if s[i] == q:
                     # SQL escapes a quote by doubling it
                     if i + 1 < n and s[i + 1] == q:
@@ -427,8 +432,11 @@ class LakeCatalog:
             props = _parse_kv_list(pm.group(1))
         schema = _schema_from_ddl(cols_ddl)
         kwargs, pkwargs = {}, {}
-        partitioned = "partition_col" in opts or "granularity" in opts \
-            or opts.pop("partitioned", "").lower() == "true"
+        # pop unconditionally: short-circuiting past the pop would leave
+        # 'partitioned' in opts and trip the unknown-OPTION check below
+        partitioned_flag = opts.pop("partitioned", "").lower() == "true"
+        partitioned = ("partition_col" in opts or "granularity" in opts
+                       or partitioned_flag)
         for k, v in opts.items():
             if k in _PARTITIONED_OPTS:
                 pkwargs[k] = _PARTITIONED_OPTS[k](v)
@@ -475,6 +483,14 @@ class LakeCatalog:
         return _metrics_df(self.spark, {"table": name, "dropped": True})
 
     def _describe(self, stmt: str) -> DataFrame:
+        bare = re.match(rf"DESC(?:RIBE)?\s+({_IDENT})$", stmt, re.I)
+        if bare and bare.group(1).upper() not in ("HISTORY", "DETAIL"):
+            schema = self.table(bare.group(1)).schema()
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(), f.nullable)
+                 for f in schema.fields],
+                "col_name string, data_type string, nullable boolean",
+            )
         m = re.match(
             rf"DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+({_IDENT})"
             r"(?:\s+LIMIT\s+(\d+))?$",
@@ -699,6 +715,20 @@ class LakeCatalog:
         # Delta's blind append, stated in the module docstring)
         from pyspark.sql import functions as F
 
+        # all rows of one INSERT share one seq, so duplicate keys within
+        # the statement would resolve by payload comparison, not
+        # statement order — refuse, like merge_into's cardinality check
+        dup = (
+            src.groupBy(*[F.col(k) for k in t.key_cols])
+            .count().filter("count > 1").limit(1).collect()
+        )
+        if dup:
+            k = tuple(dup[0][c] for c in t.key_cols)
+            raise LakeSqlError(
+                f"INSERT contains duplicate key {k}: rows in one INSERT "
+                "share one sequence number, so the winner would be "
+                "arbitrary — split into separate statements"
+            )
         seq = t.next_seq()
         events = src.select(
             F.lit("I").alias("op"),
@@ -771,9 +801,13 @@ class LakeCatalog:
 
         def _norm(expr: str) -> str:
             # merge_into's expression scope is t./s. — rewrite the
-            # statement's aliases onto it
-            expr = re.sub(rf"\b{talias}\.", "t.", expr)
-            return re.sub(rf"\b{salias}\.", "s.", expr)
+            # statement's aliases onto it THROUGH placeholders: a direct
+            # two-pass sub collides when the source alias is literally
+            # 't' (the first pass's output would be rewritten again)
+            expr = re.sub(rf"\b{re.escape(talias)}\.", "\x00T\x00.", expr)
+            expr = re.sub(rf"\b{re.escape(salias)}\.", "\x00S\x00.", expr)
+            return expr.replace("\x00T\x00.", "t.").replace(
+                "\x00S\x00.", "s.")
 
         kwargs = {
             "when_matched_update": None,
@@ -787,6 +821,7 @@ class LakeCatalog:
         starts = list(clause_re.finditer(when_body))
         if not starts:
             raise LakeSqlError("MERGE needs at least one WHEN clause")
+        update_idx = delete_idx = None
         for i, cm in enumerate(starts):
             body_end = (
                 starts[i + 1].start() if i + 1 < len(starts)
@@ -818,6 +853,11 @@ class LakeCatalog:
                 if cond:
                     kwargs["not_matched_condition"] = cond
             elif re.match(r"DELETE$", action, re.I):
+                if delete_idx is not None:
+                    raise LakeSqlError(
+                        "duplicate WHEN MATCHED ... DELETE clause"
+                    )
+                delete_idx = i
                 kwargs["when_matched_delete"] = cond if cond else True
             else:
                 um = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
@@ -835,9 +875,26 @@ class LakeCatalog:
                             f"cannot parse MERGE assignment {item!r}"
                         )
                     assignments[am.group(1)] = _norm(am.group(2).strip())
+                if update_idx is not None:
+                    raise LakeSqlError(
+                        "duplicate WHEN MATCHED ... UPDATE clause"
+                    )
+                update_idx = i
                 kwargs["when_matched_update"] = assignments
                 if cond:
                     kwargs["matched_condition"] = cond
+        if (update_idx is not None and delete_idx is not None
+                and update_idx < delete_idx):
+            # SQL MERGE is first-match-wins in clause order; the engine
+            # evaluates DELETE before UPDATE (Delta's fixed precedence).
+            # An UPDATE written before a DELETE would silently invert —
+            # refuse instead of misexecuting.
+            raise LakeSqlError(
+                "WHEN MATCHED UPDATE appears before WHEN MATCHED DELETE: "
+                "the engine evaluates DELETE first, which would invert "
+                "the statement's first-match-wins order — reorder the "
+                "clauses (DELETE first) to state the intended precedence"
+            )
         out = t.merge_into(src, **kwargs)
         return _metrics_df(self.spark, out)
 

@@ -166,3 +166,12 @@ def test_ttl_args_must_come_together(spark, tmp_path):
         maintain(t, ttl_col="ts")
     with pytest.raises(ValueError, match="together"):
         maintain(t, ttl_older_than="2024-01-01")
+
+
+def test_ttl_unparsable_bound_fails_loud(spark, tmp_path):
+    import pytest
+
+    t = _table(spark, str(tmp_path / "ttl3"))
+    _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
+    with pytest.raises(ValueError, match="does not parse"):
+        maintain(t, ttl_col="ts", ttl_older_than="01/02/2024")

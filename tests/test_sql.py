@@ -393,3 +393,75 @@ def test_sql_txn_guards(spark, grouped_cat):
 
     with pytest.raises(LakeSqlError, match="TableGroup"):
         LakeCatalog(spark).sql("BEGIN")
+
+
+# ------------------------------------------------- review-pass fixes
+def test_merge_refuses_update_before_delete_order(spark, cat, seeded):
+    seeded.read().limit(1).createOrReplaceTempView("one")
+    with pytest.raises(LakeSqlError, match="DELETE first"):
+        cat.sql(
+            """MERGE INTO tr t USING one s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.role = 'user' THEN UPDATE SET text = 'keep'
+            WHEN MATCHED THEN DELETE"""
+        )
+    with pytest.raises(LakeSqlError, match="duplicate WHEN MATCHED"):
+        cat.sql(
+            """MERGE INTO tr t USING one s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.role = 'x' THEN UPDATE SET text = 'a'
+            WHEN MATCHED THEN UPDATE SET text = 'b'"""
+        )
+
+
+def test_merge_alias_collision_t_as_source(spark, cat, seeded):
+    """Source aliased 't': target refs must not get rewritten twice."""
+    spark.createDataFrame(
+        [("c1", 0, " suffix")], "conv_id string, turn_idx int, text string"
+    ).createOrReplaceTempView("patch")
+    cat.sql(
+        """MERGE INTO tr USING patch AS t
+        ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+        WHEN MATCHED THEN UPDATE SET text = concat(tr.text, t.text)"""
+    )
+    r = seeded.read().filter("conv_id = 'c1' AND turn_idx = 0").first()
+    assert r.text == "hello suffix"
+
+
+def test_create_partitioned_flag_option(spark, cat, tmp_path):
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    loc = str(tmp_path / "flagged")
+    cat.sql(
+        f"""CREATE TABLE flagged (conv_id string, turn_idx int,
+        ts timestamp) USING lake LOCATION '{loc}'
+        OPTIONS (partitioned 'true', partition_col 'ts',
+                 granularity 'day', num_buckets '2')"""
+    )
+    assert isinstance(cat.table("flagged"), PartitionedTable)
+    assert cat.table("flagged").granularity == "day"
+
+
+def test_insert_refuses_duplicate_keys_in_one_statement(spark, cat, seeded):
+    with pytest.raises(LakeSqlError, match="duplicate key"):
+        cat.sql(
+            "INSERT INTO tr VALUES "
+            "('dup', 0, 'user', 'first', NULL, NULL), "
+            "('dup', 0, 'user', 'second', NULL, NULL)"
+        )
+    assert seeded.read().filter("conv_id = 'dup'").count() == 0
+
+
+def test_backslash_escaped_quote_in_update(spark, cat, seeded):
+    cat.sql("UPDATE tr SET text = 'it\\'s fine', tool = 'q' "
+            "WHERE conv_id = 'c2'")
+    r = seeded.read().filter("conv_id = 'c2'").first()
+    assert (r.text, r.tool) == ("it's fine", "q")
+
+
+def test_bare_describe_lists_schema(spark, cat, seeded):
+    rows = cat.sql("DESCRIBE tr").collect()
+    assert [r.col_name for r in rows] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ]
+    assert rows[0].data_type == "string"

@@ -239,3 +239,75 @@ def test_group_reader_never_sees_half_state(spark, group):
     # ...and after recovery both appear together
     assert group.read("tr").count() == 2
     assert group.read("audit").count() == 1
+
+def test_torn_commit_is_not_rolled_back_and_sync_refuses(spark, group):
+    """Review findings: (a) rollback()/__exit__ past the commit point
+    must NOT drop the redo-log branches; (b) sync() during the redo
+    window must refuse rather than commit a half-visible cut."""
+    txn = group.transaction()
+    txn.table("tr").apply_changes(
+        _ev(spark, [("I", 20, "t20", 0, "user", "torn", None)]), batch_id=7
+    )
+    txn.table("audit").apply_changes(spark.createDataFrame(
+        [("I", 7, "t20", "torn")],
+        "op string, seq long, conv_id string, status string",
+    ))
+    os.makedirs(group._txn_dir, exist_ok=True)
+    with open(group._wal_path(txn.txn_id), "w") as fh:
+        json.dump({"txn_id": txn.txn_id, "state": "committing",
+                   "tables": txn._staged, "ts": 0}, fh)
+    txn._state = "committing"
+    group.table("tr").publish_branch(txn.txn_id)  # A published, B not
+    # rollback refuses to touch a committing transaction's branches
+    out = txn.rollback()
+    assert out["state"] == "committing"
+    assert [b["name"] for b in group.table("audit").branches()] == [
+        txn.txn_id
+    ]
+    # sync refuses during the redo window
+    with pytest.raises(TransactionTornError, match="recover"):
+        group.sync()
+    # recover completes BOTH members — audit's staged row must survive
+    group.recover()
+    assert group.read("tr").filter("conv_id = 't20'").count() == 1
+    assert group.read("audit").filter("conv_id = 't20'").count() == 1
+
+
+def test_exception_after_commit_point_keeps_redo_log(spark, group, monkeypatch):
+    """A TransactionTornError raised INSIDE the with-block (publish
+    failed mid-commit) must leave the branches for recover()."""
+    txn_holder = {}
+    with pytest.raises(TransactionTornError):
+        with group.transaction() as txn:
+            txn_holder["txn"] = txn
+            txn.table("tr").apply_changes(
+                _ev(spark, [("I", 21, "t21", 0, "user", "mid", None)]),
+                batch_id=8,
+            )
+            txn.table("audit").apply_changes(spark.createDataFrame(
+                [("I", 8, "t21", "mid")],
+                "op string, seq long, conv_id string, status string",
+            ))
+            # force the second publish to diverge mid-commit
+            real_publish = type(group.table("tr")).publish_branch
+
+            def failing(self, name):
+                if self.path.endswith("audit"):
+                    from cdm_to_mods_spark.plans.lake import (
+                        BranchDivergedError,
+                    )
+                    raise BranchDivergedError("injected")
+                return real_publish(self, name)
+
+            monkeypatch.setattr(type(group.table("tr")),
+                                "publish_branch", failing)
+            txn.commit()
+    monkeypatch.undo()
+    # the WAL and audit's branch survive the exception unwind
+    assert group.pending_transactions() == [txn_holder["txn"].txn_id]
+    assert [b["name"] for b in group.table("audit").branches()] == [
+        txn_holder["txn"].txn_id
+    ]
+    group.recover()
+    assert group.read("tr").filter("conv_id = 't21'").count() == 1
+    assert group.read("audit").filter("conv_id = 't21'").count() == 1
