@@ -49,6 +49,19 @@ from pyspark.sql import DataFrame, SparkSession
 from .lake import BranchDivergedError, LakeTable
 
 
+def _open_member(spark: SparkSession, path: str, branch: str = "main"):
+    """Open a member by its on-disk kind: a ``_spec.json`` marks the
+    time-partitioned composite table (its reopen adopts the spec), else a
+    flat LakeTable (reopen adopts the manifest). Branch handles stage at
+    the member's own scope — the router's global WAP for partitioned
+    members, the flat branch namespace otherwise."""
+    if os.path.exists(os.path.join(path, "_spec.json")):
+        from .partitioned import PartitionedTable
+
+        return PartitionedTable(spark, path, branch=branch)
+    return LakeTable(spark, path, branch=branch)
+
+
 class TransactionConflictError(RuntimeError):
     """A member table's main advanced past the transaction's fork point
     before the commit point — the transaction aborted cleanly (no table
@@ -117,13 +130,15 @@ class TableGroup:
                     f"no member {name!r} in group {self.path}; members: "
                     f"{sorted(spec['tables'])}"
                 )
-            self._handles[name] = LakeTable(self.spark, spec["tables"][name])
+            self._handles[name] = _open_member(
+                self.spark, spec["tables"][name]
+            )
         return self._handles[name]
 
-    def create(self, tables: dict[str, LakeTable]) -> None:
-        """Register ``tables`` (existing lake tables — the group stores
-        their paths, external-table style) and commit the g0 cut at
-        their current heads."""
+    def create(self, tables: dict) -> None:
+        """Register ``tables`` (existing flat or partitioned lake tables
+        — the group stores their paths, external-table style) and commit
+        the g0 cut at their current heads."""
         if self.exists() and self.latest_version() is not None:
             raise RuntimeError(f"group already exists at {self.path}")
         for name, t in tables.items():
@@ -370,7 +385,7 @@ class GroupTransaction:
                 "branch": self.txn_id,
                 "forked_at": meta["forked_at"],
             }
-            self._branch_handles[name] = LakeTable(
+            self._branch_handles[name] = _open_member(
                 self.group.spark, raw.path, branch=self.txn_id
             )
         return self._branch_handles[name]

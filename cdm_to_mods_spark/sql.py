@@ -66,7 +66,9 @@ DML statements return a ONE-ROW DataFrame of the operation's metrics
 from __future__ import annotations
 
 import json
+import os
 import re
+from uuid import uuid4
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -225,11 +227,49 @@ class LakeCatalog:
         members are refused (branch handles cannot run them)."""
         self.spark = spark
         self._tables: dict[str, object] = {}
+        self._views: dict[str, str] = {}
         self._group = group
         self._txn = None
         if group is not None:
             for name in group.members():
                 self.register(name, group.table(name))
+
+    # -------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """Persist the catalog definition (member paths + view SQL) so a
+        ``spark-submit`` job can :meth:`load` the same names — the
+        metastore-file role. Tables are stored by PATH; reopening adopts
+        each table's on-disk layout, so no constructor args are kept."""
+        payload = {
+            "format_version": 1,
+            "tables": {n: t.path for n, t in sorted(self._tables.items())},
+            "views": dict(sorted(self._views.items())),
+            "group": self._group.path if self._group is not None else None,
+        }
+        tmp = f"{path}.tmp-{uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeCatalog":
+        with open(path) as fh:
+            payload = json.load(fh)
+        group = None
+        if payload.get("group"):
+            from .plans.txn import TableGroup
+
+            group = TableGroup(spark, payload["group"])
+        cat = cls(spark, group=group)
+        from .plans.txn import _open_member
+
+        for name, tpath in payload["tables"].items():
+            if name not in cat._tables:  # group members already bound
+                cat.register(name, _open_member(spark, tpath))
+        cat._views.update(payload.get("views", {}))
+        return cat
 
     # ------------------------------------------------------------ registry
     def register(self, name: str, table) -> None:
@@ -286,12 +326,23 @@ class LakeCatalog:
             return self._rollback_txn()
         if kw == "CREATE" and kw2 == "TABLE":
             return self._create_table(stmt)
+        if kw == "CREATE" and kw2 in ("VIEW", "OR"):
+            return self._create_view(stmt)
         if kw == "DROP" and kw2 == "TABLE":
             return self._drop_table(stmt)
+        if kw == "DROP" and kw2 == "VIEW":
+            return self._drop_view(stmt)
         if kw == "SHOW" and kw2 == "TABLES":
             return self.spark.createDataFrame(
                 [(n,) for n in self.tables()], "tableName string"
             )
+        if kw == "SHOW" and kw2 == "VIEWS":
+            return self.spark.createDataFrame(
+                [(n, s) for n, s in sorted(self._views.items())],
+                "viewName string, definition string",
+            )
+        if kw == "SHOW" and kw2 == "PARTITIONS":
+            return self._show_partitions(stmt)
         if kw == "DESCRIBE" or kw == "DESC":
             return self._describe(stmt)
         if kw == "ALTER" and kw2 == "TABLE":
@@ -401,7 +452,26 @@ class LakeCatalog:
         # view can never serve a stale snapshot.
         for name in self._referenced(stmt):
             self.table(name).read().createOrReplaceTempView(name)
+        # stored views expand recursively (a view over a view works);
+        # each expansion re-resolves its own table references, so views
+        # track table heads too
+        toks = set(re.findall(_IDENT, stmt))
+        for vname in [v for v in self._views if v in toks]:
+            self._expand_view(vname, stack=())
         return self.spark.sql(stmt)
+
+    def _expand_view(self, name: str, stack: tuple) -> None:
+        if name in stack:
+            raise LakeSqlError(
+                f"view cycle: {' -> '.join((*stack, name))}"
+            )
+        body = self._views[name]
+        toks = set(re.findall(_IDENT, body))
+        for tname in [t for t in self._tables if t in toks]:
+            self.table(tname).read().createOrReplaceTempView(tname)
+        for vname in [v for v in self._views if v in toks and v != name]:
+            self._expand_view(vname, stack=(*stack, name))
+        self.spark.sql(body).createOrReplaceTempView(name)
 
     # ---------------------------------------------------------------- DDL
     def _create_table(self, stmt: str) -> DataFrame:
@@ -481,6 +551,73 @@ class LakeCatalog:
         del self._tables[name]
         self.spark.catalog.dropTempView(name)
         return _metrics_df(self.spark, {"table": name, "dropped": True})
+
+    def _create_view(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise LakeSqlError(
+                "CREATE VIEW shape: CREATE [OR REPLACE] VIEW v AS <select>"
+            )
+        replace, name, body = m.groups()
+        body = body.strip()
+        if not re.match(r"(SELECT|WITH|VALUES)\b", body, re.I):
+            raise LakeSqlError("view body must be a SELECT/WITH/VALUES")
+        if name in self._tables:
+            raise LakeSqlError(f"{name!r} is a registered table")
+        if name in self._views and not replace:
+            raise LakeSqlError(
+                f"view {name!r} already exists (CREATE OR REPLACE VIEW)"
+            )
+        # validate eagerly: a broken body should fail at CREATE, not at
+        # first use
+        self._expand_view_body_check(name, body)
+        self._views[name] = body
+        return _metrics_df(self.spark, {"view": name, "created": True})
+
+    def _expand_view_body_check(self, name: str, body: str) -> None:
+        prev = self._views.get(name)
+        self._views[name] = body
+        try:
+            self._expand_view(name, stack=())
+        except Exception:
+            if prev is None:
+                del self._views[name]
+            else:
+                self._views[name] = prev
+            raise
+
+    def _drop_view(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?({_IDENT})$", stmt, re.I
+        )
+        if not m:
+            raise LakeSqlError("DROP VIEW shape: DROP VIEW [IF EXISTS] v")
+        if_exists, name = m.groups()
+        if name not in self._views:
+            if if_exists:
+                return _metrics_df(self.spark, {"view": name,
+                                                "dropped": False})
+            raise LakeSqlError(f"view {name!r} does not exist")
+        del self._views[name]
+        self.spark.catalog.dropTempView(name)
+        return _metrics_df(self.spark, {"view": name, "dropped": True})
+
+    def _show_partitions(self, stmt: str) -> DataFrame:
+        m = re.match(rf"SHOW\s+PARTITIONS\s+({_IDENT})$", stmt, re.I)
+        if not m:
+            raise LakeSqlError("SHOW PARTITIONS shape: SHOW PARTITIONS t")
+        t = self.table(m.group(1))
+        if not isinstance(t, PartitionedTable):
+            raise LakeSqlError(
+                f"{m.group(1)!r} is a flat (hash-bucketed) table; "
+                "SHOW PARTITIONS applies to partitioned tables"
+            )
+        return self.spark.createDataFrame(
+            [(p,) for p in sorted(t.partitions())], "partition string"
+        )
 
     def _describe(self, stmt: str) -> DataFrame:
         bare = re.match(rf"DESC(?:RIBE)?\s+({_IDENT})$", stmt, re.I)
@@ -671,6 +808,25 @@ class LakeCatalog:
         )
 
     def _insert(self, stmt: str) -> DataFrame:
+        om = re.match(
+            rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})\s+(.*)$",
+            stmt, re.I | re.S,
+        )
+        if om:
+            # full-table atomic replace: one D+U change batch through
+            # overwrite_where (replaceWhere over the whole table)
+            name, body = om.groups()
+            t = self.table(name, for_write=True)
+            df = self._select(body.strip())
+            want = [f.name for f in t.schema().fields
+                    if not f.name.startswith("_")]
+            if len(df.columns) != len(want):
+                raise LakeSqlError(
+                    f"INSERT OVERWRITE produces {len(df.columns)} columns"
+                    f" for schema {want}"
+                )
+            out = t.overwrite_where(df.toDF(*want), "true")
+            return _metrics_df(self.spark, out)
         m = re.match(
             rf"INSERT\s+INTO\s+({_IDENT})\s*(\(([^)]*)\))?\s*(.*)$",
             stmt, re.I | re.S,
@@ -678,7 +834,8 @@ class LakeCatalog:
         if not m:
             raise LakeSqlError(
                 "INSERT shape: INSERT INTO t [(cols)] VALUES (...), ... "
-                "| INSERT INTO t [(cols)] SELECT ..."
+                "| INSERT INTO t [(cols)] SELECT ... "
+                "| INSERT OVERWRITE t <select>"
             )
         name, _, cols_body, rest = m.groups()
         t = self.table(name, for_write=True)

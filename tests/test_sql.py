@@ -465,3 +465,103 @@ def test_bare_describe_lists_schema(spark, cat, seeded):
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     ]
     assert rows[0].data_type == "string"
+
+
+# --------------------------- views / overwrite / partitions / persist
+def test_create_view_and_view_over_view(spark, cat, seeded):
+    cat.sql("CREATE VIEW user_turns AS "
+            "SELECT conv_id, turn_idx, text FROM tr WHERE role = 'user'")
+    assert cat.sql("SELECT count(*) AS n FROM user_turns").first().n == 2
+    cat.sql("CREATE VIEW c1_user AS "
+            "SELECT * FROM user_turns WHERE conv_id = 'c1'")
+    assert cat.sql("SELECT text FROM c1_user").first().text == "hello"
+    # views track table heads: a later write is visible through the view
+    seeded.apply_changes(_events(
+        spark, [("I", 50, "c9", 0, "user", "late", None)]), batch_id=9)
+    assert cat.sql("SELECT count(*) AS n FROM user_turns").first().n == 3
+    names = [r.viewName for r in cat.sql("SHOW VIEWS").collect()]
+    assert names == ["c1_user", "user_turns"]
+    with pytest.raises(LakeSqlError, match="already exists"):
+        cat.sql("CREATE VIEW user_turns AS SELECT 1 AS one")
+    cat.sql("CREATE OR REPLACE VIEW user_turns AS SELECT 1 AS one")
+    assert cat.sql("SELECT one FROM user_turns").first().one == 1
+    cat.sql("DROP VIEW c1_user")
+    assert cat.sql("SHOW VIEWS").count() == 1
+    # broken body fails at CREATE, not first use
+    with pytest.raises(Exception):
+        cat.sql("CREATE VIEW broken AS SELECT nope FROM tr")
+    assert "broken" not in [r.viewName
+                            for r in cat.sql("SHOW VIEWS").collect()]
+
+
+def test_insert_overwrite_replaces_whole_table(spark, cat, seeded):
+    cat.sql("INSERT OVERWRITE tr "
+            "SELECT conv_id, turn_idx, role, upper(text), tool, ts "
+            "FROM tr WHERE conv_id = 'c1'")
+    rows = {(r.conv_id, r.turn_idx): r.text
+            for r in seeded.read().collect()}
+    assert rows == {("c1", 0): "HELLO", ("c1", 1): "HI THERE"}
+    # the replace is one commit and rides the feed as D+U rows
+    feed = seeded.changes(seeded.latest_version() - 1)
+    ops = sorted((r.conv_id, r.turn_idx, r._deleted)
+                 for r in feed.collect())
+    assert ("c2", 0, True) in ops
+
+
+def test_show_partitions(spark, cat, tmp_path, seeded):
+    loc = str(tmp_path / "p2")
+    cat.sql(f"CREATE TABLE p2 (conv_id string, turn_idx int, "
+            f"ts timestamp) USING lake LOCATION '{loc}' "
+            f"OPTIONS (partition_col 'ts', granularity 'month', "
+            f"num_buckets '2')")
+    cat.sql("INSERT INTO p2 VALUES "
+            "('a', 0, timestamp'2024-02-01 00:00:00'), "
+            "('b', 0, timestamp'2024-05-01 00:00:00')")
+    assert [r.partition for r in cat.sql("SHOW PARTITIONS p2").collect()] \
+        == ["2024-02", "2024-05"]
+    with pytest.raises(LakeSqlError, match="flat"):
+        cat.sql("SHOW PARTITIONS tr")
+
+
+def test_catalog_save_load_roundtrip(spark, cat, tmp_path, seeded):
+    cat.sql("CREATE VIEW v1 AS SELECT conv_id FROM tr")
+    p = str(tmp_path / "catalog.json")
+    cat.save(p)
+    cat2 = LakeCatalog.load(spark, p)
+    assert cat2.tables() == ["tr"]
+    assert cat2.sql("SELECT count(*) AS n FROM tr").first().n == 3
+    assert cat2.sql("SELECT count(*) AS n FROM v1").first().n == 3
+
+
+def test_txn_group_with_partitioned_member(spark, tmp_path):
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+    from cdm_to_mods_spark.plans.txn import TableGroup
+
+    pt = PartitionedTable(spark, str(tmp_path / "pt"), num_buckets=2,
+                          merge_mode="mor", granularity="month")
+    pt.create(TRANSCRIPT_SCHEMA)
+    flat = LakeTable(spark, str(tmp_path / "flat"),
+                     key_cols=("conv_id",), num_buckets=2,
+                     merge_mode="mor")
+    flat.create(T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), True),
+    ]))
+    g = TableGroup(spark, str(tmp_path / "g2"))
+    g.create({"pt": pt, "flat": flat})
+    assert isinstance(g.table("pt"), PartitionedTable)
+    ev = spark.createDataFrame(
+        [("I", 1, "x", 0, "user", "jan", None, "2024-01-03 10:00:00")],
+        "op string, seq long, conv_id string, turn_idx int, role string,"
+        " text string, tool string, ts_raw string",
+    ).withColumn("ts", pytest.importorskip("pyspark.sql.functions")
+                 .to_timestamp("ts_raw")).drop("ts_raw")
+    with g.transaction() as txn:
+        txn.table("pt").apply_changes(ev, batch_id=0)
+        txn.table("flat").apply_changes(spark.createDataFrame(
+            [("I", 1, "x", "ok")],
+            "op string, seq long, conv_id string, status string"))
+        txn.commit()
+    assert g.read("pt").count() == 1
+    assert g.read("flat").count() == 1
+    assert g.table("pt").partitions() == ["2024-01"]
