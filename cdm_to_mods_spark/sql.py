@@ -318,6 +318,10 @@ class LakeCatalog:
         kw2 = (head[1].upper() if len(head) > 1 else "")
         if kw in ("SELECT", "WITH", "VALUES"):
             return self._select(stmt)
+        if kw == "EXPLAIN":
+            return self._explain(stmt)
+        if kw == "SHOW" and kw2 == "CREATE":
+            return self._show_create(stmt)
         if kw in ("BEGIN", "START"):
             return self._begin()
         if kw == "COMMIT":
@@ -419,6 +423,12 @@ class LakeCatalog:
         return [n for n in self._tables if n in toks]
 
     def _select(self, stmt: str) -> DataFrame:
+        return self.spark.sql(self._prepare(stmt))
+
+    def _prepare(self, stmt: str) -> str:
+        """Register every referenced table head / snapshot / stored view
+        as a temp view and return the statement with time-travel suffixes
+        rewritten — the part of SELECT delegation that EXPLAIN shares."""
         # Delta-style time travel: rewrite `t VERSION AS OF 3` /
         # `t TIMESTAMP AS OF '...'` to a snapshot temp view BEFORE
         # delegation (Spark's parser would reject the suffix).
@@ -433,6 +443,19 @@ class LakeCatalog:
                 stmt = re.sub(
                     rf"\b{name}\s+VERSION\s+AS\s+OF\s+{m}\b", view, stmt,
                     flags=re.I,
+                )
+            # Iceberg-style tag ref: VERSION AS OF 'tag_name'
+            gpat = re.compile(
+                rf"\b{name}\s+VERSION\s+AS\s+OF\s+'([^']+)'", re.I
+            )
+            for m in set(gpat.findall(stmt)):
+                t = self.table(name)
+                v = t.tag_version(m)
+                view = f"{name}__v{v}"
+                t.read(version=v).createOrReplaceTempView(view)
+                stmt = re.sub(
+                    rf"\b{name}\s+VERSION\s+AS\s+OF\s+'{re.escape(m)}'",
+                    view, stmt, flags=re.I,
                 )
             tpat = re.compile(
                 rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.I
@@ -458,7 +481,7 @@ class LakeCatalog:
         toks = set(re.findall(_IDENT, stmt))
         for vname in [v for v in self._views if v in toks]:
             self._expand_view(vname, stack=())
-        return self.spark.sql(stmt)
+        return stmt
 
     def _expand_view(self, name: str, stack: tuple) -> None:
         if name in stack:
@@ -604,6 +627,51 @@ class LakeCatalog:
         del self._views[name]
         self.spark.catalog.dropTempView(name)
         return _metrics_df(self.spark, {"view": name, "dropped": True})
+
+    def _explain(self, stmt: str) -> DataFrame:
+        m = re.match(
+            r"EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(.*)$",
+            stmt, re.I | re.S,
+        )
+        mode, body = (m.group(1) or "").strip(), m.group(2).strip()
+        if not re.match(r"(SELECT|WITH|VALUES)\b", body, re.I):
+            raise LakeSqlError("EXPLAIN takes a SELECT/WITH/VALUES body")
+        return self.spark.sql(f"EXPLAIN {mode} {self._prepare(body)}")
+
+    def _show_create(self, stmt: str) -> DataFrame:
+        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})$", stmt, re.I)
+        if not m:
+            raise LakeSqlError("shape: SHOW CREATE TABLE t")
+        name = m.group(1)
+        t = self.table(name)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in t.schema().fields if not f.name.startswith("_")
+        )
+        opts = {"key_cols": ",".join(t.key_cols)}
+        if isinstance(t, PartitionedTable):
+            opts.update(partition_col=t.partition_col,
+                        granularity=t.granularity)
+            if t.cross_partition_upsert:
+                opts["cross_partition_upsert"] = "true"
+            opts.update({k: str(v) for k, v in t._lake_kwargs.items()
+                         if isinstance(v, (str, int))})
+        else:
+            opts.update(bucket_col=t.bucket_col,
+                        num_buckets=str(t.num_buckets),
+                        merge_mode=t.merge_mode, bucket_fn=t.bucket_fn)
+            if t.merge_engine != "lww":
+                opts["merge_engine"] = t.merge_engine
+        opt_body = ", ".join(f"{k} '{v}'" for k, v in opts.items())
+        ddl = (f"CREATE TABLE {name} ({cols}) USING lake "
+               f"LOCATION '{t.path}' OPTIONS ({opt_body})")
+        props = t.properties()
+        if props:
+            prop_body = ", ".join(f"{k} '{v}'" for k, v in sorted(props.items()))
+            ddl += f" TBLPROPERTIES ({prop_body})"
+        return self.spark.createDataFrame(
+            [(ddl,)], "create_statement string"
+        )
 
     def _show_partitions(self, stmt: str) -> DataFrame:
         m = re.match(rf"SHOW\s+PARTITIONS\s+({_IDENT})$", stmt, re.I)

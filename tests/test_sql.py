@@ -565,3 +565,23 @@ def test_txn_group_with_partitioned_member(spark, tmp_path):
     assert g.read("pt").count() == 1
     assert g.read("flat").count() == 1
     assert g.table("pt").partitions() == ["2024-01"]
+
+
+def test_explain_tag_travel_show_create(spark, cat, tmp_path, seeded):
+    # EXPLAIN delegates with the same view registration
+    plan = cat.sql("EXPLAIN SELECT count(*) FROM tr").first()[0]
+    assert "Aggregate" in plan or "Scan" in plan
+    # tag-based time travel (Iceberg VERSION AS OF 'tag')
+    seeded.tag("v_first")
+    seeded.delete_where("conv_id = 'c1'")
+    assert cat.sql(
+        "SELECT count(*) AS n FROM tr VERSION AS OF 'v_first'"
+    ).first().n == 3
+    assert cat.sql("SELECT count(*) AS n FROM tr").first().n == 1
+    # SHOW CREATE TABLE round-trips through the router's own grammar
+    ddl = cat.sql("SHOW CREATE TABLE tr").first().create_statement
+    assert "USING lake" in ddl and "merge_mode 'mor'" in ddl
+    ddl2 = ddl.replace("TABLE tr ", "TABLE tr_clone ", 1).replace(
+        seeded.path, str(tmp_path / "c2"))
+    cat.sql(ddl2)  # parses and creates
+    assert cat.table("tr_clone").merge_mode == "mor"
