@@ -341,3 +341,93 @@ class AdditiveStatsView(ConversationStatsView):
         self._commit_marker(data_rel, src_v, -1, t0)
         return {"refreshed": True, "source_version": src_v,
                 "strategy": strategy}
+
+
+class GenericAdditiveView(AdditiveStatsView):
+    """User-defined incrementally-maintained aggregate view — the engine
+    behind ``CREATE MATERIALIZED VIEW``: arbitrary group columns and any
+    mix of ``count(*)`` / ``sum(<expr>)`` aggregates, maintained by the
+    same retract-stream machinery as :class:`AdditiveStatsView` (add each
+    post-image's contribution, subtract each pre-image's; O(changed rows)
+    per refresh over a ``changelog="lookup"`` source, automatic
+    reseed-full fallback on any other table).
+
+    Additive-only by construction: count and sum advance under
+    retraction; max/min/countDistinct do not (retracting the current
+    max needs the runner-up, which the view no longer has) — those need
+    the recompute strategy and are refused at definition time by the SQL
+    router. ``avg`` is a consumer-side division of two additive columns.
+
+    A hidden ``_rows`` count is always maintained so a group whose every
+    row was retracted vanishes even when the user asked only for sums;
+    ``read()`` drops it.
+    """
+
+    def __init__(self, spark, source, path: str, group_cols: list,
+                 aggs: list) -> None:
+        """``aggs``: list of ``(name, kind, expr)`` with kind ``"count"``
+        (expr ignored) or ``"sum"`` (expr = SQL over the source row)."""
+        super().__init__(spark, source, path)
+        assert group_cols, "at least one GROUP BY column"
+        for _, kind, _e in aggs:
+            assert kind in ("count", "sum"), kind
+        self.group_cols = list(group_cols)
+        self.aggs = [tuple(a) for a in aggs]
+
+    # contribution of one source row to each aggregate
+    def _contrib(self, name: str, kind: str, expr: str):
+        if kind == "count":
+            return F.lit(1)
+        # sum over a null expr contributes 0 (SQL SUM skips nulls; a
+        # retractable contribution must be numeric either way)
+        return F.coalesce(F.expr(expr).cast("double"), F.lit(0.0))
+
+    def _agg(self, rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*self.group_cols).agg(
+            *[
+                F.sum(self._contrib(n, k, e)).alias(n)
+                for n, k, e in self.aggs
+            ],
+            F.count(F.lit(1)).cast("long").alias("_rows"),
+        )
+
+    def _retract_fold(self, delta: DataFrame) -> DataFrame:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        d = delta.groupBy(*self.group_cols).agg(
+            *[
+                F.sum(sign * self._contrib(n, k, e)).alias(f"_d_{n}")
+                for n, k, e in self.aggs
+            ],
+            F.sum(sign).cast("long").alias("_d__rows"),
+        )
+        cur = self._stored()
+        zero = F.lit(0)
+        out = cur.join(d, self.group_cols, "full_outer").select(
+            *self.group_cols,
+            *[
+                (F.coalesce(F.col(n), zero)
+                 + F.coalesce(F.col(f"_d_{n}"), zero)).alias(n)
+                for n, _k, _e in self.aggs
+            ],
+            (F.coalesce(F.col("_rows"), zero)
+             + F.coalesce(F.col("_d__rows"), zero)).cast("long")
+            .alias("_rows"),
+        )
+        return out.filter(F.col("_rows") > 0)
+
+    def _stored(self) -> DataFrame:
+        m = self._marker()
+        if m is None:
+            return self._agg(self.source.read().limit(0))
+        return self.spark.read.parquet(os.path.join(self.path, m["data"]))
+
+    def read(self) -> DataFrame:
+        return self._stored().drop("_rows")
+
+    def definition(self) -> dict:
+        """Re-creatable description (persisted by the SQL catalog)."""
+        return {"group_cols": list(self.group_cols),
+                "aggs": [list(a) for a in self.aggs]}

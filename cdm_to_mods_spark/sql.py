@@ -49,7 +49,21 @@ Supported statements (case-insensitive keywords; one statement per call):
   engine merges by key; any other join shape is refused with the key
   list in the error).
 - anything starting with SELECT / WITH / VALUES — delegated to
-  ``spark.sql``.
+  ``spark.sql``; ``EXPLAIN [mode] <select>`` delegates the plan dump the
+  same way.
+- ``CREATE [OR REPLACE] VIEW v AS <select>`` / ``DROP VIEW v`` /
+  ``SHOW VIEWS`` — stored SQL, re-expanded per query (views over views
+  work; cycles and broken bodies refused at CREATE).
+- ``CREATE MATERIALIZED VIEW mv LOCATION '/p' AS SELECT <groups +
+  count(*)/sum(expr) AS name...> FROM t GROUP BY <cols>`` /
+  ``REFRESH MATERIALIZED VIEW mv`` / ``DROP MATERIALIZED VIEW mv`` —
+  an incrementally-maintained aggregate
+  (:class:`~cdm_to_mods_spark.plans.incremental.GenericAdditiveView`):
+  O(changed rows) retract-stream refresh over ``changelog="lookup"``
+  sources, reseed-full fallback elsewhere; non-additive aggregates
+  refused with the reason.
+- ``SHOW PARTITIONS t`` / ``SHOW CREATE TABLE t`` (the emitted DDL
+  re-parses through this router).
 - ``BEGIN [TRANSACTION]`` / ``COMMIT`` / ``ROLLBACK`` — available when
   the catalog is constructed over a
   :class:`~cdm_to_mods_spark.plans.txn.TableGroup`: member DML between
@@ -228,6 +242,7 @@ class LakeCatalog:
         self.spark = spark
         self._tables: dict[str, object] = {}
         self._views: dict[str, str] = {}
+        self._mviews: dict[str, object] = {}
         self._group = group
         self._txn = None
         if group is not None:
@@ -244,6 +259,17 @@ class LakeCatalog:
             "format_version": 1,
             "tables": {n: t.path for n, t in sorted(self._tables.items())},
             "views": dict(sorted(self._views.items())),
+            "materialized_views": {
+                n: {
+                    "path": v.path,
+                    "source": next(
+                        tn for tn, t in self._tables.items()
+                        if t is v.source or t.path == v.source.path
+                    ),
+                    **v.definition(),
+                }
+                for n, v in sorted(self._mviews.items())
+            },
             "group": self._group.path if self._group is not None else None,
         }
         tmp = f"{path}.tmp-{uuid4().hex[:8]}"
@@ -269,6 +295,13 @@ class LakeCatalog:
             if name not in cat._tables:  # group members already bound
                 cat.register(name, _open_member(spark, tpath))
         cat._views.update(payload.get("views", {}))
+        from .plans.incremental import GenericAdditiveView
+
+        for name, mv in payload.get("materialized_views", {}).items():
+            cat._mviews[name] = GenericAdditiveView(
+                spark, cat.table(mv["source"]), mv["path"],
+                mv["group_cols"], [tuple(a) for a in mv["aggs"]],
+            )
         return cat
 
     # ------------------------------------------------------------ registry
@@ -332,6 +365,12 @@ class LakeCatalog:
             return self._create_table(stmt)
         if kw == "CREATE" and kw2 in ("VIEW", "OR"):
             return self._create_view(stmt)
+        if kw == "CREATE" and kw2 == "MATERIALIZED":
+            return self._create_mview(stmt)
+        if kw == "REFRESH":
+            return self._refresh_mview(stmt)
+        if kw == "DROP" and kw2 == "MATERIALIZED":
+            return self._drop_mview(stmt)
         if kw == "DROP" and kw2 == "TABLE":
             return self._drop_table(stmt)
         if kw == "DROP" and kw2 == "VIEW":
@@ -481,6 +520,9 @@ class LakeCatalog:
         toks = set(re.findall(_IDENT, stmt))
         for vname in [v for v in self._views if v in toks]:
             self._expand_view(vname, stack=())
+        # materialized views serve their STORED state (refresh to advance)
+        for mname in [m for m in self._mviews if m in toks]:
+            self._mviews[mname].read().createOrReplaceTempView(mname)
         return stmt
 
     def _expand_view(self, name: str, stack: tuple) -> None:
@@ -611,6 +653,115 @@ class LakeCatalog:
             else:
                 self._views[name] = prev
             raise
+
+    def _create_mview(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+"
+            rf"LOCATION\s+'([^']+)'\s+AS\s+"
+            rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})\s+"
+            rf"GROUP\s+BY\s+(.*)$",
+            stmt, re.I | re.S,
+        )
+        if not m:
+            raise LakeSqlError(
+                "CREATE MATERIALIZED VIEW shape: CREATE MATERIALIZED "
+                "VIEW mv LOCATION '/path' AS SELECT <group cols + "
+                "count(*)/sum(expr) AS name, ...> FROM t GROUP BY <cols>"
+            )
+        name, location, sel_body, src_name, grp_body = m.groups()
+        if name in self._tables or name in self._views \
+                or name in self._mviews:
+            raise LakeSqlError(f"{name!r} is already bound")
+        src = self.table(src_name)
+        group_cols = []
+        for item in _split_top(grp_body):
+            if not re.fullmatch(_IDENT, item):
+                raise LakeSqlError(
+                    f"GROUP BY term {item!r} must be a bare column "
+                    "(computed group keys: project them into the table "
+                    "first)"
+                )
+            group_cols.append(item)
+        aggs, seen_groups = [], []
+        for item in _split_top(sel_body):
+            if re.fullmatch(_IDENT, item):
+                if item not in group_cols:
+                    raise LakeSqlError(
+                        f"bare select column {item!r} is not in GROUP BY"
+                    )
+                seen_groups.append(item)
+                continue
+            am = re.match(
+                rf"(\w+)\s*\((.*)\)\s+AS\s+({_IDENT})$", item,
+                re.I | re.S,
+            )
+            if not am:
+                raise LakeSqlError(
+                    f"cannot parse aggregate {item!r}: count(*)/"
+                    "sum(expr) AS name"
+                )
+            fn, arg, alias = am.group(1).lower(), am.group(2).strip(), \
+                am.group(3)
+            if fn == "count" and arg in ("*", "1"):
+                aggs.append((alias, "count", None))
+            elif fn == "sum":
+                aggs.append((alias, "sum", arg))
+            elif fn == "avg":
+                raise LakeSqlError(
+                    "avg is not stored directly: materialize "
+                    f"sum({arg}) AS s and count(*) AS n, divide at query "
+                    "time — additive maintenance only stores retractable "
+                    "aggregates"
+                )
+            else:
+                raise LakeSqlError(
+                    f"aggregate {fn!r} is not additive (retracting the "
+                    "current max/min/distinct needs state the view no "
+                    "longer has) — supported: count(*), sum(expr)"
+                )
+        if not aggs:
+            raise LakeSqlError("need at least one aggregate column")
+        if sorted(seen_groups) != sorted(group_cols):
+            raise LakeSqlError(
+                "select list must carry every GROUP BY column "
+                f"(missing {sorted(set(group_cols) - set(seen_groups))})"
+            )
+        from .plans.incremental import GenericAdditiveView
+
+        view = GenericAdditiveView(self.spark, src, location,
+                                   group_cols, aggs)
+        out = view.refresh()  # initial build
+        self._mviews[name] = view
+        return _metrics_df(self.spark, {"materialized_view": name,
+                                        "created": True, **out})
+
+    def _refresh_mview(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})$", stmt, re.I
+        )
+        if not m:
+            raise LakeSqlError(
+                "REFRESH shape: REFRESH MATERIALIZED VIEW mv"
+            )
+        name = m.group(1)
+        if name not in self._mviews:
+            raise LakeSqlError(f"no materialized view {name!r}")
+        return _metrics_df(self.spark, self._mviews[name].refresh())
+
+    def _drop_mview(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"DROP\s+MATERIALIZED\s+VIEW\s+({_IDENT})$", stmt, re.I
+        )
+        if not m:
+            raise LakeSqlError("DROP shape: DROP MATERIALIZED VIEW mv")
+        name = m.group(1)
+        if name not in self._mviews:
+            raise LakeSqlError(f"no materialized view {name!r}")
+        # catalog unbind; the view's stored state stays (external rule)
+        del self._mviews[name]
+        self.spark.catalog.dropTempView(name)
+        return _metrics_df(self.spark, {"materialized_view": name,
+                                        "dropped": True})
 
     def _drop_view(self, stmt: str) -> DataFrame:
         m = re.match(

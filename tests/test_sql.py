@@ -585,3 +585,77 @@ def test_explain_tag_travel_show_create(spark, cat, tmp_path, seeded):
         seeded.path, str(tmp_path / "c2"))
     cat.sql(ddl2)  # parses and creates
     assert cat.table("tr_clone").merge_mode == "mor"
+
+
+# ------------------------------------------------- materialized views
+@pytest.fixture()
+def cl_table(spark, cat, tmp_path):
+    """A changelog='lookup' table so mview refreshes are retract-fold
+    incremental."""
+    t = LakeTable(spark, str(tmp_path / "clt"), num_buckets=2,
+                  merge_mode="mor", changelog="lookup")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, [
+        ("I", 1, "c1", 0, "user", "aaaa", None),
+        ("I", 2, "c1", 1, "assistant", "bb", None),
+        ("I", 3, "c2", 0, "user", "cccccc", None),
+    ]), batch_id=0)
+    cat.register("clt", t)
+    return t
+
+
+def test_materialized_view_lifecycle(spark, cat, tmp_path, cl_table):
+    out = cat.sql(
+        f"CREATE MATERIALIZED VIEW conv_stats LOCATION "
+        f"'{tmp_path / 'mv'}' AS SELECT conv_id, count(*) AS n_turns, "
+        f"sum(length(text)) AS n_chars FROM clt GROUP BY conv_id"
+    ).first()
+    assert out.created is True
+    rows = {r.conv_id: (r.n_turns, r.n_chars) for r in
+            cat.sql("SELECT * FROM conv_stats").collect()}
+    assert rows == {"c1": (2, 6.0), "c2": (1, 6.0)}
+    # source changes are not visible until REFRESH...
+    cl_table.apply_changes(_events(spark, [
+        ("U", 4, "c1", 0, "user", "a", None),      # 4 chars -> 1
+        ("D", 5, "c2", 0, None, None, None),        # c2 vanishes
+    ]), batch_id=1)
+    rows = {r.conv_id: r.n_turns for r in
+            cat.sql("SELECT * FROM conv_stats").collect()}
+    assert rows == {"c1": 2, "c2": 1}
+    ref = cat.sql("REFRESH MATERIALIZED VIEW conv_stats").first()
+    assert ref.strategy == "retract"   # incremental, not a rebuild
+    rows = {r.conv_id: (r.n_turns, r.n_chars) for r in
+            cat.sql("SELECT * FROM conv_stats").collect()}
+    assert rows == {"c1": (2, 3.0)}
+    # non-additive aggregates are refused with the reason
+    with pytest.raises(LakeSqlError, match="not additive"):
+        cat.sql(f"CREATE MATERIALIZED VIEW bad LOCATION "
+                f"'{tmp_path / 'bad'}' AS SELECT conv_id, max(ts) AS m "
+                f"FROM clt GROUP BY conv_id")
+    with pytest.raises(LakeSqlError, match="avg is not stored"):
+        cat.sql(f"CREATE MATERIALIZED VIEW bad2 LOCATION "
+                f"'{tmp_path / 'bad2'}' AS SELECT conv_id, "
+                f"avg(length(text)) AS m FROM clt GROUP BY conv_id")
+    cat.sql("DROP MATERIALIZED VIEW conv_stats")
+    with pytest.raises(LakeSqlError, match="no materialized view"):
+        cat.sql("REFRESH MATERIALIZED VIEW conv_stats")
+
+
+def test_materialized_view_persistence(spark, cat, tmp_path, cl_table):
+    cat.sql(
+        f"CREATE MATERIALIZED VIEW mv2 LOCATION '{tmp_path / 'mv2'}' "
+        f"AS SELECT role, count(*) AS n FROM clt GROUP BY role"
+    )
+    p = str(tmp_path / "cat.json")
+    cat.save(p)
+    cat2 = LakeCatalog.load(spark, p)
+    rows = {r.role: r.n for r in
+            cat2.sql("SELECT * FROM mv2").collect()}
+    assert rows == {"user": 2, "assistant": 1}
+    # the reloaded handle keeps refreshing incrementally
+    cl_table.apply_changes(_events(
+        spark, [("I", 9, "c3", 0, "tool", "t", None)]), batch_id=2)
+    assert cat2.sql("REFRESH MATERIALIZED VIEW mv2").first().strategy \
+        == "retract"
+    rows = {r.role: r.n for r in cat2.sql("SELECT * FROM mv2").collect()}
+    assert rows == {"user": 2, "assistant": 1, "tool": 1}
