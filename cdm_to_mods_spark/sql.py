@@ -64,6 +64,12 @@ Supported statements (case-insensitive keywords; one statement per call):
   refused with the reason.
 - ``SHOW PARTITIONS t`` / ``SHOW CREATE TABLE t`` (the emitted DDL
   re-parses through this router).
+- CDC TVFs in any SELECT: ``table_changes('t', since[, until])`` (the
+  change feed) and ``row_changes('t', since[, until])`` (the typed
+  changelog) — rewritten to temp views before delegation.
+- ``COPY INTO t FROM '/dir' [FILEFORMAT = fmt] [BATCH_ID = n]`` —
+  loads a change-event directory through the MERGE path; BATCH_ID is
+  the exactly-once token (re-running a committed id is a skip).
 - ``BEGIN [TRANSACTION]`` / ``COMMIT`` / ``ROLLBACK`` — available when
   the catalog is constructed over a
   :class:`~cdm_to_mods_spark.plans.txn.TableGroup`: member DML between
@@ -404,6 +410,8 @@ class LakeCatalog:
             return self._update(stmt)
         if kw == "INSERT":
             return self._insert(stmt)
+        if kw == "COPY":
+            return self._copy_into(stmt)
         if kw == "MERGE":
             return self._merge(stmt)
         raise LakeSqlError(
@@ -523,6 +531,25 @@ class LakeCatalog:
         # materialized views serve their STORED state (refresh to advance)
         for mname in [m for m in self._mviews if m in toks]:
             self._mviews[mname].read().createOrReplaceTempView(mname)
+        # Delta-style CDC TVFs: table_changes('t', since[, until]) — the
+        # change feed; row_changes('t', since[, until]) — the typed
+        # changelog with _change_type pre/post-images
+        for fn, meth in (("table_changes", "changes"),
+                         ("row_changes", "row_changes")):
+            tv = re.compile(
+                rf"\b{fn}\s*\(\s*'({_IDENT})'\s*,\s*(\d+)"
+                rf"(?:\s*,\s*(\d+))?\s*\)",
+                re.I,
+            )
+            for m in list(tv.finditer(stmt)):
+                name, since, until = m.group(1), int(m.group(2)), m.group(3)
+                t = self.table(name)
+                df = getattr(t, meth)(
+                    since, int(until) if until else None
+                )
+                view = f"{name}__{fn}_{since}_{until or 'head'}"
+                df.createOrReplaceTempView(view)
+                stmt = stmt.replace(m.group(0), view)
         return stmt
 
     def _expand_view(self, name: str, stack: tuple) -> None:
@@ -1118,6 +1145,36 @@ class LakeCatalog:
         )
         out = t.apply_changes(events, source="sql:insert")
         return _metrics_df(self.spark, {**out, "insert_seq": seq})
+
+    def _copy_into(self, stmt: str) -> DataFrame:
+        """SQL entry to the ingest path: load a change-event directory
+        (op/seq + payload rows) and MERGE it — ``BATCH_ID`` makes the
+        statement exactly-once (re-running a committed id is a skip),
+        the COPY INTO idempotence contract expressed with the engine's
+        ledger instead of per-file bookkeeping."""
+        m = re.match(
+            rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+            rf"(?:\s+FILEFORMAT\s*=\s*(\w+))?"
+            rf"(?:\s+BATCH_ID\s*=\s*(\d+))?$",
+            stmt, re.I,
+        )
+        if not m:
+            raise LakeSqlError(
+                "COPY shape: COPY INTO t FROM '/events/dir' "
+                "[FILEFORMAT = parquet|json|csv|xlsx|debezium] "
+                "[BATCH_ID = n]"
+            )
+        name, path, fmt, batch_id = m.groups()
+        from .sources.events import read_events
+
+        t = self.table(name, for_write=True)
+        events = read_events(self.spark, path,
+                             fmt=(fmt or "parquet").lower())
+        out = t.apply_changes(
+            events, batch_id=int(batch_id) if batch_id else None,
+            source=f"sql:copy_into:{path}",
+        )
+        return _metrics_df(self.spark, out)
 
     # -------------------------------------------------------------- MERGE
     def _merge(self, stmt: str) -> DataFrame:

@@ -659,3 +659,39 @@ def test_materialized_view_persistence(spark, cat, tmp_path, cl_table):
         == "retract"
     rows = {r.role: r.n for r in cat2.sql("SELECT * FROM mv2").collect()}
     assert rows == {"user": 2, "assistant": 1, "tool": 1}
+
+
+def test_table_changes_tvf_and_copy_into(spark, cat, tmp_path, seeded):
+    v0 = seeded.latest_version()
+    cat.sql("UPDATE tr SET tool = 'cdc' WHERE conv_id = 'c1'")
+    rows = cat.sql(
+        f"SELECT conv_id, turn_idx, tool FROM table_changes('tr', {v0}) "
+        f"ORDER BY conv_id, turn_idx"
+    ).collect()
+    assert [(r.conv_id, r.turn_idx, r.tool) for r in rows] == [
+        ("c1", 0, "cdc"), ("c1", 1, "cdc")
+    ]
+    # aggregating over the feed works like any relation
+    assert cat.sql(
+        f"SELECT count(*) AS n FROM table_changes('tr', {v0})"
+    ).first().n == 2
+    # COPY INTO loads an event dir through the MERGE path, exactly-once
+    ev_dir = str(tmp_path / "ev")
+    from cdm_to_mods_spark.sources.events import write_events
+    from cdm_to_mods_spark.schemas import EVENT_SCHEMA
+
+    events = spark.createDataFrame(
+        [("I", 90, "cp1", 0, "user", "copied", None, None, None)],
+        EVENT_SCHEMA,
+    )
+    write_events(events, ev_dir, fmt="json")
+    out = cat.sql(
+        f"COPY INTO tr FROM '{ev_dir}' FILEFORMAT = json BATCH_ID = 77"
+    ).first()
+    assert out.n_events == 1
+    assert seeded.read().filter("conv_id = 'cp1'").count() == 1
+    # re-running the same statement is a ledger skip
+    again = cat.sql(
+        f"COPY INTO tr FROM '{ev_dir}' FILEFORMAT = json BATCH_ID = 77"
+    ).first()
+    assert again.skipped is True
