@@ -49,17 +49,37 @@ from pyspark.sql import DataFrame, SparkSession
 from .lake import BranchDivergedError, LakeTable
 
 
-def _open_member(spark: SparkSession, path: str, branch: str = "main"):
+# Write-strategy constructor args that reopen deliberately does NOT adopt
+# from disk ("caller-chosen — write strategies, not layout", lake.py): a
+# catalog/group reopening a member on the owner's behalf must replay the
+# owner's choice, or a mor table's staged commits would silently run cow
+# (different cost shape, and cow-without-CDF poisons the change feed).
+_STRATEGY_KEYS = ("merge_mode", "compact_deltas", "cow_change_feed")
+
+
+def member_strategy(table) -> dict:
+    """The write-strategy kwargs to persist for ``table`` so a later
+    reopen writes the way the owner did."""
+    if hasattr(table, "_lake_kwargs"):  # partitioned: strategy rides the
+        src = table._lake_kwargs       # sub-table kwargs
+        return {k: src[k] for k in _STRATEGY_KEYS if k in src}
+    return {k: getattr(table, k) for k in _STRATEGY_KEYS}
+
+
+def _open_member(spark: SparkSession, path: str, branch: str = "main",
+                 strategy: dict | None = None):
     """Open a member by its on-disk kind: a ``_spec.json`` marks the
     time-partitioned composite table (its reopen adopts the spec), else a
     flat LakeTable (reopen adopts the manifest). Branch handles stage at
     the member's own scope — the router's global WAP for partitioned
-    members, the flat branch namespace otherwise."""
+    members, the flat branch namespace otherwise. ``strategy`` replays
+    the owner's write-strategy kwargs (see ``member_strategy``)."""
+    kw = dict(strategy or {})
     if os.path.exists(os.path.join(path, "_spec.json")):
         from .partitioned import PartitionedTable
 
-        return PartitionedTable(spark, path, branch=branch)
-    return LakeTable(spark, path, branch=branch)
+        return PartitionedTable(spark, path, branch=branch, **kw)
+    return LakeTable(spark, path, branch=branch, **kw)
 
 
 class TransactionConflictError(RuntimeError):
@@ -131,7 +151,8 @@ class TableGroup:
                     f"{sorted(spec['tables'])}"
                 )
             self._handles[name] = _open_member(
-                self.spark, spec["tables"][name]
+                self.spark, spec["tables"][name],
+                strategy=spec.get("strategy", {}).get(name),
             )
         return self._handles[name]
 
@@ -153,6 +174,9 @@ class TableGroup:
             {
                 "format_version": 1,
                 "tables": {n: t.path for n, t in sorted(tables.items())},
+                "strategy": {
+                    n: member_strategy(t) for n, t in sorted(tables.items())
+                },
             },
         )
         self._commit(
@@ -386,7 +410,8 @@ class GroupTransaction:
                 "forked_at": meta["forked_at"],
             }
             self._branch_handles[name] = _open_member(
-                self.group.spark, raw.path, branch=self.txn_id
+                self.group.spark, raw.path, branch=self.txn_id,
+                strategy=self.group._spec().get("strategy", {}).get(name),
             )
         return self._branch_handles[name]
 

@@ -261,9 +261,15 @@ class LakeCatalog:
         ``spark-submit`` job can :meth:`load` the same names — the
         metastore-file role. Tables are stored by PATH; reopening adopts
         each table's on-disk layout, so no constructor args are kept."""
+        from .plans.txn import member_strategy
+
         payload = {
             "format_version": 1,
             "tables": {n: t.path for n, t in sorted(self._tables.items())},
+            "strategy": {
+                n: member_strategy(t)
+                for n, t in sorted(self._tables.items())
+            },
             "views": dict(sorted(self._views.items())),
             "materialized_views": {
                 n: {
@@ -299,7 +305,10 @@ class LakeCatalog:
 
         for name, tpath in payload["tables"].items():
             if name not in cat._tables:  # group members already bound
-                cat.register(name, _open_member(spark, tpath))
+                cat.register(name, _open_member(
+                    spark, tpath,
+                    strategy=payload.get("strategy", {}).get(name),
+                ))
         cat._views.update(payload.get("views", {}))
         from .plans.incremental import GenericAdditiveView
 
@@ -315,7 +324,14 @@ class LakeCatalog:
         if not re.fullmatch(_IDENT, name):
             raise LakeSqlError(f"invalid table name {name!r}")
         if isinstance(table, str):
-            table = LakeTable(self.spark, table)
+            # kind-detecting open (a _spec.json path is a partitioned
+            # table). Write STRATEGY is not on disk — a path-registered
+            # handle writes with constructor defaults; register the
+            # owner's handle (or load() a saved catalog) to keep its
+            # merge_mode/compact_deltas choices.
+            from .plans.txn import _open_member
+
+            table = _open_member(self.spark, table)
         self._tables[name] = table
 
     def table(self, name: str, for_write: bool = False):

@@ -311,3 +311,32 @@ def test_exception_after_commit_point_keeps_redo_log(spark, group, monkeypatch):
     group.recover()
     assert group.read("tr").filter("conv_id = 't21'").count() == 1
     assert group.read("audit").filter("conv_id = 't21'").count() == 1
+
+
+def test_group_replays_member_write_strategy(spark, tmp_path):
+    """A mor member staged through a transaction must commit mor (a
+    default-cow branch handle would change the write shape and poison
+    the change feed with cow-without-CDF commits)."""
+    t = LakeTable(spark, str(tmp_path / "morred"), num_buckets=2,
+                  merge_mode="mor", compact_deltas=5)
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(
+        _ev(spark, [("I", 1, "c1", 0, "user", "seed", None)]), batch_id=0)
+    g = TableGroup(spark, str(tmp_path / "gs"))
+    g.create({"m": t})
+    # fresh group object (no cached handles) — the spec must carry it
+    g2 = TableGroup(spark, str(tmp_path / "gs"))
+    assert g2.table("m").merge_mode == "mor"
+    assert g2.table("m").compact_deltas == 5
+    with g2.transaction() as txn:
+        h = txn.table("m")
+        assert h.merge_mode == "mor"
+        h.apply_changes(
+            _ev(spark, [("I", 2, "c2", 0, "user", "txn", None)]),
+            batch_id=1)
+        txn.commit()
+    # the published commit ran merge-on-read and the feed serves it
+    hist = g2.table("m").history(limit=1)[0]
+    assert hist["metrics"].get("mode") != "cow"
+    feed = g2.table("m").changes(1)
+    assert [r.conv_id for r in feed.collect()] == ["c2"]
