@@ -402,18 +402,29 @@ class GenericAdditiveView(AdditiveStatsView):
                 for n, k, e in self.aggs
             ],
             F.sum(sign).cast("long").alias("_d__rows"),
-        )
-        cur = self._stored()
+        ).alias("d")
+        cur = self._stored().alias("cur")
         zero = F.lit(0)
-        out = cur.join(d, self.group_cols, "full_outer").select(
-            *self.group_cols,
+        # null-SAFE group equality: unlike the parent's conv_id (a key,
+        # never null), an arbitrary GROUP BY column can hold NULL — a
+        # plain equi-join would never match the stored NULL group with
+        # its delta, splitting it into duplicate rows on every refresh
+        cond = None
+        for g in self.group_cols:
+            term = F.col(f"cur.{g}").eqNullSafe(F.col(f"d.{g}"))
+            cond = term if cond is None else (cond & term)
+        out = cur.join(d, cond, "full_outer").select(
             *[
-                (F.coalesce(F.col(n), zero)
-                 + F.coalesce(F.col(f"_d_{n}"), zero)).alias(n)
+                F.coalesce(F.col(f"cur.{g}"), F.col(f"d.{g}")).alias(g)
+                for g in self.group_cols
+            ],
+            *[
+                (F.coalesce(F.col(f"cur.{n}"), zero)
+                 + F.coalesce(F.col(f"d._d_{n}"), zero)).alias(n)
                 for n, _k, _e in self.aggs
             ],
-            (F.coalesce(F.col("_rows"), zero)
-             + F.coalesce(F.col("_d__rows"), zero)).cast("long")
+            (F.coalesce(F.col("cur._rows"), zero)
+             + F.coalesce(F.col("d._d__rows"), zero)).cast("long")
             .alias("_rows"),
         )
         return out.filter(F.col("_rows") > 0)

@@ -274,10 +274,7 @@ class LakeCatalog:
             "materialized_views": {
                 n: {
                     "path": v.path,
-                    "source": next(
-                        tn for tn, t in self._tables.items()
-                        if t is v.source or t.path == v.source.path
-                    ),
+                    "source": self._mview_source_name(n, v),
                     **v.definition(),
                 }
                 for n, v in sorted(self._mviews.items())
@@ -290,6 +287,16 @@ class LakeCatalog:
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, path)
+
+    def _mview_source_name(self, name: str, view) -> str:
+        for tn, t in self._tables.items():
+            if t is view.source or t.path == view.source.path:
+                return tn
+        raise LakeSqlError(
+            f"materialized view {name!r} depends on an unregistered "
+            f"source table ({view.source.path}); re-register it before "
+            "save()"
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LakeCatalog":
@@ -320,9 +327,22 @@ class LakeCatalog:
         return cat
 
     # ------------------------------------------------------------ registry
+    def _assert_unbound(self, name: str, *, allow_table: bool = False) -> None:
+        """One name — one object: a collision would make _prepare's
+        temp-view registrations silently shadow each other."""
+        if name in self._tables and not allow_table:
+            raise LakeSqlError(f"{name!r} is a registered table")
+        if name in self._views:
+            raise LakeSqlError(f"{name!r} is a stored view")
+        if name in self._mviews:
+            raise LakeSqlError(f"{name!r} is a materialized view")
+
     def register(self, name: str, table) -> None:
         if not re.fullmatch(_IDENT, name):
             raise LakeSqlError(f"invalid table name {name!r}")
+        # re-registering a TABLE name rebinds it (idempotent loads);
+        # stealing a view/mview name is refused
+        self._assert_unbound(name, allow_table=True)
         if isinstance(table, str):
             # kind-detecting open (a _spec.json path is a partitioned
             # table). Write STRATEGY is not on disk — a path-registered
@@ -542,11 +562,14 @@ class LakeCatalog:
         # each expansion re-resolves its own table references, so views
         # track table heads too
         toks = set(re.findall(_IDENT, stmt))
-        for vname in [v for v in self._views if v in toks]:
-            self._expand_view(vname, stack=())
-        # materialized views serve their STORED state (refresh to advance)
+        # materialized views serve their STORED state (refresh to
+        # advance) — registered BEFORE stored views expand, so a view
+        # over an mview binds this query's fresh state, not whatever
+        # temp view an earlier query left behind
         for mname in [m for m in self._mviews if m in toks]:
             self._mviews[mname].read().createOrReplaceTempView(mname)
+        for vname in [v for v in self._views if v in toks]:
+            self._expand_view(vname, stack=())
         # Delta-style CDC TVFs: table_changes('t', since[, until]) — the
         # change feed; row_changes('t', since[, until]) — the typed
         # changelog with _change_type pre/post-images
@@ -577,7 +600,12 @@ class LakeCatalog:
         toks = set(re.findall(_IDENT, body))
         for tname in [t for t in self._tables if t in toks]:
             self.table(tname).read().createOrReplaceTempView(tname)
-        for vname in [v for v in self._views if v in toks and v != name]:
+        for mname in [m for m in self._mviews if m in toks]:
+            self._mviews[mname].read().createOrReplaceTempView(mname)
+        # no self-skip: a directly self-referential body must hit the
+        # cycle check above, not silently expand against its previous
+        # registration (CREATE OR REPLACE VIEW v AS ... FROM v)
+        for vname in [v for v in self._views if v in toks]:
             self._expand_view(vname, stack=(*stack, name))
         self.spark.sql(body).createOrReplaceTempView(name)
 
@@ -595,6 +623,8 @@ class LakeCatalog:
                 "[OPTIONS (...)] [TBLPROPERTIES (...)]"
             )
         if_not_exists, name, cols_ddl, location, tail = m.groups()
+        if name in self._views or name in self._mviews:
+            self._assert_unbound(name, allow_table=True)
         if name in self._tables:
             if if_not_exists:
                 return _metrics_df(self.spark, {"table": name,
@@ -653,6 +683,16 @@ class LakeCatalog:
                 return _metrics_df(self.spark, {"table": name,
                                                 "dropped": False})
             raise LakeSqlError(f"table {name!r} is not registered")
+        dependents = [
+            mn for mn, mv in self._mviews.items()
+            if mv.source is self._tables[name]
+            or mv.source.path == self._tables[name].path
+        ]
+        if dependents:
+            raise LakeSqlError(
+                f"table {name!r} is the source of materialized view(s) "
+                f"{dependents}; DROP MATERIALIZED VIEW them first"
+            )
         # external-table rule: unbind the name, keep the data. A real
         # delete is expire_snapshots + filesystem removal, deliberately
         # not reachable from one SQL string.
@@ -675,6 +715,8 @@ class LakeCatalog:
             raise LakeSqlError("view body must be a SELECT/WITH/VALUES")
         if name in self._tables:
             raise LakeSqlError(f"{name!r} is a registered table")
+        if name in self._mviews:
+            raise LakeSqlError(f"{name!r} is a materialized view")
         if name in self._views and not replace:
             raise LakeSqlError(
                 f"view {name!r} already exists (CREATE OR REPLACE VIEW)"
@@ -715,6 +757,9 @@ class LakeCatalog:
         if name in self._tables or name in self._views \
                 or name in self._mviews:
             raise LakeSqlError(f"{name!r} is already bound")
+        # inside a transaction the source handle would be the txn BRANCH
+        # (dies at COMMIT) and the build would read uncommitted rows
+        self._refuse_in_txn(src_name, "CREATE MATERIALIZED VIEW over")
         src = self.table(src_name)
         group_cols = []
         for item in _split_top(grp_body):
@@ -764,6 +809,16 @@ class LakeCatalog:
                 )
         if not aggs:
             raise LakeSqlError("need at least one aggregate column")
+        names = [n for n, _k, _e in aggs]
+        bad = [n for n in names
+               if n.startswith("_") or n in group_cols]
+        if bad:
+            raise LakeSqlError(
+                f"aggregate alias(es) {bad} collide with group columns "
+                "or reserved _-prefixed names"
+            )
+        if len(set(names)) != len(names):
+            raise LakeSqlError(f"duplicate aggregate aliases in {names}")
         if sorted(seen_groups) != sorted(group_cols):
             raise LakeSqlError(
                 "select list must carry every GROUP BY column "
@@ -853,9 +908,24 @@ class LakeCatalog:
         else:
             opts.update(bucket_col=t.bucket_col,
                         num_buckets=str(t.num_buckets),
-                        merge_mode=t.merge_mode, bucket_fn=t.bucket_fn)
+                        merge_mode=t.merge_mode, bucket_fn=t.bucket_fn,
+                        compact_deltas=str(t.compact_deltas))
             if t.merge_engine != "lww":
                 opts["merge_engine"] = t.merge_engine
+            if t.cow_change_feed:
+                opts["cow_change_feed"] = "true"
+            if getattr(t, "changelog", "none") != "none":
+                opts["changelog"] = t.changelog
+            if tuple(t.stats_cols or ()) not in ((), ("ts",)):
+                opts["stats_cols"] = ",".join(t.stats_cols)
+            if t.bloom_cols and not isinstance(t.bloom_cols, dict):
+                opts["bloom_cols"] = ",".join(t.bloom_cols)
+            if t.target_file_rows is not None:
+                opts["target_file_rows"] = str(t.target_file_rows)
+            if t.schema_mode != "evolve":
+                opts["schema_mode"] = t.schema_mode
+            if t.agg_spec:
+                opts["agg_spec"] = json.dumps(dict(t.agg_spec))
         opt_body = ", ".join(f"{k} '{v}'" for k, v in opts.items())
         ddl = (f"CREATE TABLE {name} ({cols}) USING lake "
                f"LOCATION '{t.path}' OPTIONS ({opt_body})")
@@ -1184,8 +1254,20 @@ class LakeCatalog:
         from .sources.events import read_events
 
         t = self.table(name, for_write=True)
+        # event schema derives from the TARGET: op/seq + this table's
+        # payload columns (the module-level EVENT_SCHEMA is the
+        # transcripts shape — forcing it on another table would project
+        # its real columns away). Transcript binlogs carrying ts_raw
+        # belong to run_replay.py's transform chain, not COPY INTO.
+        ev_schema = T.StructType(
+            [T.StructField("op", T.StringType(), False),
+             T.StructField("seq", T.LongType(), False)]
+            + [T.StructField(f.name, f.dataType, True)
+               for f in t.schema().fields if not f.name.startswith("_")]
+        )
         events = read_events(self.spark, path,
-                             fmt=(fmt or "parquet").lower())
+                             fmt=(fmt or "parquet").lower(),
+                             schema=ev_schema)
         out = t.apply_changes(
             events, batch_id=int(batch_id) if batch_id else None,
             source=f"sql:copy_into:{path}",

@@ -56,7 +56,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from cdm_to_mods_spark.session import get_spark
-    from cdm_to_mods_spark.sql import LakeCatalog, LakeSqlError, _split_top
+    from cdm_to_mods_spark.sql import LakeCatalog, _split_top
 
     spark = get_spark("run-sql", master=args.master)
 
@@ -74,6 +74,9 @@ def main() -> int:
             ap.error(f"--table needs NAME=/path, got {binding!r}")
         cat.register(name, path)
 
+    if args.save and not args.catalog:
+        ap.error("--save needs --catalog")
+
     statements = list(args.statements)
     if args.script:
         with open(args.script) as fh:
@@ -89,14 +92,12 @@ def main() -> int:
         print(f"-- {one_line[:120]}")
         try:
             cat.sql(stmt).show(args.max_rows, truncate=False)
-        except (LakeSqlError, Exception) as e:  # noqa: BLE001 — report, decide by flag
+        except Exception as e:  # report, then decide by --keep-going
             print(f"ERROR: {type(e).__name__}: {e}", file=sys.stderr)
             failed += 1
             if not args.keep_going:
                 return 1
     if args.save:
-        if not args.catalog:
-            ap.error("--save needs --catalog")
         cat.save(args.catalog)
         print(f"-- catalog saved to {args.catalog}")
     return 1 if failed else 0

@@ -695,3 +695,132 @@ def test_table_changes_tvf_and_copy_into(spark, cat, tmp_path, seeded):
         f"COPY INTO tr FROM '{ev_dir}' FILEFORMAT = json BATCH_ID = 77"
     ).first()
     assert again.skipped is True
+
+
+# --------------------------------------------- review-pass-2 fixes
+def test_mview_null_group_key_folds_not_splits(spark, cat, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ng"), num_buckets=2,
+                  merge_mode="mor", changelog="lookup")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, [
+        ("I", 1, "c1", 0, None, "a", None),      # NULL role group
+        ("I", 2, "c2", 0, None, "bb", None),
+        ("I", 3, "c3", 0, "user", "ccc", None),
+    ]), batch_id=0)
+    cat.register("ng", t)
+    cat.sql(f"CREATE MATERIALIZED VIEW ngmv LOCATION '{tmp_path/'ngmv'}'"
+            f" AS SELECT role, count(*) AS n FROM ng GROUP BY role")
+    t.apply_changes(_events(spark, [
+        ("I", 4, "c4", 0, None, "d", None),       # another NULL-role row
+    ]), batch_id=1)
+    cat.sql("REFRESH MATERIALIZED VIEW ngmv")
+    rows = [(r.role, r.n) for r in
+            cat.sql("SELECT * FROM ngmv ORDER BY role NULLS FIRST")
+            .collect()]
+    # ONE null group with the folded count, never two split rows
+    assert rows == [(None, 3), ("user", 1)]
+
+
+def test_view_over_mview_binds_fresh_state(spark, cat, tmp_path, cl_table):
+    cat.sql(f"CREATE MATERIALIZED VIEW m LOCATION '{tmp_path/'m'}' AS "
+            f"SELECT conv_id, count(*) AS n FROM clt GROUP BY conv_id")
+    # view over the mview created WITHOUT querying the mview first
+    cat.sql("CREATE VIEW big AS SELECT * FROM m WHERE n >= 2")
+    assert cat.sql("SELECT conv_id FROM big").first().conv_id == "c1"
+    # refresh twice (pruning old data dirs) — the view must still bind
+    cl_table.apply_changes(_events(
+        spark, [("I", 7, "c1", 2, "user", "x", None)]), batch_id=1)
+    cat.sql("REFRESH MATERIALIZED VIEW m")
+    cl_table.apply_changes(_events(
+        spark, [("I", 8, "c1", 3, "user", "y", None)]), batch_id=2)
+    cat.sql("REFRESH MATERIALIZED VIEW m")
+    assert cat.sql("SELECT n FROM big").first().n == 4
+
+
+def test_self_referential_view_is_a_cycle(spark, cat, seeded):
+    cat.sql("CREATE VIEW sv AS SELECT 1 AS n")
+    cat.sql("SELECT * FROM sv").collect()  # registers the temp view
+    with pytest.raises(LakeSqlError, match="cycle"):
+        cat.sql("CREATE OR REPLACE VIEW sv AS SELECT n + 1 AS n FROM sv")
+    # the original definition survived the refused replace
+    assert cat.sql("SELECT n FROM sv").first().n == 1
+
+
+def test_drop_table_refuses_while_mview_depends(spark, cat, tmp_path,
+                                                cl_table):
+    cat.sql(f"CREATE MATERIALIZED VIEW dep LOCATION '{tmp_path/'dep'}' "
+            f"AS SELECT role, count(*) AS n FROM clt GROUP BY role")
+    with pytest.raises(LakeSqlError, match="source of materialized"):
+        cat.sql("DROP TABLE clt")
+    cat.sql("DROP MATERIALIZED VIEW dep")
+    assert cat.sql("DROP TABLE clt").first().dropped is True
+
+
+def test_mview_refused_inside_transaction(spark, grouped_cat, tmp_path):
+    cat, g = grouped_cat
+    cat.sql("BEGIN")
+    with pytest.raises(LakeSqlError, match="open transaction"):
+        cat.sql(f"CREATE MATERIALIZED VIEW mtx LOCATION "
+                f"'{tmp_path/'mtx'}' AS SELECT role, count(*) AS n "
+                f"FROM tr GROUP BY role")
+    cat.sql("ROLLBACK")
+
+
+def test_name_collisions_are_refused(spark, cat, tmp_path, cl_table):
+    cat.sql("CREATE VIEW vv AS SELECT 1 AS one")
+    with pytest.raises(LakeSqlError, match="stored view"):
+        cat.register("vv", cl_table)
+    with pytest.raises(LakeSqlError, match="stored view"):
+        cat.sql(f"CREATE TABLE vv (a string) USING lake "
+                f"LOCATION '{tmp_path/'x'}'")
+    cat.sql(f"CREATE MATERIALIZED VIEW mm LOCATION '{tmp_path/'mm'}' "
+            f"AS SELECT role, count(*) AS n FROM clt GROUP BY role")
+    with pytest.raises(LakeSqlError, match="materialized view"):
+        cat.sql("CREATE VIEW mm AS SELECT 2 AS two")
+
+
+def test_mview_alias_validation(spark, cat, tmp_path, cl_table):
+    with pytest.raises(LakeSqlError, match="collide"):
+        cat.sql(f"CREATE MATERIALIZED VIEW b1 LOCATION '{tmp_path/'b1'}'"
+                f" AS SELECT role, count(*) AS _rows FROM clt "
+                f"GROUP BY role")
+    with pytest.raises(LakeSqlError, match="collide"):
+        cat.sql(f"CREATE MATERIALIZED VIEW b2 LOCATION '{tmp_path/'b2'}'"
+                f" AS SELECT role, sum(seq) AS role FROM clt "
+                f"GROUP BY role")
+    with pytest.raises(LakeSqlError, match="duplicate"):
+        cat.sql(f"CREATE MATERIALIZED VIEW b3 LOCATION '{tmp_path/'b3'}'"
+                f" AS SELECT role, count(*) AS n, sum(turn_idx) AS n "
+                f"FROM clt GROUP BY role")
+
+
+def test_show_create_carries_write_strategy(spark, cat, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "st"), num_buckets=2,
+                  merge_mode="mor", compact_deltas=5, changelog="lookup")
+    t.create(TRANSCRIPT_SCHEMA)
+    cat.register("st", t)
+    ddl = cat.sql("SHOW CREATE TABLE st").first().create_statement
+    assert "compact_deltas '5'" in ddl and "changelog 'lookup'" in ddl
+
+
+def test_copy_into_non_transcript_table(spark, cat, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ord"), key_cols=("order_id",),
+                  bucket_col="order_id", num_buckets=2, merge_mode="mor")
+    t.create(T.StructType([
+        T.StructField("order_id", T.StringType(), False),
+        T.StructField("amount", T.DoubleType(), True),
+    ]))
+    cat.register("ord", t)
+    import json as _json
+    ev_dir = tmp_path / "ordev"
+    ev_dir.mkdir()
+    (ev_dir / "part-0.json").write_text("\n".join(
+        _json.dumps(e) for e in [
+            {"op": "I", "seq": 1, "order_id": "o1", "amount": 9.5},
+            {"op": "I", "seq": 2, "order_id": "o2", "amount": 1.25},
+        ]))
+    out = cat.sql(f"COPY INTO ord FROM '{ev_dir}' FILEFORMAT = json "
+                  f"BATCH_ID = 1").first()
+    assert out.n_events == 2
+    rows = {r.order_id: r.amount for r in t.read().collect()}
+    assert rows == {"o1": 9.5, "o2": 1.25}
