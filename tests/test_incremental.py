@@ -160,3 +160,35 @@ def test_view_reseeds_after_feed_retention_expired(spark, tmp_path):
     res = view.refresh()
     assert res["strategy"] == "reseed_full" and res["refreshed"]
     pd.testing.assert_frame_equal(_view_state(view), _full_recompute(t))
+
+
+def test_generic_view_streams_via_maintain_view_stream(spark, tmp_path):
+    """GenericAdditiveView (the CREATE MATERIALIZED VIEW engine) rides
+    the same streaming retract topology as the built-in stats view —
+    apply_delta/applied_version are inherited, so maintain_view_stream
+    folds each micro-batch additively."""
+    from cdm_to_mods_spark.plans.incremental import GenericAdditiveView
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.streaming.source import maintain_view_stream
+
+    t = LakeTable(spark, str(tmp_path / "gvs"), num_buckets=2,
+                  merge_mode="mor", changelog="lookup")
+    t.create(TRANSCRIPT_SCHEMA)
+    ev = ("op string, seq long, conv_id string, turn_idx int, "
+          "role string, text string, tool string")
+    t.apply_changes(spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "abc", None),
+         ("I", 2, "c2", 0, "user", "d", None)], ev), batch_id=0)
+    view = GenericAdditiveView(
+        spark, t, str(tmp_path / "view"), ["role"],
+        [("n", "count", None), ("chars", "sum", "length(text)")],
+    )
+    view.refresh()  # seed
+    t.apply_changes(spark.createDataFrame(
+        [("U", 3, "c2", 0, "user", "ddd", None),
+         ("I", 4, "c3", 0, "tool", "zz", None)], ev), batch_id=1)
+    q = maintain_view_stream(spark, view, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    rows = {r.role: (r.n, r.chars) for r in view.read().collect()}
+    assert rows == {"user": (2, 6.0), "tool": (1, 2.0)}
