@@ -428,6 +428,8 @@ class LakeCatalog:
             )
         if kw == "SHOW" and kw2 == "PARTITIONS":
             return self._show_partitions(stmt)
+        if kw == "SHOW" and kw2 in ("BRANCHES", "TAGS"):
+            return self._show_refs(stmt)
         if kw == "DESCRIBE" or kw == "DESC":
             return self._describe(stmt)
         if kw == "ALTER" and kw2 == "TABLE":
@@ -951,6 +953,21 @@ class LakeCatalog:
             [(p,) for p in sorted(t.partitions())], "partition string"
         )
 
+    def _show_refs(self, stmt: str) -> DataFrame:
+        m = re.match(rf"SHOW\s+(BRANCHES|TAGS)\s+({_IDENT})$", stmt, re.I)
+        if not m:
+            raise LakeSqlError("shape: SHOW BRANCHES|TAGS t")
+        what, t = m.group(1).upper(), self.table(m.group(2))
+        if what == "BRANCHES":
+            return self.spark.createDataFrame(
+                [(b["name"], b["forked_at"]) for b in t.branches()],
+                "branch string, forked_at long",
+            )
+        return self.spark.createDataFrame(
+            [(g["name"], g["version"]) for g in t.tags()],
+            "tag string, version long",
+        )
+
     def _describe(self, stmt: str) -> DataFrame:
         bare = re.match(rf"DESC(?:RIBE)?\s+({_IDENT})$", stmt, re.I)
         if bare and bare.group(1).upper() not in ("HISTORY", "DETAIL"):
@@ -1047,11 +1064,33 @@ class LakeCatalog:
         m = re.match(rf"DROP\s+CONSTRAINT\s+({_IDENT})$", action, re.I)
         if m:
             return _metrics_df(self.spark, t.drop_constraint(m.group(1)))
+        m = re.match(rf"CREATE\s+BRANCH\s+({_IDENT})$", action, re.I)
+        if m:
+            return _metrics_df(self.spark, t.create_branch(m.group(1)))
+        m = re.match(rf"PUBLISH\s+BRANCH\s+({_IDENT})$", action, re.I)
+        if m:
+            return _metrics_df(self.spark, t.publish_branch(m.group(1)))
+        m = re.match(rf"DROP\s+BRANCH\s+({_IDENT})$", action, re.I)
+        if m:
+            return _metrics_df(self.spark, t.drop_branch(m.group(1)))
+        m = re.match(
+            rf"CREATE\s+TAG\s+({_IDENT})(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+            action, re.I,
+        )
+        if m:
+            return _metrics_df(self.spark, t.tag(
+                m.group(1), int(m.group(2)) if m.group(2) else None))
+        m = re.match(rf"DROP\s+TAG\s+({_IDENT})$", action, re.I)
+        if m:
+            t.delete_tag(m.group(1))
+            return _metrics_df(self.spark, {"tag": m.group(1),
+                                            "dropped": True})
         raise LakeSqlError(
             f"unsupported ALTER action {action!r}: ADD COLUMN c type | "
             "DROP COLUMN c | RENAME COLUMN a TO b | ALTER COLUMN c TYPE t "
             "| SET/UNSET TBLPROPERTIES (...) | ADD CONSTRAINT n CHECK "
-            "(expr) | DROP CONSTRAINT n"
+            "(expr) | DROP CONSTRAINT n | CREATE/PUBLISH/DROP BRANCH b "
+            "| CREATE TAG n [AS OF VERSION v] | DROP TAG n"
         )
 
     # -------------------------------------------------------- maintenance

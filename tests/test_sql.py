@@ -824,3 +824,31 @@ def test_copy_into_non_transcript_table(spark, cat, tmp_path):
     assert out.n_events == 2
     rows = {r.order_id: r.amount for r in t.read().collect()}
     assert rows == {"o1": 9.5, "o2": 1.25}
+
+
+def test_branch_and_tag_admin_sql(spark, cat, seeded):
+    cat.sql("ALTER TABLE tr CREATE TAG snap1")
+    assert [(r.tag, r.version) for r in
+            cat.sql("SHOW TAGS tr").collect()] == [("snap1", 1)]
+    cat.sql("ALTER TABLE tr CREATE BRANCH audit")
+    assert [r.branch for r in
+            cat.sql("SHOW BRANCHES tr").collect()] == ["audit"]
+    # stage a commit on the branch through the library (SQL DML always
+    # targets main), then publish it in SQL
+    staged = LakeTable(spark, seeded.path, branch="audit",
+                       merge_mode="mor")
+    staged.apply_changes(_events(
+        spark, [("I", 60, "br1", 0, "user", "staged row", None)]),
+        batch_id=60)
+    out = cat.sql("ALTER TABLE tr PUBLISH BRANCH audit").first()
+    assert out.published_version == 2
+    assert cat.sql("SELECT count(*) AS n FROM tr "
+                   "WHERE conv_id = 'br1'").first().n == 1
+    assert cat.sql("SHOW BRANCHES tr").count() == 0
+    # tag still resolves the pre-publish snapshot
+    assert cat.sql("SELECT count(*) AS n FROM tr VERSION AS OF 'snap1'"
+                   ).first().n == 3
+    cat.sql("ALTER TABLE tr CREATE BRANCH scrap")
+    cat.sql("ALTER TABLE tr DROP BRANCH scrap")
+    cat.sql("ALTER TABLE tr DROP TAG snap1")
+    assert cat.sql("SHOW TAGS tr").count() == 0
