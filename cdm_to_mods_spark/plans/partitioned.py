@@ -2077,7 +2077,14 @@ class PartitionedTable:
         self._commit_global(
             self._next_global("delete_where", metrics=metrics)
         )
-        return {"tombstone_seq": seq, "parts": per}
+        # flat-table return parity: one total alongside the fan-out
+        return {
+            "tombstone_seq": seq,
+            "deleted_rows": sum(
+                r.get("deleted_rows") or 0 for r in per.values()
+            ),
+            "parts": per,
+        }
 
     def update_where(self, predicate, assignments: dict, *,
                      note: str | None = None) -> dict:

@@ -70,6 +70,10 @@ Supported statements (case-insensitive keywords; one statement per call):
 - ``COPY INTO t FROM '/dir' [FILEFORMAT = fmt] [BATCH_ID = n]`` —
   loads a change-event directory through the MERGE path; BATCH_ID is
   the exactly-once token (re-running a committed id is a skip).
+- Ref admin: ``ALTER TABLE t CREATE|PUBLISH|DROP BRANCH b``,
+  ``ALTER TABLE t CREATE TAG n [AS OF VERSION v] | DROP TAG n``,
+  ``SHOW BRANCHES|TAGS t`` — the write-audit-publish flow from SQL;
+  tags resolve in ``VERSION AS OF 'tag'``.
 - ``BEGIN [TRANSACTION]`` / ``COMMIT`` / ``ROLLBACK`` — available when
   the catalog is constructed over a
   :class:`~cdm_to_mods_spark.plans.txn.TableGroup`: member DML between
@@ -993,10 +997,16 @@ class LakeCatalog:
         hist = t.history(int(limit) if limit else None)
         rows = [
             tuple(
-                json.dumps(h.get(k), default=str)
-                if isinstance(h.get(k), (dict, list))
-                else h.get(k)
-                for k in ("version", "operation", "commit_ts", "metrics")
+                json.dumps(v, default=str)
+                if isinstance(v, (dict, list)) else v
+                for v in (
+                    h.get("version"),
+                    # flat history says "operation"; the router's global
+                    # manifests say "op"
+                    h.get("operation", h.get("op")),
+                    h.get("commit_ts"),
+                    h.get("metrics"),
+                )
             )
             for h in hist
         ]

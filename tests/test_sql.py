@@ -852,3 +852,59 @@ def test_branch_and_tag_admin_sql(spark, cat, seeded):
     cat.sql("ALTER TABLE tr DROP BRANCH scrap")
     cat.sql("ALTER TABLE tr DROP TAG snap1")
     assert cat.sql("SHOW TAGS tr").count() == 0
+
+
+def test_partitioned_table_full_sql_dml(spark, cat, tmp_path):
+    loc = str(tmp_path / "pdml")
+    cat.sql(f"CREATE TABLE pd (conv_id string, turn_idx int, "
+            f"text string, ts timestamp) USING lake LOCATION '{loc}' "
+            f"OPTIONS (partition_col 'ts', granularity 'month', "
+            f"num_buckets '2', merge_mode 'mor')")
+    cat.sql("INSERT INTO pd VALUES "
+            "('a', 0, 'jan', timestamp'2024-01-05 10:00:00'), "
+            "('b', 0, 'feb', timestamp'2024-02-05 10:00:00'), "
+            "('c', 0, 'feb2', timestamp'2024-02-06 10:00:00')")
+    cat.sql("UPDATE pd SET text = upper(text) WHERE conv_id = 'b'")
+    assert cat.sql("SELECT text FROM pd WHERE conv_id = 'b'"
+                   ).first().text == "FEB"
+    assert cat.sql("DELETE FROM pd WHERE conv_id = 'c'"
+                   ).first().deleted_rows == 1
+    assert cat.sql("SELECT count(*) AS n FROM pd").first().n == 2
+    # MERGE INTO fans out partition-locally
+    spark.createDataFrame(
+        [("a", 0, "patched jan", __import__("datetime").datetime(2024, 1, 5, 10))],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    ).createOrReplaceTempView("pd_src")
+    cat.sql("""MERGE INTO pd t USING pd_src s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED THEN UPDATE SET text = s.text""")
+    assert cat.sql("SELECT text FROM pd WHERE conv_id = 'a'"
+                   ).first().text == "patched jan"
+    hist = cat.sql("DESCRIBE HISTORY pd LIMIT 1").first()
+    assert hist.operation is not None
+    assert cat.sql("VACUUM pd RETAIN 2 SNAPSHOTS").columns
+
+
+def test_mview_over_partitioned_table(spark, cat, tmp_path):
+    """The CREATE MATERIALIZED VIEW engine rides the router's global
+    row_changes when the source sub-tables produce a typed changelog."""
+    loc = str(tmp_path / "pmv")
+    cat.sql(f"CREATE TABLE pm (conv_id string, turn_idx int, "
+            f"text string, ts timestamp) USING lake LOCATION '{loc}' "
+            f"OPTIONS (partition_col 'ts', granularity 'month', "
+            f"num_buckets '2', merge_mode 'mor', changelog 'lookup')")
+    cat.sql("INSERT INTO pm VALUES "
+            "('a', 0, 'xx', timestamp'2024-01-05 10:00:00'), "
+            "('b', 0, 'yyy', timestamp'2024-02-05 10:00:00')")
+    cat.sql(f"CREATE MATERIALIZED VIEW pstats LOCATION "
+            f"'{tmp_path/'pstats'}' AS SELECT conv_id, count(*) AS n, "
+            f"sum(length(text)) AS chars FROM pm GROUP BY conv_id")
+    rows = {r.conv_id: (r.n, r.chars) for r in
+            cat.sql("SELECT * FROM pstats").collect()}
+    assert rows == {"a": (1, 2.0), "b": (1, 3.0)}
+    cat.sql("INSERT INTO pm VALUES "
+            "('a', 1, 'zzzz', timestamp'2024-03-01 00:00:00')")
+    out = cat.sql("REFRESH MATERIALIZED VIEW pstats").first()
+    rows = {r.conv_id: (r.n, r.chars) for r in
+            cat.sql("SELECT * FROM pstats").collect()}
+    assert rows == {"a": (2, 6.0), "b": (1, 3.0)}
