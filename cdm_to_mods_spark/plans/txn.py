@@ -279,6 +279,51 @@ class TableGroup:
         self._commit(out)
         return {"version": out["version"], "tables": tables}
 
+    def expire(self, keep_last_cuts: int = 1) -> dict:
+        """Group-aware retention: drop group versions older than the
+        newest ``keep_last_cuts``, then expire each member's snapshots
+        down to the OLDEST sub-version any KEPT cut still pins.
+
+        This is the only safe way to expire a member of a group: a bare
+        ``member.expire_snapshots(keep_last=1)`` keeps only the member's
+        head, but a group cut may pin an OLDER sub-version (the member
+        advanced via direct writes that no ``sync()`` has published yet)
+        — expiring it would turn every ``group.read()`` at that cut into
+        a ``SnapshotExpiredError``. Here each member keeps
+        ``head - min(pinned by kept cuts) + 1`` newest versions, so all
+        kept cuts stay readable; expired (dropped) cuts raise the usual
+        typed error. Same maintenance-owner assumption as every expire:
+        no in-flight writer or transaction."""
+        if self.pending_transactions():
+            raise TransactionTornError(
+                f"group {self.path} has torn transaction(s) "
+                f"{self.pending_transactions()}; run recover() before "
+                "expire"
+            )
+        assert keep_last_cuts >= 1, keep_last_cuts
+        vs = self._versions()
+        keep = vs[-keep_last_cuts:]
+        drop = [v for v in vs if v not in keep]
+        for v in drop:
+            os.unlink(self._gfile(v))
+        min_pinned: dict[str, int] = {}
+        for v in keep:
+            for name, sub_v in self.manifest(v)["tables"].items():
+                cur = min_pinned.get(name)
+                min_pinned[name] = sub_v if cur is None else min(cur, sub_v)
+        members = {}
+        for name, floor in min_pinned.items():
+            t = self.table(name)
+            head = t.latest_version()
+            members[name] = t.expire_snapshots(
+                keep_last=head - floor + 1
+            )
+        return {
+            "expired_cuts": len(drop),
+            "kept_cuts": keep,
+            "members": members,
+        }
+
     def history(self, limit: int | None = None) -> list[dict]:
         vs = self._versions()[::-1]
         if limit is not None:

@@ -340,3 +340,50 @@ def test_group_replays_member_write_strategy(spark, tmp_path):
     assert hist["metrics"].get("mode") != "cow"
     feed = g2.table("m").changes(1)
     assert [r.conv_id for r in feed.collect()] == ["c2"]
+
+
+def test_group_aware_expire_keeps_pinned_member_versions(spark, group):
+    """Member snapshot expiry must not destroy versions the kept group
+    cuts pin — even when a member advanced past the cut via direct
+    writes no sync() published."""
+    # grow some history: two committed transactions
+    for i, seq in enumerate([(10, "x1"), (11, "x2")]):
+        with group.transaction() as txn:
+            txn.table("tr").apply_changes(
+                _ev(spark, [("I", seq[0], seq[1], 0, "user", "r", None)]),
+                batch_id=10 + i)
+            txn.commit()
+    pinned = group.cut()["tr"]
+    # the member advances TWICE past the latest cut (no sync)
+    for j in range(2):
+        group.table("tr").apply_changes(
+            _ev(spark, [("I", 20 + j, f"d{j}", 0, "user", "direct", None)]),
+            batch_id=20 + j)
+    assert group.table("tr").latest_version() == pinned + 2
+    out = group.expire(keep_last_cuts=2)
+    assert out["expired_cuts"] >= 1
+    # both kept cuts still read cleanly through the group
+    for gv in out["kept_cuts"]:
+        assert group.read("tr", group_version=gv).count() >= 1
+    # the member kept the pinned version (head-floor+1 versions retained)
+    assert pinned in group.table("tr")._versions()
+    # dropped cuts raise the typed lookup error
+    with pytest.raises(LookupError):
+        group.read("tr", group_version=0)
+    # a naive member-side expire would have removed `pinned`:
+    assert group.table("tr").read(version=pinned).count() >= 1
+
+
+def test_group_expire_refuses_during_torn_txn(spark, group):
+    txn = group.transaction()
+    txn.table("tr").apply_changes(
+        _ev(spark, [("I", 30, "t30", 0, "user", "torn", None)]),
+        batch_id=30)
+    os.makedirs(group._txn_dir, exist_ok=True)
+    with open(group._wal_path(txn.txn_id), "w") as fh:
+        json.dump({"txn_id": txn.txn_id, "state": "committing",
+                   "tables": txn._staged, "ts": 0}, fh)
+    with pytest.raises(TransactionTornError, match="expire"):
+        group.expire()
+    group.recover()
+    assert group.expire(keep_last_cuts=1)["kept_cuts"]
