@@ -55,6 +55,7 @@ from .lake import BranchDivergedError, LakeTable
 # owner's choice, or a mor table's staged commits would silently run cow
 # (different cost shape, and cow-without-CDF poisons the change feed).
 _STRATEGY_KEYS = ("merge_mode", "compact_deltas", "cow_change_feed")
+_MISSING = object()
 
 
 def member_strategy(table) -> dict:
@@ -63,7 +64,14 @@ def member_strategy(table) -> dict:
     if hasattr(table, "_lake_kwargs"):  # partitioned: strategy rides the
         src = table._lake_kwargs       # sub-table kwargs
         return {k: src[k] for k in _STRATEGY_KEYS if k in src}
-    return {k: getattr(table, k) for k in _STRATEGY_KEYS}
+    # best-effort on duck-typed handles: absent attributes simply are
+    # not recorded (the reopen then uses constructor defaults)
+    out = {}
+    for k in _STRATEGY_KEYS:
+        v = getattr(table, k, _MISSING)
+        if v is not _MISSING:
+            out[k] = v
+    return out
 
 
 def _open_member(spark: SparkSession, path: str, branch: str = "main",
@@ -155,6 +163,22 @@ class TableGroup:
                 strategy=spec.get("strategy", {}).get(name),
             )
         return self._handles[name]
+
+    def refresh_strategy(self, name: str, table=None) -> dict:
+        """Re-record a member's write-strategy kwargs in the group spec
+        from a live handle (default: a fresh default-args reopen). The
+        spec freezes the strategy at ``create()``; an owner who later
+        deliberately changes a member's write mode calls this so
+        transactions stop replaying the stale choice."""
+        spec = self._spec()
+        if name not in spec["tables"]:
+            raise LookupError(f"no member {name!r} in group {self.path}")
+        if table is None:
+            table = _open_member(self.spark, spec["tables"][name])
+        spec.setdefault("strategy", {})[name] = member_strategy(table)
+        _fsync_write(self._spec_path, spec)
+        self._handles.pop(name, None)  # reopen picks up the new record
+        return spec["strategy"][name]
 
     def create(self, tables: dict) -> None:
         """Register ``tables`` (existing flat or partitioned lake tables

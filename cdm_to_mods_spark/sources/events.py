@@ -65,12 +65,23 @@ def read_events(
         # expressions, so it streams like any other format.
         from .debezium import read_debezium
 
+        kw = {}
+        if schema is not EVENT_SCHEMA:
+            # caller supplied a target-shaped event schema (e.g. the SQL
+            # COPY INTO router): the envelope payload is its non-op/seq
+            # columns — without this the fixed transcript payload would
+            # project the table's real columns away
+            kw["payload_schema"] = T.StructType(
+                [T.StructField(f.name, f.dataType, True)
+                 for f in schema.fields if f.name not in ("op", "seq")]
+            )
         return read_debezium(
             spark,
             path,
             streaming=streaming,
             max_files_per_trigger=max_files_per_trigger,
             min_seq=min_seq,
+            **kw,
         )
     if fmt == "xlsx":
         if streaming:

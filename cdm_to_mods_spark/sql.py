@@ -55,7 +55,11 @@ Supported statements (case-insensitive keywords; one statement per call):
   ``SHOW VIEWS`` — stored SQL, re-expanded per query (views over views
   work; cycles and broken bodies refused at CREATE).
 - ``CREATE MATERIALIZED VIEW mv LOCATION '/p' AS SELECT <groups +
-  count(*)/sum(expr) AS name...> FROM t GROUP BY <cols>`` /
+  count(*)/sum(expr) AS name...> FROM t GROUP BY <cols>`` — NOTE the
+  retractable-sum semantics: NULL contributions count as 0 (an
+  all-NULL group shows 0, where SQL SUM shows NULL) and sums are
+  double-typed (exactness bounded by 2^53); both are what additive
+  retraction requires. /
   ``REFRESH MATERIALIZED VIEW mv`` / ``DROP MATERIALIZED VIEW mv`` —
   an incrementally-maintained aggregate
   (:class:`~cdm_to_mods_spark.plans.incremental.GenericAdditiveView`):
@@ -608,10 +612,12 @@ class LakeCatalog:
             self.table(tname).read().createOrReplaceTempView(tname)
         for mname in [m for m in self._mviews if m in toks]:
             self._mviews[mname].read().createOrReplaceTempView(mname)
-        # no self-skip: a directly self-referential body must hit the
-        # cycle check above, not silently expand against its previous
-        # registration (CREATE OR REPLACE VIEW v AS ... FROM v)
-        for vname in [v for v in self._views if v in toks]:
+        # self-skip is deliberate: token matching cannot tell a column
+        # named like the view from a true self-reference ('SELECT revenue
+        # FROM orders' inside view `revenue` must NOT recurse). Direct
+        # self-reference is refused at CREATE time instead (the
+        # validation drops the temp view first — see _create_view).
+        for vname in [v for v in self._views if v in toks and v != name]:
             self._expand_view(vname, stack=(*stack, name))
         self.spark.sql(body).createOrReplaceTempView(name)
 
@@ -736,13 +742,24 @@ class LakeCatalog:
     def _expand_view_body_check(self, name: str, body: str) -> None:
         prev = self._views.get(name)
         self._views[name] = body
+        # drop any previous registration so a self-referential body
+        # (CREATE OR REPLACE VIEW v AS ... FROM v) cannot silently
+        # validate against its own prior expansion — it fails resolution
+        # instead, converted to a typed error below
+        self.spark.catalog.dropTempView(name)
         try:
             self._expand_view(name, stack=())
-        except Exception:
+        except Exception as e:
             if prev is None:
                 del self._views[name]
             else:
                 self._views[name] = prev
+            if (f"`{name}`" in str(e)
+                    and "TABLE_OR_VIEW_NOT_FOUND" in str(e)):
+                raise LakeSqlError(
+                    f"view {name!r} references itself (a view cannot be "
+                    "defined over its own previous state)"
+                ) from e
             raise
 
     def _create_mview(self, stmt: str) -> DataFrame:
@@ -760,9 +777,7 @@ class LakeCatalog:
                 "count(*)/sum(expr) AS name, ...> FROM t GROUP BY <cols>"
             )
         name, location, sel_body, src_name, grp_body = m.groups()
-        if name in self._tables or name in self._views \
-                or name in self._mviews:
-            raise LakeSqlError(f"{name!r} is already bound")
+        self._assert_unbound(name)
         # inside a transaction the source handle would be the txn BRANCH
         # (dies at COMMIT) and the build would read uncommitted rows
         self._refuse_in_txn(src_name, "CREATE MATERIALIZED VIEW over")

@@ -80,9 +80,31 @@ def main() -> int:
     statements = list(args.statements)
     if args.script:
         with open(args.script) as fh:
-            statements.extend(
-                s for s in _split_top(fh.read(), ";") if s.strip()
-            )
+            raw = fh.read()
+        # strip -- comments (full-line and trailing) BEFORE splitting:
+        # a comment's apostrophe would otherwise open _split_top's quote
+        # scan and swallow the next ';'. Quote-aware: a -- inside a
+        # string literal is kept.
+        def _strip_comment(line: str) -> str:
+            i, n, q = 0, len(line), None
+            while i < n:
+                ch = line[i]
+                if q:
+                    if ch == "\\":
+                        i += 1
+                    elif ch == q:
+                        q = None
+                elif ch in "'\"":
+                    q = ch
+                elif ch == "-" and line.startswith("--", i):
+                    return line[:i]
+                i += 1
+            return line
+
+        lines = [_strip_comment(line) for line in raw.splitlines()]
+        statements.extend(
+            s for s in _split_top("\n".join(lines), ";") if s.strip()
+        )
     if not statements:
         ap.error("nothing to run: pass -e and/or -f")
 

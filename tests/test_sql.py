@@ -740,7 +740,7 @@ def test_view_over_mview_binds_fresh_state(spark, cat, tmp_path, cl_table):
 def test_self_referential_view_is_a_cycle(spark, cat, seeded):
     cat.sql("CREATE VIEW sv AS SELECT 1 AS n")
     cat.sql("SELECT * FROM sv").collect()  # registers the temp view
-    with pytest.raises(LakeSqlError, match="cycle"):
+    with pytest.raises(LakeSqlError, match="references itself"):
         cat.sql("CREATE OR REPLACE VIEW sv AS SELECT n + 1 AS n FROM sv")
     # the original definition survived the refused replace
     assert cat.sql("SELECT n FROM sv").first().n == 1
@@ -908,3 +908,41 @@ def test_mview_over_partitioned_table(spark, cat, tmp_path):
     rows = {r.conv_id: (r.n, r.chars) for r in
             cat.sql("SELECT * FROM pstats").collect()}
     assert rows == {"a": (2, 6.0), "b": (1, 3.0)}
+
+
+# --------------------------------------------- review-pass-3 fixes
+def test_view_named_like_a_column_is_not_a_false_cycle(spark, cat, seeded):
+    """A view whose body mentions its own name as a COLUMN must not be
+    refused as a cycle (token matching cannot tell the difference, so
+    self-expansion is skipped and true self-reference is caught at
+    CREATE instead)."""
+    cat.sql("CREATE VIEW role AS SELECT role FROM tr WHERE role = 'user'")
+    assert cat.sql("SELECT count(*) AS n FROM role").first().n == 2
+    # true self-reference still refused, with a typed error
+    with pytest.raises(LakeSqlError, match="references itself"):
+        cat.sql("CREATE OR REPLACE VIEW role AS "
+                "SELECT role FROM role WHERE role IS NOT NULL")
+    # original definition intact
+    assert cat.sql("SELECT count(*) AS n FROM role").first().n == 2
+
+
+def test_copy_into_debezium_uses_target_schema(spark, cat, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "dz"), key_cols=("order_id",),
+                  bucket_col="order_id", num_buckets=2, merge_mode="mor")
+    t.create(T.StructType([
+        T.StructField("order_id", T.StringType(), False),
+        T.StructField("amount", T.DoubleType(), True),
+    ]))
+    cat.register("dz", t)
+    import json as _json
+    d = tmp_path / "dzev"
+    d.mkdir()
+    env = {"op": "c", "before": None,
+           "after": {"order_id": "o1", "amount": 3.5},
+           "source": {"lsn": 1}, "ts_ms": 1}
+    (d / "p0.json").write_text(_json.dumps(env))
+    out = cat.sql(f"COPY INTO dz FROM '{d}' FILEFORMAT = debezium "
+                  f"BATCH_ID = 1").first()
+    assert out.n_events == 1
+    r = t.read().first()
+    assert (r.order_id, r.amount) == ("o1", 3.5)

@@ -387,3 +387,17 @@ def test_group_expire_refuses_during_torn_txn(spark, group):
         group.expire()
     group.recover()
     assert group.expire(keep_last_cuts=1)["kept_cuts"]
+
+
+def test_refresh_strategy_updates_the_spec(spark, group, tmp_path):
+    # simulate an owner's deliberate strategy change: re-record from a
+    # handle opened with new write args
+    new_handle = LakeTable(spark, group.table("tr").path,
+                           merge_mode="mor", compact_deltas=3)
+    rec = group.refresh_strategy("tr", new_handle)
+    assert rec["compact_deltas"] == 3
+    # fresh group object reopens with the refreshed record
+    g2 = TableGroup(spark, group.path)
+    assert g2.table("tr").compact_deltas == 3
+    with pytest.raises(LookupError, match="no member"):
+        group.refresh_strategy("nope")
