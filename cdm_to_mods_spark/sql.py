@@ -438,6 +438,14 @@ class LakeCatalog:
             return self._show_partitions(stmt)
         if kw == "SHOW" and kw2 in ("BRANCHES", "TAGS"):
             return self._show_refs(stmt)
+        if kw == "SHOW" and kw2 == "TBLPROPERTIES":
+            m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})$", stmt, re.I)
+            if not m:
+                raise LakeSqlError("shape: SHOW TBLPROPERTIES t")
+            props = self.table(m.group(1)).properties()
+            return self.spark.createDataFrame(
+                sorted(props.items()), "key string, value string"
+            )
         if kw == "DESCRIBE" or kw == "DESC":
             return self._describe(stmt)
         if kw == "ALTER" and kw2 == "TABLE":
@@ -851,8 +859,18 @@ class LakeCatalog:
                                    group_cols, aggs)
         out = view.refresh()  # initial build
         self._mviews[name] = view
+        # surface the maintenance mode the user actually bought: only a
+        # changelog='lookup' source refreshes by O(changed rows) retract
+        # folds — anything else recomputes in full on every REFRESH
+        hint = (
+            "incremental (retract fold over the typed changelog)"
+            if getattr(src, "changelog", "none") == "lookup"
+            else "full recompute per REFRESH — source has no typed "
+                 "changelog (create it with OPTIONS (changelog 'lookup'))"
+        )
         return _metrics_df(self.spark, {"materialized_view": name,
-                                        "created": True, **out})
+                                        "created": True,
+                                        "refresh_mode": hint, **out})
 
     def _refresh_mview(self, stmt: str) -> DataFrame:
         m = re.match(

@@ -946,3 +946,22 @@ def test_copy_into_debezium_uses_target_schema(spark, cat, tmp_path):
     assert out.n_events == 1
     r = t.read().first()
     assert (r.order_id, r.amount) == ("o1", 3.5)
+
+
+def test_show_tblproperties_and_mview_refresh_hint(spark, cat, tmp_path,
+                                                   seeded, cl_table):
+    cat.sql("ALTER TABLE tr SET TBLPROPERTIES (team 'ingest', env 'ci')")
+    rows = {r.key: r.value for r in
+            cat.sql("SHOW TBLPROPERTIES tr").collect()}
+    assert rows == {"team": "ingest", "env": "ci"}
+    # creation names the maintenance mode the source supports
+    hint = cat.sql(
+        f"CREATE MATERIALIZED VIEW h1 LOCATION '{tmp_path/'h1'}' AS "
+        f"SELECT role, count(*) AS n FROM clt GROUP BY role"
+    ).first().refresh_mode
+    assert hint.startswith("incremental")
+    hint2 = cat.sql(
+        f"CREATE MATERIALIZED VIEW h2 LOCATION '{tmp_path/'h2'}' AS "
+        f"SELECT role, count(*) AS n FROM tr GROUP BY role"
+    ).first().refresh_mode
+    assert "full recompute" in hint2
