@@ -164,17 +164,22 @@ class TableGroup:
             )
         return self._handles[name]
 
-    def refresh_strategy(self, name: str, table=None) -> dict:
+    def refresh_strategy(self, name: str, table) -> dict:
         """Re-record a member's write-strategy kwargs in the group spec
-        from a live handle (default: a fresh default-args reopen). The
-        spec freezes the strategy at ``create()``; an owner who later
-        deliberately changes a member's write mode calls this so
-        transactions stop replaying the stale choice."""
+        from the owner's LIVE handle. The spec freezes the strategy at
+        ``create()``; an owner who later deliberately changes a member's
+        write mode calls this so transactions stop replaying the stale
+        choice. The handle is required: write-strategy args are never
+        adopted from disk, so a default reopen would record constructor
+        DEFAULTS — silently erasing the recorded choice."""
         spec = self._spec()
         if name not in spec["tables"]:
             raise LookupError(f"no member {name!r} in group {self.path}")
         if table is None:
-            table = _open_member(self.spark, spec["tables"][name])
+            raise TypeError(
+                "refresh_strategy requires the owner's live handle; a "
+                "default reopen would re-record constructor defaults"
+            )
         spec.setdefault("strategy", {})[name] = member_strategy(table)
         _fsync_write(self._spec_path, spec)
         self._handles.pop(name, None)  # reopen picks up the new record

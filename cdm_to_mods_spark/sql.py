@@ -163,7 +163,7 @@ def _parse_kv_list(body: str) -> dict:
     out = {}
     for item in _split_top(body):
         m = re.match(
-            rf"^['\"]?({_IDENT}(?:\.{_IDENT})*)['\"]?\s*=?\s*'([^']*)'$",
+            rf"^['\"]?({_IDENT}(?:\.{_IDENT})*)['\"]?\s*=?\s*'((?:[^']|'')*)'$",
             item.strip(),
         )
         if not m:
@@ -171,7 +171,9 @@ def _parse_kv_list(body: str) -> dict:
                 f"cannot parse option {item!r}: expected key 'value' or "
                 "key = 'value'"
             )
-        out[m.group(1)] = m.group(2)
+        # '' is the escape for a literal apostrophe (matches the emit side
+        # of SHOW CREATE TABLE, keeping emitted DDL re-parseable)
+        out[m.group(1)] = m.group(2).replace("''", "'")
     return out
 
 
@@ -370,13 +372,24 @@ class LakeCatalog:
                 f"table {name!r} is not registered; known tables: "
                 f"{sorted(self._tables)}"
             ) from None
-        if self._txn is not None and name in self._group_members():
-            if for_write:
-                # first write stages the member on the transaction branch
-                return self._txn.table(name)
-            staged = self._txn._branch_handles.get(name)
-            if staged is not None:  # read-your-writes for staged members
-                return staged
+        if self._txn is not None:
+            if name in self._group_members():
+                if for_write:
+                    # first write stages the member on the txn branch
+                    return self._txn.table(name)
+                staged = self._txn._branch_handles.get(name)
+                if staged is not None:  # read-your-writes for staged members
+                    return staged
+            elif for_write:
+                # a write to a NON-member inside BEGIN..COMMIT would land
+                # straight on main and silently survive ROLLBACK — refuse
+                # rather than break the all-or-nothing expectation
+                raise LakeSqlError(
+                    f"table {name!r} is not a member of the transaction "
+                    "group; writing it inside an open transaction would "
+                    "not be staged (it would survive ROLLBACK) — COMMIT/"
+                    "ROLLBACK first, or add the table to the group"
+                )
         return t
 
     def _group_members(self) -> set:
@@ -633,7 +646,7 @@ class LakeCatalog:
     def _create_table(self, stmt: str) -> DataFrame:
         m = re.match(
             rf"CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?({_IDENT})\s*"
-            rf"\((.*)\)\s*USING\s+lake\s+LOCATION\s+'([^']+)'\s*(.*)$",
+            rf"\((.*)\)\s*USING\s+lake\s+LOCATION\s+'((?:[^']|'')+)'\s*(.*)$",
             stmt, re.I | re.S,
         )
         if not m:
@@ -643,6 +656,7 @@ class LakeCatalog:
                 "[OPTIONS (...)] [TBLPROPERTIES (...)]"
             )
         if_not_exists, name, cols_ddl, location, tail = m.groups()
+        location = location.replace("''", "'")
         if name in self._views or name in self._mviews:
             self._assert_unbound(name, allow_table=True)
         if name in self._tables:
@@ -773,7 +787,7 @@ class LakeCatalog:
     def _create_mview(self, stmt: str) -> DataFrame:
         m = re.match(
             rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+"
-            rf"LOCATION\s+'([^']+)'\s+AS\s+"
+            rf"LOCATION\s+'((?:[^']|'')+)'\s+AS\s+"
             rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})\s+"
             rf"GROUP\s+BY\s+(.*)$",
             stmt, re.I | re.S,
@@ -785,6 +799,7 @@ class LakeCatalog:
                 "count(*)/sum(expr) AS name, ...> FROM t GROUP BY <cols>"
             )
         name, location, sel_body, src_name, grp_body = m.groups()
+        location = location.replace("''", "'")
         self._assert_unbound(name)
         # inside a transaction the source handle would be the txn BRANCH
         # (dies at COMMIT) and the build would read uncommitted rows
@@ -965,12 +980,17 @@ class LakeCatalog:
                 opts["schema_mode"] = t.schema_mode
             if t.agg_spec:
                 opts["agg_spec"] = json.dumps(dict(t.agg_spec))
-        opt_body = ", ".join(f"{k} '{v}'" for k, v in opts.items())
+        def _q(v) -> str:  # '' escaping so the emitted DDL re-parses
+            return str(v).replace("'", "''")
+
+        opt_body = ", ".join(f"{k} '{_q(v)}'" for k, v in opts.items())
         ddl = (f"CREATE TABLE {name} ({cols}) USING lake "
-               f"LOCATION '{t.path}' OPTIONS ({opt_body})")
+               f"LOCATION '{_q(t.path)}' OPTIONS ({opt_body})")
         props = t.properties()
         if props:
-            prop_body = ", ".join(f"{k} '{v}'" for k, v in sorted(props.items()))
+            prop_body = ", ".join(
+                f"{k} '{_q(v)}'" for k, v in sorted(props.items())
+            )
             ddl += f" TBLPROPERTIES ({prop_body})"
         return self.spark.createDataFrame(
             [(ddl,)], "create_statement string"
@@ -1155,10 +1175,37 @@ class LakeCatalog:
         if not m:
             raise LakeSqlError("VACUUM shape: VACUUM t [RETAIN n SNAPSHOTS]")
         keep = int(m.group(2)) if m.group(2) else 1
-        self._refuse_in_txn(m.group(1), "VACUUM")
-        return _metrics_df(
-            self.spark, self.table(m.group(1)).expire_snapshots(keep_last=keep)
-        )
+        name = m.group(1)
+        self._refuse_in_txn(name, "VACUUM")
+        clamped_from = None
+        if self._group is not None and name in self._group_members():
+            # a bare expire on a group member could drop a sub-version a
+            # surviving group cut still pins (member advanced via direct
+            # writes no sync() published) — group.read() at that cut would
+            # hit a raw FileNotFoundError, breaking the cross-table
+            # snapshot-isolation guarantee. Clamp keep_last so every
+            # pinned sub-version survives; TableGroup.expire() is the op
+            # that shrinks the pin floor itself.
+            t = self.table(name)
+            floor = None
+            for v in self._group._versions():
+                sub_v = self._group.manifest(v)["tables"].get(name)
+                if sub_v is not None:
+                    floor = sub_v if floor is None else min(floor, sub_v)
+            if floor is not None:
+                required = t.latest_version() - floor + 1
+                if required > keep:
+                    clamped_from, keep = keep, required
+        metrics = self.table(name).expire_snapshots(keep_last=keep)
+        if clamped_from is not None:
+            metrics = {
+                **metrics,
+                "keep_last_clamped_from": clamped_from,
+                "keep_last_clamped_to": keep,
+                "clamp_reason": "group cuts pin older sub-versions; "
+                                "use group expire to drop cuts first",
+            }
+        return _metrics_df(self.spark, metrics)
 
     def _restore(self, stmt: str) -> DataFrame:
         m = re.match(

@@ -36,6 +36,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _strip_comments(text: str) -> str:
+    """Strip ``--`` comments (full-line and trailing) quote-aware, with
+    the quote state carried across NEWLINES — one scanner over the whole
+    script. A string literal legally spanning lines must not have a
+    ``--`` on its later lines treated as a comment: that would silently
+    truncate the statement before the ``;`` splitter sees it."""
+    out, i, n, q = [], 0, len(text), None
+    while i < n:
+        ch = text[i]
+        if q:
+            if ch == "\\" and i + 1 < n:
+                out.append(ch)
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "-" and text.startswith("--", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j  # keep the newline itself
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--catalog", help="LakeCatalog.save() file to load")
@@ -81,29 +109,11 @@ def main() -> int:
     if args.script:
         with open(args.script) as fh:
             raw = fh.read()
-        # strip -- comments (full-line and trailing) BEFORE splitting:
-        # a comment's apostrophe would otherwise open _split_top's quote
-        # scan and swallow the next ';'. Quote-aware: a -- inside a
-        # string literal is kept.
-        def _strip_comment(line: str) -> str:
-            i, n, q = 0, len(line), None
-            while i < n:
-                ch = line[i]
-                if q:
-                    if ch == "\\":
-                        i += 1
-                    elif ch == q:
-                        q = None
-                elif ch in "'\"":
-                    q = ch
-                elif ch == "-" and line.startswith("--", i):
-                    return line[:i]
-                i += 1
-            return line
-
-        lines = [_strip_comment(line) for line in raw.splitlines()]
+        # strip -- comments BEFORE splitting: a comment's apostrophe
+        # would otherwise open _split_top's quote scan and swallow the
+        # next ';' (see _strip_comments above for the cross-line rule).
         statements.extend(
-            s for s in _split_top("\n".join(lines), ";") if s.strip()
+            s for s in _split_top(_strip_comments(raw), ";") if s.strip()
         )
     if not statements:
         ap.error("nothing to run: pass -e and/or -f")

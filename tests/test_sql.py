@@ -965,3 +965,81 @@ def test_show_tblproperties_and_mview_refresh_hint(spark, cat, tmp_path,
         f"SELECT role, count(*) AS n FROM tr GROUP BY role"
     ).first().refresh_mode
     assert "full recompute" in hint2
+
+
+# --------------------------------------------- round-4 advice fixes
+def test_vacuum_on_group_member_keeps_pinned_versions(spark, grouped_cat):
+    """ADVICE r3: VACUUM through a grouped catalog must not expire
+    sub-versions that surviving group cuts still pin — the repro was a
+    committed txn plus direct member writes, then VACUUM RETAIN 1
+    deleting the version the LATEST cut reads through."""
+    cat, g = grouped_cat
+    cat.sql("BEGIN")
+    cat.sql("INSERT INTO tr (conv_id, turn_idx, text) "
+            "VALUES ('pin', 0, 'pinned row')")
+    cat.sql("COMMIT")
+    # member advances via direct (unsynced) writes — cuts now pin OLDER
+    # sub-versions than the member head
+    t = g.table("tr")
+    t.apply_changes(_events(spark, [
+        ("I", 50, "d1", 0, "user", "direct one", None)]), batch_id=50)
+    t.apply_changes(_events(spark, [
+        ("I", 51, "d2", 0, "user", "direct two", None)]), batch_id=51)
+    out = cat.sql("VACUUM tr RETAIN 1 SNAPSHOTS").first().asDict()
+    assert out.get("keep_last_clamped_from") == 1
+    # every cut is still readable — the isolation guarantee VACUUM broke
+    for v in g._versions():
+        assert g.read("tr", group_version=v).count() >= 0
+    assert g.read("tr").filter("conv_id = 'pin'").count() == 1
+
+
+def test_txn_refuses_write_to_non_member(spark, grouped_cat, tmp_path):
+    cat, g = grouped_cat
+    solo = LakeTable(spark, str(tmp_path / "solo"), num_buckets=2,
+                     merge_mode="mor")
+    solo.create(TRANSCRIPT_SCHEMA)
+    cat.register("solo", solo)
+    cat.sql("BEGIN")
+    with pytest.raises(LakeSqlError, match="not a member"):
+        cat.sql("INSERT INTO solo (conv_id, turn_idx, text) "
+                "VALUES ('x', 0, 'leak')")
+    # reads of non-members inside the txn stay fine
+    assert cat.sql("SELECT count(*) AS n FROM solo").first().n == 0
+    cat.sql("ROLLBACK")
+    assert solo.read().count() == 0  # nothing leaked through
+    cat.sql("INSERT INTO solo (conv_id, turn_idx, text) "
+            "VALUES ('x', 0, 'ok now')")
+    assert solo.read().count() == 1
+
+
+def test_tblproperties_apostrophe_roundtrips_show_create(spark, cat,
+                                                         tmp_path, seeded):
+    cat.sql("ALTER TABLE tr SET TBLPROPERTIES (note 'it''s fine')")
+    assert seeded.properties()["note"] == "it's fine"
+    ddl = cat.sql("SHOW CREATE TABLE tr").first().create_statement
+    assert "it''s fine" in ddl
+    # the documented contract: emitted DDL re-parses through the router
+    cat2 = LakeCatalog(spark)
+    cat2.sql(ddl)
+    assert cat2.table("tr").properties()["note"] == "it's fine"
+
+
+def test_run_sql_comment_strip_carries_quote_state_across_lines():
+    import importlib.util
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "run_sql", _os.path.join(_os.path.dirname(__file__),
+                                 "..", "scripts", "run_sql.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    script = (
+        "UPDATE tr SET text = 'line one\n"
+        "-- not a comment, inside the literal\n"
+        "line three' WHERE conv_id = 'c1';\n"
+        "-- a real comment\n"
+        "SELECT 1; -- trailing comment\n"
+    )
+    stripped = mod._strip_comments(script)
+    assert "-- not a comment, inside the literal" in stripped
+    assert "-- a real comment" not in stripped
+    assert stripped.rstrip().endswith("SELECT 1;")

@@ -400,4 +400,8 @@ def test_refresh_strategy_updates_the_spec(spark, group, tmp_path):
     g2 = TableGroup(spark, group.path)
     assert g2.table("tr").compact_deltas == 3
     with pytest.raises(LookupError, match="no member"):
-        group.refresh_strategy("nope")
+        group.refresh_strategy("nope", new_handle)
+    # the handle is REQUIRED: a default reopen would silently re-record
+    # constructor defaults over the owner's recorded choice
+    with pytest.raises(TypeError, match="live handle"):
+        group.refresh_strategy("tr", None)
