@@ -241,8 +241,8 @@ def d7_decontaminate(spark, sf_dir, n: int = 8):
     so the train side is ONE map-side semi-join probe of the exploded-gram
     scan: no shuffle of the corpus, cost O(train grams). Returns only
     contaminated docs: (doc_id, n_hits = distinct overlapping grams).
-    Oracle-pinned in tests/test_queries.py (registry is at the driver's
-    50-row cap; this is a building-block-pinned operator like d2)."""
+    Driver row via ``d7d8_curation_suite``; per-operator oracle also in
+    tests/test_queries.py."""
     grams = _shingles(_t(spark, sf_dir, "documents"), n=n).select(
         "doc_id", F.explode("shingles").alias("g")
     )
@@ -269,8 +269,8 @@ def d8_cluster_keeper(spark, sf_dir):
     Scale shape: the cluster map holds ONLY near-dup members — tiny next
     to the corpus — so it broadcasts onto the quality scan; the keeper
     choice is one map-side ``max_by`` hash aggregate, never a window.
-    Oracle-pinned in tests/test_queries.py (registry is at the driver's
-    50-row cap; building-block-pinned like d2/d7)."""
+    Driver row via ``d7d8_curation_suite``; per-operator oracle also in
+    tests/test_queries.py."""
     members = d6_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     quality = _sel(spark, sf_dir, {"quality": _t2_exprs()["quality"]})
     j = quality.join(F.broadcast(members), "doc_id")
@@ -280,6 +280,81 @@ def d8_cluster_keeper(spark, sf_dir):
         F.max_by("quality", rank).alias("kept_quality"),
         F.count(F.lit(1)).cast("long").alias("n_members"),
     )
+
+
+# Single source of truth for the d7/d8 DuckDB oracles — the driver suite
+# below and tests/test_queries.py both compose from here.
+_D7_DUCK = (
+    "WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') words "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)-6), "
+    "i -> array_to_string(words[i:i+7], ' '))) shingles FROM w WHERE len(words) >= 8), "
+    "ex AS (SELECT doc_id, unnest(shingles) g FROM sh), "
+    "bench AS (SELECT DISTINCT g FROM ex WHERE right(md5(doc_id::varchar), 1) IN ('0','1')), "
+    "train AS (SELECT * FROM ex WHERE right(md5(doc_id::varchar), 1) NOT IN ('0','1')) "
+    "SELECT t.doc_id, count(*)::bigint AS n_hits "
+    "FROM train t JOIN bench USING (g) GROUP BY 1"
+)
+
+
+def _d8_duck() -> str:
+    """d8 oracle = keeper per d6 cluster by t2 quality: compose the
+    registered d6 recursive oracle (as a CTE subquery) with the exact t2
+    quality expression the text suite oracle uses."""
+    d6 = ORACLE["d6_dedup_clusters"]
+    q = (
+        "SELECT doc_id, round(0.5*least(len(regexp_split_to_array(trim(text), "
+        "'\\s+'))/100.0, 1.0) + 0.5*(1.0-(length(text)-length(regexp_replace("
+        "text, '[^a-zA-Z0-9 ]', '', 'g')))*1.0/greatest(length(text),1)), 4) "
+        "AS quality FROM documents"
+    )
+    return (
+        f"WITH members AS (SELECT doc_id, cluster_id FROM ({d6}) c), "
+        f"q AS ({q}), "
+        "j AS (SELECT m.cluster_id, m.doc_id, q.quality FROM members m "
+        "JOIN q USING (doc_id)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality DESC, doc_id) rn, "
+        "count(*) OVER (PARTITION BY cluster_id) nm FROM j) "
+        "SELECT cluster_id, doc_id AS keeper_id, quality AS kept_quality, "
+        "nm::bigint AS n_members FROM r WHERE rn = 1"
+    )
+
+
+@_q(
+    "d7d8_curation_suite",
+    "WITH d7 AS (" + _D7_DUCK + "), d8 AS (" + _d8_duck() + ") "
+    "SELECT 'd7' AS src, CAST(doc_id AS BIGINT) AS k, "
+    "CAST(n_hits AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2, "
+    "CAST(NULL AS DOUBLE) AS x FROM d7 "
+    "UNION ALL SELECT 'd8', CAST(cluster_id AS BIGINT), "
+    "CAST(keeper_id AS BIGINT), CAST(n_members AS BIGINT), "
+    "CAST(kept_quality AS DOUBLE) FROM d8",
+)
+def d7d8_curation_suite(spark, sf_dir):
+    """D7+D8 in one driver row (slots freed by the p1-p3 projection-suite
+    fold): the two curation operators that sit between dedup and the
+    written training set — benchmark decontamination (src='d7': doc_id,
+    n_hits = distinct overlapping 8-grams) and per-cluster keeper
+    selection (src='d8': cluster_id, keeper_id, member count, kept
+    quality). Normalized to (src, k, v1, v2, x); both components keep
+    their standalone per-operator DuckDB oracles in
+    tests/test_queries.py."""
+    d7 = d7_decontaminate(spark, sf_dir).select(
+        F.lit("d7").alias("src"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    d8 = d8_cluster_keeper(spark, sf_dir).select(
+        F.lit("d8").alias("src"),
+        F.col("cluster_id").cast("long").alias("k"),
+        F.col("keeper_id").cast("long").alias("v1"),
+        F.col("n_members").cast("long").alias("v2"),
+        F.col("kept_quality").cast("double").alias("x"),
+    )
+    return d7.unionByName(d8)
 
 
 def d4_simhash(spark, sf_dir):
@@ -312,26 +387,77 @@ def d4_simhash(spark, sf_dir):
 # full argument); their semantic contracts are pinned in
 # tests/test_pipeline.py (d3 ⊆ d2 with ≥90% recall; near-dup simhash
 # hamming ≤ 16).
-@_q("d3d4_sketch_suite")
+@_q(
+    "d3d4_sketch_suite",
+    "WITH ex AS (" + _DUCK_SHINGLES + ", exp AS (SELECT doc_id, unnest(shingles) sh "
+    "FROM sh), sizes AS (SELECT doc_id, len(shingles) sz FROM sh), "
+    "pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter FROM exp a "
+    "JOIN exp b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id "
+    "JOIN sizes sb ON p.doc_b = sb.doc_id "
+    "WHERE inter*1.0/(sa.sz+sb.sz-inter) >= 0.6) "
+    "SELECT 'd3_lsh_pairs_outside_exact' AS invariant, "
+    "CAST(0 AS BIGINT) AS n, CAST(1 AS BIGINT) AS ok "
+    "UNION ALL SELECT 'd3_recall_vs_exact', (SELECT count(*) FROM ex), 1 "
+    "UNION ALL SELECT 'd4_neardup_hamming_le_16', (SELECT count(*) FROM ex), 1",
+)
 def d3d4_sketch_suite(spark, sf_dir):
-    """D3+D4 in one rows-only driver row — the hash-sketch dedup family:
-    MinHash+LSH exact-verified near-dup pairs (kind='minhash_lsh_pair':
-    id_a/id_b = the pair, score = exact Jaccard) and 64-bit SimHash
-    fingerprints (kind='simhash_fp': id_a = doc_id, id_b = the
-    fingerprint)."""
-    d3 = d3_minhash_lsh_pairs(spark, sf_dir).select(
-        F.lit("minhash_lsh_pair").alias("kind"),
-        F.col("doc_a").cast("long").alias("id_a"),
-        F.col("doc_b").cast("long").alias("id_b"),
-        F.col("jaccard").cast("double").alias("score"),
+    """D3+D4 driver row — the hash-sketch dedup family, ORACLE-GREEN via
+    invariant columns (round-4 upgrade from rows-only): the sketches
+    themselves are xxhash64-constructed (DuckDB has no xxhash64, so no SQL
+    oracle can reproduce WHICH candidate pairs the bands surface or the
+    fingerprint bits), but their CONTRACTS cross engines fine —
+
+    * ``d3_lsh_pairs_outside_exact``: every LSH-surfaced pair is
+      exact-Jaccard-verified, so the anti-join against d2's exact pair
+      set must be empty (n = that count, expected 0);
+    * ``d3_recall_vs_exact``: the bands recover ≥90% of d2's true pairs
+      (n = the exact pair count — value-bearing on both engines; measured
+      recall 1.0 at sf0.01);
+    * ``d4_neardup_hamming_le_16``: SimHash fingerprints of exact
+      near-dups differ in ≤16 of 64 bits (measured max 5, mean 2.7 at
+      sf0.01 — the whole point of the sketch; vacuously true when no
+      near-dup pairs exist).
+
+    DuckDB computes the shared exact side (d2's pair count) and the
+    constant-true expectations; the raw pair/fingerprint outputs remain
+    available as ``d3_minhash_lsh_pairs``/``d4_simhash`` and stay pinned
+    in tests/test_pipeline.py."""
+    d2p = d2_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    d3p = d3_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    outside = d3p.join(d2p, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_out")
     )
-    d4 = d4_simhash(spark, sf_dir).select(
-        F.lit("simhash_fp").alias("kind"),
-        F.col("doc_id").cast("long").alias("id_a"),
-        F.col("simhash").alias("id_b"),
-        F.lit(None).cast("double").alias("score"),
+    n_exact = d2p.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = d3p.join(d2p, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
     )
-    return d3.unionByName(d4)
+    sim = d4_simhash(spark, sf_dir)
+    ham = (
+        d2p.join(sim.select(F.col("doc_id").alias("doc_a"),
+                            F.col("simhash").alias("ha")), "doc_a")
+        .join(sim.select(F.col("doc_id").alias("doc_b"),
+                         F.col("simhash").alias("hb")), "doc_b")
+        .agg(F.max(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+             .alias("max_ham"))
+    )
+    r1 = outside.select(
+        F.lit("d3_lsh_pairs_outside_exact").alias("invariant"),
+        F.col("n_out").cast("long").alias("n"),
+        (F.col("n_out") == 0).cast("long").alias("ok"),
+    )
+    r2 = n_exact.crossJoin(n_hit).select(
+        F.lit("d3_recall_vs_exact").alias("invariant"),
+        F.col("n_exact").cast("long").alias("n"),
+        (F.col("n_hit") >= 0.9 * F.col("n_exact")).cast("long").alias("ok"),
+    )
+    r3 = n_exact.crossJoin(ham).select(
+        F.lit("d4_neardup_hamming_le_16").alias("invariant"),
+        F.col("n_exact").cast("long").alias("n"),
+        F.coalesce(F.col("max_ham") <= 16, F.lit(True))
+        .cast("long").alias("ok"),
+    )
+    return r1.unionByName(r2).unionByName(r3)
 
 
 # ---------------------------------------------------------------------
@@ -536,18 +662,47 @@ def e3_ann_ivf(spark, sf_dir):
 # depends on the LSH band hashes / trained IVF cells, neither reproducible
 # in DuckDB SQL); recall vs the oracle-checked brute-force e1 is pinned in
 # tests/test_pipeline.py (e3 ≥ 14/15, e2 ≥ 8/15 — deterministic, not flaky).
-@_q("e2e3_ann_suite")
+@_q(
+    "e2e3_ann_suite",
+    "WITH truth AS (" + ORACLE["e1_knn_bruteforce"] + ") "
+    "SELECT 'ivf' AS method, (SELECT CAST(count(*) AS BIGINT) FROM truth) "
+    "AS n_truth, CAST(1 AS BIGINT) AS recall_ok "
+    "UNION ALL SELECT 'lsh', (SELECT count(*) FROM truth), 1",
+)
 def e2e3_ann_suite(spark, sf_dir):
-    """E2+E3 in one rows-only driver row — both approximate-nearest-
-    neighbor scale paths side by side: LSH-bucketed (method='lsh') and
-    IVF coarse-quantizer (method='ivf') top-3 per query."""
-    e2 = e2_ann_lsh_bucketed(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rk"
-    )
-    e3 = e3_ann_ivf(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rk"
-    )
-    return e2.unionByName(e3)
+    """E2+E3 driver row — both approximate-nearest-neighbor scale paths,
+    ORACLE-GREEN via in-query recall invariants (round-4 upgrade from
+    rows-only): WHICH neighbors each ANN method returns depends on
+    xxhash64-seeded planes/centroids no SQL oracle can reproduce, but
+    recall against the exact brute-force top-3 (e1 — itself fully
+    oracle-checked) crosses engines as a 0/1 contract column.
+
+    Per method: ``n_truth`` = the exact top-3 pair count (value-bearing —
+    DuckDB recomputes e1's oracle), ``recall_ok`` = overlap ≥ the method's
+    pinned floor. Floors: IVF ≥ 0.9 (nprobe=4/16 recovers 15/15 at
+    sf0.01); LSH ≥ 0.5 (measured 9/15 — near-random synthetic embeddings
+    are banded LSH's documented worst case; the floor guards the
+    regression back to single-band which recalled 0). The raw neighbor
+    lists stay available as ``e2_ann_lsh_bucketed``/``e3_ann_ivf`` and
+    recall is also pinned in tests/test_pipeline.py."""
+    truth = e1_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    truth = truth.cache()
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    def _row(method: str, df: DataFrame, floor: float) -> DataFrame:
+        hit = df.select("query_id", "neighbor_id").join(
+            truth, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count(F.lit(1)).alias("n_hit"))
+        return n_truth.crossJoin(hit).select(
+            F.lit(method).alias("method"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            (F.col("n_hit") >= floor * F.col("n_truth"))
+            .cast("long").alias("recall_ok"),
+        )
+
+    ivf = _row("ivf", e3_ann_ivf(spark, sf_dir), 0.9)
+    lsh = _row("lsh", e2_ann_lsh_bucketed(spark, sf_dir), 0.5)
+    return ivf.unionByName(lsh)
 
 
 # ---------------------------------------------------------------------

@@ -103,27 +103,20 @@ def s1s2_scan_suite(spark, sf_dir):
 # =====================================================================
 # §2.2 Projections / filters
 # =====================================================================
-@_q(
-    "p1_rename_project",
-    "SELECT c_custkey AS cust_id, c_name AS cust_name, c_mktsegment AS segment "
-    "FROM customer",
-)
 def p1_rename_project(spark, sf_dir):
-    """nick→proper-name projection (convert_cdm_to_mods.py:183-188)."""
+    """P1 — nick→proper-name projection (convert_cdm_to_mods.py:183-188).
+    Driver row via ``p1p2p3_projection_suite``; per-operator DuckDB oracle
+    kept alive in tests/test_queries.py."""
     m = {"c_custkey": "cust_id", "c_name": "cust_name", "c_mktsegment": "segment"}
     df = _t(spark, sf_dir, "customer")
     return df.select([F.col(k).alias(v) for k, v in m.items()])
 
 
-@_q(
-    "p2_template_substitution",
-    "SELECT p_partkey AS part_id, '<title>' || "
-    "replace(replace(replace(replace(p_name,'&','&amp;'),'\"','&quot;'),'<','&lt;'),'>','&gt;')"
-    " || '</title>' AS mods_title FROM part",
-)
 def p2_template_substitution(spark, sf_dir):
-    """%value% template substitution with XML escape
-    (convert_cdm_to_mods.py:198-211) — all codegen'd string ops."""
+    """P2 — %value% template substitution with XML escape
+    (convert_cdm_to_mods.py:198-211) — all codegen'd string ops. Driver
+    row via ``p1p2p3_projection_suite``; per-operator oracle in
+    tests/test_queries.py."""
     return _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("part_id"),
         F.concat(F.lit("<title>"), xml_escape(F.col("p_name")), F.lit("</title>")).alias(
@@ -132,17 +125,50 @@ def p2_template_substitution(spark, sf_dir):
     )
 
 
-@_q(
-    "p3_constant_injection",
-    "SELECT r_name AS region_name, 'Louisiana Digital Library' AS institution "
-    "FROM region",
-)
 def p3_constant_injection(spark, sf_dir):
-    """null*-key constant columns (convert_cdm_to_mods.py:212-216)."""
+    """P3 — null*-key constant columns (convert_cdm_to_mods.py:212-216).
+    Driver row via ``p1p2p3_projection_suite``; per-operator oracle in
+    tests/test_queries.py."""
     return _t(spark, sf_dir, "region").select(
         F.col("r_name").alias("region_name"),
         F.lit("Louisiana Digital Library").alias("institution"),
     )
+
+
+_P2_TITLE_DUCK = (
+    "'<title>' || replace(replace(replace(replace(p_name,'&','&amp;'),"
+    "'\"','&quot;'),'<','&lt;'),'>','&gt;') || '</title>'"
+)
+
+
+@_q(
+    "p1p2p3_projection_suite",
+    "SELECT 'p1' AS src, CAST(c_custkey AS BIGINT) AS id, c_name AS a, "
+    "c_mktsegment AS b FROM customer "
+    "UNION ALL SELECT 'p2', CAST(p_partkey AS BIGINT), " + _P2_TITLE_DUCK + ", "
+    "CAST(NULL AS VARCHAR) FROM part "
+    "UNION ALL SELECT 'p3', CAST(NULL AS BIGINT), r_name, "
+    "'Louisiana Digital Library' FROM region",
+)
+def p1p2p3_projection_suite(spark, sf_dir):
+    """P1+P2+P3 in one driver row (registry slots freed for the curation
+    operators): the three trivial projection operators, each tagged with
+    its source and normalized to (src, id, a, b). Per-operator oracles
+    stay alive in tests/test_queries.py so a suite refactor can't silently
+    drop a component (the round-3 consolidation pattern)."""
+    p1 = p1_rename_project(spark, sf_dir).select(
+        F.lit("p1").alias("src"), F.col("cust_id").cast("long").alias("id"),
+        F.col("cust_name").alias("a"), F.col("segment").alias("b"),
+    )
+    p2 = p2_template_substitution(spark, sf_dir).select(
+        F.lit("p2").alias("src"), F.col("part_id").cast("long").alias("id"),
+        F.col("mods_title").alias("a"), F.lit(None).cast("string").alias("b"),
+    )
+    p3 = p3_constant_injection(spark, sf_dir).select(
+        F.lit("p3").alias("src"), F.lit(None).cast("long").alias("id"),
+        F.col("region_name").alias("a"), F.col("institution").alias("b"),
+    )
+    return p1.unionByName(p2).unionByName(p3)
 
 
 def p5_empty_filter(spark, sf_dir):
@@ -666,16 +692,35 @@ def a9_rollup_hierarchy(spark, sf_dir):
     )
 
 
-@_q("a10_approx_distinct")  # rows-only: HLL sketches differ across engines
+@_q(
+    "a10_approx_distinct",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+    "CAST(1 AS BIGINT) AS within_bound FROM events GROUP BY 1",
+)
 def a10_approx_distinct(spark, sf_dir):
     """HyperLogLog approximate distinct — THE 100 TB cardinality operator
     (fixed-size sketch, partial-mergeable, no exact-distinct shuffle).
-    Cross-engine sketch values differ by construction, so this is
-    rows-only for the driver; the ≤5% relative-error bound vs exact
-    countDistinct is pinned in tests/test_pipeline.py."""
+
+    Cross-engine sketch VALUES differ by construction, so the driver row
+    checks the sketch's CONTRACT instead (round-4 upgrade from rows-only):
+    the exact cardinality plus ``within_bound`` = |approx−exact|/exact ≤
+    0.05 as 0/1, which DuckDB reproduces as exact + constant-true. The
+    exact countDistinct here exists ONLY to make the invariant
+    oracle-checkable at test scale — the production operator is the
+    approx_count_distinct sketch alone (the ≤5% bound is also pinned in
+    tests/test_pipeline.py)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).cast("long").alias("within_bound"),
     )
 
 

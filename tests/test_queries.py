@@ -84,21 +84,34 @@ CASES = {
         "cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value "
         "FROM events GROUP BY 1"
     ),
-    # d7: benchmark decontamination — word-8-gram overlap vs an md5-nibble
-    # held-out split; grams per doc are distinct, so count(*) after the
-    # bench join = distinct overlapping grams (bench side is DISTINCT).
-    "d7_decontaminate": (
-        "WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') words "
-        "FROM documents), "
-        "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)-6), "
-        "i -> array_to_string(words[i:i+7], ' '))) shingles FROM w WHERE len(words) >= 8), "
-        "ex AS (SELECT doc_id, unnest(shingles) g FROM sh), "
-        "bench AS (SELECT DISTINCT g FROM ex WHERE right(md5(doc_id::varchar), 1) IN ('0','1')), "
-        "train AS (SELECT * FROM ex WHERE right(md5(doc_id::varchar), 1) NOT IN ('0','1')) "
-        "SELECT t.doc_id, count(*)::bigint AS n_hits "
-        "FROM train t JOIN bench USING (g) GROUP BY 1"
-    ),
 }
+
+
+def _d7_case() -> str:
+    # d7: benchmark decontamination — shared oracle string (single source
+    # of truth with the d7d8_curation_suite driver row)
+    from cdm_to_mods_spark.pipeline import _D7_DUCK
+
+    return _D7_DUCK
+
+
+CASES["d7_decontaminate"] = _d7_case()
+
+# the three projection operators folded into p1p2p3_projection_suite in
+# round 4 keep their original per-operator oracles here
+CASES["p1_rename_project"] = (
+    "SELECT c_custkey AS cust_id, c_name AS cust_name, "
+    "c_mktsegment AS segment FROM customer"
+)
+CASES["p2_template_substitution"] = (
+    "SELECT p_partkey AS part_id, '<title>' || "
+    "replace(replace(replace(replace(p_name,'&','&amp;'),'\"','&quot;'),"
+    "'<','&lt;'),'>','&gt;') || '</title>' AS mods_title FROM part"
+)
+CASES["p3_constant_injection"] = (
+    "SELECT r_name AS region_name, 'Louisiana Digital Library' "
+    "AS institution FROM region"
+)
 
 
 def _t8_case() -> str:
@@ -115,29 +128,11 @@ CASES["t8_sequence_pack"] = _t8_case()
 
 
 def _d8_case() -> str:
-    """d8 = keeper per d6 cluster by t2 quality: compose the registered d6
-    recursive oracle (as a CTE subquery) with the exact t2 quality
-    expression the suite oracle uses."""
-    from cdm_to_mods_spark.queries import ORACLE
+    """d8 oracle — shared builder (single source of truth with the
+    d7d8_curation_suite driver row)."""
+    from cdm_to_mods_spark.pipeline import _d8_duck
 
-    d6 = ORACLE["d6_dedup_clusters"]
-    q = (
-        "SELECT doc_id, round(0.5*least(len(regexp_split_to_array(trim(text), "
-        "'\\s+'))/100.0, 1.0) + 0.5*(1.0-(length(text)-length(regexp_replace("
-        "text, '[^a-zA-Z0-9 ]', '', 'g')))*1.0/greatest(length(text),1)), 4) "
-        "AS quality FROM documents"
-    )
-    return (
-        f"WITH members AS (SELECT doc_id, cluster_id FROM ({d6}) c), "
-        f"q AS ({q}), "
-        "j AS (SELECT m.cluster_id, m.doc_id, q.quality FROM members m "
-        "JOIN q USING (doc_id)), "
-        "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id "
-        "ORDER BY quality DESC, doc_id) rn, "
-        "count(*) OVER (PARTITION BY cluster_id) nm FROM j) "
-        "SELECT cluster_id, doc_id AS keeper_id, quality AS kept_quality, "
-        "nm::bigint AS n_members FROM r WHERE rn = 1"
-    )
+    return _d8_duck()
 
 
 CASES["d8_cluster_keeper"] = _d8_case()
