@@ -3849,82 +3849,10 @@ class LakeTable:
         if transform is not None:
             batch = transform(batch)
 
-        # 3. schema evolution: payload schema vs canonical. Batch columns
-        # outside the canonical schema split three ways: a column that was
-        # explicitly DROPPED is ignored (CDC producers lag table DDL; drop
-        # means "stop storing this"); a column that is a rename-log OLD
-        # name is refused (silently ignoring it would drop data the
-        # producer thinks it is writing — it must switch to the new name);
-        # a genuinely fresh name is an implicit ADD (evolve_schema), with
-        # the same no-historical-name rule as add_column — re-introducing a
-        # retired name would alias old file sets' stored bytes.
-        canon = self._canonical_schema(man)
-        renamed_away = {
-            r["old"]: r["new"]
-            for r in man.get("renames", [])
-            if r["old"] not in canon.fieldNames()
-        }
-        historical = {
-            n
-            for s in man["schemas"]
-            for n in schema_from_json(s).fieldNames()
-            if n not in canon.fieldNames()
-        }
-        payload_fields = []
-        for f in batch.schema.fields:
-            if f.name in _NON_PAYLOAD_EVENT_COLS:
-                continue
-            if f.name not in canon.fieldNames():
-                if f.name in renamed_away:
-                    raise SchemaEvolutionError(
-                        f"batch column {f.name!r} was renamed to "
-                        f"{renamed_away[f.name]!r}; update the producer"
-                    )
-                if f.name in historical:
-                    continue  # explicitly dropped — ignore
-            payload_fields.append(f)
-        evolved = evolve_schema(canon, T.StructType(payload_fields))
-        schemas = list(man["schemas"])
-        if evolved.json() != canon.json():
-            if self.schema_mode == "strict":
-                # enforcement mode: a producer drifting from the declared
-                # contract is an error, not an implicit DDL (the reference's
-                # strict XSD gate, convert_cdm_to_mods.py:376-385). Raised
-                # BEFORE any data lands, so the batch can be re-applied
-                # unchanged after the producer (or the table, via
-                # add_column/ALTER) is fixed. Only NAME/TYPE drift counts:
-                # nullability-only relaxation passes, because Spark loses
-                # nullability on every createDataFrame/parquet round trip —
-                # refusing it would make strict tables unusable.
-                old = {f.name: f.dataType for f in canon.fields}
-                drift = [
-                    f"+{f.name}:{f.dataType.simpleString()}"
-                    if f.name not in old
-                    else f"{f.name}:{old[f.name].simpleString()}"
-                         f"->{f.dataType.simpleString()}"
-                    for f in evolved.fields
-                    if f.name not in old or old[f.name] != f.dataType
-                ]
-                if drift:
-                    raise SchemaEvolutionError(
-                        "schema_mode='strict' refuses batch schema drift: "
-                        + ", ".join(drift)
-                    )
-            schemas.append(evolved.json())
+        # 3. schema evolution — shared with the partition router's fused
+        # apply (see _evolved_schemas for the three-way split rules).
+        schemas, canon = self._evolved_schemas(man, batch.schema)
         schema_id = len(schemas) - 1
-        canon = evolved
-        if self.merge_engine == "aggregate":
-            # a spec'd column absent from the canonical schema would
-            # silently contribute nothing (resolve_aggregate only sees df
-            # columns) — e.g. after drop_column, or a legacy table created
-            # before the create()-time spec check
-            gone = [c for c in self.agg_spec if c not in canon.fieldNames()]
-            if gone:
-                raise SchemaEvolutionError(
-                    f"agg_spec column(s) {gone} absent from the table "
-                    "schema — contributions would be silently dropped"
-                )
-
         # 4. change rows in target shape (+ bucket).
         is_del = F.col("op") == "D"
         proj = []
@@ -4016,129 +3944,16 @@ class LakeTable:
                     to_write.write.partitionBy("_bucket").mode("overwrite")
                 ).parquet(vdir)
             )
-            lineage_stats = _footer_stats(vdir, SEQ_COL, self.stats_cols)
-            affected = sorted(lineage_stats)
-            n_written = sum(s["n_changes"] for s in lineage_stats.values())
-            # change-data-feed record: this version's delta files, pinned
-            # BEFORE inline compaction may fold the bucket references away.
-            cdf = [
-                {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
-                for b in affected
-            ]
-            if self.changelog != "none" and affected:
-                # typed changelog BEFORE inline compaction (old state must
-                # be the pre-commit chains); the batch rows come back off
-                # the just-written deltas — local parquet, no recompute and
-                # no cache of the change set.
-                cdf += self._emit_changelog(
-                    man, canon, self.spark.read.parquet(vdir),
-                    affected, data_rel, schema_id, persisted,
-                    batch_rows=n_written,
-                )
-            for b in affected:
-                e = buckets.setdefault(str(b), {"base": None, "deltas": []})
-                delta = {
-                    "path": f"{data_rel}/_bucket={b}",
-                    "schema_id": schema_id,
-                    "rows": lineage_stats[b]["n_changes"],
-                }
-                if lineage_stats[b].get("stats"):
-                    delta["stats"] = lineage_stats[b]["stats"]
-                e["deltas"].append(delta)
-            # inline compaction: buckets whose delta chain hit the bound are
-            # folded (bounded read amplification). Two tiers — the LSM
-            # minor/major distinction: a MINOR fold resolves ONLY the delta
-            # chain into one combined delta (O(churned keys); the base is
-            # never read or rewritten), a MAJOR fold rewrites base + chain
-            # into a fresh base. Tier choice by the row counts the manifest
-            # entries carry: when the chain is at least as large as the
-            # base (or sizes are unknown, or there is no base) a major
-            # costs the same order anyway and fully resets the chain; a
-            # big-base/small-churn bucket — the 10^10-event steady state,
-            # where the base holds a table-lifetime of keys and a chain
-            # holds a few micro-batches — folds minor, so per-commit write
-            # amplification stays O(batch-scale) and NEVER O(bucket).
-            # Correct because last-write-wins max-seq resolution is a
-            # tournament over a per-key total order: resolving any subset
-            # first cannot change the overall winner.
-            due = sorted(
-                int(b)
-                for b, e in buckets.items()
-                if len(e["deltas"]) >= self.compact_deltas
+            post = self._mor_post_write(
+                man, canon, schemas, data_rel, persisted
             )
-            to_compact, to_minor = [], []
-            for b in due:
-                e = buckets[str(b)]
-                base_rows = (e.get("base") or {}).get("rows")
-                d_rows = [d.get("rows") for d in e["deltas"]]
-                if (
-                    not self._minor_folds
-                    or base_rows is None
-                    or any(r is None for r in d_rows)
-                    or sum(d_rows) >= base_rows
-                ):
-                    to_compact.append(b)
-                else:
-                    to_minor.append(b)
-            def _fold(bucket_ids: list, include_base: bool, suffix: str) -> dict:
-                """Resolve LWW over each bucket's file sets and rewrite one
-                sorted file set per bucket; returns {bucket: entry}. Major
-                tier folds base+chain (include_base), minor folds the chain
-                alone — same read/resolve/write/stats path either way."""
-                tmp_man = {
-                    "schemas": schemas,
-                    "buckets": {
-                        str(b): (
-                            buckets[str(b)]
-                            if include_base
-                            else {"base": None,
-                                  "deltas": buckets[str(b)]["deltas"]}
-                        )
-                        for b in bucket_ids
-                    },
-                    "renames": man.get("renames", []),
-                }
-                folded = self._resolve_lww(
-                    self._read_raw(tmp_man, canon=canon)
-                ).withColumn(
-                    "_bucket",
-                    _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn),
-                )
-                rel = f"{data_rel}-{suffix}"
-                (
-                    self._capped(
-                        folded.repartition(max(len(bucket_ids), 1), "_bucket")
-                        .sortWithinPartitions("_bucket", *self.key_cols)
-                        .write.partitionBy("_bucket")
-                        .mode("overwrite")
-                    ).parquet(os.path.join(self.path, rel))
-                )
-                fstats = _footer_stats(
-                    os.path.join(self.path, rel), SEQ_COL, self.stats_cols
-                )
-                out = {}
-                for b in bucket_ids:
-                    entry = {
-                        "path": f"{rel}/_bucket={b}",
-                        "schema_id": schema_id,
-                        "rows": fstats.get(b, {}).get("n_changes"),
-                    }
-                    if fstats.get(b, {}).get("stats"):
-                        entry["stats"] = fstats[b]["stats"]
-                    out[b] = entry
-                return out
-
-            if to_compact:
-                n_compacted = len(to_compact)
-                for b, base in _fold(to_compact, True, "compact").items():
-                    buckets[str(b)] = {"base": base, "deltas": []}
-            if to_minor:
-                n_minor = len(to_minor)
-                for b, combined in _fold(to_minor, False, "minor").items():
-                    buckets[str(b)] = {
-                        "base": buckets[str(b)]["base"],
-                        "deltas": [combined],
-                    }
+            buckets = post["buckets"]
+            lineage_stats = post["lineage_stats"]
+            affected = post["affected"]
+            n_written = post["n_written"]
+            n_compacted = post["n_compacted"]
+            n_minor = post["n_minor"]
+            cdf = post["cdf"]
         else:
             # 5-cow. one job over the (cached) change set yields BOTH the
             # touched buckets (pruning) and per-bucket lineage; the cache is
@@ -4241,14 +4056,6 @@ class LakeTable:
                     )
             # unpersist happens in _apply_changes_inner's finally
 
-        # 8. lineage: source offsets (per-bucket max seq + rows) → snapshot.
-        lineage = dict(man.get("lineage", {}))
-        for b, s in lineage_stats.items():
-            lineage[str(b)] = _lineage_entry(
-                lineage, b, s["max_seq"], s["min_seq"],
-                s["n_changes"], new_version, source,
-            )
-
         observed = _observed(obs_in)
         if observed is None:  # rare fallback path — one explicit agg job
             observed = (
@@ -4266,6 +4073,206 @@ class LakeTable:
         op_counts = {
             o: int(observed[o]) for o in ("I", "U", "D") if observed[o]
         }
+        return self._commit_apply_tail(
+            man=man, new_version=new_version, schemas=schemas,
+            buckets=buckets, cdf=cdf, lineage_stats=lineage_stats,
+            affected=affected, n_compacted=n_compacted, n_minor=n_minor,
+            n_written=n_written, n_quarantined=n_quarantined,
+            n_events=n_events, op_counts=op_counts, batch_id=batch_id,
+            source=source, t0=t0, data_rel=data_rel,
+            _metrics_extra=_metrics_extra,
+        )
+
+
+    def _mor_post_write(
+        self,
+        man: dict,
+        canon: T.StructType,
+        schemas: list,
+        data_rel: str,
+        persisted: list,
+    ) -> dict:
+        """Everything a MoR batch does AFTER its delta files exist under
+        ``self.path/data_rel`` (layout ``data_rel/_bucket=N/``): footer
+        stats, feed + typed-changelog entries, delta append onto the
+        bucket chains, and two-tier inline compaction. Shared by the
+        normal apply (which just ran the write job) and
+        ``commit_prewritten_mor_deltas`` (the partition router's fused
+        batch write — ONE Spark job wrote many sub-tables' deltas; each
+        sub commits its own slice driver-side from footer metadata).
+        Returns the pieces the commit tail needs."""
+        vdir = os.path.join(self.path, data_rel)
+        schema_id = len(schemas) - 1
+        buckets = self._mor_buckets(man["buckets"])
+        n_compacted = 0
+        n_minor = 0
+        lineage_stats = _footer_stats(vdir, SEQ_COL, self.stats_cols)
+        affected = sorted(lineage_stats)
+        n_written = sum(s["n_changes"] for s in lineage_stats.values())
+        # change-data-feed record: this version's delta files, pinned
+        # BEFORE inline compaction may fold the bucket references away.
+        cdf = [
+            {"path": f"{data_rel}/_bucket={b}", "schema_id": schema_id}
+            for b in affected
+        ]
+        if self.changelog != "none" and affected:
+            # typed changelog BEFORE inline compaction (old state must
+            # be the pre-commit chains); the batch rows come back off
+            # the just-written deltas — local parquet, no recompute and
+            # no cache of the change set.
+            cdf += self._emit_changelog(
+                man, canon, self.spark.read.parquet(vdir),
+                affected, data_rel, schema_id, persisted,
+                batch_rows=n_written,
+            )
+        for b in affected:
+            e = buckets.setdefault(str(b), {"base": None, "deltas": []})
+            delta = {
+                "path": f"{data_rel}/_bucket={b}",
+                "schema_id": schema_id,
+                "rows": lineage_stats[b]["n_changes"],
+            }
+            if lineage_stats[b].get("stats"):
+                delta["stats"] = lineage_stats[b]["stats"]
+            e["deltas"].append(delta)
+        # inline compaction: buckets whose delta chain hit the bound are
+        # folded (bounded read amplification). Two tiers — the LSM
+        # minor/major distinction: a MINOR fold resolves ONLY the delta
+        # chain into one combined delta (O(churned keys); the base is
+        # never read or rewritten), a MAJOR fold rewrites base + chain
+        # into a fresh base. Tier choice by the row counts the manifest
+        # entries carry: when the chain is at least as large as the
+        # base (or sizes are unknown, or there is no base) a major
+        # costs the same order anyway and fully resets the chain; a
+        # big-base/small-churn bucket — the 10^10-event steady state,
+        # where the base holds a table-lifetime of keys and a chain
+        # holds a few micro-batches — folds minor, so per-commit write
+        # amplification stays O(batch-scale) and NEVER O(bucket).
+        # Correct because last-write-wins max-seq resolution is a
+        # tournament over a per-key total order: resolving any subset
+        # first cannot change the overall winner.
+        due = sorted(
+            int(b)
+            for b, e in buckets.items()
+            if len(e["deltas"]) >= self.compact_deltas
+        )
+        to_compact, to_minor = [], []
+        for b in due:
+            e = buckets[str(b)]
+            base_rows = (e.get("base") or {}).get("rows")
+            d_rows = [d.get("rows") for d in e["deltas"]]
+            if (
+                not self._minor_folds
+                or base_rows is None
+                or any(r is None for r in d_rows)
+                or sum(d_rows) >= base_rows
+            ):
+                to_compact.append(b)
+            else:
+                to_minor.append(b)
+        def _fold(bucket_ids: list, include_base: bool, suffix: str) -> dict:
+            """Resolve LWW over each bucket's file sets and rewrite one
+            sorted file set per bucket; returns {bucket: entry}. Major
+            tier folds base+chain (include_base), minor folds the chain
+            alone — same read/resolve/write/stats path either way."""
+            tmp_man = {
+                "schemas": schemas,
+                "buckets": {
+                    str(b): (
+                        buckets[str(b)]
+                        if include_base
+                        else {"base": None,
+                              "deltas": buckets[str(b)]["deltas"]}
+                    )
+                    for b in bucket_ids
+                },
+                "renames": man.get("renames", []),
+            }
+            folded = self._resolve_lww(
+                self._read_raw(tmp_man, canon=canon)
+            ).withColumn(
+                "_bucket",
+                _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn),
+            )
+            rel = f"{data_rel}-{suffix}"
+            (
+                self._capped(
+                    folded.repartition(max(len(bucket_ids), 1), "_bucket")
+                    .sortWithinPartitions("_bucket", *self.key_cols)
+                    .write.partitionBy("_bucket")
+                    .mode("overwrite")
+                ).parquet(os.path.join(self.path, rel))
+            )
+            fstats = _footer_stats(
+                os.path.join(self.path, rel), SEQ_COL, self.stats_cols
+            )
+            out = {}
+            for b in bucket_ids:
+                entry = {
+                    "path": f"{rel}/_bucket={b}",
+                    "schema_id": schema_id,
+                    "rows": fstats.get(b, {}).get("n_changes"),
+                }
+                if fstats.get(b, {}).get("stats"):
+                    entry["stats"] = fstats[b]["stats"]
+                out[b] = entry
+            return out
+
+        if to_compact:
+            n_compacted = len(to_compact)
+            for b, base in _fold(to_compact, True, "compact").items():
+                buckets[str(b)] = {"base": base, "deltas": []}
+        if to_minor:
+            n_minor = len(to_minor)
+            for b, combined in _fold(to_minor, False, "minor").items():
+                buckets[str(b)] = {
+                    "base": buckets[str(b)]["base"],
+                    "deltas": [combined],
+                }
+        return {
+            "buckets": buckets,
+            "lineage_stats": lineage_stats,
+            "affected": affected,
+            "n_written": n_written,
+            "n_compacted": n_compacted,
+            "n_minor": n_minor,
+            "cdf": cdf,
+        }
+
+
+    def _commit_apply_tail(
+        self,
+        *,
+        man: dict,
+        new_version: int,
+        schemas: list,
+        buckets: dict,
+        cdf: list,
+        lineage_stats: dict,
+        affected: list,
+        n_compacted: int,
+        n_minor: int,
+        n_written: int,
+        n_quarantined: int,
+        n_events: int,
+        op_counts: dict,
+        batch_id: int | None,
+        source: str | None,
+        t0: float,
+        data_rel: str,
+        _metrics_extra: dict | None,
+    ) -> dict:
+        """The apply commit tail shared by mor, cow and the prewritten-
+        delta path: per-bucket lineage fold, metrics assembly, atomic
+        ledger commit with the optimistic-concurrency retry."""
+        # 8. lineage: source offsets (per-bucket max seq + rows) → snapshot.
+        lineage = dict(man.get("lineage", {}))
+        for b, s in lineage_stats.items():
+            lineage[str(b)] = _lineage_entry(
+                lineage, b, s["max_seq"], s["min_seq"],
+                s["n_changes"], new_version, source,
+            )
+
         elapsed = time.monotonic() - t0
         metrics = {
             "batch_id": batch_id,
@@ -4320,6 +4327,169 @@ class LakeTable:
                 man, new_version, batch_id, schemas, lineage_stats,
                 n_compacted + n_minor, source, metrics, data_rel,
             )
+
+
+    def _evolved_schemas(
+        self, man: dict, batch_schema: T.StructType
+    ) -> tuple[list, T.StructType]:
+        """Schema-evolution step shared by apply_changes and the partition
+        router's fused batch path: payload schema vs canonical. Batch
+        columns outside the canonical schema split three ways — an
+        explicitly DROPPED column is ignored (CDC producers lag table DDL;
+        drop means "stop storing this"), a rename-log OLD name is refused
+        (silently ignoring it would drop data the producer thinks it is
+        writing), and a genuinely fresh name is an implicit ADD
+        (evolve_schema) with the same no-historical-name rule as
+        add_column. Returns (possibly-extended schemas list, evolved
+        canonical schema); raises under schema_mode='strict' on NAME/TYPE
+        drift and on aggregate-spec columns leaving the schema."""
+        canon = self._canonical_schema(man)
+        renamed_away = {
+            r["old"]: r["new"]
+            for r in man.get("renames", [])
+            if r["old"] not in canon.fieldNames()
+        }
+        historical = {
+            n
+            for s in man["schemas"]
+            for n in schema_from_json(s).fieldNames()
+            if n not in canon.fieldNames()
+        }
+        payload_fields = []
+        for f in batch_schema.fields:
+            if f.name in _NON_PAYLOAD_EVENT_COLS:
+                continue
+            if f.name not in canon.fieldNames():
+                if f.name in renamed_away:
+                    raise SchemaEvolutionError(
+                        f"batch column {f.name!r} was renamed to "
+                        f"{renamed_away[f.name]!r}; update the producer"
+                    )
+                if f.name in historical:
+                    continue  # explicitly dropped — ignore
+            payload_fields.append(f)
+        evolved = evolve_schema(canon, T.StructType(payload_fields))
+        schemas = list(man["schemas"])
+        if evolved.json() != canon.json():
+            if self.schema_mode == "strict":
+                # enforcement mode: a producer drifting from the declared
+                # contract is an error, not an implicit DDL (the reference's
+                # strict XSD gate, convert_cdm_to_mods.py:376-385). Raised
+                # BEFORE any data lands, so the batch can be re-applied
+                # unchanged after the producer (or the table, via
+                # add_column/ALTER) is fixed. Only NAME/TYPE drift counts:
+                # nullability-only relaxation passes, because Spark loses
+                # nullability on every createDataFrame/parquet round trip —
+                # refusing it would make strict tables unusable.
+                old = {f.name: f.dataType for f in canon.fields}
+                drift = [
+                    f"+{f.name}:{f.dataType.simpleString()}"
+                    if f.name not in old
+                    else f"{f.name}:{old[f.name].simpleString()}"
+                         f"->{f.dataType.simpleString()}"
+                    for f in evolved.fields
+                    if f.name not in old or old[f.name] != f.dataType
+                ]
+                if drift:
+                    raise SchemaEvolutionError(
+                        "schema_mode='strict' refuses batch schema drift: "
+                        + ", ".join(drift)
+                    )
+            schemas.append(evolved.json())
+        canon = evolved
+        if self.merge_engine == "aggregate":
+            # a spec'd column absent from the canonical schema would
+            # silently contribute nothing (resolve_aggregate only sees df
+            # columns) — e.g. after drop_column, or a legacy table created
+            # before the create()-time spec check
+            gone = [c for c in self.agg_spec if c not in canon.fieldNames()]
+            if gone:
+                raise SchemaEvolutionError(
+                    f"agg_spec column(s) {gone} absent from the table "
+                    "schema — contributions would be silently dropped"
+                )
+        return schemas, canon
+
+
+    def commit_prewritten_mor_deltas(
+        self,
+        data_rel: str,
+        *,
+        batch_id: int | None = None,
+        source: str | None = None,
+        schemas: list | None = None,
+        n_events: int | None = None,
+        op_counts: dict | None = None,
+        t0: float | None = None,
+        _metrics_extra: dict | None = None,
+    ) -> dict:
+        """Commit delta files ALREADY WRITTEN under ``self.path/data_rel``
+        (layout ``data_rel/_bucket=N/*.parquet``, rows in canonical shape
+        with ``_seq``/``_deleted``) as one MoR batch — the write job ran
+        elsewhere. This is the partition router's fused-apply primitive:
+        one global Spark job stages a multi-partition batch partitioned by
+        (partition, bucket), each ``_part`` directory is moved into its
+        sub-table, and the sub-table commits DRIVER-SIDE from parquet
+        footer metadata — footer stats, feed/changelog entries, delta
+        append, inline compaction, lineage, atomic commit with the
+        fast-append conflict retry. The caller is responsible for having
+        run in-batch collapse, transform, schema projection and CHECK
+        constraints in the fused job (the router does, via the same code
+        paths); ``schemas`` is the evolved schema list when the batch
+        evolved the table (must extend this table's current list by at
+        most one entry), default = current.
+
+        Idempotent like apply_changes: a committed ``batch_id`` skips —
+        but NOTE the skip happens after the files were moved in; the
+        caller checks the ledger BEFORE staging (the router excludes
+        already-committed partitions from the fused write)."""
+        if self.merge_mode != "mor":
+            raise ValueError(
+                "commit_prewritten_mor_deltas is a merge-on-read primitive; "
+                f"this table is merge_mode={self.merge_mode!r}"
+            )
+        t0 = time.monotonic() if t0 is None else t0
+        man = self.manifest()
+        if batch_id is not None and batch_id <= man["last_batch_id"]:
+            return {"skipped": True, "batch_id": batch_id,
+                    "reason": "already committed"}
+        if schemas is None:
+            schemas = list(man["schemas"])
+        else:
+            schemas = list(schemas)
+            if (
+                schemas[: len(man["schemas"])] != man["schemas"]
+                or len(schemas) > len(man["schemas"]) + 1
+            ):
+                raise SchemaEvolutionError(
+                    "prewritten-delta schemas list must extend the table's "
+                    "current append-only list by at most one entry"
+                )
+        canon = schema_from_json(schemas[-1])
+        persisted: list[DataFrame] = []
+        try:
+            post = self._mor_post_write(
+                man, canon, schemas, data_rel, persisted
+            )
+            ls = post["lineage_stats"]
+            ne = (
+                n_events
+                if n_events is not None
+                else sum(s["n_changes"] for s in ls.values())
+            )
+            return self._commit_apply_tail(
+                man=man, new_version=man["version"] + 1, schemas=schemas,
+                buckets=post["buckets"], cdf=post["cdf"], lineage_stats=ls,
+                affected=post["affected"], n_compacted=post["n_compacted"],
+                n_minor=post["n_minor"], n_written=post["n_written"],
+                n_quarantined=0, n_events=int(ne),
+                op_counts=dict(op_counts or {}), batch_id=batch_id,
+                source=source, t0=t0, data_rel=data_rel,
+                _metrics_extra=_metrics_extra,
+            )
+        finally:
+            for df in persisted:
+                df.unpersist(blocking=False)
 
     def _retry_commit_conflict(
         self,

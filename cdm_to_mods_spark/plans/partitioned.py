@@ -387,13 +387,19 @@ class PartitionedTable:
             # born after an implicit column add still converges. Explicit
             # DDL is per-partition for now (module docstring).
             spec = self._load_spec()
-            main_sub.create(schema_from_json(spec["schema"]))
-            # partitions born after ADD CONSTRAINT inherit every spec
-            # CHECK at create (empty table — nothing to validate), the
-            # same future-partition contract as retired names
-            for c in spec.get("constraints", []):
-                main_sub.add_constraint(c["name"], c["expr"],
-                                        validate=False)
+            try:
+                main_sub.create(schema_from_json(spec["schema"]))
+                # partitions born after ADD CONSTRAINT inherit every spec
+                # CHECK at create (empty table — nothing to validate), the
+                # same future-partition contract as retired names
+                for c in spec.get("constraints", []):
+                    main_sub.add_constraint(c["name"], c["expr"],
+                                            validate=False)
+            except RuntimeError:
+                # a concurrent writer won this partition's v0 (same spec
+                # schema + constraints by construction) — adopt theirs
+                if not main_sub.exists():
+                    raise
         sub = main_sub
         if self.branch != "main":
             # a partition born INSIDE a branch apply gets its sub-branch
@@ -754,12 +760,18 @@ class PartitionedTable:
                 # must still run the full main-create + branch dance
                 return main_idx
             spec_schema = schema_from_json(self._load_spec()["schema"])
-            main_idx.create(
-                T.StructType(
-                    [spec_schema[c] for c in self.key_cols]
-                    + [T.StructField("part", T.StringType(), True)]
+            try:
+                main_idx.create(
+                    T.StructType(
+                        [spec_schema[c] for c in self.key_cols]
+                        + [T.StructField("part", T.StringType(), True)]
+                    )
                 )
-            )
+            except RuntimeError:
+                # a concurrent writer won the index's v0 — losing the
+                # CREATE race is fine, the schema is deterministic; adopt
+                if not main_idx.exists():
+                    raise
         idx = main_idx
         if self.branch != "main":
             # the index rides the same branch namespace as the data:
@@ -1082,6 +1094,279 @@ class PartitionedTable:
         return ev
 
     # -------------------------------------------------------------- write
+
+    # ---------------------------------------------------- fused apply
+    def _fused_eligible(self, parts: list, subs: dict) -> bool:
+        """The fused batch path applies when every touched sub-table is
+        merge-on-read: the batch's collapse/projection/write runs as ONE
+        Spark job partitioned by (partition, bucket) and each sub-table
+        commits its pre-written delta slice driver-side — amortizing the
+        per-sub fixed costs (plan, shuffle, write job, Arrow spin-up) that
+        made the routed replay ~2x the flat replay at 12 partitions.
+        Copy-on-write subs need the union-with-base merge per table and
+        keep the per-sub path; single-partition batches ARE the flat cost
+        already."""
+        if len(parts) <= 1:
+            return False
+        return all(subs[p].merge_mode == "mor" for p in parts)
+
+    def _apply_fused(
+        self,
+        ev: DataFrame,
+        parts: list,
+        subs: dict,
+        batch_id: int | None,
+        src: str | None,
+        t0: float,
+        skip_collapse: bool = False,
+    ) -> dict:
+        """ONE-job, ONE-shuffle multi-partition MoR apply (the round-4
+        routing-tax cut):
+
+        assign ``_bucket`` up front, hash-repartition on the
+        (``_part``, ``_bucket``) pair, collapse per key with the
+        sub-tables' merge engine, project/constraint-guard, and write it
+        all in a single ``partitionBy(_part, _bucket)`` job into router
+        staging — then MOVE each ``_part`` directory into its sub-table
+        and commit the deltas driver-side from parquet footer metadata
+        (``LakeTable.commit_prewritten_mor_deltas``). Per-sub Spark work
+        drops from P jobs (P plans + P shuffles + P writes) to one job
+        plus O(P) threaded driver-side manifest commits; inline compaction
+        and typed-changelog emission still run per-sub inside the commit
+        when due.
+
+        The single-shuffle trick is the flat apply's, lifted to the pair:
+        ``_bucket`` is a pure function of the bucket key column, so adding
+        it to the collapse's grouping keys changes NO groups while making
+        the pre-collapse hash partitioning on (``_part``, ``_bucket``)
+        satisfy the aggregate's clustering requirement — no second
+        exchange — AND land every (partition, bucket) pair whole in one
+        task, so the partitioned write emits exactly one file per
+        directory without a write-side repartition.
+
+        Exactly-once composes unchanged: parts whose sub-ledger already
+        carries ``batch_id`` are excluded BEFORE staging, and a crash
+        between sub-commits replays to convergence through the per-sub
+        batch ledgers (identical to the threaded path's guarantee).
+
+        Schema-signature groups: evolution must see each sub's canonical
+        schema, rename log, historical (dropped) names, CHECK constraints
+        and bucket layout — subs agreeing share one collapse+write job;
+        divergent subs (possible after per-partition implicit evolution or
+        a partial rebucket) get their own group: one job per GROUP, never
+        per partition."""
+        from collections import defaultdict
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..operators.dedup import (
+            first_per_key,
+            resolve_aggregate,
+            resolve_partial_update,
+        )
+        from .lake import _apply_conf_scope
+
+        # per-sub manifests (driver JSON): ledger skip + signature grouping
+        mans = {p: subs[p].manifest() for p in parts}
+        skipped = {
+            p: {"skipped": True, "batch_id": batch_id,
+                "reason": "already committed"}
+            for p in parts
+            if batch_id is not None and batch_id <= mans[p]["last_batch_id"]
+        }
+        live = [p for p in parts if p not in skipped]
+        if not live:
+            return skipped
+
+        def _sig(p: str):
+            m, s = mans[p], subs[p]
+            canon = s._canonical_schema(m)
+            renamed = tuple(sorted(
+                (r["old"], r["new"]) for r in m.get("renames", [])
+                if r["old"] not in canon.fieldNames()
+            ))
+            historical = tuple(sorted({
+                n
+                for sj in m["schemas"]
+                for n in schema_from_json(sj).fieldNames()
+                if n not in canon.fieldNames()
+            }))
+            cons = tuple(
+                (c["name"], c["expr"]) for c in m.get("constraints", [])
+            )
+            return (canon.json(), renamed, historical, cons,
+                    s.num_buckets, s.bucket_fn, s.bucket_col)
+
+        groups: dict = defaultdict(list)
+        for p in live:
+            groups[_sig(p)].append(p)
+
+        per_part: dict = dict(skipped)
+        staging_root = os.path.join(self.path, "_staging")
+        with _apply_conf_scope(self.spark):
+            for sig, group_parts in sorted(groups.items()):
+                g0 = subs[group_parts[0]]
+                man0 = mans[group_parts[0]]
+                g_raw = (
+                    ev
+                    if len(groups) == 1
+                    else ev.filter(F.col("_part").isin(group_parts))
+                )
+                # THE one shuffle: bucket assignment + pair repartition
+                # BEFORE the collapse (see docstring)
+                n_shuffle = min(
+                    len(group_parts) * g0.num_buckets,
+                    max(64, self.spark.sparkContext.defaultParallelism * 4),
+                )
+                g_b = g_raw.withColumn(
+                    "_bucket",
+                    _bucket_expr(g0.bucket_col, g0.num_buckets, g0.bucket_fn),
+                ).repartition(n_shuffle, "_part", "_bucket")
+                keys = ("_part", "_bucket", *self.key_cols)
+                if skip_collapse:
+                    # the cross-partition router already collapsed the
+                    # batch to ONE winner per key and exploded movers
+                    # into distinct (part, key) rows — a second collapse
+                    # would aggregate singleton groups (measured ~half
+                    # the routed steady-state tax). Rare residual dupes
+                    # (null-key bypass rows with no quarantine sink)
+                    # resolve at read time like any delta chain.
+                    batch = g_b
+                elif g0.merge_engine == "partial_update":
+                    batch = resolve_partial_update(
+                        g_b, keys, "seq", "op", preserve_kill=True
+                    )
+                elif g0.merge_engine == "aggregate":
+                    batch = resolve_aggregate(
+                        g0._refuse_deletes_inline(
+                            g_b,
+                            "merge_engine='aggregate' refuses delete events"
+                            " (aggregates are not retractable)",
+                        ),
+                        keys, "seq", "op", spec=g0.agg_spec,
+                    )
+                elif g0.merge_engine == "first_row":
+                    batch = first_per_key(
+                        g0._refuse_deletes_inline(
+                            g_b,
+                            "merge_engine='first_row' refuses delete events"
+                            " (the first write per key is immutable)",
+                        ),
+                        keys, "seq",
+                    )
+                else:
+                    batch = latest_per_key(g_b, keys, "seq")
+                payload_schema = T.StructType([
+                    f for f in batch.schema.fields
+                    if f.name not in ("_part", "_bucket")
+                ])
+                schemas0, canon = g0._evolved_schemas(man0, payload_schema)
+                evolved = len(schemas0) > len(man0["schemas"])
+                # target-shape projection + CHECK guard — the same
+                # step-4/4b shape as the flat apply (lake.py), with _part
+                # and _bucket carried through for the partitioned write
+                is_del = F.col("op") == "D"
+                proj = [F.col("_part"), F.col("_bucket")]
+                for f in canon.fields:
+                    if f.name in batch.columns:
+                        c = F.col(f.name).cast(f.dataType)
+                        if f.name not in self.key_cols:
+                            c = F.when(
+                                is_del, F.lit(None).cast(f.dataType)
+                            ).otherwise(c)
+                        proj.append(c.alias(f.name))
+                    else:
+                        proj.append(
+                            F.lit(None).cast(f.dataType).alias(f.name)
+                        )
+                proj.append(F.col("seq").cast("long").alias(SEQ_COL))
+                proj.append(is_del.alias(DELETED_COL))
+                changes = batch.select(proj)
+                cons = man0.get("constraints", [])
+                if cons:
+                    viol = [
+                        ~F.col(DELETED_COL)
+                        & ~F.coalesce(F.expr(c["expr"]), F.lit(True))
+                        for c in cons
+                    ]
+                    any_bad = viol[0]
+                    for v in viol[1:]:
+                        any_bad = any_bad | v
+                    named = F.concat_ws(
+                        ", ",
+                        *[F.when(v, F.lit(c["name"]))
+                          for v, c in zip(viol, cons)],
+                    )
+                    changes = changes.withColumn(
+                        "_bucket",
+                        F.when(
+                            any_bad,
+                            F.raise_error(
+                                F.concat(
+                                    F.lit("CHECK constraint violated ["),
+                                    named,
+                                    F.lit("] by row key=("),
+                                    F.concat_ws(
+                                        ",",
+                                        *[F.col(k).cast("string")
+                                          for k in self.key_cols],
+                                    ),
+                                    F.lit(")"),
+                                )
+                            ).cast("int"),
+                        ).otherwise(F.col("_bucket")),
+                    )
+                staged = os.path.join(
+                    staging_root, f"fused-{uuid4().hex[:8]}"
+                )
+                try:
+                    (
+                        g0._capped(
+                            changes.write.partitionBy("_part", "_bucket")
+                            .mode("overwrite")
+                        ).parquet(staged)
+                    )
+
+                    def _one(p: str):
+                        sub, man_p = subs[p], mans[p]
+                        part_dir = os.path.join(staged, f"_part={p}")
+                        if not os.path.isdir(part_dir):
+                            # collapse cannot drop a part that had rows;
+                            # belt-and-braces: commit an empty batch so
+                            # the sub-ledger still records batch_id
+                            return p, sub.apply_changes(
+                                ev.filter(F.col("_part") == p)
+                                .drop("_part").limit(0),
+                                batch_id=batch_id, source=src,
+                            )
+                        data_rel = (
+                            f"data/v{man_p['version'] + 1:08d}"
+                            f"-{uuid4().hex[:8]}"
+                        )
+                        dst = os.path.join(sub.path, data_rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.rename(part_dir, dst)
+                        schemas_p = list(man_p["schemas"]) + (
+                            [canon.json()] if evolved else []
+                        )
+                        return p, sub.commit_prewritten_mor_deltas(
+                            data_rel, batch_id=batch_id, source=src,
+                            schemas=schemas_p, t0=t0,
+                        )
+
+                    if len(group_parts) == 1 or self.apply_concurrency == 1:
+                        per_part.update(_one(p) for p in group_parts)
+                    else:
+                        with ThreadPoolExecutor(
+                            min(self.apply_concurrency, len(group_parts))
+                        ) as ex:
+                            per_part.update(ex.map(_one, group_parts))
+                finally:
+                    shutil.rmtree(staged, ignore_errors=True)
+                    if (os.path.isdir(staging_root)
+                            and not os.listdir(staging_root)):
+                        os.rmdir(staging_root)
+        return per_part
+
     def apply_changes(
         self,
         events: DataFrame,
@@ -1189,50 +1474,69 @@ class PartitionedTable:
         staged: str | None = None
         persisted = False
         try:
-            ev.persist()
-            persisted = True
+            if transform is not None and q_cache is None:
+                # an expensive caller transform chain should run once, not
+                # once for discovery + once per consumer
+                ev.persist()
+                persisted = True
+            # partition discovery before any OTHER materialization: a
+            # column-pruned aggregate over just the partition column (the
+            # fused path then consumes the batch exactly once more —
+            # caching the full batch for a single consumer would cost a
+            # whole extra materialization pass, the round-4 profiling
+            # finding)
             parts = sorted(
                 r[0] for r in ev.select("_part").distinct().collect()
             )
-            if len(parts) > self.stage_threshold:
-                staged = os.path.join(
-                    self.path, "_staging", f"batch-{uuid4().hex[:8]}"
-                )
-                ev.write.partitionBy("_part").parquet(staged)
-                ev.unpersist()
-                persisted = False
             src = source or (
                 f"router:batch={batch_id}" if batch_id is not None else "router"
             )
             # handle creation (spec read + sub create() commit) stays
-            # serial; the APPLIES fan out on threads — each sub-apply is a
-            # pipeline of independent Spark jobs against its own directory
-            # (no shared commits), and a multi-partition batch paying 12
-            # sequential per-apply fixed costs would make the router tax
-            # O(partitions) in wall when the cluster has idle headroom.
-            # _apply_conf_scope is refcounted + lock-protected for exactly
-            # this interleaving.
+            # serial; the work fans out after — fused as ONE Spark job
+            # for merge-on-read subs (see _apply_fused), else per-sub
+            # applies on threads. _apply_conf_scope is refcounted +
+            # lock-protected for exactly this interleaving.
             subs = {p: self._sub(p, create=True) for p in parts}
 
-            def _one(p: str):
-                slice_df = (
-                    self.spark.read.parquet(os.path.join(staged, f"_part={p}"))
-                    if staged
-                    else ev.filter(F.col("_part") == p).drop("_part")
+            fused = self._fused_eligible(parts, subs)
+            if fused:
+                per_part = self._apply_fused(
+                    ev, parts, subs, batch_id, src, t0,
+                    skip_collapse=idx_ev is not None,
                 )
-                return p, subs[p].apply_changes(
-                    slice_df, batch_id=batch_id, source=src
-                )
-
-            if len(parts) <= 1 or self.apply_concurrency == 1:
-                per_part = dict(_one(p) for p in parts)
             else:
-                from concurrent.futures import ThreadPoolExecutor
+                if not persisted:
+                    ev.persist()
+                    persisted = True
+                if len(parts) > self.stage_threshold:
+                    staged = os.path.join(
+                        self.path, "_staging", f"batch-{uuid4().hex[:8]}"
+                    )
+                    ev.write.partitionBy("_part").parquet(staged)
+                    ev.unpersist()
+                    persisted = False
 
-                with ThreadPoolExecutor(
-                    min(self.apply_concurrency, len(parts))
-                ) as ex:
-                    per_part = dict(ex.map(_one, parts))
+                def _one(p: str):
+                    slice_df = (
+                        self.spark.read.parquet(
+                            os.path.join(staged, f"_part={p}")
+                        )
+                        if staged
+                        else ev.filter(F.col("_part") == p).drop("_part")
+                    )
+                    return p, subs[p].apply_changes(
+                        slice_df, batch_id=batch_id, source=src
+                    )
+
+                if len(parts) <= 1 or self.apply_concurrency == 1:
+                    per_part = dict(_one(p) for p in parts)
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(
+                        min(self.apply_concurrency, len(parts))
+                    ) as ex:
+                        per_part = dict(ex.map(_one, parts))
             # index commit comes LAST (after every sub-apply, before the
             # global cut): a crash before it replays with an unchanged
             # index → identical re-route, sub-ledgers dedupe; a crash
@@ -1241,9 +1545,20 @@ class PartitionedTable:
             # sub-ledgers. Either order-crossing converges.
             idx_metrics = None
             if idx_ev is not None:
-                idx_metrics = self._index().apply_changes(
-                    idx_ev, batch_id=batch_id, source=f"{src}:index"
-                )
+                # steady-state cut (round 4): a batch that creates, moves
+                # or deletes NO keys produces an empty index change set —
+                # skip the whole index MERGE (plan + shuffle + commit)
+                # instead of applying nothing. The emptiness probe is a
+                # limit-1 job over the already-persisted route frame, and
+                # exactly-once still converges: a replay re-routes against
+                # the unchanged index and skips again.
+                if idx_ev.isEmpty():
+                    idx_metrics = {"skipped": True,
+                                   "reason": "no index changes"}
+                else:
+                    idx_metrics = self._index().apply_changes(
+                        idx_ev, batch_id=batch_id, source=f"{src}:index"
+                    )
         finally:
             if route_cache is not None:
                 route_cache.unpersist()
@@ -1260,6 +1575,7 @@ class PartitionedTable:
             "n_parts_touched": len(parts),
             "n_quarantined": n_quarantined,
             "staged": staged is not None,
+            "fused": fused,
             "parts": {
                 p: {
                     k: m.get(k)
@@ -1276,11 +1592,24 @@ class PartitionedTable:
                 for k in ("n_events", "skipped", "elapsed_sec")
                 if k in idx_metrics
             }
-        self._commit_global(
-            self._next_global(
-                "apply", touched=parts, batch_id=batch_id, metrics=metrics
-            )
-        )
+        # a concurrent router writer can win the global version between
+        # _next_global's read and the link — the cut is pure metadata
+        # (pin every partition at its CURRENT head), so rebuilding it
+        # against the winner's manifest and re-linking is always safe:
+        # the data commits already landed in the sub-ledgers. Bounded so
+        # a pathological livelock surfaces instead of spinning.
+        for attempt in range(32):
+            try:
+                self._commit_global(
+                    self._next_global(
+                        "apply", touched=parts, batch_id=batch_id,
+                        metrics=metrics,
+                    )
+                )
+                break
+            except RuntimeError:
+                if attempt == 31:
+                    raise
         return metrics
 
     def bootstrap(

@@ -325,6 +325,8 @@ def test_compact_and_maintain_fan_out(spark, mor_ptable):
 
 
 def test_backfill_stages_once(spark, tmp_path):
+    """Multi-partition batches run ONE Spark job: fused for mor (the
+    round-4 routing-tax cut), staged-once for cow past stage_threshold."""
     t = PartitionedTable(spark, str(tmp_path / "pstage"), num_buckets=2,
                          merge_mode="mor", stage_threshold=3)
     t.create(TRANSCRIPT_SCHEMA)
@@ -333,9 +335,17 @@ def test_backfill_stages_once(spark, tmp_path):
         for m in range(1, 7)
     ]
     m = t.apply_changes(_events(spark, rows), batch_id=0)
-    assert m["staged"] and m["n_parts_touched"] == 6
+    assert m["fused"] and m["n_parts_touched"] == 6
     assert t.read().count() == 6
     assert not os.path.isdir(os.path.join(t.path, "_staging"))
+    # copy-on-write subs keep the per-sub path with one staging write
+    c = PartitionedTable(spark, str(tmp_path / "pstage-cow"), num_buckets=2,
+                         merge_mode="cow", stage_threshold=3)
+    c.create(TRANSCRIPT_SCHEMA)
+    mc = c.apply_changes(_events(spark, rows), batch_id=0)
+    assert mc["staged"] and not mc["fused"] and mc["n_parts_touched"] == 6
+    assert c.read().count() == 6
+    assert not os.path.isdir(os.path.join(c.path, "_staging"))
 
 
 def test_schema_evolution_per_partition(spark, mor_ptable):
@@ -576,3 +586,111 @@ def test_update_where_fans_and_refuses_partition_col(spark, mor_ptable):
                    "c3": "mar v2!"}
     with pytest.raises(ValueError, match="partition column"):
         t.update_where("role = 'user'", {"ts": "ts + interval 1 day"})
+
+
+# ------------------------------------------------- round-4 fused apply
+def test_fused_partial_commit_replays_to_convergence(spark, tmp_path):
+    """Crash between fused sub-commits: some partitions committed the
+    batch, others not. A replay of the SAME batch must skip the committed
+    partitions before staging and land the rest — the exactly-once
+    composition the threaded path guaranteed."""
+    t = PartitionedTable(spark, str(tmp_path / "pfc"), num_buckets=2,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    batch1 = [
+        ("U", 10, "c1", 0, "user", "jan v2", None, _ts(1)),
+        ("U", 11, "c2", 0, "user", "feb v2", None, _ts(2)),
+        ("I", 12, "c4", 0, "user", "mar new", None, _ts(3)),
+    ]
+    # simulate the torn state: commit batch 1 into ONE sub-table directly
+    sub = t.part("2025-01")
+    sub.apply_changes(_events(spark, [batch1[0]]), batch_id=1)
+    assert sub.manifest()["last_batch_id"] == 1
+    # full-batch replay: 2025-01 must skip, others must land
+    m = t.apply_changes(_events(spark, batch1), batch_id=1)
+    assert m["fused"]
+    assert m["parts"]["2025-01"].get("skipped") is True
+    assert not m["parts"]["2025-02"].get("skipped")
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got[("c1", 0)] == "jan v2" and got[("c2", 0)] == "feb v2"
+    assert got[("c4", 0)] == "mar new"
+    # idempotent re-apply: the global ledger short-circuits
+    m2 = t.apply_changes(_events(spark, batch1), batch_id=1)
+    assert m2.get("skipped") is True
+
+
+def test_fused_divergent_schema_groups(spark, tmp_path):
+    """Partitions whose canonical schemas diverged (per-partition DDL)
+    fall into separate signature groups — each group gets its own
+    projection/write, and evolution stays per-sub-faithful."""
+    t = PartitionedTable(spark, str(tmp_path / "pdg"), num_buckets=2,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    # evolve ONE partition out-of-band
+    t.part("2025-01").add_column("lang", "string")
+    batch1 = [
+        ("U", 20, "c1", 1, "assistant", "jan reply v2", None, _ts(1, 6)),
+        ("U", 21, "c2", 0, "user", "feb v3", None, _ts(2)),
+    ]
+    m = t.apply_changes(_events(spark, batch1), batch_id=1)
+    assert m["fused"]
+    jan = t.part("2025-01").read()
+    assert "lang" in jan.columns  # divergent column survived the apply
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got[("c1", 1)] == "jan reply v2"
+    assert got[("c2", 0)] == "feb v3"
+
+
+def test_fused_respects_check_constraints(spark, tmp_path):
+    t = PartitionedTable(spark, str(tmp_path / "pcc"), num_buckets=2,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    t.add_constraint("turn_nonneg", "turn_idx >= 0")
+    bad = [("I", 30, "cx", -1, "user", "bad", None, _ts(1)),
+           ("I", 31, "cy", 0, "user", "ok", None, _ts(2))]
+    with pytest.raises(Exception, match="CHECK constraint violated"):
+        t.apply_changes(_events(spark, bad), batch_id=1)
+    # the fixed batch re-applies under the same batch_id (nothing landed)
+    fixed = [("I", 30, "cx", 1, "user", "good now", None, _ts(1)),
+             ("I", 31, "cy", 0, "user", "ok", None, _ts(2))]
+    m = t.apply_changes(_events(spark, fixed), batch_id=1)
+    assert m["fused"]
+    got = {r.conv_id: r.text for r in t.read().collect()}
+    assert got["cx"] == "good now" and got["cy"] == "ok"
+
+
+def test_fused_merge_engines_match_per_sub_path(spark, tmp_path):
+    """partial_update through the fused path equals the same batches
+    applied through single-partition (non-fused) applies."""
+    rows0 = [
+        ("I", 1, "c1", 0, "user", "jan t0", "tools", _ts(1)),
+        ("I", 2, "c2", 0, "user", "feb t0", "tools", _ts(2)),
+    ]
+    patches = [  # NULL text means leave-alone under partial_update
+        ("U", 3, "c1", 0, None, None, "patched", _ts(1)),
+        ("U", 4, "c2", 0, None, "feb t1", None, _ts(2)),
+    ]
+    fused_t = PartitionedTable(spark, str(tmp_path / "pf"), num_buckets=2,
+                               merge_mode="mor",
+                               merge_engine="partial_update")
+    fused_t.create(TRANSCRIPT_SCHEMA)
+    fused_t.apply_changes(_events(spark, rows0), batch_id=0)
+    m = fused_t.apply_changes(_events(spark, patches), batch_id=1)
+    assert m["fused"]
+    solo_t = PartitionedTable(spark, str(tmp_path / "ps"), num_buckets=2,
+                              merge_mode="mor",
+                              merge_engine="partial_update")
+    solo_t.create(TRANSCRIPT_SCHEMA)
+    for i, r in enumerate(rows0):
+        solo_t.apply_changes(_events(spark, [r]), batch_id=i)
+    for i, r in enumerate(patches):
+        solo_t.apply_changes(_events(spark, [r]), batch_id=2 + i)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    a = {tuple(r) for r in fused_t.read().select(cols).collect()}
+    b = {tuple(r) for r in solo_t.read().select(cols).collect()}
+    assert a == b
+    assert a == {("c1", 0, "user", "jan t0", "patched"),
+                 ("c2", 0, "user", "feb t1", "tools")}

@@ -219,3 +219,95 @@ def test_apply_self_heals_missing_index(spark, tmp_path):
         EVENT_DDL), batch_id=1)
     rows = [r for r in fresh.read().collect() if r.conv_id == "c1"]
     assert len(rows) == 1 and rows[0].text == "moved to may"
+
+
+# ----------------------------------------- round-4 concurrent writers
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EVENT_DDL)
+
+
+def test_router_two_writer_threads_converge(spark, tmp_path):
+    """Two writers apply disjoint batch streams to ONE PartitionedTable
+    concurrently (real threads): the fused sub-commits retry through the
+    LakeTable fast-append path and the global-cut commit retries against
+    the winner's manifest — both streams land, the final cut pins every
+    partition, and the state is the union."""
+    import threading
+
+    path = str(tmp_path / "conc")
+    t0 = PartitionedTable(spark, path, num_buckets=2, merge_mode="mor")
+    t0.create(TRANSCRIPT_SCHEMA)
+    errs = []
+
+    def writer(tag, seq_lo):
+        try:
+            t = PartitionedTable(spark, path, num_buckets=2,
+                                 merge_mode="mor")
+            for b in range(3):
+                rows = [
+                    ("I", seq_lo + b * 10 + i, f"{tag}-{b}-{i}", 0, "user",
+                     f"{tag}{b}{i}", None, _ts(1 + (i % 3)))
+                    for i in range(4)
+                ]
+                t.apply_changes(_events(spark, rows))
+        except Exception as e:  # noqa: BLE001
+            errs.append((tag, e))
+
+    th = [threading.Thread(target=writer, args=("wa", 1000)),
+          threading.Thread(target=writer, args=("wb", 2000))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    fresh = PartitionedTable(spark, path, num_buckets=2, merge_mode="mor")
+    state = {(r.conv_id, r.turn_idx): r.text for r in fresh.read().collect()}
+    assert len(state) == 24  # 2 writers x 3 batches x 4 rows
+    assert state[("wa-2-3", 0)] == "wa23"
+    assert state[("wb-0-0", 0)] == "wb00"
+    # the latest global cut pins every partition at a readable version
+    man = fresh.manifest()
+    assert set(man["parts"]) == set(fresh.partitions())
+    for p, v in man["parts"].items():
+        fresh._sub(p).read(version=v).count()
+
+
+def test_router_concurrent_writers_with_index(spark, tmp_path):
+    """Same two-thread convergence with cross_partition_upsert on: the
+    index commit ordering (index after data, before the cut) must hold
+    under interleaving and verify_index must come out clean."""
+    import threading
+
+    path = str(tmp_path / "conc-idx")
+    t0 = PartitionedTable(spark, path, num_buckets=2, merge_mode="mor",
+                          cross_partition_upsert=True)
+    t0.create(TRANSCRIPT_SCHEMA)
+    errs = []
+
+    def writer(tag, seq_lo):
+        try:
+            t = PartitionedTable(spark, path, num_buckets=2,
+                                 merge_mode="mor",
+                                 cross_partition_upsert=True)
+            for b in range(2):
+                rows = [
+                    ("I", seq_lo + b * 10 + i, f"{tag}-{b}-{i}", 0, "user",
+                     f"{tag}{b}{i}", None, _ts(1 + (i % 2)))
+                    for i in range(3)
+                ]
+                t.apply_changes(_events(spark, rows))
+        except Exception as e:  # noqa: BLE001
+            errs.append((tag, e))
+
+    th = [threading.Thread(target=writer, args=("wa", 1000)),
+          threading.Thread(target=writer, args=("wb", 2000))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    fresh = PartitionedTable(spark, path, num_buckets=2, merge_mode="mor",
+                             cross_partition_upsert=True)
+    assert fresh.read().count() == 12
+    audit = fresh.verify_index()
+    assert audit["ok"], audit
