@@ -570,6 +570,25 @@ def run_partition_prune(spark, sf: float) -> dict:
             walls["part_replay"] += time.monotonic() - t0
         flat.compact()
         part.compact()
+        # exact final-state cross-check (round 4): the routed replay is the
+        # PRODUCTION layout for the flagship table — the two arms must
+        # converge to identical live rows, not just comparable timings
+        # (the key-derived ts makes (partition, key) identity equal flat
+        # key identity, so an orderless full-row hash sum compares them)
+        def _state_hash(tbl):
+            df = tbl.read().select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            )
+            # decimal accumulate: exact + orderless (a double sum differs
+            # across row orders by float non-associativity)
+            return df.select(
+                F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+                .alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+
+        hf, hp = _state_hash(flat), _state_hash(part)
+        state_match = (hf.h == hp.h) and (hf.n == hp.n)
 
         def _scan(tbl):
             df = tbl.read_range("2025-06-01", "2025-06-30 23:59:59")
@@ -586,6 +605,8 @@ def run_partition_prune(spark, sf: float) -> dict:
                 read[name] = w if read[name] is None else min(read[name], w)
         return {
             "n_events": n,
+            "final_rows": int(hp.n),
+            "final_state_match": bool(state_match),
             "flat_range_sec": round(read["flat"], 3),
             "part_range_sec": round(read["part"], 3),
             "prune_speedup": round(read["flat"] / read["part"], 2),
@@ -625,15 +646,22 @@ def run_cross_partition(spark, sf: float) -> dict:
         ev = (
             synth_events(spark, n, max(500, n // 100), seed=47)
             .drop("ts_raw")
-            # key-derived ts: every version of a row keeps its month (same
-            # rationale as the partition_prune lane) — both arms hold
-            # identical live rows and the ON arm's index never moves a key
+            # CONVERSATION-derived ts (round-4 fix): every turn of a
+            # conversation lands in the same month — the transcripts
+            # workload's shape (a conversation happens inside a bounded
+            # window), and the shape under which a conv-keyed point
+            # lookup has O(1) homes for the index to find. The previous
+            # per-turn hash scattered one conversation across EVERY
+            # month, making "homes" = all partitions and the index prune
+            # nothing — an anti-shaped benchmark, not a finding. Still
+            # key-derived (stable across versions): no movers, so the ON
+            # arm prices the pure steady-state tax.
             .withColumn(
                 "ts",
                 F.timestamp_seconds(
                     F.lit(1735689600)
                     + F.pmod(
-                        F.xxhash64(F.lit(7), "conv_id", "turn_idx"),
+                        F.xxhash64(F.lit(7), "conv_id"),
                         F.lit(365 * 86400),
                     )
                 ),
@@ -642,11 +670,6 @@ def run_cross_partition(spark, sf: float) -> dict:
         seg = os.path.join(work, "ev")
         ev.repartition(spark.sparkContext.defaultParallelism).write.parquet(seg)
         half = n // 2
-        probe_keys = [
-            r["conv_id"]
-            for r in spark.read.parquet(seg)
-            .select("conv_id").distinct().limit(8).collect()
-        ]
         walls = {"off": None, "on": None}
         looks = {"off": None, "on": None}
         for attempt in range(2):
@@ -669,6 +692,16 @@ def run_cross_partition(spark, sf: float) -> dict:
                 t.read().count()
                 w = time.monotonic() - t0
                 walls[mode] = w if walls[mode] is None else min(walls[mode], w)
+            if attempt == 0:
+                # probe LIVE conversations: a point lookup of a deleted
+                # key legitimately falls back to the full fan-out (the
+                # index has no home for it), which is not the workload
+                # this lane prices
+                probe_keys = [
+                    r["conv_id"]
+                    for r in tables["off"].read()
+                    .select("conv_id").distinct().limit(8).collect()
+                ]
             for _ in range(2):
                 for mode, t in tables.items():
                     t0 = time.monotonic()
@@ -677,6 +710,84 @@ def run_cross_partition(spark, sf: float) -> dict:
                     looks[mode] = (
                         w if looks[mode] is None else min(looks[mode], w)
                     )
+        # steady-state batch (round 4): replay the first half again at
+        # bumped seqs — pure updates of existing keys, so the ON arm's
+        # index change set is EMPTY and the no-op index MERGE skip
+        # (plans/partitioned.py) takes the whole index-commit cost off
+        # the batch. This is the 10^10 steady state: key creation is the
+        # exception, updates are the rule.
+        steady = {}
+        live = tables["off"].read().select("conv_id", "turn_idx")
+        seg_upd = os.path.join(work, "ev-steady")
+        (
+            spark.read.parquet(seg)
+            .filter(F.col("seq") < half)
+            # only LIVE keys: re-upserting a deleted key re-creates it,
+            # which IS an index change — steady state means updates of
+            # existing rows. Materialized OUTSIDE the timed region so
+            # both arms replay the same landed segment.
+            .join(live, ["conv_id", "turn_idx"], "left_semi")
+            .withColumn("seq", F.col("seq") + F.lit(n))
+            .withColumn("op", F.lit("U"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .write.parquet(seg_upd)
+        )
+        upd = spark.read.parquet(seg_upd)
+        for mode, t in tables.items():
+            t0 = time.monotonic()
+            m = t.apply_changes(upd, batch_id=2)
+            steady[mode] = time.monotonic() - t0
+            if mode == "on":
+                idx_skipped = (m.get("index") or {}).get("skipped", False)
+
+        # 36-partition lookup lane (round 4): the crossover region the
+        # 12-month lane's docstring claimed — fan-out opens O(partitions)
+        # sub-tables while the indexed probe reads the index plus ONLY the
+        # key's home partitions. Fresh tables, 3-year ts span, same key
+        # count; lookups interleaved best-of-2.
+        ev36 = (
+            synth_events(spark, n, max(500, n // 100), seed=53)
+            .drop("ts_raw")
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1704067200)  # 2024-01-01 UTC
+                    + F.pmod(
+                        F.xxhash64(F.lit(11), "conv_id"),
+                        F.lit(3 * 365 * 86400),
+                    )
+                ),
+            )
+        )
+        seg36 = os.path.join(work, "ev36")
+        ev36.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.parquet(seg36)
+        t36, looks36 = {}, {"off": None, "on": None}
+        for mode in ("off", "on"):
+            t = PartitionedTable(
+                spark, os.path.join(work, f"w36-{mode}"),
+                num_buckets=8, merge_mode="mor",
+                cross_partition_upsert=(mode == "on"),
+            )
+            t.create(TRANSCRIPT_SCHEMA)
+            t.apply_changes(spark.read.parquet(seg36), batch_id=0)
+            t.read().count()
+            t36[mode] = t
+        probe36 = [
+            r["conv_id"]
+            for r in t36["off"].read()
+            .select("conv_id").distinct().limit(8).collect()
+        ]
+        for _ in range(2):
+            for mode, t in t36.items():
+                t0 = time.monotonic()
+                t.read_keys(probe36).count()
+                w = time.monotonic() - t0
+                looks36[mode] = (
+                    w if looks36[mode] is None else min(looks36[mode], w)
+                )
+        n_parts36 = len(t36["on"].partitions())
         return {
             "n_events": n,
             "off_replay_sec": round(walls["off"], 3),
@@ -684,9 +795,21 @@ def run_cross_partition(spark, sf: float) -> dict:
             "index_tax_pct": round(
                 100 * (walls["on"] - walls["off"]) / walls["off"], 1
             ),
+            "steady_off_sec": round(steady["off"], 3),
+            "steady_on_sec": round(steady["on"], 3),
+            "steady_tax_pct": round(
+                100 * (steady["on"] - steady["off"]) / steady["off"], 1
+            ),
+            "steady_index_merge_skipped": bool(idx_skipped),
             "lookup_fanout_sec": round(looks["off"], 3),
             "lookup_indexed_sec": round(looks["on"], 3),
             "lookup_speedup": round(looks["off"] / looks["on"], 2),
+            "n_partitions_wide": n_parts36,
+            "lookup_fanout_sec_wide": round(looks36["off"], 3),
+            "lookup_indexed_sec_wide": round(looks36["on"], 3),
+            "lookup_speedup_wide": round(
+                looks36["off"] / looks36["on"], 2
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -916,6 +1039,21 @@ def main() -> None:
         total += dt
         _ = n
 
+    # steady-state pass (round 4): the FIRST run of each query pays the
+    # whole-stage-codegen compile lottery (measured 10.6s→1.65s on d3 in
+    # round 3); a second same-process run records the steady number so
+    # round-over-round comparisons stop conflating JIT with regressions.
+    # `value`/`queries` keep the first-run composition for r1-r3
+    # comparability; `steady` is the extra signal.
+    steady: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        steady[name] = round(time.monotonic() - t0, 3)
+
     # after the timed suite — see run_wide_batch docstring; the debezium
     # ingest (also replay-class heap churn) runs back here with it
     cdc["debezium_ingest"] = run_debezium_ingest(spark, sf)
@@ -934,6 +1072,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "steady": steady,
                 "sf": sf,
                 "cdc": cdc,
                 "wide_batch_events_per_sec": cdc["wide_batch"]["events_per_sec"],
