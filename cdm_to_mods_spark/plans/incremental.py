@@ -307,6 +307,59 @@ class AdditiveStatsView(ConversationStatsView):
         return {"refreshed": True, "source_version": src_v,
                 "strategy": "retract_stream"}
 
+    #: point-read cap for the changelog-free incremental path: a refresh
+    #: range touching more conversations than this re-aggregates cheaper
+    #: than it point-reads (each touched bucket resolves fully) — reseed
+    _LOOKUP_KEY_CAP = 4096
+
+    def _lookup_fold(self, applied: int, src_v: int):
+        """Incremental refresh WITHOUT a stored changelog (round 4): the
+        lookup-changelog producer's pre-image derivation, paid only at
+        REFRESH time instead of on every commit. Discover the keys the
+        plain change feed touched over ``(applied, src_v]``, then two
+        bucket-pruned point reads — the key set's state AS OF ``applied``
+        (pre-images to retract) and AS OF ``src_v`` (post-images to add)
+        — synthesized into the same retract frame ``row_changes`` would
+        have produced. Cost O(touched buckets), exactly what the
+        changelog='lookup' producer pays per commit.
+
+        Returns the folded view frame, ``"noop"`` for a maintenance-only
+        range, or ``None`` when the touched-conversation set exceeds
+        ``_LOOKUP_KEY_CAP`` (reseed wins past that). Untouched turns of a
+        touched conversation are excluded by the full-key semi-join: their
+        pre/post contributions would cancel only up to float rounding,
+        and an additive view must not accumulate residue."""
+        src = self.source
+        keys = list(src.key_cols)
+        bucket_col = getattr(src, "bucket_col", None) or getattr(
+            src, "_lake_kwargs", {}
+        ).get("bucket_col", keys[0])
+        feed = src.changes(applied, src_v)
+        # localCheckpoint: touched feeds three consumers (cap probe + two
+        # semi-joins); eager materialization with session-managed cleanup
+        touched = feed.select(*keys).distinct().localCheckpoint()
+        probe = (
+            touched.select(bucket_col).distinct()
+            .limit(self._LOOKUP_KEY_CAP + 1).collect()
+        )
+        if not probe:
+            return "noop"
+        if len(probe) > self._LOOKUP_KEY_CAP:
+            return None
+        bucket_keys = sorted(r[0] for r in probe)
+        pre = src.read_keys(bucket_keys, version=applied).join(
+            touched, keys, "left_semi"
+        )
+        post = src.read_keys(bucket_keys, version=src_v).join(
+            touched, keys, "left_semi"
+        )
+        delta = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        return self._retract_fold(delta)
+
     def refresh(self) -> dict:
         from .lake import ChangelogUnavailableError, SnapshotExpiredError
 
@@ -333,8 +386,25 @@ class AdditiveStatsView(ConversationStatsView):
                             "strategy": "noop"}
                 out = self._retract_fold(delta)
             except (ChangelogUnavailableError, SnapshotExpiredError):
-                out = self._agg(self.source.read(src_v))
-                strategy = "reseed_full"
+                # no stored changelog (or its range expired): try the
+                # refresh-time pre-image lookup before paying a reseed —
+                # ValueError covers sources with no usable change feed
+                # (cow without cow_change_feed)
+                out = None
+                try:
+                    out = self._lookup_fold(applied, src_v)
+                except (ChangelogUnavailableError, SnapshotExpiredError,
+                        ValueError):
+                    out = None
+                if out == "noop":
+                    self._commit_marker(self._marker()["data"], src_v, 0, t0)
+                    return {"refreshed": True, "source_version": src_v,
+                            "strategy": "noop"}
+                if out is not None:
+                    strategy = "lookup_retract"
+                else:
+                    out = self._agg(self.source.read(src_v))
+                    strategy = "reseed_full"
 
         data_rel = f"data-v{src_v:08d}"
         out.write.mode("overwrite").parquet(os.path.join(self.path, data_rel))

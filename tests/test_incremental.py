@@ -192,3 +192,48 @@ def test_generic_view_streams_via_maintain_view_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r.role: (r.n, r.chars) for r in view.read().collect()}
     assert rows == {"user": (2, 6.0), "tool": (1, 2.0)}
+
+
+def test_plain_cdf_view_refreshes_incrementally(spark, tmp_path):
+    """Round 4: a materialized view over a PLAIN-cdf mor source (no
+    changelog='lookup') refreshes incrementally via the refresh-time
+    pre-image lookup — strategy 'lookup_retract' — instead of paying a
+    full reseed, and its state still tracks the recompute exactly across
+    update + insert + delete."""
+    from cdm_to_mods_spark.plans.incremental import GenericAdditiveView
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = LakeTable(spark, str(tmp_path / "plain"), num_buckets=2,
+                  merge_mode="mor")  # NO changelog
+    t.create(TRANSCRIPT_SCHEMA)
+    ev = ("op string, seq long, conv_id string, turn_idx int, "
+          "role string, text string, tool string")
+    t.apply_changes(spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "abc", None),
+         ("I", 2, "c1", 1, "assistant", "wxyz", None),
+         ("I", 3, "c2", 0, "user", "d", None)], ev), batch_id=0)
+    view = GenericAdditiveView(
+        spark, t, str(tmp_path / "view"), ["role"],
+        [("n", "count", None), ("chars", "sum", "length(text)")],
+    )
+    assert view.refresh()["strategy"] == "full"
+    t.apply_changes(spark.createDataFrame(
+        [("U", 4, "c1", 0, "user", "abcde", None),      # update: 3→5 chars
+         ("I", 5, "c3", 0, "tool", "zz", None),          # insert
+         ("D", 6, "c1", 1, None, None, None)], ev),      # delete
+        batch_id=1)
+    res = view.refresh()
+    assert res["strategy"] == "lookup_retract", res
+    rows = {r.role: (r.n, r.chars) for r in view.read().collect()}
+    assert rows == {"user": (2, 6.0), "tool": (1, 2.0)}
+    # noop range: maintenance-only commit advances the marker cheaply
+    t.compact()
+    assert view.refresh()["strategy"] == "noop"
+    # a touched-set past the cap falls back to reseed (and stays correct)
+    t.apply_changes(spark.createDataFrame(
+        [("U", 7, "c2", 0, "user", "ddd", None)], ev), batch_id=2)
+    view._LOOKUP_KEY_CAP = 0
+    res2 = view.refresh()
+    assert res2["strategy"] == "reseed_full"
+    rows2 = {r.role: (r.n, r.chars) for r in view.read().collect()}
+    assert rows2 == {"user": (2, 8.0), "tool": (1, 2.0)}
