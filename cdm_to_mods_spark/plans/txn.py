@@ -415,8 +415,19 @@ class TableGroup:
                     t.publish_branch(st["branch"])
                 except LookupError:
                     pass  # this table's publish already completed
+                except BranchDivergedError:
+                    # a CONCURRENT recover() published this very branch
+                    # between our existence check and our commit — if the
+                    # branch is gone now, the racer finished the publish
+                    # and the divergence is ours, not the data's
+                    if any(b["name"] == st["branch"]
+                           for b in t.branches()):
+                        raise
             self._commit_cut(wal)
-            os.unlink(self._wal_path(txn_id))
+            try:
+                os.unlink(self._wal_path(txn_id))
+            except FileNotFoundError:
+                pass  # a concurrent recover() finished this WAL first
             done.append(txn_id)
         dropped = {}
         if drop_abandoned:
@@ -427,23 +438,32 @@ class TableGroup:
         return {"recovered": done, "dropped_abandoned": dropped}
 
     def _commit_cut(self, wal: dict) -> None:
-        man = self.manifest()
-        if man.get("txn_id") == wal["txn_id"]:
-            return  # cut landed before the crash; only the WAL remained
-        tables = dict(man["tables"])
-        for name in wal["tables"]:
-            tables[name] = self.table(name).latest_version()
-        self._commit(
-            {
-                "format_version": 1,
-                "version": man["version"] + 1,
-                "op": "txn",
-                "tables": tables,
-                "txn_id": wal["txn_id"],
-                "metrics": {"staged_tables": sorted(wal["tables"])},
-                "commit_ts": time.time(),
-            }
-        )
+        # retry loop: a CONCURRENT recover() racing this one can win the
+        # version link — re-read, and if the winner committed this very
+        # txn's cut we are done (recover must be safe from any number of
+        # operators/orchestrator retries at once)
+        while True:
+            man = self.manifest()
+            if man.get("txn_id") == wal["txn_id"]:
+                return  # cut landed (before the crash, or by the racer)
+            tables = dict(man["tables"])
+            for name in wal["tables"]:
+                tables[name] = self.table(name).latest_version()
+            try:
+                self._commit(
+                    {
+                        "format_version": 1,
+                        "version": man["version"] + 1,
+                        "op": "txn",
+                        "tables": tables,
+                        "txn_id": wal["txn_id"],
+                        "metrics": {"staged_tables": sorted(wal["tables"])},
+                        "commit_ts": time.time(),
+                    }
+                )
+                return
+            except RuntimeError:
+                continue
 
 
 class GroupTransaction:

@@ -1043,3 +1043,98 @@ def test_run_sql_comment_strip_carries_quote_state_across_lines():
     assert "-- not a comment, inside the literal" in stripped
     assert "-- a real comment" not in stripped
     assert stripped.rstrip().endswith("SELECT 1;")
+
+
+# ---------------------------------------------- round-4 router fuzzing
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_IDENTS = st.sampled_from(
+    ["tr", "nope", "v1", "mv", "x", "audit", "Tr", "TR_2", "a.b"]
+)
+_PREDICATES = st.sampled_from([
+    "conv_id = 'c1'", "turn_idx >= 0", "1 = 1", "text IS NULL",
+    "length(text) > 1000000", "bogus_col = 3", "role = 'user'",
+])
+_JUNK = st.sampled_from([
+    "", " ;", " EXTRA TOKENS", " WHERE", " ''", " (", " --x",
+])
+
+
+def _statements():
+    ident, pred, junk = _IDENTS, _PREDICATES, _JUNK
+    shapes = [
+        st.tuples(st.just("SELECT count(*) AS n FROM {i}"), ident, junk),
+        st.tuples(st.just("SELECT * FROM {i} VERSION AS OF 999"), ident,
+                  st.just("")),
+        st.tuples(st.just("DELETE FROM {i} WHERE {p}"), ident, junk),
+        st.tuples(st.just("UPDATE {i} SET text = upper(text) WHERE {p}"),
+                  ident, junk),
+        st.tuples(st.just("INSERT INTO {i} (conv_id, turn_idx, text) "
+                          "VALUES ('z', 0, 'v')"), ident, junk),
+        st.tuples(st.just("TRUNCATE TABLE {i}"), ident, junk),
+        st.tuples(st.just("DESCRIBE {i}"), ident, junk),
+        st.tuples(st.just("DESCRIBE HISTORY {i} LIMIT 2"), ident, junk),
+        st.tuples(st.just("OPTIMIZE {i}"), ident, junk),
+        st.tuples(st.just("VACUUM {i} RETAIN 2 SNAPSHOTS"), ident, junk),
+        st.tuples(st.just("RESTORE TABLE {i} TO VERSION AS OF 0"), ident,
+                  junk),
+        st.tuples(st.just("ALTER TABLE {i} ADD COLUMN zz9 string"), ident,
+                  junk),
+        st.tuples(st.just("ALTER TABLE {i} DROP CONSTRAINT nope"), ident,
+                  junk),
+        st.tuples(st.just("SHOW CREATE TABLE {i}"), ident, junk),
+        st.tuples(st.just("SHOW PARTITIONS {i}"), ident, junk),
+        st.tuples(st.just("SHOW BRANCHES {i}"), ident, junk),
+        st.tuples(st.just("MERGE INTO {i} t USING one s ON "
+                          "t.conv_id = s.conv_id WHEN MATCHED THEN "
+                          "UPDATE SET text = s.text"), ident, junk),
+        st.tuples(st.just("COPY INTO {i} FROM '/does/not/exist' "
+                          "FILEFORMAT = json"), ident, junk),
+        st.tuples(st.just("CREATE VIEW vv AS SELECT * FROM {i} "
+                          "WHERE {p}"), ident, junk),
+        st.tuples(st.just("GRANT ALL ON {i}"), ident, junk),
+        st.tuples(st.just("{i}"), ident, junk),
+    ]
+    return st.one_of(shapes).map(
+        lambda t: t[0].replace("{i}", t[1]).replace(
+            "{p}", "conv_id = 'c1'") + t[2]
+    )
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stmt=_statements())
+def test_router_fuzz_parse_or_typed_error(spark, tmp_path_factory, stmt):
+    """Grammar fuzz over the documented statement surface (sql.py header):
+    every generated statement — valid, misnamed, or junk-suffixed — must
+    either execute or raise a TYPED error (LakeSqlError, the engine's
+    LookupError family, or Spark's own captured analysis/parse errors).
+    A Python-internal exception (TypeError/AttributeError/KeyError/...)
+    means a statement was routed into a handler that did not match it —
+    the silent-wrong-route bug class. Refused statements must also leave
+    the table version untouched (refuse-before-commit)."""
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    from cdm_to_mods_spark.schemas import SchemaEvolutionError
+
+    base = tmp_path_factory.mktemp("fuzz")
+    t = LakeTable(spark, str(base / "tr"), num_buckets=2, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_events(spark, [
+        ("I", 1, "c1", 0, "user", "hello", None)]), batch_id=0)
+    cat = LakeCatalog(spark)
+    cat.register("tr", t)
+    t.read().limit(1).createOrReplaceTempView("one")
+    v0 = t.latest_version()
+    try:
+        cat.sql(stmt)
+    except (LakeSqlError, LookupError, ValueError, SchemaEvolutionError,
+            CapturedException):
+        # typed refusal: nothing may have committed
+        assert t.latest_version() == v0, stmt
+    # any OTHER exception propagates and fails the test — that's the bug

@@ -405,3 +405,40 @@ def test_refresh_strategy_updates_the_spec(spark, group, tmp_path):
     # constructor defaults over the owner's recorded choice
     with pytest.raises(TypeError, match="live handle"):
         group.refresh_strategy("tr", None)
+
+
+def test_concurrent_recover_converges(spark, group):
+    """Two operators run recover() at once on the same torn transaction
+    (orchestrator retry racing a human): publish_branch is idempotent,
+    the cut commit retries past the racer's version, and the WAL unlink
+    tolerates the racer finishing first — one cut, no errors."""
+    import threading
+
+    txn = group.transaction()
+    txn.table("tr").apply_changes(
+        _ev(spark, [("I", 40, "t40", 0, "user", "torn row", None)]),
+        batch_id=40)
+    os.makedirs(group._txn_dir, exist_ok=True)
+    with open(group._wal_path(txn.txn_id), "w") as fh:
+        json.dump({"txn_id": txn.txn_id, "state": "committing",
+                   "tables": txn._staged, "ts": 0}, fh)
+    errs, outs = [], []
+
+    def run():
+        try:
+            # fresh handle per thread — operators don't share objects
+            outs.append(TableGroup(spark, group.path).recover())
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=run) for _ in range(2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    # exactly ONE cut landed for the txn, and the staged row is visible
+    cuts = [m for m in group.history() if m.get("txn_id") == txn.txn_id]
+    assert len(cuts) == 1
+    assert group.read("tr").filter("conv_id = 't40'").count() == 1
+    assert group.pending_transactions() == []
