@@ -874,14 +874,17 @@ class LakeCatalog:
                                    group_cols, aggs)
         out = view.refresh()  # initial build
         self._mviews[name] = view
-        # surface the maintenance mode the user actually bought: only a
-        # changelog='lookup' source refreshes by O(changed rows) retract
-        # folds — anything else recomputes in full on every REFRESH
+        # surface the maintenance mode the user actually bought: a
+        # changelog='lookup' source folds the stored typed changelog;
+        # other change-feed sources derive pre-images at REFRESH time
+        # (bucket-pruned point reads over the touched keys, reseed past
+        # the touched-set cap — plans/incremental.py _lookup_fold)
         hint = (
             "incremental (retract fold over the typed changelog)"
             if getattr(src, "changelog", "none") == "lookup"
-            else "full recompute per REFRESH — source has no typed "
-                 "changelog (create it with OPTIONS (changelog 'lookup'))"
+            else "incremental (refresh-time pre-image lookup over the "
+                 "change feed; falls back to full recompute past the "
+                 "touched-key cap or expired retention)"
         )
         return _metrics_df(self.spark, {"materialized_view": name,
                                         "created": True,

@@ -964,7 +964,9 @@ def test_show_tblproperties_and_mview_refresh_hint(spark, cat, tmp_path,
         f"CREATE MATERIALIZED VIEW h2 LOCATION '{tmp_path/'h2'}' AS "
         f"SELECT role, count(*) AS n FROM tr GROUP BY role"
     ).first().refresh_mode
-    assert "full recompute" in hint2
+    # round 4: plain-cdf sources refresh incrementally too (pre-image
+    # lookup), with the full-recompute fallback named in the hint
+    assert hint2.startswith("incremental") and "pre-image" in hint2
 
 
 # --------------------------------------------- round-4 advice fixes
