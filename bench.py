@@ -551,6 +551,22 @@ def run_partition_prune(spark, sf: float) -> dict:
         ev.repartition(spark.sparkContext.defaultParallelism).write.parquet(seg)
         half = n // 2
 
+        # Warm BOTH plan shapes (flat single-shuffle apply AND the fused
+        # multi-partition apply) on throwaway tables — same rationale as
+        # run_cdc_replay's warmup: the first run of a plan shape pays the
+        # whole-stage-codegen compile lottery, which would be attributed
+        # to whichever arm runs first (the fused shape measured 1.57x in
+        # a cold lane vs ~1.3x steady on identical inputs).
+        warm = spark.read.parquet(seg).limit(25_000)
+        for name, tbl in (
+            ("wflat", LakeTable(spark, os.path.join(work, "wflat"),
+                                num_buckets=64, merge_mode="mor")),
+            ("wpart", PartitionedTable(spark, os.path.join(work, "wpart"),
+                                       num_buckets=8, merge_mode="mor")),
+        ):
+            tbl.create(TRANSCRIPT_SCHEMA)
+            tbl.apply_changes(warm, batch_id=0)
+
         flat = LakeTable(spark, os.path.join(work, "flat"), num_buckets=64,
                          merge_mode="mor")
         flat.create(TRANSCRIPT_SCHEMA)

@@ -1353,12 +1353,18 @@ class PartitionedTable:
                             schemas=schemas_p, t0=t0,
                         )
 
+                    # the per-sub commits here are driver-side IO (footer
+                    # stats + manifest write + ledger link) with only the
+                    # OCCASIONAL compaction Spark job, so the fan-out can
+                    # run wider than apply_concurrency (which sizes
+                    # whole-apply Spark-job concurrency on the legacy
+                    # per-sub path)
+                    width = min(16, max(self.apply_concurrency,
+                                        len(group_parts)))
                     if len(group_parts) == 1 or self.apply_concurrency == 1:
                         per_part.update(_one(p) for p in group_parts)
                     else:
-                        with ThreadPoolExecutor(
-                            min(self.apply_concurrency, len(group_parts))
-                        ) as ex:
+                        with ThreadPoolExecutor(width) as ex:
                             per_part.update(ex.map(_one, group_parts))
                 finally:
                     shutil.rmtree(staged, ignore_errors=True)
