@@ -207,10 +207,14 @@ class PartitionedTable:
                 "cross_partition_upsert", False
             )
             if "num_buckets" in spec:
-                # a table-scope rebucket recorded the new count; partitions
-                # born after it must be created at that count, not the
+                # the spec records the bucket layout (at create since
+                # round 4; rebucket re-records): partitions born later —
+                # including through library-less writers like the native
+                # sink — come up at the owner's layout, never a
                 # constructor default
                 self._lake_kwargs["num_buckets"] = spec["num_buckets"]
+            if "bucket_fn" in spec:
+                self._lake_kwargs["bucket_fn"] = spec["bucket_fn"]
 
     # ------------------------------------------------------------- ledger
     def _load_spec(self) -> dict | None:
@@ -938,6 +942,14 @@ class PartitionedTable:
                     "key_cols": list(self.key_cols),
                     "cross_partition_upsert": self.cross_partition_upsert,
                     "schema": schema.json(),
+                    # bucket layout recorded at CREATE (round 4): partitions
+                    # born through library-less writers (the native lake
+                    # sink) must come up at the owner's layout, not a
+                    # constructor default; rebucket() re-records it
+                    "num_buckets": self._lake_kwargs.get("num_buckets", 32),
+                    "bucket_fn": self._lake_kwargs.get(
+                        "bucket_fn", "hash32"
+                    ),
                 },
                 fh,
                 indent=1,

@@ -61,14 +61,25 @@ the bucket key (``df.repartition(num_buckets, "conv_id")`` — Spark's
 HashPartitioning IS the table's hash32 layout) aligns tasks to buckets
 and lands exactly one file per bucket.
 
+TIME-PARTITIONED targets (round 4): a path carrying ``_spec.json``
+routes each row to its partition executor-side (strftime of the
+partition column in UTC — the engine's pinned session timezone, parity
+with ``_part_expr``; NULL → the ``__null__`` default partition) and one
+file lands per (partition, bucket) run; the driver commit publishes
+each partition's deltas through its sub-table's fast-append, creates
+missing partitions at the spec schema + recorded layout (Spark-free),
+and commits ONE global cut so routed reads see the batch. Refused
+partitioned states: ``cross_partition_upsert`` (index routing is a
+Spark join), spec CHECK constraints, branch writes, partitions whose
+schema history dropped the spec schema.
+
 REFUSED table states (typed errors naming the library path): copy-on-
 write semantics don't apply (the sink always appends MoR deltas — read
 paths resolve chains regardless of the owner's merge_mode); tables with
 CHECK constraints (inline guards ride the Spark apply plan); legacy
-``xxhash64`` layouts (no vectorized router); time-partitioned composite
-tables (the router owns the global ledger); ``merge_engine`` 'first_row'
-and 'aggregate' refuse D events (non-retractable), mirroring the apply
-path's inline guards. Tables operated with ``changelog='lookup'`` must
+``xxhash64`` layouts (no vectorized router); ``merge_engine``
+'first_row' and 'aggregate' refuse D events (non-retractable),
+mirroring the apply path's inline guards. Tables operated with ``changelog='lookup'`` must
 not take sink writes: the sink cannot produce changelog records, so
 ``row_changes`` over such a range raises ``ChangelogUnavailableError``
 (fail-loud, never silent divergence).
@@ -120,11 +131,7 @@ def _plan_ctx(options, input_schema) -> dict:
         raise ValueError("format('lake') writes require a table path")
     path = os.path.abspath(path.rstrip("/"))
     if os.path.exists(os.path.join(path, "_spec.json")):
-        raise ValueError(
-            "time-partitioned tables take writes through "
-            "PartitionedTable.apply_changes (the router owns the global "
-            "ledger); the sink targets flat tables"
-        )
+        return _plan_ctx_partitioned(options, input_schema, path)
     branch = options.get("branch", "main")
     handle = LakeTable(None, path, branch=branch)
     if not handle.exists():
@@ -206,6 +213,154 @@ def _plan_ctx(options, input_schema) -> dict:
     }
 
 
+_PY_FMT = {"year": "%Y", "month": "%Y-%m", "day": "%Y-%m-%d"}
+
+
+def _plan_ctx_partitioned(options, input_schema, path: str) -> dict:
+    """Plan-time context for a TIME-PARTITIONED composite target (round
+    4 — previously refused): rows additionally route to their partition
+    (strftime of the partition column, UTC — the engine's pinned session
+    timezone, so the derivation matches ``_part_expr`` exactly; NULL →
+    the ``__null__`` default partition), the driver commit lands each
+    partition's deltas through its sub-table's fast-append and publishes
+    ONE global cut. Refused states: ``cross_partition_upsert`` (routing
+    needs the index lookup — a Spark join), spec-level CHECK constraints,
+    branches (global WAP staging needs the router), legacy xxhash64
+    layouts, and partitions whose schema history no longer contains the
+    spec schema."""
+    import json as _json
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from ..schemas import schema_from_json
+
+    if options.get("branch", "main") != "main":
+        raise ValueError(
+            "branch writes on a partitioned table stage through the "
+            "router's global WAP namespace — use "
+            "PartitionedTable(branch=...) with apply_changes"
+        )
+    with open(os.path.join(path, "_spec.json")) as fh:
+        spec = _json.load(fh)
+    if spec.get("cross_partition_upsert"):
+        raise ValueError(
+            "cross_partition_upsert tables route through the global "
+            "key→partition index (a Spark-side lookup join) — write via "
+            "PartitionedTable.apply_changes"
+        )
+    if spec.get("constraints"):
+        raise ValueError(
+            "table spec carries CHECK constraints; the sink cannot "
+            "evaluate them — apply via the router (inline guards)"
+        )
+    bucket_fn = spec.get("bucket_fn", "hash32")
+    if bucket_fn != "hash32":
+        raise ValueError(
+            "legacy xxhash64 layout — the sink routes rows with the "
+            "vectorized hash32 kernel; rebucket() the table"
+        )
+    canon = schema_from_json(spec["schema"])
+    canon_names = canon.fieldNames()
+    key_cols = list(spec["key_cols"])
+    bucket_col = key_cols[0]
+    part_col = spec["partition_col"]
+    num_buckets = spec.get("num_buckets")
+    merge_engine = "lww"
+    # pre-round-4 specs lack the layout record: adopt it from any
+    # existing partition (uniform by construction), else refuse
+    parts_on_disk = sorted(
+        d[len("part="):] for d in os.listdir(path)
+        if d.startswith("part=")
+        and os.path.isdir(os.path.join(path, d))
+    )
+    if parts_on_disk:
+        from ..plans.lake import LakeTable
+
+        sub0 = LakeTable(None, os.path.join(path, f"part={parts_on_disk[0]}"),
+                         key_cols=tuple(key_cols))
+        if sub0.exists():
+            man0 = sub0.manifest()
+            if num_buckets is None:
+                num_buckets = man0["num_buckets"]
+            if man0.get("bucket_fn", "xxhash64") != "hash32":
+                raise ValueError(
+                    "legacy xxhash64 partition layout — rebucket() first"
+                )
+            merge_engine = man0.get("merge_engine", "lww")
+            if man0.get("constraints"):
+                raise ValueError(
+                    "partition carries CHECK constraints; apply via the "
+                    "router (inline guards)"
+                )
+    if num_buckets is None:
+        raise ValueError(
+            "spec records no bucket layout and the table has no "
+            "partitions yet — seed one batch through "
+            "PartitionedTable.apply_changes (or rebucket()) so the "
+            "layout is on disk"
+        )
+    key_type = canon[bucket_col].dataType.simpleString()
+    if key_type not in ("string", "int", "bigint", "binary"):
+        raise ValueError(
+            f"bucket column type {key_type!r} unsupported by the "
+            "vectorized router (string/int/bigint/binary)"
+        )
+
+    in_names = set(input_schema.fieldNames())
+    missing = [k for k in key_cols if k not in in_names]
+    if missing:
+        raise ValueError(
+            f"input is missing key column(s) {missing}; the table key is "
+            f"{key_cols}"
+        )
+    if part_col not in in_names:
+        raise ValueError(
+            f"input is missing the partition column {part_col!r} — the "
+            "router derives each row's partition from it"
+        )
+    for req in ("op", "seq"):
+        if req not in in_names:
+            raise ValueError(
+                f"input is missing the {req!r} column — the sink takes "
+                "CHANGE EVENTS (op 'I'/'U'/'D' + seq LSN + payload)"
+            )
+    unknown = sorted(in_names - set(canon_names) - {"op", "seq"})
+    if unknown:
+        raise ValueError(
+            f"input column(s) {unknown} not in the table spec schema — "
+            "the sink does not evolve schemas"
+        )
+
+    fields = []
+    for f in canon.fields:
+        fields.append((f.name, to_arrow_type(f.dataType), f.name in in_names))
+    in_types = {f.name: to_arrow_type(f.dataType) for f in input_schema.fields}
+    for name, typ, present in fields:
+        if present:
+            pa.array([], type=in_types[name]).cast(typ)
+    pa.array([], type=in_types["seq"]).cast(pa.int64())
+
+    return {
+        "path": path,
+        "branch": "main",
+        "key_cols": key_cols,
+        "bucket_col": bucket_col,
+        "num_buckets": int(num_buckets),
+        "bucket_fn": "hash32",
+        "merge_engine": merge_engine,
+        "schema_json": canon.json(),
+        "fields": fields,
+        "stats_cols": ["ts"] if "ts" in canon_names else [],
+        "partitioned": {
+            "partition_col": part_col,
+            "granularity": spec["granularity"],
+            "fmt": _PY_FMT[spec["granularity"]],
+        },
+        "staging": os.path.join(path, "_sink_tmp", uuid.uuid4().hex[:12]),
+    }
+
+
 class _LakeSinkBase:
     """Shared executor write + driver commit for the batch and streaming
     faces (they differ only in how the ledger batch id arrives)."""
@@ -228,6 +383,7 @@ class _LakeSinkBase:
         ctx = self._ctx
         chunks: list = []
         bucket_chunks: list = []
+        part_chunks: list = []
         op_counts = {o: 0 for o in _OPS}
         for batch in iterator:
             if batch.num_rows == 0:
@@ -236,32 +392,46 @@ class _LakeSinkBase:
                 # misfire (pc.all over empty = null)
                 continue
             tbl = pa.Table.from_batches([batch])
-            stored, buckets = self._to_stored(tbl, op_counts)
+            stored, buckets, parts = self._to_stored(tbl, op_counts)
             if len(stored):
                 chunks.append(stored)
                 bucket_chunks.append(buckets)
+                part_chunks.append(parts)
         if not chunks:
             return _SinkMessage(files=[], op_counts={})
         allt = pa.concat_tables(chunks)
         bk = np.concatenate(bucket_chunks)
-        order = np.argsort(bk, kind="stable")
+        if part_chunks[0] is None:
+            pk = np.zeros(len(bk), dtype=np.int64)
+            part_names = [None]
+        else:
+            # factorize partition strings so the slicing sort key is
+            # numeric either way; one file per (partition, bucket) run
+            all_parts = np.concatenate(part_chunks)
+            part_names, pk = np.unique(all_parts, return_inverse=True)
+            part_names = list(part_names)
+        order = np.lexsort((bk, pk))
         allt = allt.take(pa.array(order))
-        bk = bk[order]
-        uniq, starts = np.unique(bk, return_index=True)
+        bk, pk = bk[order], pk[order]
+        combo = pk * (ctx["num_buckets"] + 1) + bk
+        uniq, starts = np.unique(combo, return_index=True)
         bounds = list(starts) + [len(bk)]
         os.makedirs(ctx["staging"], exist_ok=True)
         task_id = uuid.uuid4().hex[:12]
         files = []
-        for i, b in enumerate(uniq):
+        for i, c in enumerate(uniq):
             part = allt.slice(bounds[i], bounds[i + 1] - bounds[i])
+            b = int(c % (ctx["num_buckets"] + 1))
+            pname = part_names[int(c // (ctx["num_buckets"] + 1))]
             fpath = os.path.join(
-                ctx["staging"], f"{task_id}-b{int(b)}.parquet"
+                ctx["staging"], f"{task_id}-{i}-b{b}.parquet"
             )
             pq.write_table(part, fpath, version="2.6", compression="snappy")
             seq = part["_seq"]
             files.append(
                 [
-                    int(b),
+                    pname,
+                    b,
                     fpath,
                     len(part),
                     pa.compute.min(seq).as_py(),
@@ -334,7 +504,27 @@ class _LakeSinkBase:
         names.append("_seq")
         cols.append(is_del)
         names.append("_deleted")
-        return pa.table(dict(zip(names, cols))), bucket_arr
+        stored = pa.table(dict(zip(names, cols)))
+        part_arr = None
+        pinfo = ctx.get("partitioned")
+        if pinfo is not None:
+            # partition derivation — strftime in the column's own UTC
+            # zone, the engine's pinned session timezone, so the strings
+            # match _part_expr's date_format exactly; NULL ts routes to
+            # the __null__ default partition (same rule as the router).
+            # Derived from the RAW input column, NOT the stored one: the
+            # projection above nulls delete rows' payload, and a D must
+            # land its tombstone in the partition its own ts derives —
+            # exactly the router's order (_part before the projection)
+            import numpy as np
+
+            ptyp = next(t for n, t, _p in ctx["fields"]
+                        if n == pinfo["partition_col"])
+            raw = tbl[pinfo["partition_col"]].cast(ptyp).combine_chunks()
+            s = pc.strftime(raw, format=pinfo["fmt"])
+            s = pc.fill_null(s, "__null__")
+            part_arr = np.asarray(s.to_pylist(), dtype=object)
+        return stored, bucket_arr, part_arr
 
     def _zone(self, part) -> dict:
         """Per-bucket zone-map stats for the manifest entry, same
@@ -366,11 +556,13 @@ class _LakeSinkBase:
         from ..plans.lake import LakeTable
 
         ctx = self._ctx
+        if ctx.get("partitioned") is not None:
+            return self._commit_partitioned(messages, batch_id, streaming)
         per_bucket: dict[int, dict] = {}
         for m in messages:
             if m is None:
                 continue
-            for b, fpath, rows, mn, mx, zone in m.files:
+            for _pname, b, fpath, rows, mn, mx, zone in m.files:
                 e = per_bucket.setdefault(
                     b, {"rows": 0, "min_seq": None, "max_seq": None,
                         "files": [], "zone": {}, "zone_poisoned": set()}
@@ -466,6 +658,173 @@ class _LakeSinkBase:
         )
         if res.get("skipped"):
             shutil.rmtree(dest, ignore_errors=True)  # lost the ledger race
+        self._cleanup()
+
+    def _commit_partitioned(
+        self, messages, batch_id: int | None, streaming: bool
+    ) -> None:
+        """Driver commit for a TIME-PARTITIONED target: per touched
+        partition, hardlink that partition's staged bucket files into its
+        sub-table and publish via the sub's fast-append
+        (``commit_appended_deltas``); then commit ONE global cut so
+        routed reads see the batch (direct sub writes alone would sit
+        behind the cut, the TableGroup direct-write rule). New partitions
+        are created at the spec schema + layout (Spark-free
+        ``LakeTable.create``); a create race adopts the winner. Sub-files
+        written under an OLDER schema than the partition's head commit at
+        the spec schema's id in that partition's append-only list —
+        readers cast up, the multi-schema machinery's normal job."""
+        import json as _json
+        import shutil
+
+        from ..plans.lake import LakeTable
+        from ..plans.partitioned import PartitionedTable
+        from ..schemas import schema_from_json
+
+        ctx = self._ctx
+        pt = PartitionedTable(None, ctx["path"])
+        gman = pt.manifest()
+        last = gman["last_batch_id"]
+        if batch_id is not None and batch_id <= last:
+            self._cleanup()
+            if streaming and batch_id < last:
+                raise RuntimeError(
+                    f"micro-batch {batch_id} is behind the table's global "
+                    f"ledger (last_batch_id={last}) — this looks like a "
+                    "FRESH checkpoint against a table another query "
+                    "already fed. Resume the original checkpoint, or "
+                    "re-ingest deliberately with "
+                    ".option('ignoreLedger', 'true')"
+                )
+            return
+        per_part: dict[str, dict[int, dict]] = {}
+        op_counts: dict = {}
+        for m in messages:
+            if m is None:
+                continue
+            for o, c in (m.op_counts or {}).items():
+                op_counts[o] = op_counts.get(o, 0) + c
+            for pname, b, fpath, rows, mn, mx, zone in m.files:
+                e = per_part.setdefault(pname, {}).setdefault(
+                    b, {"rows": 0, "min_seq": None, "max_seq": None,
+                        "files": [], "zone": {}, "zone_poisoned": set()}
+                )
+                e["rows"] += rows
+                e["files"].append(fpath)
+                e["min_seq"] = (mn if e["min_seq"] is None
+                                else min(e["min_seq"], mn))
+                e["max_seq"] = (mx if e["max_seq"] is None
+                                else max(e["max_seq"], mx))
+                for c2 in list(e["zone"]):
+                    if c2 not in zone:
+                        e["zone_poisoned"].add(c2)
+                for c2, (zmn, zmx) in zone.items():
+                    if c2 in e["zone_poisoned"]:
+                        continue
+                    if len(e["files"]) > 1 and c2 not in e["zone"]:
+                        e["zone_poisoned"].add(c2)
+                        continue
+                    if c2 in e["zone"]:
+                        e["zone"][c2] = [min(e["zone"][c2][0], zmn),
+                                         max(e["zone"][c2][1], zmx)]
+                    else:
+                        e["zone"][c2] = [zmn, zmx]
+        if not per_part:
+            self._cleanup()
+            return
+        spec_struct = schema_from_json(ctx["schema_json"])
+        canon_json_norm = _json.dumps(
+            _json.loads(spec_struct.json()), sort_keys=True
+        )
+        touched = sorted(per_part)
+        committed = {}
+        for pname in touched:
+            subpath = pt._part_dir(pname)
+            sub = LakeTable(None, subpath, key_cols=tuple(ctx["key_cols"]),
+                            num_buckets=ctx["num_buckets"],
+                            bucket_fn="hash32")
+            if not sub.exists():
+                try:
+                    sub.create(spec_struct)
+                except RuntimeError:
+                    if not sub.exists():  # lost a create race? adopt
+                        raise
+                sub = LakeTable(None, subpath,
+                                key_cols=tuple(ctx["key_cols"]))
+            if (sub.num_buckets != ctx["num_buckets"]
+                    or sub.bucket_fn != "hash32"):
+                self._cleanup()
+                raise RuntimeError(
+                    f"partition {pname!r} layout "
+                    f"({sub.bucket_fn}/{sub.num_buckets}) differs from "
+                    f"the routed layout (hash32/{ctx['num_buckets']}) — "
+                    "restart the writer"
+                )
+            man_p = sub.manifest()
+            sid = None
+            for i, sj in enumerate(man_p["schemas"]):
+                if _json.dumps(_json.loads(sj), sort_keys=True) == \
+                        canon_json_norm:
+                    sid = i
+                    break
+            if sid is None:
+                self._cleanup()
+                raise RuntimeError(
+                    f"partition {pname!r} schema history no longer "
+                    "contains the spec schema (renamed/dropped columns?) "
+                    "— write through PartitionedTable.apply_changes"
+                )
+            dest_rel = f"data/sink-{uuid.uuid4().hex[:8]}"
+            dest = os.path.join(subpath, dest_rel)
+            entries = {}
+            for b, e in per_part[pname].items():
+                bdir = os.path.join(dest, f"_bucket={b}")
+                os.makedirs(bdir, exist_ok=True)
+                for f in e["files"]:
+                    dst = os.path.join(bdir, os.path.basename(f))
+                    try:
+                        os.link(f, dst)
+                    except OSError:
+                        shutil.copy2(f, dst)
+                for c2 in e["zone_poisoned"]:
+                    e["zone"].pop(c2, None)
+                entries[b] = {
+                    "path": f"{dest_rel}/_bucket={b}",
+                    "rows": e["rows"],
+                    "min_seq": e["min_seq"],
+                    "max_seq": e["max_seq"],
+                }
+                if e["zone"]:
+                    entries[b]["stats"] = e["zone"]
+            res = sub.commit_appended_deltas(
+                entries, schema_id=sid, batch_id=batch_id,
+                source="lake-sink",
+                metrics_extra={"sink": "datasource"},
+            )
+            if res.get("skipped"):
+                shutil.rmtree(dest, ignore_errors=True)
+            committed[pname] = {
+                k: res.get(k) for k in ("n_events", "skipped", "version")
+                if k in res
+            }
+        metrics = {
+            "sink": "datasource",
+            "n_parts_touched": len(touched),
+            "op_counts": op_counts,
+            "parts": committed,
+        }
+        # global-cut commit with the apply path's conflict retry: the cut
+        # is pure metadata (pin every partition at its current head)
+        for attempt in range(32):
+            try:
+                pt._commit_global(
+                    pt._next_global("sink", touched=touched,
+                                    batch_id=batch_id, metrics=metrics)
+                )
+                break
+            except RuntimeError:
+                if attempt == 31:
+                    raise
         self._cleanup()
 
     def _cleanup(self) -> None:

@@ -391,15 +391,68 @@ def test_sink_refusals(spark, tmp_path):
     assert LakeTable(spark, fr.path).read().count() == 4
 
 
-def test_sink_refuses_partitioned_spec_tables(spark, tmp_path):
+# ------------------------------------------ round-4 partitioned sink
+def test_sink_writes_partitioned_table_matches_router(spark, tmp_path):
+    """The native sink on a _spec.json target routes rows to their
+    (partition, bucket) executor-side and must leave the table in
+    EXACTLY the state the router's apply_changes leaves for the same
+    events — including creating partitions that did not exist."""
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
     register_lake(spark)
-    root = tmp_path / "spec"
-    root.mkdir()
-    (root / "_spec.json").write_text("{}")
-    with pytest.raises(Exception, match="time-partitioned"):
-        _events(spark, BATCH1).write.format("lake").mode("append").save(
-            str(root)
-        )
+    rows = [
+        ("I", 1, "c1", 0, "user", "jan", None, _ts(1)),
+        ("I", 2, "c2", 0, "user", "feb", None, _ts(2)),
+        ("U", 3, "c1", 0, "user", "jan v2", None, _ts(1)),
+        ("I", 4, "c9", 0, "user", "undated", None, None),  # NULL -> __null__
+        ("D", 5, "c2", 0, None, None, None, _ts(2)),
+    ]
+    sink_t = PartitionedTable(spark, str(tmp_path / "psink"),
+                              num_buckets=4, merge_mode="mor")
+    sink_t.create(TRANSCRIPT_SCHEMA)
+    lib_t = PartitionedTable(spark, str(tmp_path / "plib"),
+                             num_buckets=4, merge_mode="mor")
+    lib_t.create(TRANSCRIPT_SCHEMA)
+    lib_t.apply_changes(_events(spark, rows), batch_id=0)
+    (_events(spark, rows).write.format("lake").mode("append")
+        .option("batchId", 0).save(sink_t.path))
+    fresh = PartitionedTable(spark, str(tmp_path / "psink"))
+    assert sorted(fresh.partitions()) == sorted(lib_t.partitions())
+    got = sorted((r.conv_id, r.turn_idx, r.text)
+                 for r in fresh.read().collect())
+    want = sorted((r.conv_id, r.turn_idx, r.text)
+                  for r in lib_t.read().collect())
+    assert got == want
+    # the global cut advanced (routed reads see the batch w/o sync)
+    assert fresh.manifest()["last_batch_id"] == 0
+    # exactly-once: the same batchId re-offered is a global-ledger skip
+    (_events(spark, rows).write.format("lake").mode("append")
+        .option("batchId", 0).save(sink_t.path))
+    assert sorted((r.conv_id, r.turn_idx, r.text)
+                  for r in fresh.read().collect()) == want
+
+
+def test_sink_partitioned_refusals(spark, tmp_path):
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    register_lake(spark)
+    x = PartitionedTable(spark, str(tmp_path / "px"), num_buckets=2,
+                         merge_mode="mor", cross_partition_upsert=True)
+    x.create(TRANSCRIPT_SCHEMA)
+    with pytest.raises(Exception, match="cross_partition_upsert"):
+        (_events(spark, BATCH1).write.format("lake").mode("append")
+            .save(x.path))
+    c = PartitionedTable(spark, str(tmp_path / "pc"), num_buckets=2,
+                         merge_mode="mor")
+    c.create(TRANSCRIPT_SCHEMA)
+    with pytest.raises(Exception, match="branch"):
+        (_events(spark, BATCH1).write.format("lake").mode("append")
+            .option("branch", "audit").save(c.path))
+    # constraints land in the spec -> refused
+    c.add_constraint("turn_nonneg", "turn_idx >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        (_events(spark, BATCH1).write.format("lake").mode("append")
+            .save(c.path))
 
 
 def test_sink_refuses_null_seq(spark, tmp_path):
@@ -571,3 +624,57 @@ def test_stream_sink_exactly_once_across_restart(spark, tmp_path):
     oracle.apply_changes(_events(spark, BATCH1), batch_id=0)
     oracle.apply_changes(_events(spark, BATCH2), batch_id=1)
     assert _state(LakeTable(spark, t.path)) == _state(oracle)
+
+
+def test_stream_sink_into_partitioned_table(spark, tmp_path):
+    """writeStream.format('lake') straight into the months(ts) x bucket
+    layout — the production ingest shape: micro-batch ids feed the
+    GLOBAL ledger (restart redelivers nothing), partitions materialize
+    as their months arrive, and the final state equals the router
+    replay."""
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    register_lake(spark)
+    t = PartitionedTable(spark, str(tmp_path / "pt"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ck = str(tmp_path / "ck")
+    _events(spark, BATCH1).coalesce(1).write.parquet(str(feed / "b1"))
+
+    def run():
+        q = (
+            spark.readStream.schema(EVENT_DDL)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(feed))
+            .writeStream.format("lake")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(t.path)
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    fresh = PartitionedTable(spark, str(tmp_path / "pt"))
+    assert fresh.read().count() == 4
+    assert sorted(fresh.partitions()) == ["2025-01", "2025-02", "2025-03"]
+    g1 = fresh.latest_version()
+    run()  # restart: checkpoint + global ledger deliver nothing
+    assert PartitionedTable(
+        spark, str(tmp_path / "pt")).latest_version() == g1
+    _events(spark, BATCH2).coalesce(1).write.parquet(str(feed / "b2"))
+    run()
+    oracle = PartitionedTable(spark, str(tmp_path / "po"), num_buckets=4,
+                              merge_mode="mor")
+    oracle.create(TRANSCRIPT_SCHEMA)
+    oracle.apply_changes(_events(spark, BATCH1), batch_id=0)
+    oracle.apply_changes(_events(spark, BATCH2), batch_id=1)
+    final = PartitionedTable(spark, str(tmp_path / "pt"))
+    got = sorted((r.conv_id, r.turn_idx, r.text, r.tool)
+                 for r in final.read().collect())
+    want = sorted((r.conv_id, r.turn_idx, r.text, r.tool)
+                  for r in oracle.read().collect())
+    assert got == want
