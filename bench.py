@@ -989,6 +989,89 @@ def dt_parse(s: str):
         return _dt.datetime.strptime(s, "%Y-%m-%d")
 
 
+def run_wide_batch_partitioned(spark, sf: float) -> dict:
+    """The fused router at the WIDE-batch shape (round 4): the same
+    8M-event / 2-batch backfill profile as run_wide_batch, replayed into
+    the production months(ts) x bucket layout vs a flat table — does the
+    single-shuffle fused apply hold its ~1.0-1.3x tax when per-batch
+    fixed costs amortize over 4M rows? ts derives from the KEY (12
+    monthly partitions, every version of a row keeps its month) so both
+    arms hold identical live rows and the lane can assert the exact
+    final-state match. transform=None in both arms: the lane isolates
+    the routing question; the Arrow date cascade is run_wide_batch's
+    measurement."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-widep-", dir=shm)
+    try:
+        n = max(400_000, int(80_000_000 * sf))
+        ev = (
+            synth_events(spark, n, max(1_000, n // 100), seed=42,
+                         hot_frac=0.05)
+            .drop("ts_raw")
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1735689600)
+                    + F.pmod(
+                        F.xxhash64(F.lit(7), "conv_id", "turn_idx"),
+                        F.lit(365 * 86400),
+                    )
+                ),
+            )
+        )
+        seg = os.path.join(work, "ev")
+        ev.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.parquet(seg)
+        half = n // 2
+        out = {"n_events": n, "n_batches": 2}
+        flat = LakeTable(spark, os.path.join(work, "flat"), num_buckets=64,
+                         merge_mode="mor")
+        flat.create(TRANSCRIPT_SCHEMA)
+        part = PartitionedTable(spark, os.path.join(work, "part"),
+                                num_buckets=8, merge_mode="mor")
+        part.create(TRANSCRIPT_SCHEMA)
+        for name, tbl in (("flat", flat), ("part", part)):
+            t0 = time.monotonic()
+            for b, pred in enumerate(
+                (F.col("seq") < half, F.col("seq") >= half)
+            ):
+                tbl.apply_changes(
+                    spark.read.parquet(seg).filter(pred), batch_id=b
+                )
+            tbl.read().count()
+            el = time.monotonic() - t0
+            out[name] = {"elapsed_sec": round(el, 3),
+                         "events_per_sec": round(n / el, 1)}
+        out["routing_tax"] = round(
+            out["part"]["elapsed_sec"] / out["flat"]["elapsed_sec"], 2
+        )
+
+        def _h(tbl):
+            df = tbl.read().select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            )
+            return df.select(
+                F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+                .alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+
+        hf, hp = _h(flat), _h(part)
+        out["final_rows"] = int(hp.n)
+        out["final_state_match"] = bool(hf.h == hp.h and hf.n == hp.n)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -1080,6 +1163,7 @@ def main() -> None:
     cdc["cross_partition"] = run_cross_partition(spark, sf)
     cdc["zorder_prune"] = run_zorder_prune(spark, sf)
     cdc["wide_batch"] = run_wide_batch(spark, sf)
+    cdc["wide_batch_partitioned"] = run_wide_batch_partitioned(spark, sf)
 
     print(
         json.dumps(
