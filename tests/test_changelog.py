@@ -262,7 +262,11 @@ def test_additive_view_reseeds_over_gap(spark, tmp_table, tmp_path):
     view.refresh()
     _apply(t0, BATCHES[1], 1)  # non-changelog writer slips in
     r = view.refresh()
-    assert r["strategy"] == "reseed_full"
+    # round 4: a changelog GAP no longer forces a full reseed — the
+    # refresh-time pre-image lookup derives the retractions from the
+    # plain change feed (strategy 'lookup_retract'); the state equality
+    # below is the contract either way
+    assert r["strategy"] == "lookup_retract"
     got = {x.conv_id: (x.n_turns, x.n_chars) for x in view.read().collect()}
     want = {
         r2.conv_id: (r2.n_turns, r2.n_chars)
