@@ -356,11 +356,18 @@ class AdditiveStatsView(ConversationStatsView):
         delta = pre.withColumn(
             "_change_type", F.lit("update_preimage")
         ).unionByName(
-            post.withColumn("_change_type", F.lit("update_postimage"))
+            post.withColumn("_change_type", F.lit("update_postimage")),
+            # a schema evolution INSIDE the refresh range makes the two
+            # point reads differ in columns; missing sides null-fill,
+            # which is exactly the right contribution (0) for rows that
+            # predate the column
+            allowMissingColumns=True,
         )
         return self._retract_fold(delta)
 
     def refresh(self) -> dict:
+        from pyspark.errors import AnalysisException
+
         from .lake import ChangelogUnavailableError, SnapshotExpiredError
 
         t0 = time.monotonic()
@@ -394,7 +401,10 @@ class AdditiveStatsView(ConversationStatsView):
                 try:
                     out = self._lookup_fold(applied, src_v)
                 except (ChangelogUnavailableError, SnapshotExpiredError,
-                        ValueError):
+                        ValueError, AnalysisException):
+                    # ValueError: sources with no usable change feed (cow
+                    # without cow_change_feed); AnalysisException: residual
+                    # cross-version shape mismatches — both reseed below
                     out = None
                 if out == "noop":
                     self._commit_marker(self._marker()["data"], src_v, 0, t0)

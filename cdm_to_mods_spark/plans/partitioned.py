@@ -391,19 +391,32 @@ class PartitionedTable:
             # born after an implicit column add still converges. Explicit
             # DDL is per-partition for now (module docstring).
             spec = self._load_spec()
+            won_create = True
             try:
                 main_sub.create(schema_from_json(spec["schema"]))
-                # partitions born after ADD CONSTRAINT inherit every spec
-                # CHECK at create (empty table — nothing to validate), the
-                # same future-partition contract as retired names
-                for c in spec.get("constraints", []):
-                    main_sub.add_constraint(c["name"], c["expr"],
-                                            validate=False)
             except RuntimeError:
                 # a concurrent writer won this partition's v0 (same spec
                 # schema + constraints by construction) — adopt theirs
                 if not main_sub.exists():
                     raise
+                won_create = False
+            if won_create:
+                # partitions born after ADD CONSTRAINT inherit every spec
+                # CHECK at create, the same future-partition contract as
+                # retired names. Installed OUTSIDE the create-race except
+                # (a swallowed constraint-commit conflict would silently
+                # strip the partition's CHECKs) with its own bounded
+                # retry: the racer may land its first batch between our
+                # create and this commit.
+                for c in spec.get("constraints", []):
+                    for attempt in range(8):
+                        try:
+                            main_sub.add_constraint(c["name"], c["expr"],
+                                                    validate=False)
+                            break
+                        except RuntimeError:
+                            if attempt == 7:
+                                raise
         sub = main_sub
         if self.branch != "main":
             # a partition born INSIDE a branch apply gets its sub-branch
@@ -942,14 +955,24 @@ class PartitionedTable:
                     "key_cols": list(self.key_cols),
                     "cross_partition_upsert": self.cross_partition_upsert,
                     "schema": schema.json(),
-                    # bucket layout recorded at CREATE (round 4): partitions
-                    # born through library-less writers (the native lake
-                    # sink) must come up at the owner's layout, not a
-                    # constructor default; rebucket() re-records it
+                    # write strategy recorded at CREATE (round 4):
+                    # partitions born through library-less writers (the
+                    # native lake sink) must come up at the owner's
+                    # layout AND merge semantics, never a constructor
+                    # default (a wrong merge_engine in a partition's
+                    # manifest is adopted forever); rebucket() re-records
+                    # the layout
                     "num_buckets": self._lake_kwargs.get("num_buckets", 32),
                     "bucket_fn": self._lake_kwargs.get(
                         "bucket_fn", "hash32"
                     ),
+                    "bucket_col": self._lake_kwargs.get(
+                        "bucket_col", "conv_id"
+                    ),
+                    "merge_engine": self._lake_kwargs.get(
+                        "merge_engine", "lww"
+                    ),
+                    "agg_spec": self._lake_kwargs.get("agg_spec") or {},
                 },
                 fh,
                 indent=1,
@@ -1205,8 +1228,13 @@ class PartitionedTable:
             cons = tuple(
                 (c["name"], c["expr"]) for c in m.get("constraints", [])
             )
+            # merge engine + agg spec are manifest-adopted per sub: a
+            # mixed-engine table (e.g. a legacy or sink-born partition)
+            # must collapse each group with ITS engine, never g0's
             return (canon.json(), renamed, historical, cons,
-                    s.num_buckets, s.bucket_fn, s.bucket_col)
+                    s.num_buckets, s.bucket_fn, s.bucket_col,
+                    s.merge_engine, json.dumps(s.agg_spec or {},
+                                               sort_keys=True))
 
         groups: dict = defaultdict(list)
         for p in live:
@@ -1220,7 +1248,9 @@ class PartitionedTable:
                 man0 = mans[group_parts[0]]
                 g_raw = (
                     ev
-                    if len(groups) == 1
+                    if len(groups) == 1 and not skipped
+                    # replays with already-committed partitions must not
+                    # stage (collapse + write) data they will discard
                     else ev.filter(F.col("_part").isin(group_parts))
                 )
                 # THE one shuffle: bucket assignment + pair repartition
@@ -1380,9 +1410,10 @@ class PartitionedTable:
                             per_part.update(ex.map(_one, group_parts))
                 finally:
                     shutil.rmtree(staged, ignore_errors=True)
-                    if (os.path.isdir(staging_root)
-                            and not os.listdir(staging_root)):
+                    try:  # concurrent writer may repopulate it (TOCTOU)
                         os.rmdir(staging_root)
+                    except OSError:
+                        pass
         return per_part
 
     def apply_changes(
@@ -1586,9 +1617,10 @@ class PartitionedTable:
                 q_cache.unpersist()
             if staged:
                 shutil.rmtree(staged, ignore_errors=True)
-                staging_root = os.path.join(self.path, "_staging")
-                if os.path.isdir(staging_root) and not os.listdir(staging_root):
-                    os.rmdir(staging_root)
+                try:  # concurrent writer may repopulate it (TOCTOU)
+                    os.rmdir(os.path.join(self.path, "_staging"))
+                except OSError:
+                    pass
         metrics = {
             "n_parts_touched": len(parts),
             "n_quarantined": n_quarantined,

@@ -263,18 +263,23 @@ def _plan_ctx_partitioned(options, input_schema, path: str) -> dict:
     canon = schema_from_json(spec["schema"])
     canon_names = canon.fieldNames()
     key_cols = list(spec["key_cols"])
-    bucket_col = key_cols[0]
+    bucket_col = spec.get("bucket_col")
     part_col = spec["partition_col"]
     num_buckets = spec.get("num_buckets")
-    merge_engine = "lww"
-    # pre-round-4 specs lack the layout record: adopt it from any
-    # existing partition (uniform by construction), else refuse
+    merge_engine = spec.get("merge_engine")
+    agg_spec = spec.get("agg_spec") or {}
+    # pre-round-4 specs lack the strategy record: adopt it from any
+    # existing partition (uniform by construction), else refuse — a
+    # guessed default stamped into a NEW partition's manifest would be
+    # adopted by every later reopen (the wrong-merge-engine corruption
+    # class)
     parts_on_disk = sorted(
         d[len("part="):] for d in os.listdir(path)
         if d.startswith("part=")
         and os.path.isdir(os.path.join(path, d))
     )
-    if parts_on_disk:
+    if parts_on_disk and (num_buckets is None or merge_engine is None
+                          or bucket_col is None):
         from ..plans.lake import LakeTable
 
         sub0 = LakeTable(None, os.path.join(path, f"part={parts_on_disk[0]}"),
@@ -283,22 +288,26 @@ def _plan_ctx_partitioned(options, input_schema, path: str) -> dict:
             man0 = sub0.manifest()
             if num_buckets is None:
                 num_buckets = man0["num_buckets"]
+            if bucket_col is None:
+                bucket_col = man0.get("bucket_col", key_cols[0])
             if man0.get("bucket_fn", "xxhash64") != "hash32":
                 raise ValueError(
                     "legacy xxhash64 partition layout — rebucket() first"
                 )
-            merge_engine = man0.get("merge_engine", "lww")
+            if merge_engine is None:
+                merge_engine = man0.get("merge_engine", "lww")
+                agg_spec = man0.get("agg_spec") or {}
             if man0.get("constraints"):
                 raise ValueError(
                     "partition carries CHECK constraints; apply via the "
                     "router (inline guards)"
                 )
-    if num_buckets is None:
+    if num_buckets is None or merge_engine is None or bucket_col is None:
         raise ValueError(
-            "spec records no bucket layout and the table has no "
+            "spec records no write strategy and the table has no "
             "partitions yet — seed one batch through "
-            "PartitionedTable.apply_changes (or rebucket()) so the "
-            "layout is on disk"
+            "PartitionedTable.apply_changes (or recreate the table) so "
+            "the layout and merge engine are on disk"
         )
     key_type = canon[bucket_col].dataType.simpleString()
     if key_type not in ("string", "int", "bigint", "binary"):
@@ -349,6 +358,7 @@ def _plan_ctx_partitioned(options, input_schema, path: str) -> dict:
         "num_buckets": int(num_buckets),
         "bucket_fn": "hash32",
         "merge_engine": merge_engine,
+        "agg_spec": agg_spec,
         "schema_json": canon.json(),
         "fields": fields,
         "stats_cols": ["ts"] if "ts" in canon_names else [],
@@ -356,6 +366,12 @@ def _plan_ctx_partitioned(options, input_schema, path: str) -> dict:
             "partition_col": part_col,
             "granularity": spec["granularity"],
             "fmt": _PY_FMT[spec["granularity"]],
+            # the router formats partitions under the SESSION timezone;
+            # the sink has no session, so the writer declares it (UTC —
+            # the engine's pinned default — unless overridden). A
+            # mismatch would route boundary events into different months
+            # than the router.
+            "tz": options.get("sessionTimeZone", "UTC"),
         },
         "staging": os.path.join(path, "_sink_tmp", uuid.uuid4().hex[:12]),
     }
@@ -518,9 +534,17 @@ class _LakeSinkBase:
             # exactly the router's order (_part before the projection)
             import numpy as np
 
+            import pyarrow as _pa
+
             ptyp = next(t for n, t, _p in ctx["fields"]
                         if n == pinfo["partition_col"])
             raw = tbl[pinfo["partition_col"]].cast(ptyp).combine_chunks()
+            if _pa.types.is_timestamp(raw.type) and raw.type.tz is not None:
+                # format under the DECLARED session timezone (strftime
+                # renders in the column's zone; casting between tz-aware
+                # types converts the instant)
+                raw = raw.cast(_pa.timestamp(raw.type.unit,
+                                             tz=pinfo["tz"]))
             s = pc.strftime(raw, format=pinfo["fmt"])
             s = pc.fill_null(s, "__null__")
             part_arr = np.asarray(s.to_pylist(), dtype=object)
@@ -741,8 +765,11 @@ class _LakeSinkBase:
         for pname in touched:
             subpath = pt._part_dir(pname)
             sub = LakeTable(None, subpath, key_cols=tuple(ctx["key_cols"]),
+                            bucket_col=ctx["bucket_col"],
                             num_buckets=ctx["num_buckets"],
-                            bucket_fn="hash32")
+                            bucket_fn="hash32",
+                            merge_engine=ctx["merge_engine"],
+                            agg_spec=ctx["agg_spec"] or None)
             if not sub.exists():
                 try:
                     sub.create(spec_struct)
@@ -752,12 +779,14 @@ class _LakeSinkBase:
                 sub = LakeTable(None, subpath,
                                 key_cols=tuple(ctx["key_cols"]))
             if (sub.num_buckets != ctx["num_buckets"]
-                    or sub.bucket_fn != "hash32"):
+                    or sub.bucket_fn != "hash32"
+                    or sub.bucket_col != ctx["bucket_col"]):
                 self._cleanup()
                 raise RuntimeError(
-                    f"partition {pname!r} layout "
-                    f"({sub.bucket_fn}/{sub.num_buckets}) differs from "
-                    f"the routed layout (hash32/{ctx['num_buckets']}) — "
+                    f"partition {pname!r} layout ({sub.bucket_fn}/"
+                    f"{sub.num_buckets} on {sub.bucket_col!r}) differs "
+                    f"from the routed layout (hash32/"
+                    f"{ctx['num_buckets']} on {ctx['bucket_col']!r}) — "
                     "restart the writer"
                 )
             man_p = sub.manifest()

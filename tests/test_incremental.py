@@ -237,3 +237,35 @@ def test_plain_cdf_view_refreshes_incrementally(spark, tmp_path):
     assert res2["strategy"] == "reseed_full"
     rows2 = {r.role: (r.n, r.chars) for r in view.read().collect()}
     assert rows2 == {"user": (2, 8.0), "tool": (1, 2.0)}
+
+
+def test_plain_cdf_lookup_survives_schema_evolution_in_range(spark,
+                                                             tmp_path):
+    """Review finding (round 4): a schema evolution INSIDE the refresh
+    range makes the pre-image read (old version, old schema) and the
+    post-image read differ in columns — the union must null-fill, not
+    crash the refresh; sums over the new column count only post rows."""
+    from cdm_to_mods_spark.plans.incremental import GenericAdditiveView
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = LakeTable(spark, str(tmp_path / "pse"), num_buckets=2,
+                  merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    ev = ("op string, seq long, conv_id string, turn_idx int, "
+          "role string, text string, tool string")
+    t.apply_changes(spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "abc", None)], ev), batch_id=0)
+    view = GenericAdditiveView(
+        spark, t, str(tmp_path / "v"), ["role"],
+        [("n", "count", None)],
+    )
+    view.refresh()
+    # batch with a NEW column lands inside the refresh range
+    t.apply_changes(spark.createDataFrame(
+        [("U", 2, "c1", 0, "user", "abcd", None, 7),
+         ("I", 3, "c2", 0, "tool", "zz", None, 9)],
+        ev + ", score int"), batch_id=1)
+    res = view.refresh()
+    assert res["strategy"] == "lookup_retract", res
+    rows = {r.role: r.n for r in view.read().collect()}
+    assert rows == {"user": 1, "tool": 1}

@@ -678,3 +678,32 @@ def test_stream_sink_into_partitioned_table(spark, tmp_path):
     want = sorted((r.conv_id, r.turn_idx, r.text, r.tool)
                   for r in oracle.read().collect())
     assert got == want
+
+
+def test_sink_new_partition_inherits_spec_write_strategy(spark, tmp_path):
+    """Review finding (round 4): a sink-born partition must carry the
+    OWNER's merge engine, not constructor defaults — a wrong engine in
+    the manifest is adopted by every later reopen (partial_update
+    patches would erase columns under whole-row LWW)."""
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    register_lake(spark)
+    t = PartitionedTable(spark, str(tmp_path / "pe"), num_buckets=2,
+                         merge_mode="mor", merge_engine="partial_update")
+    t.create(TRANSCRIPT_SCHEMA)
+    (_events(spark, [
+        ("I", 1, "c1", 0, "user", "jan t0", "tools", _ts(1)),
+    ]).write.format("lake").mode("append").option("batchId", 0)
+        .save(t.path))
+    sub = LakeTable(spark, os.path.join(t.path, "part=2025-01"))
+    assert sub.merge_engine == "partial_update"
+    # the engine actually behaves: a NULL-column patch through the
+    # router leaves the stored value alone
+    t2 = PartitionedTable(spark, str(tmp_path / "pe"),
+                          merge_engine="partial_update")
+    t2.apply_changes(_events(spark, [
+        ("U", 2, "c1", 0, None, None, "patched", _ts(1)),
+    ]), batch_id=1)
+    r = t2.read().first()
+    assert (r.text, r.tool) == ("jan t0", "patched")
