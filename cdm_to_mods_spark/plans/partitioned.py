@@ -44,8 +44,11 @@ an update whose derived partition differs from the key's home MOVES the
 key (synthesized ``D`` at the old home + upsert at the new — feed
 consumers see retract+insert), and a ``D`` event routes to the home
 partition regardless of its own ts. The per-batch tax is the documented
-Paimon one: one index lookup join + one O(movers+inserts) index MERGE;
-in exchange ``read_keys`` drops from O(partitions) probes to O(homes).
+Paimon one: one index lookup join + one O(movers+inserts) index MERGE
+(skipped entirely when a batch creates/moves/deletes no keys — the
+steady state); in exchange ``read_keys`` drops from O(partitions)
+probes to O(homes) — measured 4.6× at 12 monthly partitions and 15× at
+36 (bench lane ``cdc.cross_partition``, conversation-shaped stream).
 
 Scale shape at 100 TB:
 
