@@ -707,3 +707,31 @@ def test_sink_new_partition_inherits_spec_write_strategy(spark, tmp_path):
     ]), batch_id=1)
     r = t2.read().first()
     assert (r.text, r.tool) == ("jan t0", "patched")
+
+
+def test_partitioned_sink_chains_fold_via_maintain(spark, tmp_path):
+    """The dedicated-compactor topology composes with the partitioned
+    sink: raw sink deltas accumulate per partition, pt.maintain() folds
+    them, and the state survives the fold."""
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    register_lake(spark)
+    t = PartitionedTable(spark, str(tmp_path / "pm"), num_buckets=2,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    for b, rows in enumerate((BATCH1, BATCH2)):
+        (_events(spark, rows).write.format("lake").mode("append")
+            .option("batchId", b).save(t.path))
+    fresh = PartitionedTable(spark, str(tmp_path / "pm"))
+    before = sorted((r.conv_id, r.turn_idx, r.text)
+                    for r in fresh.read().collect())
+    out = fresh.maintain(max_delta_chain=1)
+    # at least one partition's chain was folded by the compactor
+    assert any(
+        any(a.get("action") == "compact" for a in res.get("actions", []))
+        for res in out.values()
+    ), out
+    after = sorted((r.conv_id, r.turn_idx, r.text)
+                   for r in PartitionedTable(
+                       spark, str(tmp_path / "pm")).read().collect())
+    assert after == before
