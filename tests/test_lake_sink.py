@@ -735,3 +735,22 @@ def test_partitioned_sink_chains_fold_via_maintain(spark, tmp_path):
                    for r in PartitionedTable(
                        spark, str(tmp_path / "pm")).read().collect())
     assert after == before
+
+
+def test_partitioned_sink_batches_ride_the_global_feed(spark, tmp_path):
+    """Downstream CDC consumers must see sink-landed batches: the global
+    change feed (and therefore the lake_cdf streaming source over a
+    _spec table) reads the sink's commits through the global cuts."""
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    register_lake(spark)
+    t = PartitionedTable(spark, str(tmp_path / "pf"), num_buckets=2,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    g0 = t.latest_version()
+    (_events(spark, BATCH1).write.format("lake").mode("append")
+        .option("batchId", 0).save(t.path))
+    fresh = PartitionedTable(spark, str(tmp_path / "pf"))
+    feed = fresh.changes(g0)
+    got = {(r.conv_id, r.turn_idx) for r in feed.collect()}
+    assert got == {("c1", 0), ("c1", 1), ("c2", 0), ("c3", 0)}
