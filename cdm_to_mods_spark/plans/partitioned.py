@@ -209,15 +209,19 @@ class PartitionedTable:
             self.cross_partition_upsert = spec.get(
                 "cross_partition_upsert", False
             )
-            if "num_buckets" in spec:
-                # the spec records the bucket layout (at create since
-                # round 4; rebucket re-records): partitions born later —
-                # including through library-less writers like the native
-                # sink — come up at the owner's layout, never a
-                # constructor default
-                self._lake_kwargs["num_buckets"] = spec["num_buckets"]
-            if "bucket_fn" in spec:
-                self._lake_kwargs["bucket_fn"] = spec["bucket_fn"]
+            # the spec records the WRITE STRATEGY (at create since
+            # round 4; rebucket re-records the layout): partitions born
+            # later — through any handle, incl. library-less writers
+            # like the native sink — come up at the owner's recorded
+            # strategy, never a constructor default (a 'lww' manifest
+            # stamped into a partial_update table's new month would be
+            # adopted forever and erase patched columns)
+            for k in ("num_buckets", "bucket_fn", "bucket_col",
+                      "merge_engine"):
+                if k in spec:
+                    self._lake_kwargs[k] = spec[k]
+            if spec.get("agg_spec"):
+                self._lake_kwargs["agg_spec"] = spec["agg_spec"]
 
     # ------------------------------------------------------------- ledger
     def _load_spec(self) -> dict | None:
@@ -976,6 +980,12 @@ class PartitionedTable:
                         "merge_engine", "lww"
                     ),
                     "agg_spec": self._lake_kwargs.get("agg_spec") or {},
+                    # partition strings derive under the session tz; a
+                    # library-less writer must format under the SAME zone
+                    # or boundary events split across months
+                    "session_tz": self.spark.conf.get(
+                        "spark.sql.session.timeZone", "UTC"
+                    ),
                 },
                 fh,
                 indent=1,
@@ -2385,7 +2395,13 @@ class PartitionedTable:
             # retired names / rebucket record)
             def mutate(spec):
                 for k in ("constraints", "properties", "retired",
-                          "num_buckets"):
+                          "num_buckets", "bucket_fn", "bucket_col",
+                          "merge_engine", "agg_spec", "session_tz"):
+                    # the write-strategy record must travel: a clone's
+                    # spec claiming default 'lww' over an 'aggregate'
+                    # source would mislead library-less writers (the
+                    # sink trusts the spec) and stamp wrong engines into
+                    # clone-born partitions
                     if k in spec_at:
                         spec[k] = spec_at[k]
 

@@ -366,12 +366,14 @@ def _plan_ctx_partitioned(options, input_schema, path: str) -> dict:
             "partition_col": part_col,
             "granularity": spec["granularity"],
             "fmt": _PY_FMT[spec["granularity"]],
-            # the router formats partitions under the SESSION timezone;
-            # the sink has no session, so the writer declares it (UTC —
-            # the engine's pinned default — unless overridden). A
-            # mismatch would route boundary events into different months
-            # than the router.
-            "tz": options.get("sessionTimeZone", "UTC"),
+            # the router formats partitions under the SESSION timezone,
+            # which create() records in the spec (round 4); the sink
+            # formats under that recorded zone, a writer option
+            # overriding, UTC for pre-record specs. A mismatch would
+            # route boundary events into different months than the
+            # router.
+            "tz": options.get("sessionTimeZone",
+                              spec.get("session_tz", "UTC")),
         },
         "staging": os.path.join(path, "_sink_tmp", uuid.uuid4().hex[:12]),
     }
@@ -534,17 +536,15 @@ class _LakeSinkBase:
             # exactly the router's order (_part before the projection)
             import numpy as np
 
-            import pyarrow as _pa
-
             ptyp = next(t for n, t, _p in ctx["fields"]
                         if n == pinfo["partition_col"])
             raw = tbl[pinfo["partition_col"]].cast(ptyp).combine_chunks()
-            if _pa.types.is_timestamp(raw.type) and raw.type.tz is not None:
+            if pa.types.is_timestamp(raw.type) and raw.type.tz is not None:
                 # format under the DECLARED session timezone (strftime
                 # renders in the column's zone; casting between tz-aware
                 # types converts the instant)
-                raw = raw.cast(_pa.timestamp(raw.type.unit,
-                                             tz=pinfo["tz"]))
+                raw = raw.cast(pa.timestamp(raw.type.unit,
+                                            tz=pinfo["tz"]))
             s = pc.strftime(raw, format=pinfo["fmt"])
             s = pc.fill_null(s, "__null__")
             part_arr = np.asarray(s.to_pylist(), dtype=object)
@@ -790,6 +790,16 @@ class _LakeSinkBase:
                     "restart the writer"
                 )
             man_p = sub.manifest()
+            if man_p.get("constraints"):
+                # out-of-band per-partition CHECKs (pt.part(p)
+                # .add_constraint) — the sink cannot evaluate them;
+                # checked per TOUCHED partition at commit, not just via
+                # the plan-time spec/first-partition probe
+                self._cleanup()
+                raise RuntimeError(
+                    f"partition {pname!r} carries CHECK constraints; "
+                    "apply via the router (inline guards)"
+                )
             sid = None
             for i, sj in enumerate(man_p["schemas"]):
                 if _json.dumps(_json.loads(sj), sort_keys=True) == \

@@ -698,10 +698,12 @@ def test_sink_new_partition_inherits_spec_write_strategy(spark, tmp_path):
         .save(t.path))
     sub = LakeTable(spark, os.path.join(t.path, "part=2025-01"))
     assert sub.merge_engine == "partial_update"
-    # the engine actually behaves: a NULL-column patch through the
-    # router leaves the stored value alone
-    t2 = PartitionedTable(spark, str(tmp_path / "pe"),
-                          merge_engine="partial_update")
+    # the engine actually behaves: a NULL-column patch through a PLAIN
+    # reopen (no constructor args — the spec's recorded strategy must
+    # carry, or a new partition would be stamped 'lww') leaves the
+    # stored value alone
+    t2 = PartitionedTable(spark, str(tmp_path / "pe"))
+    assert t2._lake_kwargs["merge_engine"] == "partial_update"
     t2.apply_changes(_events(spark, [
         ("U", 2, "c1", 0, None, None, "patched", _ts(1)),
     ]), batch_id=1)

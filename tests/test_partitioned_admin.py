@@ -253,3 +253,29 @@ def test_rebucket_fans_out_and_covers_future_partitions(spark, tmp_path):
     assert fresh.part("2025-09").num_buckets == 8
     # point reads prune correctly through the new layout
     assert fresh.read_keys(["c1"]).count() == 1
+
+
+def test_clone_carries_the_write_strategy_record(spark, tmp_path):
+    """Round-4 review: the clone's spec must carry the source's recorded
+    write strategy — a clone spec claiming default 'lww' over a
+    partial_update source would mislead library-less writers and stamp
+    wrong engines into clone-born partitions."""
+    import json
+
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+    src = PartitionedTable(spark, str(tmp_path / "csrc"), num_buckets=2,
+                           merge_mode="mor", merge_engine="partial_update")
+    src.create(TRANSCRIPT_SCHEMA)
+    src.apply_changes(spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "x", None, _ts(1))], EVENT_DDL),
+        batch_id=0)
+    src.clone(str(tmp_path / "cdst"))
+    with open(tmp_path / "cdst" / "_spec.json") as fh:
+        spec = json.load(fh)
+    assert spec["merge_engine"] == "partial_update"
+    assert spec["bucket_col"] == "conv_id"
+    # a plain reopen of the clone adopts it
+    dst = PartitionedTable(spark, str(tmp_path / "cdst"))
+    assert dst._lake_kwargs["merge_engine"] == "partial_update"
