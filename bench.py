@@ -159,6 +159,12 @@ def run_cdc_replay(spark, sf: float, n_batches: int = 4) -> dict:
             )
         table.read().count()
         elapsed = time.monotonic() - t0
+        # both attempts recorded (best + spread): a single recorded number
+        # made round-over-round drift unfalsifiable against the host's
+        # documented ±25% variance
+        out["mor_attempts_sec"] = sorted(
+            [out["mor"]["elapsed_sec"], round(elapsed, 3)]
+        )
         if elapsed < out["mor"]["elapsed_sec"]:
             out["mor"] = {
                 "elapsed_sec": round(elapsed, 3),
@@ -247,7 +253,7 @@ def run_wide_batch(spark, sf: float) -> dict:
             seed=42,
             hot_frac=0.05,
         )
-        best, wide_rows = None, None
+        attempts, wide_rows = [], None
         for attempt in range(2):  # best-of-2: same host-whipsaw policy
             t0 = time.monotonic()
             wt = open_or_create(
@@ -262,13 +268,14 @@ def run_wide_batch(spark, sf: float) -> dict:
                     transform=apply_chain, source=seg,
                 )
             wide_rows = wt.read().count()
-            elapsed = time.monotonic() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            attempts.append(round(time.monotonic() - t0, 3))
+        best = min(attempts)
         return {
             "n_events": wide_events,
             "n_batches": 2,
             "final_rows": wide_rows,
-            "elapsed_sec": round(best, 3),
+            "elapsed_sec": best,
+            "attempts_sec": sorted(attempts),
             "events_per_sec": round(wide_events / best, 1),
         }
     finally:
@@ -1032,23 +1039,45 @@ def run_wide_batch_partitioned(spark, sf: float) -> dict:
         ).write.parquet(seg)
         half = n // 2
         out = {"n_events": n, "n_batches": 2}
-        flat = LakeTable(spark, os.path.join(work, "flat"), num_buckets=64,
-                         merge_mode="mor")
-        flat.create(TRANSCRIPT_SCHEMA)
-        part = PartitionedTable(spark, os.path.join(work, "part"),
-                                num_buckets=8, merge_mode="mor")
-        part.create(TRANSCRIPT_SCHEMA)
-        for name, tbl in (("flat", flat), ("part", part)):
-            t0 = time.monotonic()
-            for b, pred in enumerate(
-                (F.col("seq") < half, F.col("seq") >= half)
-            ):
-                tbl.apply_changes(
-                    spark.read.parquet(seg).filter(pred), batch_id=b
-                )
-            tbl.read().count()
-            el = time.monotonic() - t0
-            out[name] = {"elapsed_sec": round(el, 3),
+        # Warm BOTH plan shapes on throwaway tables (same rationale as
+        # run_partition_prune): without this, whichever arm runs first
+        # eats the whole-stage-codegen compile lottery — the round-4
+        # recorded 1.89x tax was mostly this ordering artifact (the same
+        # lane measured 0.89-1.09 with flat-first-cold or warmed shapes).
+        warm = spark.read.parquet(seg).limit(25_000)
+        for name, tbl in (
+            ("wflat", LakeTable(spark, os.path.join(work, "wflat"),
+                                num_buckets=64, merge_mode="mor")),
+            ("wpart", PartitionedTable(spark, os.path.join(work, "wpart"),
+                                       num_buckets=8, merge_mode="mor")),
+        ):
+            tbl.create(TRANSCRIPT_SCHEMA)
+            tbl.apply_changes(warm, batch_id=0)
+        # interleaved best-of-2, fresh tables per attempt: flat, part,
+        # flat, part — host-phase drift hits both arms equally
+        walls = {"flat": [], "part": []}
+        flat = part = None
+        for attempt in range(2):
+            flat = LakeTable(spark, os.path.join(work, f"flat{attempt}"),
+                             num_buckets=64, merge_mode="mor")
+            flat.create(TRANSCRIPT_SCHEMA)
+            part = PartitionedTable(spark, os.path.join(work, f"part{attempt}"),
+                                    num_buckets=8, merge_mode="mor")
+            part.create(TRANSCRIPT_SCHEMA)
+            for name, tbl in (("flat", flat), ("part", part)):
+                t0 = time.monotonic()
+                for b, pred in enumerate(
+                    (F.col("seq") < half, F.col("seq") >= half)
+                ):
+                    tbl.apply_changes(
+                        spark.read.parquet(seg).filter(pred), batch_id=b
+                    )
+                tbl.read().count()
+                walls[name].append(round(time.monotonic() - t0, 3))
+        for name in ("flat", "part"):
+            el = min(walls[name])
+            out[name] = {"elapsed_sec": el,
+                         "attempts_sec": sorted(walls[name]),
                          "events_per_sec": round(n / el, 1)}
         out["routing_tax"] = round(
             out["part"]["elapsed_sec"] / out["flat"]["elapsed_sec"], 2

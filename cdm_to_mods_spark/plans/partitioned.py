@@ -118,6 +118,13 @@ __all__ = ["PartitionedTable", "PartitionRetentionError", "NULL_PART"]
 #: null — keeps the apply pipeline total instead of poisoning a batch.
 NULL_PART = "__null__"
 
+#: Cross-partition route probe: when the key→partition index's total row
+#: count (free from manifest stats) is at or below this, the probe reads
+#: the WHOLE index instead of running a touched-bucket discovery job over
+#: the batch — ~100 MB of parquet at the threshold, cheaper than an extra
+#: full batch scan per micro-batch. See ``_route_cross_partition``.
+_ROUTE_FULL_INDEX_ROWS = 2_000_000
+
 _SPARK_FMT = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}
 _PY_FMT = {"year": "%Y", "month": "%Y-%m", "day": "%Y-%m-%d"}
 
@@ -857,16 +864,46 @@ class PartitionedTable:
         win = latest_per_key(ev.filter(~null_key), keys, "seq")
         man_idx = idx.manifest()
         if man_idx["buckets"]:
-            needed = sorted(
-                r["_b"]
-                for r in win.select(
-                    _bucket_expr(
-                        idx.bucket_col, idx.num_buckets, idx.bucket_fn
-                    ).alias("_b")
+            # bucket pruning is ADAPTIVE on the index's own size (round 5,
+            # the steady-probe-tax cut): the manifest's per-bucket row
+            # counts tell the driver — for free — how big a full index
+            # read would be. Below the threshold, reading every bucket is
+            # cheaper than the touched-bucket discovery job (a full
+            # column-pruned scan + distinct over the BATCH, ~0.7 s on a
+            # 125k-row steady micro-batch), so the probe costs zero extra
+            # jobs; past it (a 10^10-key table's index), the discovery
+            # job is noise next to an O(index) scan and pruning wins.
+            idx_rows = 0
+            for e in idx._mor_buckets(man_idx["buckets"]).values():
+                for fs in idx._bucket_files(e):
+                    r = fs.get("rows")
+                    if r is None:  # unknown size → be conservative: prune
+                        idx_rows = None
+                        break
+                    idx_rows += r
+                if idx_rows is None:
+                    break
+            if idx_rows is not None and idx_rows <= _ROUTE_FULL_INDEX_ROWS:
+                needed = None  # read the whole (small) index, no job
+            else:
+                # touched-bucket discovery over the RAW events, not the
+                # winner collapse: winners' keys ⊆ batch keys and every
+                # batch key has a winner, so the distinct bucket sets are
+                # identical — while the raw-side plan is a column-pruned
+                # scan + partial distinct with NO hash aggregate (the
+                # collapse-side variant paid a max_by collapse before the
+                # distinct, measured ~2x this job's cost)
+                needed = sorted(
+                    r["_b"]
+                    for r in ev.filter(~null_key)
+                    .select(
+                        _bucket_expr(
+                            idx.bucket_col, idx.num_buckets, idx.bucket_fn
+                        ).alias("_b")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
             stored = idx._resolve_lww(idx._read_raw(man_idx, buckets=needed))
             live_idx = stored.filter(~F.col(DELETED_COL)).select(
                 *keys, F.col("part").alias("_home")
@@ -928,7 +965,7 @@ class PartitionedTable:
             *keys,
             F.col("_part").alias("part"),
         )
-        return routed_ev, idx_ev, routed
+        return routed_ev, idx_ev, [routed]
 
     # --------------------------------------------------------------- DDL
     def create(self, schema: T.StructType) -> None:
@@ -1144,6 +1181,110 @@ class PartitionedTable:
     # -------------------------------------------------------------- write
 
     # ---------------------------------------------------- fused apply
+    @staticmethod
+    def _sub_sig(s: LakeTable, m: dict):
+        """Schema-signature of one sub-table: everything the fused
+        collapse+write job's semantics depend on — canonical schema,
+        rename log, historical (dropped) names, CHECK constraints, bucket
+        layout, merge engine + agg spec (manifest-adopted per sub: a
+        mixed-engine table must collapse each group with ITS engine,
+        never another's). Subs agreeing share one job."""
+        canon = s._canonical_schema(m)
+        renamed = tuple(sorted(
+            (r["old"], r["new"]) for r in m.get("renames", [])
+            if r["old"] not in canon.fieldNames()
+        ))
+        historical = tuple(sorted({
+            n
+            for sj in m["schemas"]
+            for n in schema_from_json(sj).fieldNames()
+            if n not in canon.fieldNames()
+        }))
+        cons = tuple(
+            (c["name"], c["expr"]) for c in m.get("constraints", [])
+        )
+        return (canon.json(), renamed, historical, cons,
+                s.num_buckets, s.bucket_fn, s.bucket_col,
+                s.merge_engine, json.dumps(s.agg_spec or {},
+                                           sort_keys=True))
+
+    def _stage_first_ctx(self, man: dict, batch_id: int | None):
+        """Driver-side eligibility check for the STAGE-FIRST fused apply
+        (round 5): when every existing partition is merge-on-read and
+        shares ONE schema signature — the steady state of a production
+        table, where partitions only diverge transiently around implicit
+        evolution — the router can skip the partition-DISCOVERY job (a
+        full column-pruned scan of the batch, measured ~15-20% of the
+        routed wall at the 4M-row backfill shape) entirely: run the one
+        collapse+write job over the whole batch and discover the touched
+        partitions from the staged directory layout afterwards,
+        driver-side.
+
+        The check reads the GLOBAL manifest's partition list plus each
+        existing partition's manifest — O(partitions) driver-side JSON
+        reads (no Spark job), vs the O(batch-scan) discovery job it
+        replaces; sub handles are cached on the router, so a replay loop
+        pays only the manifest re-reads. Returns a ctx dict, or None →
+        the caller falls back to the discovery-based path. Ineligible:
+        branch handles (branch fan-out creates sub-branches lazily),
+        empty tables (first batch pays one discovery on zero data),
+        non-MoR strategy, divergent signatures, spec constraints that
+        differ from the common signature's (a new partition born mid-
+        batch would install different CHECKs than the staged job
+        enforced), and replays where any sub-ledger already carries
+        ``batch_id`` (staging data a commit will discard wastes the whole
+        write; the legacy path excludes committed partitions before
+        staging)."""
+        if self.branch != "main":
+            return None
+        if self._lake_kwargs.get("merge_mode") != "mor":
+            return None
+        parts = sorted(man["parts"])
+        spec = self._load_spec()
+        if not parts:
+            # EMPTY table (first batch / bootstrap): every partition the
+            # batch touches is new-born at the spec schema, so the common
+            # signature IS the spec's — collapse under a VIRTUAL sub
+            # handle (never created on disk; only its config attributes
+            # and schema methods are used) and a synthetic manifest. The
+            # bootstrap benefits most: all partitions load in ONE job.
+            g0 = LakeTable(
+                self.spark,
+                self._part_dir("__virtual__"),
+                key_cols=self.key_cols,
+                **self._sub_kwargs(),
+            )
+            man0 = {
+                "schemas": [
+                    schema_from_json(spec["schema"]).json()
+                ],
+                "renames": [],
+                "constraints": list(spec.get("constraints", [])),
+            }
+            return {"subs": {}, "mans": {}, "g0": g0, "man0": man0,
+                    "spec": spec, "sig": None}
+        subs, mans = {}, {}
+        for p in parts:
+            sub = self._sub(p)
+            if sub.merge_mode != "mor":
+                return None
+            m = sub.manifest()
+            if batch_id is not None and batch_id <= m["last_batch_id"]:
+                return None
+            subs[p], mans[p] = sub, m
+        sigs = {self._sub_sig(subs[p], mans[p]) for p in parts}
+        if len(sigs) > 1:
+            return None
+        sig = next(iter(sigs))
+        spec_cons = tuple(
+            (c["name"], c["expr"]) for c in spec.get("constraints", [])
+        )
+        if spec_cons != sig[3]:
+            return None
+        p0 = parts[0]
+        return {"subs": subs, "mans": mans, "g0": subs[p0],
+                "man0": mans[p0], "spec": spec, "sig": sig}
+
     def _fused_eligible(self, parts: list, subs: dict) -> bool:
         """The fused batch path applies when every touched sub-table is
         merge-on-read: the batch's collapse/projection/write runs as ONE
@@ -1158,6 +1299,132 @@ class PartitionedTable:
             return False
         return all(subs[p].merge_mode == "mor" for p in parts)
 
+    def _fused_changes(
+        self,
+        g_raw: DataFrame,
+        g0: LakeTable,
+        man0: dict,
+        n_shuffle: int,
+        skip_collapse: bool,
+    ) -> tuple[DataFrame, T.StructType, bool]:
+        """One signature group's collapse → evolve → project → CHECK-guard
+        plan, shared by the discovery-based fused apply and the
+        stage-first path: assign ``_bucket``, hash-repartition on the
+        (``_part``, ``_bucket``) pair (THE one shuffle — the pair
+        partitioning satisfies the collapse's clustering requirement AND
+        task-aligns the partitioned write), collapse per key with the
+        group's merge engine, project to the evolved canonical shape and
+        fold the CHECK constraints into ``_bucket`` (same inline-guard
+        trick as the flat apply's step 4b). Returns
+        ``(changes, canon, evolved)`` — write-ready rows carrying
+        (``_part``, ``_bucket``), the evolved canonical schema, and
+        whether the batch extended the group's schema list."""
+        from ..operators.dedup import (
+            first_per_key,
+            resolve_aggregate,
+            resolve_partial_update,
+        )
+
+        g_b = g_raw.withColumn(
+            "_bucket",
+            _bucket_expr(g0.bucket_col, g0.num_buckets, g0.bucket_fn),
+        ).repartition(n_shuffle, "_part", "_bucket")
+        keys = ("_part", "_bucket", *self.key_cols)
+        if skip_collapse:
+            # the cross-partition router already collapsed the
+            # batch to ONE winner per key and exploded movers
+            # into distinct (part, key) rows — a second collapse
+            # would aggregate singleton groups (measured ~half
+            # the routed steady-state tax). Rare residual dupes
+            # (null-key bypass rows with no quarantine sink)
+            # resolve at read time like any delta chain.
+            batch = g_b
+        elif g0.merge_engine == "partial_update":
+            batch = resolve_partial_update(
+                g_b, keys, "seq", "op", preserve_kill=True
+            )
+        elif g0.merge_engine == "aggregate":
+            batch = resolve_aggregate(
+                g0._refuse_deletes_inline(
+                    g_b,
+                    "merge_engine='aggregate' refuses delete events"
+                    " (aggregates are not retractable)",
+                ),
+                keys, "seq", "op", spec=g0.agg_spec,
+            )
+        elif g0.merge_engine == "first_row":
+            batch = first_per_key(
+                g0._refuse_deletes_inline(
+                    g_b,
+                    "merge_engine='first_row' refuses delete events"
+                    " (the first write per key is immutable)",
+                ),
+                keys, "seq",
+            )
+        else:
+            batch = latest_per_key(g_b, keys, "seq")
+        payload_schema = T.StructType([
+            f for f in batch.schema.fields
+            if f.name not in ("_part", "_bucket")
+        ])
+        schemas0, canon = g0._evolved_schemas(man0, payload_schema)
+        evolved = len(schemas0) > len(man0["schemas"])
+        # target-shape projection + CHECK guard — the same
+        # step-4/4b shape as the flat apply (lake.py), with _part
+        # and _bucket carried through for the partitioned write
+        is_del = F.col("op") == "D"
+        proj = [F.col("_part"), F.col("_bucket")]
+        for f in canon.fields:
+            if f.name in batch.columns:
+                c = F.col(f.name).cast(f.dataType)
+                if f.name not in self.key_cols:
+                    c = F.when(
+                        is_del, F.lit(None).cast(f.dataType)
+                    ).otherwise(c)
+                proj.append(c.alias(f.name))
+            else:
+                proj.append(
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                )
+        proj.append(F.col("seq").cast("long").alias(SEQ_COL))
+        proj.append(is_del.alias(DELETED_COL))
+        changes = batch.select(proj)
+        cons = man0.get("constraints", [])
+        if cons:
+            viol = [
+                ~F.col(DELETED_COL)
+                & ~F.coalesce(F.expr(c["expr"]), F.lit(True))
+                for c in cons
+            ]
+            any_bad = viol[0]
+            for v in viol[1:]:
+                any_bad = any_bad | v
+            named = F.concat_ws(
+                ", ",
+                *[F.when(v, F.lit(c["name"]))
+                  for v, c in zip(viol, cons)],
+            )
+            changes = changes.withColumn(
+                "_bucket",
+                F.when(
+                    any_bad,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("CHECK constraint violated ["),
+                            named,
+                            F.lit("] by row key=("),
+                            F.concat_ws(
+                                ",",
+                                *[F.col(k).cast("string")
+                                  for k in self.key_cols],
+                            ),
+                            F.lit(")"),
+                        )
+                    ).cast("int"),
+                ).otherwise(F.col("_bucket")),
+            )
+        return changes, canon, evolved
+
     def _apply_fused(
         self,
         ev: DataFrame,
@@ -1167,6 +1434,7 @@ class PartitionedTable:
         src: str | None,
         t0: float,
         skip_collapse: bool = False,
+        phases: dict | None = None,
     ) -> dict:
         """ONE-job, ONE-shuffle multi-partition MoR apply (the round-4
         routing-tax cut):
@@ -1206,11 +1474,6 @@ class PartitionedTable:
         from collections import defaultdict
         from concurrent.futures import ThreadPoolExecutor
 
-        from ..operators.dedup import (
-            first_per_key,
-            resolve_aggregate,
-            resolve_partial_update,
-        )
         from .lake import _apply_conf_scope
 
         # per-sub manifests (driver JSON): ledger skip + signature grouping
@@ -1225,35 +1488,15 @@ class PartitionedTable:
         if not live:
             return skipped
 
-        def _sig(p: str):
-            m, s = mans[p], subs[p]
-            canon = s._canonical_schema(m)
-            renamed = tuple(sorted(
-                (r["old"], r["new"]) for r in m.get("renames", [])
-                if r["old"] not in canon.fieldNames()
-            ))
-            historical = tuple(sorted({
-                n
-                for sj in m["schemas"]
-                for n in schema_from_json(sj).fieldNames()
-                if n not in canon.fieldNames()
-            }))
-            cons = tuple(
-                (c["name"], c["expr"]) for c in m.get("constraints", [])
-            )
-            # merge engine + agg spec are manifest-adopted per sub: a
-            # mixed-engine table (e.g. a legacy or sink-born partition)
-            # must collapse each group with ITS engine, never g0's
-            return (canon.json(), renamed, historical, cons,
-                    s.num_buckets, s.bucket_fn, s.bucket_col,
-                    s.merge_engine, json.dumps(s.agg_spec or {},
-                                               sort_keys=True))
-
         groups: dict = defaultdict(list)
         for p in live:
-            groups[_sig(p)].append(p)
+            groups[self._sub_sig(subs[p], mans[p])].append(p)
 
         per_part: dict = dict(skipped)
+        if phases is not None:
+            phases["n_groups"] = len(groups)
+            phases.setdefault("stage_write_sec", 0.0)
+            phases.setdefault("commit_fanout_sec", 0.0)
         staging_root = os.path.join(self.path, "_staging")
         with _apply_conf_scope(self.spark):
             for sig, group_parts in sorted(groups.items()):
@@ -1272,114 +1515,22 @@ class PartitionedTable:
                     len(group_parts) * g0.num_buckets,
                     max(64, self.spark.sparkContext.defaultParallelism * 4),
                 )
-                g_b = g_raw.withColumn(
-                    "_bucket",
-                    _bucket_expr(g0.bucket_col, g0.num_buckets, g0.bucket_fn),
-                ).repartition(n_shuffle, "_part", "_bucket")
-                keys = ("_part", "_bucket", *self.key_cols)
-                if skip_collapse:
-                    # the cross-partition router already collapsed the
-                    # batch to ONE winner per key and exploded movers
-                    # into distinct (part, key) rows — a second collapse
-                    # would aggregate singleton groups (measured ~half
-                    # the routed steady-state tax). Rare residual dupes
-                    # (null-key bypass rows with no quarantine sink)
-                    # resolve at read time like any delta chain.
-                    batch = g_b
-                elif g0.merge_engine == "partial_update":
-                    batch = resolve_partial_update(
-                        g_b, keys, "seq", "op", preserve_kill=True
-                    )
-                elif g0.merge_engine == "aggregate":
-                    batch = resolve_aggregate(
-                        g0._refuse_deletes_inline(
-                            g_b,
-                            "merge_engine='aggregate' refuses delete events"
-                            " (aggregates are not retractable)",
-                        ),
-                        keys, "seq", "op", spec=g0.agg_spec,
-                    )
-                elif g0.merge_engine == "first_row":
-                    batch = first_per_key(
-                        g0._refuse_deletes_inline(
-                            g_b,
-                            "merge_engine='first_row' refuses delete events"
-                            " (the first write per key is immutable)",
-                        ),
-                        keys, "seq",
-                    )
-                else:
-                    batch = latest_per_key(g_b, keys, "seq")
-                payload_schema = T.StructType([
-                    f for f in batch.schema.fields
-                    if f.name not in ("_part", "_bucket")
-                ])
-                schemas0, canon = g0._evolved_schemas(man0, payload_schema)
-                evolved = len(schemas0) > len(man0["schemas"])
-                # target-shape projection + CHECK guard — the same
-                # step-4/4b shape as the flat apply (lake.py), with _part
-                # and _bucket carried through for the partitioned write
-                is_del = F.col("op") == "D"
-                proj = [F.col("_part"), F.col("_bucket")]
-                for f in canon.fields:
-                    if f.name in batch.columns:
-                        c = F.col(f.name).cast(f.dataType)
-                        if f.name not in self.key_cols:
-                            c = F.when(
-                                is_del, F.lit(None).cast(f.dataType)
-                            ).otherwise(c)
-                        proj.append(c.alias(f.name))
-                    else:
-                        proj.append(
-                            F.lit(None).cast(f.dataType).alias(f.name)
-                        )
-                proj.append(F.col("seq").cast("long").alias(SEQ_COL))
-                proj.append(is_del.alias(DELETED_COL))
-                changes = batch.select(proj)
-                cons = man0.get("constraints", [])
-                if cons:
-                    viol = [
-                        ~F.col(DELETED_COL)
-                        & ~F.coalesce(F.expr(c["expr"]), F.lit(True))
-                        for c in cons
-                    ]
-                    any_bad = viol[0]
-                    for v in viol[1:]:
-                        any_bad = any_bad | v
-                    named = F.concat_ws(
-                        ", ",
-                        *[F.when(v, F.lit(c["name"]))
-                          for v, c in zip(viol, cons)],
-                    )
-                    changes = changes.withColumn(
-                        "_bucket",
-                        F.when(
-                            any_bad,
-                            F.raise_error(
-                                F.concat(
-                                    F.lit("CHECK constraint violated ["),
-                                    named,
-                                    F.lit("] by row key=("),
-                                    F.concat_ws(
-                                        ",",
-                                        *[F.col(k).cast("string")
-                                          for k in self.key_cols],
-                                    ),
-                                    F.lit(")"),
-                                )
-                            ).cast("int"),
-                        ).otherwise(F.col("_bucket")),
-                    )
+                changes, canon, evolved = self._fused_changes(
+                    g_raw, g0, man0, n_shuffle, skip_collapse
+                )
                 staged = os.path.join(
                     staging_root, f"fused-{uuid4().hex[:8]}"
                 )
                 try:
+                    tw = time.monotonic()
                     (
                         g0._capped(
                             changes.write.partitionBy("_part", "_bucket")
                             .mode("overwrite")
                         ).parquet(staged)
                     )
+                    if phases is not None:
+                        phases["stage_write_sec"] += time.monotonic() - tw
 
                     def _one(p: str):
                         sub, man_p = subs[p], mans[p]
@@ -1416,11 +1567,14 @@ class PartitionedTable:
                     # per-sub path)
                     width = min(16, max(self.apply_concurrency,
                                         len(group_parts)))
+                    tc = time.monotonic()
                     if len(group_parts) == 1 or self.apply_concurrency == 1:
                         per_part.update(_one(p) for p in group_parts)
                     else:
                         with ThreadPoolExecutor(width) as ex:
                             per_part.update(ex.map(_one, group_parts))
+                    if phases is not None:
+                        phases["commit_fanout_sec"] += time.monotonic() - tc
                 finally:
                     shutil.rmtree(staged, ignore_errors=True)
                     try:  # concurrent writer may repopulate it (TOCTOU)
@@ -1428,6 +1582,143 @@ class PartitionedTable:
                     except OSError:
                         pass
         return per_part
+
+    def _apply_fused_stage_first(
+        self,
+        ev: DataFrame,
+        ctx: dict,
+        batch_id: int | None,
+        src: str | None,
+        t0: float,
+        skip_collapse: bool = False,
+        phases: dict | None = None,
+    ):
+        """STAGE-FIRST fused apply (round 5): the single-signature fast
+        path that removes the partition-discovery job from the routed
+        replay's critical path. ``_stage_first_ctx`` proved (driver-side,
+        from manifests alone) that every existing partition is MoR with
+        one common signature, so the whole batch can run through ONE
+        collapse+write job under that signature WITHOUT first scanning
+        for which partitions it touches — the touched set falls out of
+        the staged directory layout (``_part=X/``) afterwards, a driver
+        ``listdir``. vs the discovery path this saves one full
+        column-pruned pass over the batch (~15-20% of the routed wall at
+        the 4M-row backfill shape) and one Spark job's scheduling
+        latency on every steady-state micro-batch.
+
+        Partitions NEW to the table are created at the spec schema
+        mid-fan-out and committed with the chain
+        ``[spec(, canon)]`` — legal because the pre-write compat check
+        below proved spec ⊆ canon with equal types (so the staged files,
+        projected to ``canon``, are a valid one-step evolution of a
+        spec-born partition). If that check fails (a spec column the
+        batch's canonical shape lost), returns None BEFORE any write and
+        the caller falls back to the discovery path.
+
+        Exactly-once: the ctx proved no sub-ledger carries ``batch_id``
+        at plan time; a CONCURRENT writer committing it between then and
+        our per-sub commit is caught by ``commit_prewritten_mor_deltas``'s
+        own ledger check (the moved files become unreferenced garbage for
+        fsck, the same exposure the legacy path documents). A crash
+        mid-fan-out replays through ``_stage_first_ctx``'s replay check →
+        legacy path → per-sub ledgers dedupe, converging identically.
+
+        Shuffle sizing: the touched-pair count is unknown pre-write, so
+        the pair repartition uses ``max(64, defaultParallelism*4)`` slots
+        — MORE slots than pairs costs only empty tasks, while fewer
+        would collide pairs onto shared tasks and serialize the write's
+        critical path (each (part,bucket) pair lands whole on one task
+        either way, so the one-file-per-directory layout is preserved)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .lake import _apply_conf_scope
+
+        g0, man0, spec = ctx["g0"], ctx["man0"], ctx["spec"]
+        subs, mans = dict(ctx["subs"]), ctx["mans"]
+        n_shuffle = max(
+            64, self.spark.sparkContext.defaultParallelism * 4
+        )
+        with _apply_conf_scope(self.spark):
+            changes, canon, evolved = self._fused_changes(
+                ev, g0, man0, n_shuffle, skip_collapse
+            )
+            # new-partition chain legality, BEFORE any write: a partition
+            # born this batch starts at spec and jumps to canon in one
+            # evolution step — only valid if canon kept every spec column
+            # at its type
+            canon_types = {f.name: f.dataType for f in canon.fields}
+            spec_schema = schema_from_json(spec["schema"])
+            if any(
+                f.name not in canon_types
+                or canon_types[f.name] != f.dataType
+                for f in spec_schema.fields
+            ):
+                return None
+            if phases is not None:
+                phases["stage_first"] = True
+                phases.setdefault("stage_write_sec", 0.0)
+                phases.setdefault("commit_fanout_sec", 0.0)
+            staging_root = os.path.join(self.path, "_staging")
+            staged = os.path.join(staging_root, f"fused-{uuid4().hex[:8]}")
+            try:
+                tw = time.monotonic()
+                (
+                    g0._capped(
+                        changes.write.partitionBy("_part", "_bucket")
+                        .mode("overwrite")
+                    ).parquet(staged)
+                )
+                if phases is not None:
+                    phases["stage_write_sec"] += time.monotonic() - tw
+                parts = sorted(
+                    d.split("=", 1)[1]
+                    for d in os.listdir(staged)
+                    if d.startswith("_part=")
+                )
+
+                def _one(p: str):
+                    part_dir = os.path.join(staged, f"_part={p}")
+                    sub = subs.get(p)
+                    if sub is None:
+                        # partition born this batch: create at spec (the
+                        # _sub machinery installs spec constraints), then
+                        # commit the canon-shaped files as its first
+                        # evolution step
+                        sub = self._sub(p, create=True)
+                        man_p = sub.manifest()
+                    else:
+                        man_p = mans[p]
+                    data_rel = (
+                        f"data/v{man_p['version'] + 1:08d}"
+                        f"-{uuid4().hex[:8]}"
+                    )
+                    dst = os.path.join(sub.path, data_rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(part_dir, dst)
+                    schemas_p = list(man_p["schemas"])
+                    if schemas_p[-1] != canon.json():
+                        schemas_p = schemas_p + [canon.json()]
+                    return p, sub.commit_prewritten_mor_deltas(
+                        data_rel, batch_id=batch_id, source=src,
+                        schemas=schemas_p, t0=t0,
+                    )
+
+                width = min(16, max(self.apply_concurrency, len(parts)))
+                tc = time.monotonic()
+                if len(parts) <= 1 or self.apply_concurrency == 1:
+                    per_part = dict(_one(p) for p in parts)
+                else:
+                    with ThreadPoolExecutor(width) as ex:
+                        per_part = dict(ex.map(_one, parts))
+                if phases is not None:
+                    phases["commit_fanout_sec"] += time.monotonic() - tc
+            finally:
+                shutil.rmtree(staged, ignore_errors=True)
+                try:  # concurrent writer may repopulate it (TOCTOU)
+                    os.rmdir(staging_root)
+                except OSError:
+                    pass
+        return per_part, parts
 
     def apply_changes(
         self,
@@ -1522,6 +1813,8 @@ class PartitionedTable:
             n_quarantined = int(got["n"]) if got else 0
             ev = q_cache.filter(~bad_pred)
         ev = ev.withColumn("_part", self._part_expr())
+        phases: dict = {}
+        tp = time.monotonic()
         idx_ev = route_cache = None
         if self.cross_partition_upsert:
             if man["parts"] and not self._index().exists():
@@ -1533,40 +1826,65 @@ class PartitionedTable:
             ev, idx_ev, route_cache = self._route_cross_partition(
                 ev, set(man["parts"])
             )
+            phases["route_sec"] = round(time.monotonic() - tp, 3)
         staged: str | None = None
         persisted = False
         try:
-            if transform is not None and q_cache is None:
+            src = source or (
+                f"router:batch={batch_id}" if batch_id is not None else "router"
+            )
+            ta = time.monotonic()
+            per_part = parts = None
+            fused = False
+            # stage-first fast path (round 5): when manifests alone prove
+            # one common MoR signature, skip the discovery job — the one
+            # fused write stages the batch and the touched partitions
+            # fall out of the staged directory layout. The ctx is checked
+            # BEFORE the transform-chain persist below: stage-first
+            # consumes the batch exactly once, so caching it would cost a
+            # pure extra materialization pass (the round-4 profiling
+            # finding)
+            sf_ctx = self._stage_first_ctx(man, batch_id)
+            if sf_ctx is None and transform is not None and q_cache is None:
                 # an expensive caller transform chain should run once, not
                 # once for discovery + once per consumer
                 ev.persist()
                 persisted = True
-            # partition discovery before any OTHER materialization: a
-            # column-pruned aggregate over just the partition column (the
-            # fused path then consumes the batch exactly once more —
-            # caching the full batch for a single consumer would cost a
-            # whole extra materialization pass, the round-4 profiling
-            # finding)
-            parts = sorted(
-                r[0] for r in ev.select("_part").distinct().collect()
-            )
-            src = source or (
-                f"router:batch={batch_id}" if batch_id is not None else "router"
-            )
-            # handle creation (spec read + sub create() commit) stays
-            # serial; the work fans out after — fused as ONE Spark job
-            # for merge-on-read subs (see _apply_fused), else per-sub
-            # applies on threads. _apply_conf_scope is refcounted +
-            # lock-protected for exactly this interleaving.
-            subs = {p: self._sub(p, create=True) for p in parts}
+            # partition discovery (fallback path) before any OTHER
+            # materialization: a column-pruned aggregate over just the
+            # partition column
+            if sf_ctx is not None:
+                res = self._apply_fused_stage_first(
+                    ev, sf_ctx, batch_id, src, t0,
+                    skip_collapse=idx_ev is not None,
+                    phases=phases,
+                )
+                if res is not None:
+                    per_part, parts = res
+                    fused = True
+            if per_part is None:
+                td = time.monotonic()
+                parts = sorted(
+                    r[0] for r in ev.select("_part").distinct().collect()
+                )
+                phases["discovery_sec"] = round(time.monotonic() - td, 3)
+                # handle creation (spec read + sub create() commit) stays
+                # serial; the work fans out after — fused as ONE Spark job
+                # for merge-on-read subs (see _apply_fused), else per-sub
+                # applies on threads. _apply_conf_scope is refcounted +
+                # lock-protected for exactly this interleaving.
+                ts_ = time.monotonic()
+                subs = {p: self._sub(p, create=True) for p in parts}
+                phases["sub_handles_sec"] = round(time.monotonic() - ts_, 3)
 
-            fused = self._fused_eligible(parts, subs)
-            if fused:
+                fused = self._fused_eligible(parts, subs)
+            if per_part is None and fused:
                 per_part = self._apply_fused(
                     ev, parts, subs, batch_id, src, t0,
                     skip_collapse=idx_ev is not None,
+                    phases=phases,
                 )
-            else:
+            elif per_part is None:
                 if not persisted:
                     ev.persist()
                     persisted = True
@@ -1605,6 +1923,8 @@ class PartitionedTable:
             # after it means every data commit already landed, so the
             # replay's (different) routing only reaches already-committed
             # sub-ledgers. Either order-crossing converges.
+            phases["apply_sec"] = round(time.monotonic() - ta, 3)
+            ti = time.monotonic()
             idx_metrics = None
             if idx_ev is not None:
                 # steady-state cut (round 4): a batch that creates, moves
@@ -1621,9 +1941,12 @@ class PartitionedTable:
                     idx_metrics = self._index().apply_changes(
                         idx_ev, batch_id=batch_id, source=f"{src}:index"
                     )
+            if idx_ev is not None:
+                phases["index_sec"] = round(time.monotonic() - ti, 3)
         finally:
             if route_cache is not None:
-                route_cache.unpersist()
+                for df in route_cache:
+                    df.unpersist()
             if persisted:
                 ev.unpersist()
             if q_cache is not None:
@@ -1648,6 +1971,10 @@ class PartitionedTable:
                 for p, m in per_part.items()
             },
             "wall_sec": round(time.monotonic() - t0, 3),
+            "phases": {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in phases.items()
+            },
         }
         if idx_metrics is not None:
             metrics["index"] = {
