@@ -81,7 +81,14 @@ def _max_col_from_footers(path: str, col: str) -> int | None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: CDC replay of a 10k-event change log → converged table."""
+    """Flagship: CDC replay of a 10k-event change log through the
+    PRODUCTION layout — the ``months(ts) x bucket(conv_id)`` partition
+    router (plans/partitioned.py, the compound pipeline being the primary
+    path mirrors the reference's convert_cdm_to_mods.py:53-74) — plus the
+    same log through a flat table, asserting the two converge to the
+    identical final state before returning it. The driver's smoke check
+    therefore exercises routing, the stage-first fused apply, per-sub
+    ledgers, and the global cut end-to-end, not just the flat MERGE."""
     sf_dir = "/root/testdata/sf0.001"
     changelog = events_as_changelog(spark, sf_dir)
     # seq == event_id: bound the replay from footer metadata, not a scan.
@@ -90,7 +97,7 @@ def entry(spark: SparkSession) -> DataFrame:
         hi = changelog.agg(F.max("seq")).collect()[0][0]
     max_seq = int(hi) + 1
     table_path = tempfile.mkdtemp(prefix="cdc-flagship-")
-    table = replay_in_batches(
+    routed = replay_in_batches(
         spark,
         changelog,
         os.path.join(table_path, "transcripts"),
@@ -98,8 +105,36 @@ def entry(spark: SparkSession) -> DataFrame:
         max_seq=int(max_seq),
         num_buckets=16,
         merge_mode="mor",
+        partition_by="month",
+        cross_partition_upsert=True,
     )
-    return table.read().orderBy("conv_id", "turn_idx")
+    flat = replay_in_batches(
+        spark,
+        changelog,
+        os.path.join(table_path, "transcripts-flat"),
+        n_batches=4,
+        max_seq=int(max_seq),
+        num_buckets=16,
+        merge_mode="mor",
+    )
+    # exact convergence gate: orderless full-row hash + count must agree
+    # between the routed and flat replays (events_as_changelog derives a
+    # per-key ts, so (partition, key) identity equals flat key identity)
+    def _h(t):
+        df = t.read()
+        cols = sorted(df.columns)
+        return df.select(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+
+    hr, hf = _h(routed), _h(flat)
+    if (hr.h, hr.n) != (hf.h, hf.n):
+        raise AssertionError(
+            f"flagship divergence: routed (hash={hr.h}, n={hr.n}) != "
+            f"flat (hash={hf.h}, n={hf.n})"
+        )
+    return routed.read().orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -22,7 +22,29 @@ def open_or_create(
     table_path: str,
     num_buckets: int = 32,
     merge_mode: str = "cow",
-) -> LakeTable:
+    partition_by: str | None = None,
+    cross_partition_upsert: bool = False,
+):
+    """Open (or create at TRANSCRIPT_SCHEMA) the replay target: a flat
+    ``LakeTable``, or — with ``partition_by`` set to a time granularity
+    (``month``/``day``/``year``) — the production ``granularity(ts) x
+    bucket(conv_id)`` composite layout (``plans/partitioned.py``), the
+    shape a 10^10-event table runs on. Reopen adopts the on-disk spec
+    either way. ``cross_partition_upsert`` makes the KEY (not
+    (partition, key)) row identity via the global routing index — required
+    for a changelog whose per-event ts can move a key across partitions
+    to converge to the flat table's state."""
+    if partition_by is not None:
+        from .plans.partitioned import PartitionedTable
+
+        table = PartitionedTable(
+            spark, table_path, num_buckets=num_buckets,
+            merge_mode=merge_mode, granularity=partition_by,
+            cross_partition_upsert=cross_partition_upsert,
+        )
+        if not table.exists():
+            table.create(TRANSCRIPT_SCHEMA)
+        return table
     table = LakeTable(spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode)
     if not table.exists():
         table.create(TRANSCRIPT_SCHEMA)
@@ -52,9 +74,19 @@ def replay_in_batches(
     max_seq: int,
     num_buckets: int = 32,
     merge_mode: str = "cow",
-) -> LakeTable:
-    """Replay as n contiguous-seq micro-batches (binlog segments)."""
-    table = open_or_create(spark, table_path, num_buckets, merge_mode)
+    partition_by: str | None = None,
+    cross_partition_upsert: bool = False,
+):
+    """Replay as n contiguous-seq micro-batches (binlog segments).
+
+    ``partition_by`` (``month``/``day``/``year``) replays into the
+    time-partitioned composite layout instead of a flat table — the
+    transform chain runs once at the router and derives the typed ``ts``
+    the partition spec routes on; ``cross_partition_upsert`` adds the
+    global key index (see ``open_or_create``)."""
+    table = open_or_create(spark, table_path, num_buckets, merge_mode,
+                           partition_by=partition_by,
+                           cross_partition_upsert=cross_partition_upsert)
     per = (max_seq + n_batches) // n_batches
     for b in range(n_batches):
         lo, hi = b * per, (b + 1) * per
