@@ -28,7 +28,10 @@ does not share).
 
 Usage:
     python tools/scaling_bench.py [n_events] [lo hi] [n_batches]  # parent: both levels
+    python tools/scaling_bench.py --router [n_events lo hi NB]  # parent:
+        #   ROUTED pair (months(ts) x bucket partition router, fused apply)
     python tools/scaling_bench.py --child CPUS N [NB] # child: one engine level
+    python tools/scaling_bench.py --router-child CPUS N [NB]  # routed level
     python tools/scaling_bench.py --control CPUS N    # child: one control level
     python tools/scaling_bench.py --control-shuffle CPUS N  # shuffle+write ceiling
     python tools/scaling_bench.py --fleet K CPUS N    # K-process executor fleet
@@ -123,6 +126,106 @@ def child(cpus: int, n_events: int, n_batches: int = 4) -> None:
                 "cpus": cpus,
                 "n_events": n_events,
                 "final_rows": rows,
+                "elapsed_sec": round(elapsed, 3),
+                "events_per_sec": round(n_events / elapsed, 1),
+            }
+        )
+    )
+
+
+def router_child(cpus: int, n_events: int, n_batches: int = 2) -> None:
+    """One engine level of the ROUTER-SHAPED scaling pair (round 5): the
+    same CDC apply replayed into the production ``months(ts) x
+    bucket(conv_id)`` layout — 12 monthly partitions, 8 buckets each,
+    merge-on-read, conversation-derived ts (every version of a key keeps
+    its month, the transcripts workload's shape) — through the stage-first
+    fused apply. Input layout is pinned to 32 files/segment at both levels
+    (byte-identical inputs; see ``child``)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.session import get_spark
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    spark = get_spark(
+        f"scaling-router-{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.local.dir": f"{shm}/spark-local-r{cpus}"}
+        if shm else None,
+    )
+    n_convs = max(1_000, n_events // 100)
+    table_dir = tempfile.mkdtemp(prefix=f"scaling-r{cpus}-", dir=shm)
+    try:
+        ev = (
+            synth_events(spark, n_events, n_convs, seed=42, hot_frac=0.05)
+            .drop("ts_raw")
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1735689600)  # 2025-01-01 UTC
+                    + F.pmod(
+                        F.xxhash64(F.lit(7), "conv_id", "turn_idx"),
+                        F.lit(365 * 86400),
+                    )
+                ),
+            )
+        )
+        per = (n_events + n_batches) // n_batches
+        segs = []
+        for b in range(n_batches):
+            seg = os.path.join(table_dir, f"events/batch-{b:05d}")
+            (
+                ev.filter(
+                    (F.col("seq") >= b * per) & (F.col("seq") < (b + 1) * per)
+                )
+                .repartition(32)
+                .write.parquet(seg)
+            )
+            segs.append(seg)
+        # warmup: both plan shapes the timed region uses (fused routed
+        # apply at the spec granularity), untimed
+        warm = PartitionedTable(
+            spark, os.path.join(table_dir, "warmup"),
+            num_buckets=8, merge_mode="mor",
+        )
+        warm.create(TRANSCRIPT_SCHEMA)
+        # two warmup applies: the first compiles the empty-table fused
+        # shape, the second the steady-state (existing partitions) shape
+        # the timed batches 1..n actually run — plus the read/resolve plan
+        warm.apply_changes(spark.read.parquet(segs[0]).limit(50_000),
+                           batch_id=0)
+        warm.apply_changes(
+            spark.read.parquet(segs[-1]).limit(50_000), batch_id=1
+        )
+        warm.read().count()
+
+        t0 = time.monotonic()
+        table = PartitionedTable(
+            spark, os.path.join(table_dir, "transcripts"),
+            num_buckets=8, merge_mode="mor",
+        )
+        table.create(TRANSCRIPT_SCHEMA)
+        for b, seg in enumerate(segs):
+            table.apply_changes(spark.read.parquet(seg), batch_id=b,
+                                source=seg)
+        rows = table.read().count()
+        elapsed = time.monotonic() - t0
+        n_parts = len(table.partitions())
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_events": n_events,
+                "final_rows": rows,
+                "n_partitions": n_parts,
                 "elapsed_sec": round(elapsed, 3),
                 "events_per_sec": round(n_events / elapsed, 1),
             }
@@ -308,9 +411,10 @@ def fleet(k: int, cpus: int, n_events: int) -> None:
     shutil.rmtree(base, ignore_errors=True)
 
 
-def run_level(cpus: int, n_events: int, n_batches: int = 4) -> dict:
+def run_level(cpus: int, n_events: int, n_batches: int = 4,
+              mode: str = "--child") -> dict:
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
+        [sys.executable, os.path.abspath(__file__), mode, str(cpus),
          str(n_events), str(n_batches)],
         capture_output=True,
         text=True,
@@ -328,6 +432,13 @@ def main() -> None:
             int(sys.argv[4]) if len(sys.argv) > 4 else 4,
         )
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--router-child":
+        router_child(
+            int(sys.argv[2]),
+            int(sys.argv[3]),
+            int(sys.argv[4]) if len(sys.argv) > 4 else 2,
+        )
+        return
     if len(sys.argv) >= 2 and sys.argv[1] == "--control":
         control(int(sys.argv[2]), int(sys.argv[3]))
         return
@@ -341,16 +452,27 @@ def main() -> None:
         fleet_child(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         return
 
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    lo_c = int(sys.argv[2]) if len(sys.argv) > 3 else 8
-    hi_c = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    lo = run_level(lo_c, n_events, n_batches)
-    hi = run_level(hi_c, n_events, n_batches)
+    args = [a for a in sys.argv[1:] if a != "--router"]
+    router = "--router" in sys.argv[1:]
+    n_events = int(args[0]) if len(args) > 0 else 2_000_000
+    lo_c = int(args[1]) if len(args) > 2 else 8
+    hi_c = int(args[2]) if len(args) > 2 else 32
+    n_batches = int(args[3]) if len(args) > 3 else (2 if router else 4)
+    mode = "--router-child" if router else "--child"
+    lo = run_level(lo_c, n_events, n_batches, mode=mode)
+    hi = run_level(hi_c, n_events, n_batches, mode=mode)
     ratio = hi_c / lo_c
     eff = hi["events_per_sec"] / (ratio * lo["events_per_sec"])
+    job = (
+        f"ROUTED CDC replay (months(ts) x 8-bucket partition router, "
+        f"conversation-derived ts, {n_batches} batches, merge-on-read, "
+        "stage-first fused apply)"
+        if router
+        else f"CDC replay (synth binlog, hot_frac=0.05, {n_batches} "
+             "micro-batches, 64 buckets, merge-on-read)"
+    )
     result = {
-        "job": f"CDC replay (synth binlog, hot_frac=0.05, {n_batches} micro-batches, 64 buckets, merge-on-read)",
+        "job": job,
         "n_events": n_events,
         f"local{lo_c}": lo,
         f"local{hi_c}": hi,
