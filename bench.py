@@ -1056,6 +1056,7 @@ def run_wide_batch_partitioned(spark, sf: float) -> dict:
         # interleaved best-of-2, fresh tables per attempt: flat, part,
         # flat, part — host-phase drift hits both arms equally
         walls = {"flat": [], "part": []}
+        part_phases: list[dict] = []
         flat = part = None
         for attempt in range(2):
             flat = LakeTable(spark, os.path.join(work, f"flat{attempt}"),
@@ -1066,19 +1067,32 @@ def run_wide_batch_partitioned(spark, sf: float) -> dict:
             part.create(TRANSCRIPT_SCHEMA)
             for name, tbl in (("flat", flat), ("part", part)):
                 t0 = time.monotonic()
+                phases: dict = {}
                 for b, pred in enumerate(
                     (F.col("seq") < half, F.col("seq") >= half)
                 ):
-                    tbl.apply_changes(
+                    m = tbl.apply_changes(
                         spark.read.parquet(seg).filter(pred), batch_id=b
                     )
+                    for k, v in (m.get("phases") or {}).items():
+                        if isinstance(v, (int, float)) and not isinstance(
+                            v, bool
+                        ):
+                            phases[k] = round(phases.get(k, 0.0) + v, 3)
                 tbl.read().count()
                 walls[name].append(round(time.monotonic() - t0, 3))
+                if name == "part":
+                    part_phases.append(phases)
         for name in ("flat", "part"):
             el = min(walls[name])
             out[name] = {"elapsed_sec": el,
                          "attempts_sec": sorted(walls[name]),
                          "events_per_sec": round(n / el, 1)}
+        # phase attribution for the BEST part attempt: makes an inflated
+        # routed arm diagnosable (stage job vs driver-side fixed costs)
+        out["part"]["phases"] = part_phases[
+            walls["part"].index(out["part"]["elapsed_sec"])
+        ]
         out["routing_tax"] = round(
             out["part"]["elapsed_sec"] / out["flat"]["elapsed_sec"], 2
         )

@@ -51,6 +51,16 @@ _DUCK_SHINGLES = (
 # ---------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------
+def d1_exact_dedup_df(docs: DataFrame) -> DataFrame:
+    """DataFrame core of d1 (any (doc_id, text) relation — also the SQL
+    TVF ``dedup_exact('t')``, sql.py)."""
+    return (
+        docs
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
 @_q(
     "d1_exact_dedup",
     "SELECT md5(lower(trim(text))) AS content_hash, min(doc_id) AS keeper_id, "
@@ -60,32 +70,12 @@ def d1_exact_dedup(spark, sf_dir):
     """exact dedup by content hash (hash-groupBy): one keeper per distinct
     normalized text. Map-side partial agg; at 100 TB this is the cheap
     first pass before any near-dup sketching."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .groupBy(F.md5(F.lower(F.trim("text"))).alias("content_hash"))
-        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
+    return d1_exact_dedup_df(_t(spark, sf_dir, "documents"))
 
 
-@_q(
-    "d2_ngram_jaccard_pairs",
-    _DUCK_SHINGLES + ", ex AS (SELECT doc_id, unnest(shingles) sh FROM sh), "
-    "sizes AS (SELECT doc_id, len(shingles) sz FROM sh), "
-    "pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter FROM ex a "
-    "JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-    "SELECT doc_a, doc_b, round(inter*1.0/(sa.sz+sb.sz-inter), 4) AS jaccard "
-    "FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id "
-    "JOIN sizes sb ON p.doc_b = sb.doc_id "
-    "WHERE inter*1.0/(sa.sz+sb.sz-inter) >= 0.6",
-)
-def d2_ngram_jaccard_pairs(spark, sf_dir):
-    """exact n-gram-Jaccard near-dup pairs (threshold 0.6): explode
-    shingles, self-equi-join on shingle, count intersections, Jaccard from
-    set sizes. The shingle join is the shuffle; hot shingles (stopword
-    n-grams) are the skew risk — AQE skew-join handles it here, and at
-    100 TB you'd drop top-frequency shingles (they can't create high-
-    Jaccard pairs on their own) before the join."""
-    sh = _shingles(_t(spark, sf_dir, "documents")).cache()
+def d2_ngram_jaccard_pairs_df(docs: DataFrame) -> DataFrame:
+    """DataFrame core of d2 over any (doc_id, text) relation."""
+    sh = _shingles(docs).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -107,6 +97,27 @@ def d2_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@_q(
+    "d2_ngram_jaccard_pairs",
+    _DUCK_SHINGLES + ", ex AS (SELECT doc_id, unnest(shingles) sh FROM sh), "
+    "sizes AS (SELECT doc_id, len(shingles) sz FROM sh), "
+    "pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter FROM ex a "
+    "JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, round(inter*1.0/(sa.sz+sb.sz-inter), 4) AS jaccard "
+    "FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id "
+    "JOIN sizes sb ON p.doc_b = sb.doc_id "
+    "WHERE inter*1.0/(sa.sz+sb.sz-inter) >= 0.6",
+)
+def d2_ngram_jaccard_pairs(spark, sf_dir):
+    """exact n-gram-Jaccard near-dup pairs (threshold 0.6): explode
+    shingles, self-equi-join on shingle, count intersections, Jaccard from
+    set sizes. The shingle join is the shuffle; hot shingles (stopword
+    n-grams) are the skew risk — AQE skew-join handles it here, and at
+    100 TB you'd drop top-frequency shingles (they can't create high-
+    Jaccard pairs on their own) before the join."""
+    return d2_ngram_jaccard_pairs_df(_t(spark, sf_dir, "documents"))
+
+
 def d3_minhash_lsh_pairs(spark, sf_dir):
     """MinHash + LSH near-dup candidates, exact-verified.
 
@@ -124,10 +135,16 @@ def d3_minhash_lsh_pairs(spark, sf_dir):
     that restriction is pinned the only way it can be: subset-of-d2 plus a
     ≥90% recall floor in tests/test_pipeline.py (deterministic hashes ⇒
     stable, not flaky)."""
+    return d3_minhash_lsh_pairs_df(_t(spark, sf_dir, "documents"))
+
+
+def d3_minhash_lsh_pairs_df(docs: DataFrame) -> DataFrame:
+    """DataFrame core of d3 (also the SQL TVF
+    ``dedup_minhash_pairs('t')``)."""
     n_perm, bands, rows_per_band = 32, 8, 4
     p = 2_147_483_647
     # cached: consumed twice (signature pass + exact-verify join)
-    sh = _shingles(_t(spark, sf_dir, "documents")).cache()
+    sh = _shingles(docs).cache()
     ex = sh.select("doc_id", F.explode("shingles").alias("sh")).withColumn(
         "h", F.pmod(F.xxhash64("sh"), F.lit(p))
     )
@@ -215,9 +232,14 @@ def d6_dedup_clusters(spark, sf_dir):
     and the canonical flag. The DuckDB oracle computes the same closure
     with WITH RECURSIVE — an exact cross-engine check of an iterative
     distributed algorithm."""
+    return d6_dedup_clusters_df(_t(spark, sf_dir, "documents"))
+
+
+def d6_dedup_clusters_df(docs: DataFrame) -> DataFrame:
+    """DataFrame core of d6 (also the SQL TVF ``dedup_clusters('t')``)."""
     from .operators.components import connected_components
 
-    pairs = d2_ngram_jaccard_pairs(spark, sf_dir).select(
+    pairs = d2_ngram_jaccard_pairs_df(docs).select(
         F.col("doc_a").cast("long").alias("u"),
         F.col("doc_b").cast("long").alias("v"),
     )
@@ -243,14 +265,32 @@ def d7_decontaminate(spark, sf_dir, n: int = 8):
     contaminated docs: (doc_id, n_hits = distinct overlapping grams).
     Driver row via ``d7d8_curation_suite``; per-operator oracle also in
     tests/test_queries.py."""
-    grams = _shingles(_t(spark, sf_dir, "documents"), n=n).select(
+    return d7_decontaminate_df(_t(spark, sf_dir, "documents"), n=n)
+
+
+def d7_decontaminate_df(
+    docs: DataFrame, bench_docs: DataFrame | None = None, n: int = 8
+) -> DataFrame:
+    """DataFrame core of d7 (also the SQL TVF
+    ``decontaminate('train'[, 'bench'][, n])``). With an explicit
+    ``bench_docs`` relation — the real pipeline shape — every ``docs``
+    row is train and the benchmark n-gram set comes from that second
+    (small, broadcast) relation; without it, the deterministic
+    doc_id-hash split stands in for it as documented above."""
+    grams = _shingles(docs, n=n).select(
         "doc_id", F.explode("shingles").alias("g")
     )
-    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1).isin(
-        "0", "1"
-    )
-    bench = grams.filter(is_bench).select("g").distinct()
-    train = grams.filter(~is_bench)
+    if bench_docs is None:
+        is_bench = F.substring(
+            F.md5(F.col("doc_id").cast("string")), 32, 1
+        ).isin("0", "1")
+        bench = grams.filter(is_bench).select("g").distinct()
+        train = grams.filter(~is_bench)
+    else:
+        bench = _shingles(bench_docs, n=n).select(
+            F.explode("shingles").alias("g")
+        ).distinct()
+        train = grams
     return (
         train.join(F.broadcast(bench), "g", "left_semi")
         .groupBy("doc_id")

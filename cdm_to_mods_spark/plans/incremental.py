@@ -307,10 +307,23 @@ class AdditiveStatsView(ConversationStatsView):
         return {"refreshed": True, "source_version": src_v,
                 "strategy": "retract_stream"}
 
-    #: point-read cap for the changelog-free incremental path: a refresh
-    #: range touching more conversations than this re-aggregates cheaper
-    #: than it point-reads (each touched bucket resolves fully) — reseed
+    #: point-read cap for the changelog-free incremental path over sources
+    #: that only expose key-based point reads (the partition router): a
+    #: refresh range touching more conversations than this re-aggregates
+    #: cheaper than it point-reads — reseed. Flat LakeTable sources use
+    #: the BUCKET-FRACTION rule below instead (round 5): the cost driver
+    #: is touched buckets, not key count — 100k keys concentrated in 2 of
+    #: 64 buckets still point-read far cheaper than a full reseed.
     _LOOKUP_KEY_CAP = 4096
+    #: reseed when the touched-bucket fraction exceeds this (each touched
+    #: bucket resolves FULLY twice — pre + post — so past ~half the table
+    #: the two point reads cost more than one full re-aggregate)...
+    _LOOKUP_BUCKET_FRAC = 0.5
+    #: ...but only when the table has enough buckets for the fraction to
+    #: mean anything: below this, bucket granularity is so coarse (1 of 2
+    #: touched = "half the table") that the fixed costs both strategies
+    #: share dominate, and the incremental path's other properties win.
+    _LOOKUP_MIN_BUCKETS = 8
 
     def _lookup_fold(self, applied: int, src_v: int):
         """Incremental refresh WITHOUT a stored changelog (round 4): the
@@ -324,35 +337,88 @@ class AdditiveStatsView(ConversationStatsView):
         changelog='lookup' producer pays per commit.
 
         Returns the folded view frame, ``"noop"`` for a maintenance-only
-        range, or ``None`` when the touched-conversation set exceeds
-        ``_LOOKUP_KEY_CAP`` (reseed wins past that). Untouched turns of a
-        touched conversation are excluded by the full-key semi-join: their
-        pre/post contributions would cancel only up to float rounding,
-        and an additive view must not accumulate residue."""
+        range, or ``None`` when reseeding wins on cost. The reseed
+        decision (round 5) is BUCKET-fraction-based for flat LakeTable
+        sources — touched buckets vs populated buckets, the actual cost
+        ratio of two bucket-pruned resolves against one full table
+        re-aggregate — with the touched-bucket ids collected per VERSION
+        under that version's recorded layout (a rebucket inside the
+        refresh range derives each side's pruning from its own manifest),
+        and no driver-side key list at all. Sources without bucket-level
+        readers (the partition router) keep the ``_LOOKUP_KEY_CAP``
+        key-count rule. Untouched turns of a touched conversation are
+        excluded by the full-key semi-join: their pre/post contributions
+        would cancel only up to float rounding, and an additive view must
+        not accumulate residue."""
+        from .lake import _bucket_expr
+
         src = self.source
         keys = list(src.key_cols)
-        bucket_col = getattr(src, "bucket_col", None) or getattr(
-            src, "_lake_kwargs", {}
-        ).get("bucket_col", keys[0])
         feed = src.changes(applied, src_v)
-        # localCheckpoint: touched feeds three consumers (cap probe + two
+        # localCheckpoint: touched feeds three consumers (probe + two
         # semi-joins); eager materialization with session-managed cleanup
         touched = feed.select(*keys).distinct().localCheckpoint()
-        probe = (
-            touched.select(bucket_col).distinct()
-            .limit(self._LOOKUP_KEY_CAP + 1).collect()
-        )
-        if not probe:
-            return "noop"
-        if len(probe) > self._LOOKUP_KEY_CAP:
-            return None
-        bucket_keys = sorted(r[0] for r in probe)
-        pre = src.read_keys(bucket_keys, version=applied).join(
-            touched, keys, "left_semi"
-        )
-        post = src.read_keys(bucket_keys, version=src_v).join(
-            touched, keys, "left_semi"
-        )
+        if isinstance(src, LakeTable):
+            man_head = src.manifest(src_v)
+
+            def _buckets_at(man: dict) -> list[int]:
+                nb = man.get("num_buckets", src.num_buckets)
+                bf = man.get("bucket_fn", "xxhash64")
+                bc = man.get("bucket_col", src.bucket_col)
+                return sorted(
+                    r["_b"]
+                    for r in touched.select(
+                        _bucket_expr(bc, nb, bf).alias("_b")
+                    ).distinct().collect()
+                )
+
+            tb_head = _buckets_at(man_head)
+            if not tb_head:
+                return "noop"
+            populated = max(1, len(man_head["buckets"]))
+            if (
+                populated >= self._LOOKUP_MIN_BUCKETS
+                and len(tb_head) > self._LOOKUP_BUCKET_FRAC * populated
+            ):
+                return None  # reseed: point reads would resolve most of
+                # the table twice
+
+            def _at(version: int, tb: list[int]) -> DataFrame:
+                man = src.manifest(version)
+                return src._resolve_live(
+                    src._read_raw(man, buckets=tb), man, buckets=tb
+                )
+
+            man_pre = src.manifest(applied)
+            tb_pre = (
+                tb_head
+                if (
+                    man_pre.get("num_buckets") == man_head.get("num_buckets")
+                    and man_pre.get("bucket_fn") == man_head.get("bucket_fn")
+                )
+                else _buckets_at(man_pre)  # rebucket inside the range
+            )
+            pre = _at(applied, tb_pre).join(touched, keys, "left_semi")
+            post = _at(src_v, tb_head).join(touched, keys, "left_semi")
+        else:
+            bucket_col = getattr(src, "bucket_col", None) or getattr(
+                src, "_lake_kwargs", {}
+            ).get("bucket_col", keys[0])
+            probe = (
+                touched.select(bucket_col).distinct()
+                .limit(self._LOOKUP_KEY_CAP + 1).collect()
+            )
+            if not probe:
+                return "noop"
+            if len(probe) > self._LOOKUP_KEY_CAP:
+                return None
+            bucket_keys = sorted(r[0] for r in probe)
+            pre = src.read_keys(bucket_keys, version=applied).join(
+                touched, keys, "left_semi"
+            )
+            post = src.read_keys(bucket_keys, version=src_v).join(
+                touched, keys, "left_semi"
+            )
         delta = pre.withColumn(
             "_change_type", F.lit("update_preimage")
         ).unionByName(

@@ -2073,11 +2073,105 @@ class PartitionedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Table state at a global version: each partition read at the
-        sub-version that global commit pinned — one consistent cut."""
+        sub-version that global commit pinned — one consistent cut.
+
+        Common case (round 5): ONE scan + ONE resolve for the whole
+        table (``_fused_read``) instead of a union of per-partition
+        plans — the per-sub shape paid P separate LWW aggregates and P
+        union branches, measured 2.2-2.4x the equivalent flat table's
+        read at 12 partitions (and growing with P: the cost that matters
+        at a 120-month production table)."""
         man = self.manifest(version)
+        fused = self._fused_read(man)
+        if fused is not None:
+            return fused
         return self._union(
             [self._sub(p).read(version=v) for p, v in sorted(man["parts"].items())],
             empty=lambda: self._empty_cut(man),
+        )
+
+    def _fused_read(self, man: dict) -> DataFrame | None:
+        """ONE-plan table read for the steady-state layout: every
+        partition (at its pinned sub-version) stores a single-entry
+        schema list with one common canonical schema, no renames, and
+        the whole-row ``lww`` engine. All partitions' file sets go into
+        ONE parquet scan; per-key resolution groups by
+        (partition, key) — the composite identity — with the partition
+        value taken from the FILE PATH (``part=<value>/``), never from
+        row data: a tombstone's payload is nulled (including the
+        partition column), so deriving the partition from ``ts`` would
+        strand deletes in ``__null__`` and resurrect their keys.
+        Returns None (→ the per-sub union path) for evolved / renamed /
+        mixed-schema cuts and column-level merge engines, whose
+        reconciliation is per-sub by construction."""
+        def _norm(sj: str) -> str:
+            # nullability-normalized schema identity: every first apply
+            # legitimately relaxes the spec's non-nullable fields (Spark
+            # loses nullability on createDataFrame/parquet round trips),
+            # so a 2-entry chain differing ONLY in nullable flags is the
+            # STEADY state, not an evolution — and all its files read
+            # safely under the all-nullable shape
+            s = schema_from_json(sj)
+            return T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in s.fields]
+            ).json()
+
+        parts = sorted(man["parts"].items())
+        if not parts:
+            return None
+        paths: list[str] = []
+        canon_json = None
+        needs_resolve = False
+        for p, v in parts:
+            sub = self._sub(p)
+            if sub.merge_engine != "lww":
+                return None
+            m = sub.manifest(v)
+            if m.get("renames"):
+                return None
+            for sj in m["schemas"]:
+                nj = _norm(sj)
+                if canon_json is None:
+                    canon_json = nj
+                elif nj != canon_json:
+                    return None
+            if sub._needs_resolve(list(m["buckets"].values())):
+                needs_resolve = True
+            for e in sub._mor_buckets(m["buckets"]).values():
+                for fs in sub._bucket_files(e):
+                    fp = fs["path"]
+                    paths.append(
+                        fp if os.path.isabs(fp)
+                        else os.path.join(sub.path, fp)
+                    )
+        if not paths:
+            return None
+        canon = schema_from_json(canon_json)
+        hidden = T.StructType(
+            canon.fields
+            + [
+                T.StructField(SEQ_COL, T.LongType(), False),
+                T.StructField(DELETED_COL, T.BooleanType(), False),
+            ]
+        )
+        raw = self.spark.read.schema(hidden).parquet(*paths)
+        if needs_resolve:
+            raw = raw.withColumn(
+                "_part",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"/part=([^/]+)/", 1
+                ),
+            )
+            with_op = raw.withColumn(
+                "op", F.when(F.col(DELETED_COL), "D").otherwise("U")
+            )
+            raw = latest_per_key(
+                with_op, ("_part", *self.key_cols), SEQ_COL
+            ).drop("op", "_part")
+        return (
+            raw.filter(~F.col(DELETED_COL))
+            .drop(SEQ_COL, DELETED_COL)
+            .select(*canon.fieldNames())
         )
 
     def read_range(self, lo, hi, col: str | None = None,

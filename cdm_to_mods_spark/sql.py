@@ -71,6 +71,10 @@ Supported statements (case-insensitive keywords; one statement per call):
 - CDC TVFs in any SELECT: ``table_changes('t', since[, until])`` (the
   change feed) and ``row_changes('t', since[, until])`` (the typed
   changelog) — rewritten to temp views before delegation.
+- Curation TVFs in any SELECT (round 5 — the training-data pipeline
+  from SQL): ``dedup_exact('t')``, ``dedup_minhash_pairs('t')``,
+  ``dedup_clusters('t')``, ``decontaminate('train'[, 'bench'][, n])``
+  over any registered relation with (doc_id, text) columns.
 - ``COPY INTO t FROM '/dir' [FILEFORMAT = fmt] [BATCH_ID = n]`` —
   loads a change-event directory through the MERGE path; BATCH_ID is
   the exactly-once token (re-running a committed id is a skip).
@@ -620,6 +624,82 @@ class LakeCatalog:
                 view = f"{name}__{fn}_{since}_{until or 'head'}"
                 df.createOrReplaceTempView(view)
                 stmt = stmt.replace(m.group(0), view)
+        stmt = self._rewrite_curation_tvfs(stmt)
+        return stmt
+
+    # ------------------------------------------------- curation TVFs
+    def _relation(self, name: str) -> DataFrame:
+        """Resolve a TVF argument to a DataFrame: registered lake table
+        (head state), materialized view (stored state), stored view
+        (expanded), or any live temp view — the same binding order the
+        statement rewriter uses for FROM references."""
+        if name in self._tables:
+            return self.table(name).read()
+        if name in self._mviews:
+            return self._mviews[name].read()
+        if name in self._views:
+            self._expand_view(name, stack=())
+            return self.spark.table(name)
+        try:
+            return self.spark.table(name)
+        except Exception:
+            raise LakeSqlError(
+                f"unknown relation {name!r} in table function argument"
+            )
+
+    def _rewrite_curation_tvfs(self, stmt: str) -> str:
+        """Training-data curation ops as table-valued functions (round 5)
+        — the pipeline surface drivable from ``run_sql.py`` like the CDC
+        TVFs above. All take relation-NAME string arguments with
+        (doc_id, text) columns:
+
+        * ``dedup_exact('t')`` → pipeline d1 (content-hash groups)
+        * ``dedup_minhash_pairs('t')`` → d3 (MinHash+LSH candidates,
+          exact-verified Jaccard ≥ 0.6 pairs)
+        * ``dedup_clusters('t')`` → d6 (near-dup connected components,
+          canonical keeper per cluster)
+        * ``decontaminate('train', 'bench'[, n])`` → d7 with an explicit
+          benchmark relation (n = word-gram length, default 8);
+          single-argument form uses d7's deterministic hash split
+        """
+        from .pipeline import (
+            d1_exact_dedup_df,
+            d3_minhash_lsh_pairs_df,
+            d6_dedup_clusters_df,
+            d7_decontaminate_df,
+        )
+
+        one_arg = {
+            "dedup_exact": d1_exact_dedup_df,
+            "dedup_minhash_pairs": d3_minhash_lsh_pairs_df,
+            "dedup_clusters": d6_dedup_clusters_df,
+        }
+        pat = re.compile(
+            rf"\b(dedup_exact|dedup_minhash_pairs|dedup_clusters)"
+            rf"\s*\(\s*'({_IDENT})'\s*\)",
+            re.I,
+        )
+        for m in list(pat.finditer(stmt)):
+            fn, name = m.group(1).lower(), m.group(2)
+            df = one_arg[fn](self._relation(name))
+            view = f"{name}__{fn}"
+            df.createOrReplaceTempView(view)
+            stmt = stmt.replace(m.group(0), view)
+        dpat = re.compile(
+            rf"\bdecontaminate\s*\(\s*'({_IDENT})'"
+            rf"(?:\s*,\s*'({_IDENT})')?(?:\s*,\s*(\d+))?\s*\)",
+            re.I,
+        )
+        for m in list(dpat.finditer(stmt)):
+            train, bench, n = m.group(1), m.group(2), m.group(3)
+            df = d7_decontaminate_df(
+                self._relation(train),
+                self._relation(bench) if bench else None,
+                n=int(n) if n else 8,
+            )
+            view = f"{train}__decontaminate_{bench or 'split'}_{n or 8}"
+            df.createOrReplaceTempView(view)
+            stmt = stmt.replace(m.group(0), view)
         return stmt
 
     def _expand_view(self, name: str, stack: tuple) -> None:

@@ -229,10 +229,13 @@ def test_plain_cdf_view_refreshes_incrementally(spark, tmp_path):
     # noop range: maintenance-only commit advances the marker cheaply
     t.compact()
     assert view.refresh()["strategy"] == "noop"
-    # a touched-set past the cap falls back to reseed (and stays correct)
+    # a touched-set past the cost threshold falls back to reseed (and
+    # stays correct) — round 5: flat sources decide by BUCKET fraction,
+    # so force the fraction rule to bite
     t.apply_changes(spark.createDataFrame(
         [("U", 7, "c2", 0, "user", "ddd", None)], ev), batch_id=2)
-    view._LOOKUP_KEY_CAP = 0
+    view._LOOKUP_BUCKET_FRAC = -1.0
+    view._LOOKUP_MIN_BUCKETS = 0
     res2 = view.refresh()
     assert res2["strategy"] == "reseed_full"
     rows2 = {r.role: (r.n, r.chars) for r in view.read().collect()}
@@ -269,3 +272,91 @@ def test_plain_cdf_lookup_survives_schema_evolution_in_range(spark,
     assert res["strategy"] == "lookup_retract", res
     rows = {r.role: r.n for r in view.read().collect()}
     assert rows == {"user": 1, "tool": 1}
+
+
+def test_lookup_fold_many_keys_few_buckets_stays_incremental(spark, tmp_path):
+    """Round 5 (cost-based reseed decision): a refresh range touching far
+    MORE conversations than the old 4096-key cap — but concentrated in a
+    small fraction of the table's buckets — must still take the
+    'lookup_retract' path: the cost driver is touched buckets, not key
+    count. The touched set here is ~5k conversations that all hash into
+    <=13 of 64 buckets (selected by the engine's own bucket expression),
+    against a 40k-conversation table."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.incremental import GenericAdditiveView
+    from cdm_to_mods_spark.plans.lake import LakeTable, _bucket_expr
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = LakeTable(spark, str(tmp_path / "big"), num_buckets=64,
+                  merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    base = spark.range(40_000).select(
+        F.lit("I").alias("op"),
+        F.col("id").cast("long").alias("seq"),
+        F.concat(F.lit("conv-"), F.col("id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("abc").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    t.apply_changes(base, batch_id=0)
+    view = GenericAdditiveView(
+        spark, t, str(tmp_path / "view"), ["role"],
+        [("n", "count", None), ("chars", "sum", "length(text)")],
+    )
+    assert view.refresh()["strategy"] == "full"
+    # updates to EVERY conversation in buckets 0..12 (~20% of 64): well
+    # past the old key cap, well under the bucket-fraction threshold
+    upd = base.filter(
+        _bucket_expr("conv_id", 64, "hash32") < 13
+    ).withColumn("op", F.lit("U")).withColumn(
+        "seq", F.col("seq") + F.lit(100_000)
+    ).withColumn("text", F.lit("abcdef"))
+    n_touched = upd.count()
+    assert n_touched > 4096, n_touched  # the shape the old cap reseeded
+    t.apply_changes(upd, batch_id=1)
+    res = view.refresh()
+    assert res["strategy"] == "lookup_retract", res
+    rows = {r.role: (r.n, r.chars) for r in view.read().collect()}
+    assert rows == {"user": (40_000, 3.0 * (40_000 - n_touched) + 6.0 * n_touched)}
+
+
+def test_lookup_fold_reseeds_past_bucket_fraction(spark, tmp_path):
+    """The flip side: a range touching MOST buckets of a
+    >=_LOOKUP_MIN_BUCKETS table reseeds (two full-table point reads would
+    cost more than one re-aggregate), and the state stays exact."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.incremental import GenericAdditiveView
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t = LakeTable(spark, str(tmp_path / "wide"), num_buckets=8,
+                  merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    base = spark.range(2_000).select(
+        F.lit("I").alias("op"),
+        F.col("id").cast("long").alias("seq"),
+        F.concat(F.lit("conv-"), F.col("id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("ab").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    t.apply_changes(base, batch_id=0)
+    view = GenericAdditiveView(
+        spark, t, str(tmp_path / "view"), ["role"],
+        [("n", "count", None), ("chars", "sum", "length(text)")],
+    )
+    assert view.refresh()["strategy"] == "full"
+    t.apply_changes(  # touches every bucket
+        base.withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("seq") + F.lit(10_000))
+        .withColumn("text", F.lit("abcd")),
+        batch_id=1,
+    )
+    res = view.refresh()
+    assert res["strategy"] == "reseed_full", res
+    rows = {r.role: (r.n, r.chars) for r in view.read().collect()}
+    assert rows == {"user": (2_000, 8_000.0)}

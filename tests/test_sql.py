@@ -1140,3 +1140,87 @@ def test_router_fuzz_parse_or_typed_error(spark, tmp_path_factory, stmt):
         # typed refusal: nothing may have committed
         assert t.latest_version() == v0, stmt
     # any OTHER exception propagates and fails the test — that's the bug
+
+
+# ------------------------------------------------- curation TVFs (round 5)
+
+
+@pytest.fixture()
+def docs_view(spark):
+    """A (doc_id, text) relation as a temp view — the shape every
+    curation TVF takes."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (3, "completely different text about spark engines and lakes"),
+        (4, "completely different text about spark engines and lakes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("docs")
+    return df
+
+
+def test_tvf_dedup_exact(spark, cat, docs_view):
+    got = cat.sql(
+        "SELECT keeper_id, n_copies FROM dedup_exact('docs') "
+        "WHERE n_copies > 1 ORDER BY keeper_id"
+    ).collect()
+    assert [(r.keeper_id, r.n_copies) for r in got] == [(0, 2), (3, 2)]
+
+
+def test_tvf_dedup_minhash_pairs_and_clusters(spark, cat, docs_view):
+    pairs = cat.sql(
+        "SELECT doc_a, doc_b FROM dedup_minhash_pairs('docs') "
+        "ORDER BY doc_a, doc_b"
+    ).collect()
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in got_pairs and (3, 4) in got_pairs
+    clusters = cat.sql(
+        "SELECT doc_id, cluster_id, is_canonical FROM dedup_clusters('docs')"
+    ).collect()
+    by_doc = {r.doc_id: (r.cluster_id, r.is_canonical) for r in clusters}
+    # 0,1 (and possibly 2) share a cluster rooted at 0; 3,4 at 3
+    assert by_doc[0] == (0, True) and by_doc[1] == (0, False)
+    assert by_doc[3] == (3, True) and by_doc[4] == (3, False)
+
+
+def test_tvf_decontaminate_with_bench_relation(spark, cat, docs_view):
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("bench")
+    got = cat.sql(
+        "SELECT doc_id, n_hits FROM decontaminate('docs', 'bench', 3) "
+        "ORDER BY doc_id"
+    ).collect()
+    flagged = {r.doc_id for r in got}
+    # docs 0,1 share every 3-gram with the bench doc; 2 shares most;
+    # 3,4 share none
+    assert {0, 1, 2} <= flagged
+    assert 3 not in flagged and 4 not in flagged
+
+
+def test_tvf_works_over_registered_lake_table(spark, cat, tmp_path):
+    """The TVF argument binds a registered lake TABLE's head state too,
+    and composes with ordinary SQL around it."""
+    t = LakeTable(spark, str(tmp_path / "docs_t"), num_buckets=2,
+                  merge_mode="mor", key_cols=("doc_id",),
+                  bucket_col="doc_id")
+    t.create(T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]))
+    t.apply_changes(spark.createDataFrame(
+        [("I", 1, 7, "alpha beta gamma"), ("I", 2, 8, "alpha beta gamma")],
+        "op string, seq long, doc_id long, text string"), batch_id=0)
+    cat.register("docs_t", t)
+    got = cat.sql(
+        "SELECT count(*) AS n FROM dedup_exact('docs_t') WHERE n_copies = 2"
+    ).collect()
+    assert got[0].n == 1
+
+
+def test_tvf_unknown_relation_is_typed_error(spark, cat):
+    with pytest.raises(LakeSqlError, match="unknown relation"):
+        cat.sql("SELECT * FROM dedup_exact('no_such_rel')")
