@@ -574,23 +574,41 @@ def run_partition_prune(spark, sf: float) -> dict:
             tbl.create(TRANSCRIPT_SCHEMA)
             tbl.apply_changes(warm, batch_id=0)
 
-        flat = LakeTable(spark, os.path.join(work, "flat"), num_buckets=64,
-                         merge_mode="mor")
-        flat.create(TRANSCRIPT_SCHEMA)
-        part = PartitionedTable(spark, os.path.join(work, "part"),
-                                num_buckets=8, merge_mode="mor")
-        part.create(TRANSCRIPT_SCHEMA)
-        walls = {"flat_replay": 0.0, "part_replay": 0.0}
-        for b, pred in enumerate(
-            (F.col("seq") < half, F.col("seq") >= half)
-        ):
-            batch = spark.read.parquet(seg).filter(pred)
-            t0 = time.monotonic()
-            flat.apply_changes(batch, batch_id=b)
-            walls["flat_replay"] += time.monotonic() - t0
-            t0 = time.monotonic()
-            part.apply_changes(batch, batch_id=b)
-            walls["part_replay"] += time.monotonic() - t0
+        # interleaved best-of-2 replays, fresh tables per attempt (round 5
+        # — the single-shot tax whipsawed 1.29-1.57 across same-day runs);
+        # the LAST attempt's tables serve the scan/state checks below
+        attempt_walls = {"flat_replay": [], "part_replay": []}
+        phase_attempts: list[dict] = []
+        flat = part = None
+        for attempt in range(2):
+            flat = LakeTable(spark, os.path.join(work, f"flat{attempt}"),
+                             num_buckets=64, merge_mode="mor")
+            flat.create(TRANSCRIPT_SCHEMA)
+            part = PartitionedTable(spark, os.path.join(work, f"part{attempt}"),
+                                    num_buckets=8, merge_mode="mor")
+            part.create(TRANSCRIPT_SCHEMA)
+            fw = pw = 0.0
+            part_phases: dict = {}
+            for b, pred in enumerate(
+                (F.col("seq") < half, F.col("seq") >= half)
+            ):
+                batch = spark.read.parquet(seg).filter(pred)
+                t0 = time.monotonic()
+                flat.apply_changes(batch, batch_id=b)
+                fw += time.monotonic() - t0
+                t0 = time.monotonic()
+                m = part.apply_changes(batch, batch_id=b)
+                pw += time.monotonic() - t0
+                for k, v in (m.get("phases") or {}).items():
+                    if isinstance(v, (int, float)) and not isinstance(v, bool):
+                        part_phases[k] = round(part_phases.get(k, 0.0) + v, 3)
+            attempt_walls["flat_replay"].append(round(fw, 3))
+            attempt_walls["part_replay"].append(round(pw, 3))
+            phase_attempts.append(part_phases)
+        walls = {k: min(v) for k, v in attempt_walls.items()}
+        part_phases = phase_attempts[
+            attempt_walls["part_replay"].index(walls["part_replay"])
+        ]
         flat.compact()
         part.compact()
         # exact final-state cross-check (round 4): the routed replay is the
@@ -635,6 +653,9 @@ def run_partition_prune(spark, sf: float) -> dict:
             "prune_speedup": round(read["flat"] / read["part"], 2),
             "flat_replay_sec": round(walls["flat_replay"], 3),
             "part_replay_sec": round(walls["part_replay"], 3),
+            "flat_replay_attempts_sec": sorted(attempt_walls["flat_replay"]),
+            "part_replay_attempts_sec": sorted(attempt_walls["part_replay"]),
+            "part_phases": part_phases,
             "routing_tax": round(
                 walls["part_replay"] / walls["flat_replay"], 2
             ),
