@@ -232,3 +232,57 @@ def test_stage_first_bootstrap_single_job(spark, tmp_path):
     )
     got = {r.conv_id: r.text for r in t.read().collect()}
     assert got == {"c1": "jan", "c2": "fresh"}
+
+
+def test_fused_read_falls_back_on_divergent_schemas(spark, tmp_path):
+    """A per-sub DDL divergence (type-real column add on one partition)
+    must push read() onto the per-sub union path — same rows either way.
+    The divergence only reaches the GLOBAL cut once a later apply pins
+    the new sub version (direct per-sub DDL commits no global cut), so
+    the fused read correctly still serves the pre-DDL cut until then."""
+    t = _mor_router(spark, tmp_path)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    assert t._fused_read(t.manifest()) is not None  # engaged before
+    t.part("2025-02").add_column("extra", "int")
+    # pre-DDL global cut: fused read still serves it (and correctly so)
+    assert t._fused_read(t.manifest()) is not None
+    # the next apply pins the divergent sub version into a global cut
+    t.apply_changes(_events(spark, MORE), batch_id=1)
+    man = t.manifest()
+    assert t._fused_read(man) is None  # declined after divergence
+    got = _state(t.read().drop("extra"))
+    flat = LakeTable(spark, str(tmp_path / "flat"), num_buckets=4,
+                     merge_mode="mor")
+    flat.create(TRANSCRIPT_SCHEMA)
+    flat.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    flat.apply_changes(_events(spark, MORE), batch_id=1)
+    assert got == _state(flat.read())
+
+
+def test_fused_read_handles_delete_tombstones(spark, tmp_path):
+    """The delete case the path-derived partition exists for: a D event's
+    payload (including ts) is nulled in the tombstone row, so partition
+    identity MUST come from the file path — the deleted key stays dead
+    under the fused read."""
+    t = _mor_router(spark, tmp_path)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    t.apply_changes(_events(spark, [
+        ("D", 50, "c1", 0, None, None, None, _ts(1)),
+    ]), batch_id=1)
+    assert t._fused_read(t.manifest()) is not None
+    rows = t.read().filter(F.col("conv_id") == "c1").collect()
+    assert [(r.turn_idx) for r in rows] == [1]  # turn 0 stays deleted
+
+
+def test_fused_read_version_pinned_cut(spark, tmp_path):
+    """read(version=G) through the fused path serves the pinned cut, not
+    the head."""
+    t = _mor_router(spark, tmp_path)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    v0 = t.manifest()["version"]
+    t.apply_changes(_events(spark, MORE), batch_id=1)
+    old = _state(t.read(version=v0))
+    assert ("c1", 0, _ts(1)) in old
+    assert old[("c1", 0, _ts(1))] == ("user", "jan hello", None)
+    head = _state(t.read())
+    assert head[("c1", 0, _ts(1))] == ("user", "jan hello v2", None)
