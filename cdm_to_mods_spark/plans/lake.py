@@ -204,6 +204,48 @@ def _bucket_expr(key_col: str, num_buckets: int, fn: str = "hash32") -> F.Column
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
 
+def _driver_bucket_ids(keys, key_type: T.DataType, num_buckets: int):
+    """Bucket ids for a probe key list computed ON THE DRIVER via the
+    numpy murmur3 port (functions/hash32 — differentially pinned against
+    the JVM ``F.hash``), so a point lookup needs no Spark job before its
+    pruned scan. Returns None — caller falls back to the Spark-cast path
+    — when the probe values' natural Python type doesn't match the key
+    column's family: the fallback's ``cast`` owns coercion semantics
+    (e.g. a string probe against an int key), and re-implementing Spark
+    casts here would risk silently pruning the wrong buckets."""
+    import pyarrow as pa
+
+    from ..functions.hash32 import bucket_ids_np
+
+    keys = list(keys)
+    try:
+        if isinstance(key_type, T.StringType):
+            if not all(isinstance(k, str) for k in keys):
+                return None
+            arr = pa.array(keys, type=pa.string())
+        elif isinstance(key_type, T.LongType):
+            if not all(
+                isinstance(k, int) and not isinstance(k, bool) for k in keys
+            ):
+                return None
+            arr = pa.array(keys, type=pa.int64())
+        elif isinstance(key_type, (T.IntegerType, T.ShortType, T.ByteType)):
+            if not all(
+                isinstance(k, int) and not isinstance(k, bool) for k in keys
+            ):
+                return None
+            arr = pa.array(keys, type=pa.int32())
+        elif isinstance(key_type, T.BinaryType):
+            if not all(isinstance(k, (bytes, bytearray)) for k in keys):
+                return None
+            arr = pa.array([bytes(k) for k in keys], type=pa.binary())
+        else:
+            return None
+        return sorted({int(b) for b in bucket_ids_np(arr, num_buckets)})
+    except (TypeError, ValueError, OverflowError, pa.ArrowInvalid):
+        return None
+
+
 def _lineage_entry(lineage: dict, b, max_seq, min_seq, n_changes,
                    snapshot, source) -> dict:
     """Build a bucket's lineage record with a MONOTONE max_seq: the stored
@@ -1892,17 +1934,30 @@ class LakeTable:
         key_type = self._canonical_schema(man)[self.bucket_col].dataType
         if not bucket_keys:  # empty probe: no buckets, no schema inference
             return self._empty(self._canonical_schema(man), hidden=False)
-        keys_df = self.spark.createDataFrame(
-            [(k,) for k in bucket_keys], [self.bucket_col]
-        ).select(F.col(self.bucket_col).cast(key_type).alias(self.bucket_col))
-        needed = sorted(
-            r["_b"]
-            for r in keys_df.select(
-                _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn).alias("_b")
-            )
-            .distinct()
-            .collect()
+        # hash32 layouts hash the probe DRIVER-SIDE via the numpy murmur3
+        # port (parity-pinned numpy == scalar == JVM in test_lake_sink):
+        # a point lookup then launches ZERO jobs before its pruned scan —
+        # the Spark-job fallback below had cost one key-hash job PER
+        # lookup (and one per partition on the router's fan-out probe)
+        needed = (
+            _driver_bucket_ids(bucket_keys, key_type, self.num_buckets)
+            if self.bucket_fn == "hash32"
+            else None
         )
+        if needed is None:
+            keys_df = self.spark.createDataFrame(
+                [(k,) for k in bucket_keys], [self.bucket_col]
+            ).select(
+                F.col(self.bucket_col).cast(key_type).alias(self.bucket_col)
+            )
+            needed = sorted(
+                r["_b"]
+                for r in keys_df.select(
+                    _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn).alias("_b")
+                )
+                .distinct()
+                .collect()
+            )
         raw = self._read_raw(man, buckets=needed).filter(
             F.col(self.bucket_col).isin(bucket_keys)
         )

@@ -2090,7 +2090,12 @@ class PartitionedTable:
             empty=lambda: self._empty_cut(man),
         )
 
-    def _fused_read(self, man: dict) -> DataFrame | None:
+    def _fused_read(
+        self,
+        man: dict,
+        buckets: set | None = None,
+        pre_filter=None,
+    ) -> DataFrame | None:
         """ONE-plan table read for the steady-state layout: every
         partition (at its pinned sub-version) stores a single-entry
         schema list with one common canonical schema, no renames, and
@@ -2135,9 +2140,13 @@ class PartitionedTable:
                     canon_json = nj
                 elif nj != canon_json:
                     return None
-            if sub._needs_resolve(list(m["buckets"].values())):
+            sel = {
+                b: e for b, e in m["buckets"].items()
+                if buckets is None or int(b) in buckets
+            }
+            if sub._needs_resolve(list(sel.values())):
                 needs_resolve = True
-            for e in sub._mor_buckets(m["buckets"]).values():
+            for e in sub._mor_buckets(sel).values():
                 for fs in sub._bucket_files(e):
                     fp = fs["path"]
                     paths.append(
@@ -2145,6 +2154,12 @@ class PartitionedTable:
                         else os.path.join(sub.path, fp)
                     )
         if not paths:
+            if buckets is not None and canon_json is not None:
+                # bucket-pruned probe, signatures proven common, and the
+                # probed buckets hold NO files anywhere: the answer is
+                # the empty cut — a per-sub fallback would fan out P
+                # probes to learn the same
+                return self._empty_cut(man)
             return None
         canon = schema_from_json(canon_json)
         hidden = T.StructType(
@@ -2155,6 +2170,12 @@ class PartitionedTable:
             ]
         )
         raw = self.spark.read.schema(hidden).parquet(*paths)
+        if pre_filter is not None:
+            # point-lookup probes filter BEFORE the resolve: only the
+            # probed keys' rows reach the (partition, key) aggregate,
+            # and the predicate pushes into the parquet scan (bloom /
+            # row-group skipping)
+            raw = raw.filter(pre_filter)
         if needs_resolve:
             raw = raw.withColumn(
                 "_part",
@@ -2248,10 +2269,49 @@ class PartitionedTable:
                     for p, v in parts
                 )
             return self._union(probes, empty=lambda: self._empty_cut(man))
+        # full fan-out (no index, or time travel): the FUSED probe reads
+        # every partition's pruned buckets in ONE scan + ONE resolve
+        # (round 5) — the per-sub union paid P key-hash jobs + P plans,
+        # measured 15.8 s vs 1.1 s indexed at 36 partitions
+        fused = self._fused_read_keys(man, bucket_keys)
+        if fused is not None:
+            return fused
         return self._union(
             [self._sub(p).read_keys(bucket_keys, version=v)
              for p, v in parts],
             empty=lambda: self._empty_cut(man),
+        )
+
+    def _fused_read_keys(self, man: dict, bucket_keys: list):
+        """One-plan full fan-out probe: driver-side murmur3 bucket ids
+        (zero Spark jobs) + the fused single-signature scan restricted to
+        those buckets with the key predicate pushed below the resolve.
+        None → caller falls back to the per-sub union (non-hash32
+        layouts, mixed signatures, probe/key type mismatch)."""
+        from .lake import _driver_bucket_ids
+
+        parts = sorted(man["parts"].items())
+        if not parts or not bucket_keys:
+            return None
+        p0, v0 = parts[0]
+        sub0 = self._sub(p0)
+        if sub0.bucket_fn != "hash32":
+            return None
+        try:
+            key_type = sub0._canonical_schema(sub0.manifest(v0))[
+                sub0.bucket_col
+            ].dataType
+        except KeyError:
+            return None
+        needed = _driver_bucket_ids(
+            bucket_keys, key_type, sub0.num_buckets
+        )
+        if needed is None:
+            return None
+        return self._fused_read(
+            man,
+            buckets=set(needed),
+            pre_filter=F.col(sub0.bucket_col).isin(bucket_keys),
         )
 
     def _index_diff(self, man: dict) -> DataFrame:

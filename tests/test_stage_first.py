@@ -286,3 +286,61 @@ def test_fused_read_version_pinned_cut(spark, tmp_path):
     assert old[("c1", 0, _ts(1))] == ("user", "jan hello", None)
     head = _state(t.read())
     assert head[("c1", 0, _ts(1))] == ("user", "jan hello v2", None)
+
+
+def test_driver_bucket_ids_parity_and_fallback(spark):
+    """read_keys' driver-side probe hashing (round 5): the numpy murmur3
+    bucket ids must equal the JVM _bucket_expr's for string and long keys
+    (incl. unicode + full-range longs), and type-mismatched probes fall
+    back (None) so the Spark cast path owns coercion."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from cdm_to_mods_spark.plans.lake import _bucket_expr, _driver_bucket_ids
+
+    rng = random.Random(7)
+    longs = [rng.randrange(-2**62, 2**62) for _ in range(100)]
+    drv = _driver_bucket_ids(longs, T.LongType(), 8)
+    jvm = sorted({
+        r["_b"]
+        for r in spark.createDataFrame([(k,) for k in longs], "k long")
+        .select(_bucket_expr("k", 8).alias("_b")).distinct().collect()
+    })
+    assert drv == jvm
+    strs = [
+        "".join(rng.choice("abcdefgh漢字🎉") for _ in range(rng.randrange(0, 40)))
+        for _ in range(100)
+    ]
+    drv = _driver_bucket_ids(strs, T.StringType(), 16)
+    jvm = sorted({
+        r["_b"]
+        for r in spark.createDataFrame([(s,) for s in strs], "k string")
+        .select(_bucket_expr("k", 16).alias("_b")).distinct().collect()
+    })
+    assert drv == jvm
+    assert _driver_bucket_ids(["5"], T.LongType(), 8) is None
+    assert _driver_bucket_ids([5], T.StringType(), 8) is None
+
+
+def test_fused_fanout_read_keys_parity(spark, tmp_path):
+    """The no-index full fan-out probe rides ONE fused scan (round 5) and
+    matches the per-sub union byte-for-byte, including absent keys."""
+    t = _mor_router(spark, tmp_path)
+    t.apply_changes(_events(spark, THREE_MONTHS + [
+        ("I", 9, "c1", 5, "user", "jan extra", None, _ts(1, 9)),
+    ]), batch_id=0)
+    man = t.manifest()
+    probe = ["c1", "c3", "absent-key"]
+    assert t._fused_read_keys(man, probe) is not None
+    got = sorted(map(tuple, t.read_keys(probe)
+                     .select("conv_id", "turn_idx", "text").collect()))
+    union = t._union(
+        [t._sub(p).read_keys(probe, version=v)
+         for p, v in sorted(man["parts"].items())],
+        empty=lambda: t._empty_cut(man),
+    )
+    want = sorted(map(tuple, union
+                      .select("conv_id", "turn_idx", "text").collect()))
+    assert got == want and len(got) == 4
+    assert t.read_keys(["nobody"]).count() == 0
