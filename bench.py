@@ -676,7 +676,11 @@ def run_cross_partition(spark, sf: float) -> dict:
     conversations) against a 12-month table, fan-out vs index-pruned,
     interleaved best-of-2. At 10^10 events the tax stays O(batch) per
     commit while the fan-out lookup grows O(partitions) — these constants
-    say where the crossover sits."""
+    say where the crossover sits. NOTE round 5: the fan-out arm now rides
+    the FUSED single-scan probe (driver-side bucket ids, one plan), so
+    the recorded speedup is the index's edge over a fast fallback, not
+    over P union plans — at scale the index still reads O(homes) file
+    sets vs the fan-out's O(partitions)."""
     from pyspark.sql import functions as F
 
     from cdm_to_mods_spark.plans.partitioned import PartitionedTable
