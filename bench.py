@@ -676,11 +676,16 @@ def run_cross_partition(spark, sf: float) -> dict:
     conversations) against a 12-month table, fan-out vs index-pruned,
     interleaved best-of-2. At 10^10 events the tax stays O(batch) per
     commit while the fan-out lookup grows O(partitions) — these constants
-    say where the crossover sits. NOTE round 5: the fan-out arm now rides
-    the FUSED single-scan probe (driver-side bucket ids, one plan), so
-    the recorded speedup is the index's edge over a fast fallback, not
-    over P union plans — at scale the index still reads O(homes) file
-    sets vs the fan-out's O(partitions)."""
+    say where the crossover sits. NOTE round 5: BOTH lookup arms now ride
+    the FUSED single-scan probe (driver-side bucket ids; the indexed arm
+    scans only the homes) — at this sf the fan-out WINS (one scan, zero
+    prior jobs, vs the index's probe-collect job + home scan), so
+    lookup_speedup < 1 is the HONEST recorded number here. The index's
+    lookup edge is structural, not bench-scale: the fan-out opens
+    O(partitions x probed buckets) file-set chains (~960 at a 120-month
+    table) where the indexed path opens O(homes) (~8) plus a tiny index
+    probe; its primary job — cross-partition key identity for movers —
+    is priced by the replay arms above, not this lane."""
     from pyspark.sql import functions as F
 
     from cdm_to_mods_spark.plans.partitioned import PartitionedTable

@@ -2095,6 +2095,7 @@ class PartitionedTable:
         man: dict,
         buckets: set | None = None,
         pre_filter=None,
+        parts_subset: set | None = None,
     ) -> DataFrame | None:
         """ONE-plan table read for the steady-state layout: every
         partition (at its pinned sub-version) stores a single-entry
@@ -2122,6 +2123,8 @@ class PartitionedTable:
             ).json()
 
         parts = sorted(man["parts"].items())
+        if parts_subset is not None:
+            parts = [(p, v) for p, v in parts if p in parts_subset]
         if not parts:
             return None
         paths: list[str] = []
@@ -2259,15 +2262,34 @@ class PartitionedTable:
                     by_part.setdefault(r["part"], set()).add(r[idx.bucket_col])
             found = set().union(*by_part.values()) if by_part else set()
             missing = [k for k in bucket_keys if k not in found]
-            probes = [
-                self._sub(p).read_keys(sorted(ks), version=man["parts"][p])
-                for p, ks in sorted(by_part.items())
-            ]
-            if missing:
-                probes.extend(
-                    self._sub(p).read_keys(missing, version=v)
-                    for p, v in parts
+            # home probes ride ONE fused scan over just the home
+            # partitions (round 5): correct to filter the whole found-key
+            # set across homes because cross-partition identity keeps a
+            # key live ONLY at its home (the mover's synthesized delete
+            # tombstones the old copy, which the resolve drops)
+            probes = []
+            if by_part:
+                fused_homes = self._fused_read_keys(
+                    man, sorted(found), parts_subset=set(by_part)
                 )
+                if fused_homes is not None:
+                    probes.append(fused_homes)
+                else:
+                    probes.extend(
+                        self._sub(p).read_keys(
+                            sorted(ks), version=man["parts"][p]
+                        )
+                        for p, ks in sorted(by_part.items())
+                    )
+            if missing:
+                fused_missing = self._fused_read_keys(man, missing)
+                if fused_missing is not None:
+                    probes.append(fused_missing)
+                else:
+                    probes.extend(
+                        self._sub(p).read_keys(missing, version=v)
+                        for p, v in parts
+                    )
             return self._union(probes, empty=lambda: self._empty_cut(man))
         # full fan-out (no index, or time travel): the FUSED probe reads
         # every partition's pruned buckets in ONE scan + ONE resolve
@@ -2282,15 +2304,21 @@ class PartitionedTable:
             empty=lambda: self._empty_cut(man),
         )
 
-    def _fused_read_keys(self, man: dict, bucket_keys: list):
-        """One-plan full fan-out probe: driver-side murmur3 bucket ids
-        (zero Spark jobs) + the fused single-signature scan restricted to
-        those buckets with the key predicate pushed below the resolve.
-        None → caller falls back to the per-sub union (non-hash32
-        layouts, mixed signatures, probe/key type mismatch)."""
+    def _fused_read_keys(
+        self, man: dict, bucket_keys: list, parts_subset: set | None = None
+    ):
+        """One-plan probe: driver-side murmur3 bucket ids (zero Spark
+        jobs) + the fused single-signature scan restricted to those
+        buckets with the key predicate pushed below the resolve —
+        over every partition (the no-index fan-out) or over
+        ``parts_subset`` (the indexed path's home partitions). None →
+        caller falls back to the per-sub union (non-hash32 layouts,
+        mixed signatures, probe/key type mismatch)."""
         from .lake import _driver_bucket_ids
 
         parts = sorted(man["parts"].items())
+        if parts_subset is not None:
+            parts = [(p, v) for p, v in parts if p in parts_subset]
         if not parts or not bucket_keys:
             return None
         p0, v0 = parts[0]
@@ -2312,6 +2340,7 @@ class PartitionedTable:
             man,
             buckets=set(needed),
             pre_filter=F.col(sub0.bucket_col).isin(bucket_keys),
+            parts_subset=parts_subset,
         )
 
     def _index_diff(self, man: dict) -> DataFrame:
