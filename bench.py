@@ -841,6 +841,55 @@ def run_cross_partition(spark, sf: float) -> dict:
                     w if looks36[mode] is None else min(looks36[mode], w)
                 )
         n_parts36 = len(t36["on"].partitions())
+        # 120-partition lookup lane (round 5): with BOTH lookup arms on
+        # the fused single-scan probe, 12/36 partitions sit BELOW the
+        # index's crossover (the fan-out's one job beats probe+scan);
+        # this 10-year span is where the fan-out's O(partitions x probed
+        # buckets) chain count overtakes it — the measured crossover
+        # point the module docstring's scale claim rests on.
+        ev120 = (
+            synth_events(spark, n, max(500, n // 100), seed=61)
+            .drop("ts_raw")
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1577836800)  # 2020-01-01 UTC
+                    + F.pmod(
+                        F.xxhash64(F.lit(13), "conv_id"),
+                        F.lit(10 * 365 * 86400),
+                    )
+                ),
+            )
+        )
+        seg120 = os.path.join(work, "ev120")
+        ev120.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.parquet(seg120)
+        t120, looks120 = {}, {"off": None, "on": None}
+        for mode in ("off", "on"):
+            t = PartitionedTable(
+                spark, os.path.join(work, f"w120-{mode}"),
+                num_buckets=8, merge_mode="mor",
+                cross_partition_upsert=(mode == "on"),
+            )
+            t.create(TRANSCRIPT_SCHEMA)
+            t.apply_changes(spark.read.parquet(seg120), batch_id=0)
+            t.read().count()
+            t120[mode] = t
+        probe120 = [
+            r["conv_id"]
+            for r in t120["off"].read()
+            .select("conv_id").distinct().limit(8).collect()
+        ]
+        for _ in range(2):
+            for mode, t in t120.items():
+                t0 = time.monotonic()
+                t.read_keys(probe120).count()
+                w = time.monotonic() - t0
+                looks120[mode] = (
+                    w if looks120[mode] is None else min(looks120[mode], w)
+                )
+        n_parts120 = len(t120["on"].partitions())
         return {
             "n_events": n,
             "off_replay_sec": round(walls["off"], 3),
@@ -862,6 +911,12 @@ def run_cross_partition(spark, sf: float) -> dict:
             "lookup_indexed_sec_wide": round(looks36["on"], 3),
             "lookup_speedup_wide": round(
                 looks36["off"] / looks36["on"], 2
+            ),
+            "n_partitions_xl": n_parts120,
+            "lookup_fanout_sec_xl": round(looks120["off"], 3),
+            "lookup_indexed_sec_xl": round(looks120["on"], 3),
+            "lookup_speedup_xl": round(
+                looks120["off"] / looks120["on"], 2
             ),
         }
     finally:
@@ -1024,6 +1079,115 @@ def dt_parse(s: str):
         return _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
     except ValueError:
         return _dt.datetime.strptime(s, "%Y-%m-%d")
+
+
+def run_month_sequential(spark, sf: float) -> dict:
+    """The production STEADY STATE the routing-tax discussion keeps
+    appealing to, as a recorded number (round 5): events arrive roughly
+    in timestamp order, so each micro-batch touches 1-2 monthly
+    partitions, and the router's per-batch cost should collapse to the
+    flat apply plus small fixed costs — unlike the uniform backfill
+    lanes, where every batch touches all 12 partitions by construction.
+    2M conversation-derived-ts events split into 12 contiguous-month
+    batches (batch b = month b's events), replayed flat vs routed,
+    interleaved best-of-2 with fresh tables; reports the per-batch
+    touched-partition count actually observed plus the exact final-state
+    match."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+    from cdm_to_mods_spark.sources.synth import synth_events
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench-seq-", dir=shm)
+    try:
+        n = max(120_000, int(20_000_000 * sf))  # sf0.1 → 2M events
+        ev = (
+            synth_events(spark, n, max(500, n // 100), seed=47,
+                         hot_frac=0.05)
+            .drop("ts_raw")
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(1735689600)  # 2025-01-01 UTC
+                    + F.pmod(
+                        F.xxhash64(F.lit(7), "conv_id", "turn_idx"),
+                        F.lit(365 * 86400),
+                    )
+                ),
+            )
+            .withColumn("_m", F.month("ts"))
+        )
+        seg = os.path.join(work, "ev")
+        ev.write.partitionBy("_m").parquet(seg)
+        months = sorted(
+            int(d.split("=")[1]) for d in os.listdir(seg)
+            if d.startswith("_m=")
+        )
+        # warm both plan shapes (same rationale as the other lanes)
+        warm = spark.read.parquet(os.path.join(seg, f"_m={months[0]}"))
+        for name, tbl in (
+            ("wflat", LakeTable(spark, os.path.join(work, "wflat"),
+                                num_buckets=64, merge_mode="mor")),
+            ("wpart", PartitionedTable(spark, os.path.join(work, "wpart"),
+                                       num_buckets=8, merge_mode="mor")),
+        ):
+            tbl.create(TRANSCRIPT_SCHEMA)
+            tbl.apply_changes(warm.limit(20_000), batch_id=0)
+        walls = {"flat": [], "part": []}
+        touched: list[int] = []
+        flat = part = None
+        for attempt in range(2):
+            flat = LakeTable(spark, os.path.join(work, f"flat{attempt}"),
+                             num_buckets=64, merge_mode="mor")
+            flat.create(TRANSCRIPT_SCHEMA)
+            part = PartitionedTable(
+                spark, os.path.join(work, f"part{attempt}"),
+                num_buckets=8, merge_mode="mor",
+            )
+            part.create(TRANSCRIPT_SCHEMA)
+            for name, tbl in (("flat", flat), ("part", part)):
+                t0 = time.monotonic()
+                for b, m in enumerate(months):
+                    mm = tbl.apply_changes(
+                        spark.read.parquet(os.path.join(seg, f"_m={m}")),
+                        batch_id=b,
+                    )
+                    if name == "part" and attempt == 0:
+                        touched.append(mm.get("n_parts_touched", 0))
+                tbl.read().count()
+                walls[name].append(round(time.monotonic() - t0, 3))
+        out = {
+            "n_events": n,
+            "n_batches": len(months),
+            "flat_sec": min(walls["flat"]),
+            "part_sec": min(walls["part"]),
+            "flat_attempts_sec": sorted(walls["flat"]),
+            "part_attempts_sec": sorted(walls["part"]),
+            "parts_touched_per_batch": touched,
+            "steady_routing_tax": round(
+                min(walls["part"]) / min(walls["flat"]), 2
+            ),
+        }
+
+        def _h(tbl):
+            df = tbl.read().select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            )
+            return df.select(
+                F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+                .alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+
+        hf, hp = _h(flat), _h(part)
+        out["final_rows"] = int(hp.n)
+        out["final_state_match"] = bool(hf.h == hp.h and hf.n == hp.n)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def run_wide_batch_partitioned(spark, sf: float) -> dict:
@@ -1233,6 +1397,7 @@ def main() -> None:
     cdc["sink_ingest"] = run_sink_ingest(spark, sf)
     cdc["delete_modes"] = run_delete_modes(spark, sf)
     cdc["partition_prune"] = run_partition_prune(spark, sf)
+    cdc["steady_month_batches"] = run_month_sequential(spark, sf)
     cdc["cross_partition"] = run_cross_partition(spark, sf)
     cdc["zorder_prune"] = run_zorder_prune(spark, sf)
     cdc["wide_batch"] = run_wide_batch(spark, sf)
