@@ -2122,16 +2122,27 @@ class LakeTable:
         value feeds both the prune and the filter, so they can never
         disagree on the effective range."""
         man = self.manifest(version)
+        lo, hi = self._coerce_range_bounds(man, col, lo, hi)
+        keep = self._range_buckets(man, col, lo, hi)
+        raw = self._read_raw(man, buckets=keep)
+        return self._resolve_live(raw, man, keep).filter(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
+
+    def _coerce_range_bounds(self, man: dict, col: str, lo, hi):
+        """Shared bound normalization for range reads (this table's
+        ``read_range`` and the partition router's fused variant): coerce
+        each bound ONCE to the stats column's native type, and localize
+        NAIVE timestamp bounds in the SESSION timezone, making them
+        unambiguous instants BEFORE both consumers — ``F.lit(naive)``
+        means session-tz wall time while the zone maps store UTC epochs
+        (``_stat_scalar``); on a non-UTC session the prune and the filter
+        would otherwise disagree by the UTC offset and silently skip
+        buckets holding matching rows."""
         canon = self._canonical_schema(man)
         dtype = canon[col].dataType
         lo, hi = self._coerce_bound(lo, dtype), self._coerce_bound(hi, dtype)
         if isinstance(dtype, T.TimestampType):
-            # Localize NAIVE bounds in the SESSION timezone, making them
-            # unambiguous instants BEFORE both consumers: F.lit(naive)
-            # means session-tz wall time while the zone maps store UTC
-            # epochs (_stat_scalar) — on a non-UTC session the prune and
-            # the filter would otherwise disagree by the UTC offset and
-            # silently skip buckets holding matching rows.
             from zoneinfo import ZoneInfo
 
             tz = ZoneInfo(
@@ -2141,11 +2152,7 @@ class LakeTable:
                 lo = lo.replace(tzinfo=tz)
             if hi.tzinfo is None:
                 hi = hi.replace(tzinfo=tz)
-        keep = self._range_buckets(man, col, lo, hi)
-        raw = self._read_raw(man, buckets=keep)
-        return self._resolve_live(raw, man, keep).filter(
-            F.col(col).between(F.lit(lo), F.lit(hi))
-        )
+        return lo, hi
 
     def schema(self) -> T.StructType:
         return self._canonical_schema(self.manifest())

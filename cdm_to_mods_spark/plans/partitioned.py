@@ -2096,6 +2096,7 @@ class PartitionedTable:
         buckets: set | None = None,
         pre_filter=None,
         parts_subset: set | None = None,
+        buckets_by_part: dict | None = None,
     ) -> DataFrame | None:
         """ONE-plan table read for the steady-state layout: every
         partition (at its pinned sub-version) stores a single-entry
@@ -2143,9 +2144,15 @@ class PartitionedTable:
                     canon_json = nj
                 elif nj != canon_json:
                     return None
+            per_p = (
+                buckets_by_part.get(p, set())
+                if buckets_by_part is not None
+                else None
+            )
             sel = {
                 b: e for b, e in m["buckets"].items()
-                if buckets is None or int(b) in buckets
+                if (buckets is None or int(b) in buckets)
+                and (per_p is None or int(b) in per_p)
             }
             if sub._needs_resolve(list(sel.values())):
                 needs_resolve = True
@@ -2157,7 +2164,9 @@ class PartitionedTable:
                         else os.path.join(sub.path, fp)
                     )
         if not paths:
-            if buckets is not None and canon_json is not None:
+            if (
+                buckets is not None or buckets_by_part is not None
+            ) and canon_json is not None:
                 # bucket-pruned probe, signatures proven common, and the
                 # probed buckets hold NO files anywhere: the answer is
                 # the empty cut — a per-sub fallback would fan out P
@@ -2214,11 +2223,59 @@ class PartitionedTable:
                 (p, v) for p, v in items
                 if p != NULL_PART and lo_p <= p <= hi_p
             ]
+        # surviving partitions scan in ONE fused plan (round 5): per-sub
+        # zone-map bucket pruning stays driver-side per partition, then
+        # one scan + one (partition, key) resolve + the range filter —
+        # a year-wide range over a day-partitioned table had unioned
+        # hundreds of per-sub plans
+        fused = self._fused_read_range(man, items, lo, hi, col)
+        if fused is not None:
+            return fused
         return self._union(
             [self._sub(p).read_range(lo, hi, col=col, version=v)
              for p, v in items],
             empty=lambda: self._empty_cut(man),
         )
+
+    def _fused_read_range(self, man: dict, items: list, lo, hi, col: str):
+        """Fused single-signature range read over the partition-pruned
+        ``items``: bounds coerced ONCE (session-tz rule shared with the
+        flat table via ``_coerce_range_bounds``), each partition's zone
+        maps select its buckets driver-side, and the survivors feed one
+        scan/resolve with the range filter on top — semantics identical
+        to the per-sub union (each sub filters after its own resolve).
+        None → union fallback (mixed signatures, unknown column,
+        non-lww engines)."""
+        if not items:
+            return None
+        p0, v0 = items[0]
+        sub0 = self._sub(p0)
+        m0 = sub0.manifest(v0)
+        if col not in sub0._canonical_schema(m0).fieldNames():
+            return None
+        try:
+            lo_c, hi_c = sub0._coerce_range_bounds(m0, col, lo, hi)
+        except (KeyError, TypeError, ValueError):
+            return None
+        buckets_by_part = {}
+        for p, v in items:
+            sub = self._sub(p)
+            m = sub.manifest(v)
+            try:
+                buckets_by_part[p] = {
+                    int(b)
+                    for b in sub._range_buckets(m, col, lo_c, hi_c)
+                }
+            except KeyError:
+                return None
+        df = self._fused_read(
+            man,
+            parts_subset={p for p, _ in items},
+            buckets_by_part=buckets_by_part,
+        )
+        if df is None:
+            return None
+        return df.filter(F.col(col).between(F.lit(lo_c), F.lit(hi_c)))
 
     def read_keys(self, bucket_keys: list, version: int | None = None) -> DataFrame:
         """Point lookup. Without the global index this is the honest trade

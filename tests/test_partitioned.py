@@ -111,24 +111,28 @@ def test_exactly_once_and_crash_replay(spark, tmp_path, ptable):
 
 
 def test_read_range_prunes_partitions(spark, ptable, monkeypatch):
+    """Partition pruning is driver-side: a partition-column range reaches
+    the scan layer with ONLY the overlapping months. Round 5: the scan
+    layer is the fused single-plan read — the spy records the
+    partition-pruned item list it receives (and the per-sub union
+    fallback receives the same list, so the property is path-agnostic)."""
     ptable.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
-    opened = []
-    orig = LakeTable.read_range
+    seen = []
+    orig = PartitionedTable._fused_read_range
 
-    def spy(self, lo, hi, col="ts", version=None):
-        opened.append(os.path.basename(self.path))
-        return orig(self, lo, hi, col=col, version=version)
+    def spy(self, man, items, lo, hi, col):
+        seen.append([p for p, _ in items])
+        return orig(self, man, items, lo, hi, col)
 
-    monkeypatch.setattr(LakeTable, "read_range", spy)
+    monkeypatch.setattr(PartitionedTable, "_fused_read_range", spy)
     got = ptable.read_range(_ts(2, 1), _ts(2, 28)).collect()
     assert {r.conv_id for r in got} == {"c2"}
-    # partition pruning is driver-side: only february's sub-table is opened
-    assert opened == ["part=2025-02"]
+    # only february survives the driver-side prune
+    assert seen[-1] == ["2025-02"]
 
     # ranging on a NON-partition column fans out (no partition prune)
-    opened.clear()
     ptable.read_range(0, 99, col="turn_idx").collect()
-    assert len(opened) == 3
+    assert seen[-1] == ["2025-01", "2025-02", "2025-03"]
 
 
 def test_cross_partition_key_is_two_rows(spark, ptable):

@@ -344,3 +344,30 @@ def test_fused_fanout_read_keys_parity(spark, tmp_path):
                       .select("conv_id", "turn_idx", "text").collect()))
     assert got == want and len(got) == 4
     assert t.read_keys(["nobody"]).count() == 0
+
+
+def test_fused_read_range_parity_multi_partition(spark, tmp_path):
+    """A range spanning two months rides the fused single plan and equals
+    the per-sub union byte-for-byte; a mid-month range filters within
+    the partition; an out-of-range probe is empty."""
+    t = _mor_router(spark, tmp_path)
+    t.apply_changes(_events(spark, THREE_MONTHS), batch_id=0)
+    man = t.manifest()
+    lo, hi = _ts(1, 1), _ts(2, 28)
+    fused = t._fused_read_range(
+        man, sorted(man["parts"].items())[:2], lo, hi, "ts"
+    )
+    assert fused is not None
+    got = _state(t.read_range(lo, hi))
+    union = t._union(
+        [t._sub(p).read_range(lo, hi, col="ts", version=v)
+         for p, v in sorted(man["parts"].items())
+         if p in ("2025-01", "2025-02")],
+        empty=lambda: t._empty_cut(man),
+    )
+    assert got == _state(union)
+    assert {k[0] for k in got} == {"c1", "c2"}
+    # mid-month sub-range filters inside the partition
+    assert {k[0] for k in _state(t.read_range(_ts(1, 6), _ts(1, 7)))} == {"c1"}
+    # no-overlap probe
+    assert t.read_range(_ts(11, 1), _ts(12, 1)).count() == 0
