@@ -1938,10 +1938,16 @@ class LakeTable:
         # port (parity-pinned numpy == scalar == JVM in test_lake_sink):
         # a point lookup then launches ZERO jobs before its pruned scan —
         # the Spark-job fallback below had cost one key-hash job PER
-        # lookup (and one per partition on the router's fan-out probe)
+        # lookup (and one per partition on the router's fan-out probe).
+        # Layout comes from the PINNED manifest, not the handle: a
+        # time-travel read crossing a rebucket must hash under the
+        # layout that wrote that snapshot's bucket ids, or the prune
+        # would read the wrong buckets and silently drop the row.
+        nb = man.get("num_buckets", self.num_buckets)
+        fn = man.get("bucket_fn", self.bucket_fn)
         needed = (
-            _driver_bucket_ids(bucket_keys, key_type, self.num_buckets)
-            if self.bucket_fn == "hash32"
+            _driver_bucket_ids(bucket_keys, key_type, nb)
+            if fn == "hash32"
             else None
         )
         if needed is None:
@@ -1953,7 +1959,7 @@ class LakeTable:
             needed = sorted(
                 r["_b"]
                 for r in keys_df.select(
-                    _bucket_expr(self.bucket_col, self.num_buckets, self.bucket_fn).alias("_b")
+                    _bucket_expr(self.bucket_col, nb, fn).alias("_b")
                 )
                 .distinct()
                 .collect()

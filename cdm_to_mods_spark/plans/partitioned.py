@@ -1425,6 +1425,66 @@ class PartitionedTable:
             )
         return changes, canon, evolved
 
+    def _staged_write_commit(
+        self, changes: DataFrame, g0: LakeTable, one,
+        parts: list | None = None, phases: dict | None = None,
+    ):
+        """Shared staged-write tail of BOTH fused applies (legacy
+        signature-group and stage-first): write the collapsed batch as
+        ONE ``partitionBy(_part, _bucket)`` job into router staging,
+        resolve the touched partition list (the caller's signature group,
+        or — stage-first — discovered from the staged ``_part=X/``
+        layout by a driver ``listdir``), fan the per-partition
+        ``one(part, staged_dir)`` commits across threads, and always
+        tear the staging dir down. The per-sub commits are driver-side
+        IO (footer stats + manifest write + ledger link) with only the
+        occasional compaction Spark job, so the fan-out runs wider than
+        ``apply_concurrency`` (which sizes whole-apply Spark-job
+        concurrency on the legacy per-sub path). Returns
+        ``({part: commit_result}, parts)``."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        staging_root = os.path.join(self.path, "_staging")
+        staged = os.path.join(staging_root, f"fused-{uuid4().hex[:8]}")
+        try:
+            tw = time.monotonic()
+            (
+                g0._capped(
+                    changes.write.partitionBy("_part", "_bucket")
+                    .mode("overwrite")
+                ).parquet(staged)
+            )
+            if phases is not None:
+                phases["stage_write_sec"] = round(
+                    phases.get("stage_write_sec", 0.0)
+                    + (time.monotonic() - tw), 3
+                )
+            if parts is None:
+                parts = sorted(
+                    d.split("=", 1)[1]
+                    for d in os.listdir(staged)
+                    if d.startswith("_part=")
+                )
+            width = min(16, max(self.apply_concurrency, len(parts)))
+            tc = time.monotonic()
+            if len(parts) <= 1 or self.apply_concurrency == 1:
+                out = dict(one(p, staged) for p in parts)
+            else:
+                with ThreadPoolExecutor(width) as ex:
+                    out = dict(ex.map(lambda p: one(p, staged), parts))
+            if phases is not None:
+                phases["commit_fanout_sec"] = round(
+                    phases.get("commit_fanout_sec", 0.0)
+                    + (time.monotonic() - tc), 3
+                )
+            return out, parts
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+            try:  # concurrent writer may repopulate it (TOCTOU)
+                os.rmdir(staging_root)
+            except OSError:
+                pass
+
     def _apply_fused(
         self,
         ev: DataFrame,
@@ -1472,7 +1532,6 @@ class PartitionedTable:
         a partial rebucket) get their own group: one job per GROUP, never
         per partition."""
         from collections import defaultdict
-        from concurrent.futures import ThreadPoolExecutor
 
         from .lake import _apply_conf_scope
 
@@ -1495,9 +1554,6 @@ class PartitionedTable:
         per_part: dict = dict(skipped)
         if phases is not None:
             phases["n_groups"] = len(groups)
-            phases.setdefault("stage_write_sec", 0.0)
-            phases.setdefault("commit_fanout_sec", 0.0)
-        staging_root = os.path.join(self.path, "_staging")
         with _apply_conf_scope(self.spark):
             for sig, group_parts in sorted(groups.items()):
                 g0 = subs[group_parts[0]]
@@ -1518,69 +1574,37 @@ class PartitionedTable:
                 changes, canon, evolved = self._fused_changes(
                     g_raw, g0, man0, n_shuffle, skip_collapse
                 )
-                staged = os.path.join(
-                    staging_root, f"fused-{uuid4().hex[:8]}"
-                )
-                try:
-                    tw = time.monotonic()
-                    (
-                        g0._capped(
-                            changes.write.partitionBy("_part", "_bucket")
-                            .mode("overwrite")
-                        ).parquet(staged)
+                def _one(p: str, staged: str):
+                    sub, man_p = subs[p], mans[p]
+                    part_dir = os.path.join(staged, f"_part={p}")
+                    if not os.path.isdir(part_dir):
+                        # collapse cannot drop a part that had rows;
+                        # belt-and-braces: commit an empty batch so
+                        # the sub-ledger still records batch_id
+                        return p, sub.apply_changes(
+                            ev.filter(F.col("_part") == p)
+                            .drop("_part").limit(0),
+                            batch_id=batch_id, source=src,
+                        )
+                    data_rel = (
+                        f"data/v{man_p['version'] + 1:08d}"
+                        f"-{uuid4().hex[:8]}"
                     )
-                    if phases is not None:
-                        phases["stage_write_sec"] += time.monotonic() - tw
+                    dst = os.path.join(sub.path, data_rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(part_dir, dst)
+                    schemas_p = list(man_p["schemas"]) + (
+                        [canon.json()] if evolved else []
+                    )
+                    return p, sub.commit_prewritten_mor_deltas(
+                        data_rel, batch_id=batch_id, source=src,
+                        schemas=schemas_p, t0=t0,
+                    )
 
-                    def _one(p: str):
-                        sub, man_p = subs[p], mans[p]
-                        part_dir = os.path.join(staged, f"_part={p}")
-                        if not os.path.isdir(part_dir):
-                            # collapse cannot drop a part that had rows;
-                            # belt-and-braces: commit an empty batch so
-                            # the sub-ledger still records batch_id
-                            return p, sub.apply_changes(
-                                ev.filter(F.col("_part") == p)
-                                .drop("_part").limit(0),
-                                batch_id=batch_id, source=src,
-                            )
-                        data_rel = (
-                            f"data/v{man_p['version'] + 1:08d}"
-                            f"-{uuid4().hex[:8]}"
-                        )
-                        dst = os.path.join(sub.path, data_rel)
-                        os.makedirs(os.path.dirname(dst), exist_ok=True)
-                        os.rename(part_dir, dst)
-                        schemas_p = list(man_p["schemas"]) + (
-                            [canon.json()] if evolved else []
-                        )
-                        return p, sub.commit_prewritten_mor_deltas(
-                            data_rel, batch_id=batch_id, source=src,
-                            schemas=schemas_p, t0=t0,
-                        )
-
-                    # the per-sub commits here are driver-side IO (footer
-                    # stats + manifest write + ledger link) with only the
-                    # OCCASIONAL compaction Spark job, so the fan-out can
-                    # run wider than apply_concurrency (which sizes
-                    # whole-apply Spark-job concurrency on the legacy
-                    # per-sub path)
-                    width = min(16, max(self.apply_concurrency,
-                                        len(group_parts)))
-                    tc = time.monotonic()
-                    if len(group_parts) == 1 or self.apply_concurrency == 1:
-                        per_part.update(_one(p) for p in group_parts)
-                    else:
-                        with ThreadPoolExecutor(width) as ex:
-                            per_part.update(ex.map(_one, group_parts))
-                    if phases is not None:
-                        phases["commit_fanout_sec"] += time.monotonic() - tc
-                finally:
-                    shutil.rmtree(staged, ignore_errors=True)
-                    try:  # concurrent writer may repopulate it (TOCTOU)
-                        os.rmdir(staging_root)
-                    except OSError:
-                        pass
+                res, _ = self._staged_write_commit(
+                    changes, g0, _one, parts=group_parts, phases=phases
+                )
+                per_part.update(res)
         return per_part
 
     def _apply_fused_stage_first(
@@ -1629,8 +1653,6 @@ class PartitionedTable:
         would collide pairs onto shared tasks and serialize the write's
         critical path (each (part,bucket) pair lands whole on one task
         either way, so the one-file-per-directory layout is preserved)."""
-        from concurrent.futures import ThreadPoolExecutor
-
         from .lake import _apply_conf_scope
 
         g0, man0, spec = ctx["g0"], ctx["man0"], ctx["spec"]
@@ -1656,68 +1678,37 @@ class PartitionedTable:
                 return None
             if phases is not None:
                 phases["stage_first"] = True
-                phases.setdefault("stage_write_sec", 0.0)
-                phases.setdefault("commit_fanout_sec", 0.0)
-            staging_root = os.path.join(self.path, "_staging")
-            staged = os.path.join(staging_root, f"fused-{uuid4().hex[:8]}")
-            try:
-                tw = time.monotonic()
-                (
-                    g0._capped(
-                        changes.write.partitionBy("_part", "_bucket")
-                        .mode("overwrite")
-                    ).parquet(staged)
-                )
-                if phases is not None:
-                    phases["stage_write_sec"] += time.monotonic() - tw
-                parts = sorted(
-                    d.split("=", 1)[1]
-                    for d in os.listdir(staged)
-                    if d.startswith("_part=")
-                )
 
-                def _one(p: str):
-                    part_dir = os.path.join(staged, f"_part={p}")
-                    sub = subs.get(p)
-                    if sub is None:
-                        # partition born this batch: create at spec (the
-                        # _sub machinery installs spec constraints), then
-                        # commit the canon-shaped files as its first
-                        # evolution step
-                        sub = self._sub(p, create=True)
-                        man_p = sub.manifest()
-                    else:
-                        man_p = mans[p]
-                    data_rel = (
-                        f"data/v{man_p['version'] + 1:08d}"
-                        f"-{uuid4().hex[:8]}"
-                    )
-                    dst = os.path.join(sub.path, data_rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.rename(part_dir, dst)
-                    schemas_p = list(man_p["schemas"])
-                    if schemas_p[-1] != canon.json():
-                        schemas_p = schemas_p + [canon.json()]
-                    return p, sub.commit_prewritten_mor_deltas(
-                        data_rel, batch_id=batch_id, source=src,
-                        schemas=schemas_p, t0=t0,
-                    )
-
-                width = min(16, max(self.apply_concurrency, len(parts)))
-                tc = time.monotonic()
-                if len(parts) <= 1 or self.apply_concurrency == 1:
-                    per_part = dict(_one(p) for p in parts)
+            def _one(p: str, staged: str):
+                part_dir = os.path.join(staged, f"_part={p}")
+                sub = subs.get(p)
+                if sub is None:
+                    # partition born this batch: create at spec (the
+                    # _sub machinery installs spec constraints), then
+                    # commit the canon-shaped files as its first
+                    # evolution step
+                    sub = self._sub(p, create=True)
+                    man_p = sub.manifest()
                 else:
-                    with ThreadPoolExecutor(width) as ex:
-                        per_part = dict(ex.map(_one, parts))
-                if phases is not None:
-                    phases["commit_fanout_sec"] += time.monotonic() - tc
-            finally:
-                shutil.rmtree(staged, ignore_errors=True)
-                try:  # concurrent writer may repopulate it (TOCTOU)
-                    os.rmdir(staging_root)
-                except OSError:
-                    pass
+                    man_p = mans[p]
+                data_rel = (
+                    f"data/v{man_p['version'] + 1:08d}"
+                    f"-{uuid4().hex[:8]}"
+                )
+                dst = os.path.join(sub.path, data_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(part_dir, dst)
+                schemas_p = list(man_p["schemas"])
+                if schemas_p[-1] != canon.json():
+                    schemas_p = schemas_p + [canon.json()]
+                return p, sub.commit_prewritten_mor_deltas(
+                    data_rel, batch_id=batch_id, source=src,
+                    schemas=schemas_p, t0=t0,
+                )
+
+            per_part, parts = self._staged_write_commit(
+                changes, g0, _one, phases=phases
+            )
         return per_part, parts
 
     def apply_changes(
@@ -1845,14 +1836,6 @@ class PartitionedTable:
             # pure extra materialization pass (the round-4 profiling
             # finding)
             sf_ctx = self._stage_first_ctx(man, batch_id)
-            if sf_ctx is None and transform is not None and q_cache is None:
-                # an expensive caller transform chain should run once, not
-                # once for discovery + once per consumer
-                ev.persist()
-                persisted = True
-            # partition discovery (fallback path) before any OTHER
-            # materialization: a column-pruned aggregate over just the
-            # partition column
             if sf_ctx is not None:
                 res = self._apply_fused_stage_first(
                     ev, sf_ctx, batch_id, src, t0,
@@ -1863,6 +1846,17 @@ class PartitionedTable:
                     per_part, parts = res
                     fused = True
             if per_part is None:
+                # fallback (discovery) path — whether the ctx was never
+                # eligible OR stage-first DECLINED late (spec-not-subset-
+                # of-canon, a persistent state after dropping a spec
+                # column): an expensive caller transform chain should run
+                # once, not once for discovery + once per consumer.
+                # Stage-first itself consumes the batch exactly once, so
+                # the persist would be a pure extra materialization there
+                # (the round-4 profiling finding).
+                if transform is not None and q_cache is None:
+                    ev.persist()
+                    persisted = True
                 td = time.monotonic()
                 parts = sorted(
                     r[0] for r in ev.select("_part").distinct().collect()
@@ -2097,6 +2091,7 @@ class PartitionedTable:
         pre_filter=None,
         parts_subset: set | None = None,
         buckets_by_part: dict | None = None,
+        mans: dict | None = None,
     ) -> DataFrame | None:
         """ONE-plan table read for the steady-state layout: every
         partition (at its pinned sub-version) stores a single-entry
@@ -2135,7 +2130,13 @@ class PartitionedTable:
             sub = self._sub(p)
             if sub.merge_engine != "lww":
                 return None
-            m = sub.manifest(v)
+            # pruned callers (_fused_read_range/_fused_read_keys) already
+            # materialized each pinned manifest for their driver-side
+            # bucket selection — reuse instead of re-reading O(P) JSON
+            m = (
+                mans[p] if mans is not None and p in mans
+                else sub.manifest(v)
+            )
             if m.get("renames"):
                 return None
             for sj in m["schemas"]:
@@ -2189,10 +2190,17 @@ class PartitionedTable:
             # row-group skipping)
             raw = raw.filter(pre_filter)
         if needs_resolve:
+            # greedy leading .* anchors the match to the LAST part=
+            # segment: the router's own sub directory. A first-match
+            # pattern would let an ANCESTOR directory named part=*
+            # (e.g. a warehouse rooted at /data/part=2024/) hijack every
+            # row's partition value and collapse all partitions into one
+            # resolve group — silently dropping same-key rows that
+            # legitimately live in two partitions.
             raw = raw.withColumn(
                 "_part",
                 F.regexp_extract(
-                    F.col("_metadata.file_path"), r"/part=([^/]+)/", 1
+                    F.col("_metadata.file_path"), r"^.*/part=([^/]+)/", 1
                 ),
             )
             with_op = raw.withColumn(
@@ -2258,9 +2266,10 @@ class PartitionedTable:
         except (KeyError, TypeError, ValueError):
             return None
         buckets_by_part = {}
+        mans = {}
         for p, v in items:
             sub = self._sub(p)
-            m = sub.manifest(v)
+            m = mans[p] = m0 if p == p0 else sub.manifest(v)
             try:
                 buckets_by_part[p] = {
                     int(b)
@@ -2272,6 +2281,7 @@ class PartitionedTable:
             man,
             parts_subset={p for p, _ in items},
             buckets_by_part=buckets_by_part,
+            mans=mans,
         )
         if df is None:
             return None
@@ -2378,26 +2388,42 @@ class PartitionedTable:
             parts = [(p, v) for p, v in parts if p in parts_subset]
         if not parts or not bucket_keys:
             return None
-        p0, v0 = parts[0]
-        sub0 = self._sub(p0)
-        if sub0.bucket_fn != "hash32":
-            return None
-        try:
-            key_type = sub0._canonical_schema(sub0.manifest(v0))[
-                sub0.bucket_col
-            ].dataType
-        except KeyError:
-            return None
-        needed = _driver_bucket_ids(
-            bucket_keys, key_type, sub0.num_buckets
-        )
-        if needed is None:
-            return None
+        # Bucket ids are computed PER PARTITION under that partition's
+        # PINNED manifest layout (round-5 review fix): a rebucketed sub
+        # (``t.part(p).rebucket(...)``) or a time-travel read crossing a
+        # rebucket makes layouts heterogeneous, and hashing every
+        # partition's probe with the first partition's HEAD layout would
+        # prune the key's real bucket away — a silent empty lookup. The
+        # key's type comes from the same pinned manifest.
+        buckets_by_part: dict[str, set] = {}
+        mans: dict[str, dict] = {}
+        pre_filter = None
+        for p, v in parts:
+            sub = self._sub(p)
+            m = mans[p] = sub.manifest(v)
+            if m.get("bucket_fn", sub.bucket_fn) != "hash32":
+                return None
+            try:
+                key_type = sub._canonical_schema(m)[
+                    sub.bucket_col
+                ].dataType
+            except KeyError:
+                return None
+            needed = _driver_bucket_ids(
+                bucket_keys, key_type,
+                m.get("num_buckets", sub.num_buckets),
+            )
+            if needed is None:
+                return None
+            buckets_by_part[p] = set(needed)
+            if pre_filter is None:
+                pre_filter = F.col(sub.bucket_col).isin(bucket_keys)
         return self._fused_read(
             man,
-            buckets=set(needed),
-            pre_filter=F.col(sub0.bucket_col).isin(bucket_keys),
+            pre_filter=pre_filter,
             parts_subset=parts_subset,
+            buckets_by_part=buckets_by_part,
+            mans=mans,
         )
 
     def _index_diff(self, man: dict) -> DataFrame:

@@ -536,6 +536,36 @@ def test_rebucket_partition_spec_evolution(spark, tmp_table):
     assert ("c5", 0) not in _state(t2)
 
 
+def test_read_keys_time_travel_across_rebucket(spark, tmp_table):
+    """Point reads of a PRE-rebucket snapshot must hash the probe under
+    that snapshot's recorded layout, not the handle's HEAD-adopted one:
+    the old manifest's bucket ids were written at the old count, so
+    pruning them with new-layout ids silently reads the wrong bucket
+    and returns an empty lookup (round-5 review fix)."""
+    from cdm_to_mods_spark.plans.lake import _driver_bucket_ids
+
+    t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    # keys whose bucket id DIFFERS between the two layouts — the case
+    # the HEAD-layout prune loses (same-id keys pass by accident)
+    moved = [
+        k for k in (f"c{i}" for i in range(64))
+        if _driver_bucket_ids([k], T.StringType(), 4)
+        != _driver_bucket_ids([k], T.StringType(), 16)
+    ]
+    assert moved, "fixture: no layout-divergent key in c0..c63"
+    rows = [("I", i, f"c{i}", 0, "user", f"v{i}", None, None, None)
+            for i in range(64)]
+    t.apply_changes(_events(spark, rows), batch_id=0, transform=apply_chain)
+    v_pre = t.latest_version()
+    t.rebucket(16)
+    for k in moved[:3]:
+        got = t.read_keys([k], version=v_pre).collect()
+        assert len(got) == 1 and got[0].conv_id == k
+    # HEAD reads keep the new layout
+    assert t.read_keys([moved[0]]).count() == 1
+
+
 def test_compact_and_expire_snapshots(spark, tmp_table):
     import os
     t = LakeTable(spark, tmp_table, num_buckets=4, merge_mode="mor", compact_deltas=99)

@@ -279,3 +279,46 @@ def test_clone_carries_the_write_strategy_record(spark, tmp_path):
     # a plain reopen of the clone adopts it
     dst = PartitionedTable(spark, str(tmp_path / "cdst"))
     assert dst._lake_kwargs["merge_engine"] == "partial_update"
+
+
+def test_read_keys_heterogeneous_bucket_layouts(spark, tmp_path):
+    """A per-partition rebucket (the offered ``part().rebucket()``
+    surface) makes bucket layouts heterogeneous across the cut once a
+    later batch re-pins that partition. The fused point lookup must hash
+    each partition's probe under ITS pinned layout — hashing everything
+    with the first partition's layout prunes the key's real bucket away
+    and silently returns an empty lookup (round-5 review fix)."""
+    from cdm_to_mods_spark.plans.lake import _driver_bucket_ids
+    from pyspark.sql import types as T
+
+    t = PartitionedTable(spark, str(tmp_path / "het"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    # feb keys whose bucket id differs between 4- and 16-bucket layouts
+    # (same-id keys would pass by accident pre-fix)
+    moved = [
+        k for k in (f"f{i}" for i in range(64))
+        if _driver_bucket_ids([k], T.StringType(), 4)
+        != _driver_bucket_ids([k], T.StringType(), 16)
+    ]
+    assert len(moved) >= 3, "fixture: no layout-divergent key in f0..f63"
+    rows = [("I", 1, "c1", 0, "user", "jan hello", None, _ts(1))] + [
+        ("I", 10 + i, k, 0, "user", f"feb {k}", None, _ts(2))
+        for i, k in enumerate(moved[:3])
+    ]
+    t.apply_changes(_events(spark, rows), batch_id=0)
+    t.part("2025-02").rebucket(16)
+    # re-pin feb at a post-rebucket sub version (jan stays at 4 buckets)
+    t.apply_changes(_events(spark, [
+        ("I", 99, moved[0], 1, "assistant", "feb reply", None, _ts(2, 6)),
+    ]), batch_id=1)
+    for k in moved[:3]:
+        got = t.read_keys([k]).collect()
+        assert {r.turn_idx for r in got} >= {0}, f"lost {k}"
+        assert all(r.conv_id == k for r in got)
+    assert t.read_keys([moved[0]]).count() == 2
+    # the untouched-layout partition still resolves
+    assert t.read_keys(["c1"]).count() == 1
+    # cross-layout probe in ONE call: both partitions' rows surface
+    both = t.read_keys(["c1", moved[1]]).collect()
+    assert {r.conv_id for r in both} == {"c1", moved[1]}
