@@ -250,6 +250,7 @@ def changelog_to_debezium(
     table_name: str = "transcripts",
     db: str = "cdm",
     ts_ms: F.Column | None = None,
+    identity_cols: list | None = None,
 ) -> DataFrame:
     """Render a TYPED-changelog frame (``row_changes`` shape: payload +
     ``_seq`` + ``_change_type`` + ``_version``) as FULL Debezium envelopes
@@ -278,18 +279,32 @@ def changelog_to_debezium(
     The image's source-domain ``_seq`` rides in ``source.seq`` for
     consumers that need it; don't mix this bus with ``feed_to_debezium``
     output (different lsn domains). Round-trip pinned in
-    tests/test_changelog_publish.py."""
+    tests/test_changelog_publish.py.
+
+    ``identity_cols``: EXTRA row-identity columns beyond ``key_cols``
+    that the pairing aggregate must group on but the payload must not
+    carry — a DEFAULT-identity partitioned source's derived partition
+    value (row identity there is (partition, key): the same key live in
+    two partitions is two rows, and pairing by key alone would merge two
+    different rows' images into one corrupt envelope). A paired
+    ``delete``+``insert`` in ONE version (the cross-partition MOVE's
+    retract pair — impossible on flat tables, whose changelog has one
+    outcome per key per commit) renders as ``u``: the net effect is the
+    row live at the after image, and a bare ``d`` would make every
+    consumer drop a row that still exists."""
     # late import: streaming.source imports plans.lake, not this module
     from ..streaming.source import COMMIT_TS_COL
 
     typ = F.col("_change_type")
+    identity_cols = list(identity_cols or [])
     payload = [
         c for c in rc.columns
-        if c not in (SEQ_COL, "_change_type", "_version", COMMIT_TS_COL)
+        if c not in (SEQ_COL, "_change_type", "_version", COMMIT_TS_COL,
+                     *identity_cols)
     ]
     image = F.struct(*[F.col(c) for c in payload])
     is_pre = typ.isin("update_preimage", "delete")
-    grouped = rc.groupBy(*key_cols, "_version").agg(
+    grouped = rc.groupBy(*key_cols, *identity_cols, "_version").agg(
         F.any_value(F.when(is_pre, image), ignoreNulls=True).alias("before"),
         F.any_value(F.when(~is_pre, image), ignoreNulls=True).alias("after"),
         F.max(F.when(typ == "insert", 1).otherwise(0)).alias("_ins"),
@@ -310,7 +325,10 @@ def changelog_to_debezium(
             F.lit(table_name).alias("table"),
             F.lit(db).alias("db"),
         ).alias("source"),
-        F.when(F.col("_del") == 1, F.lit("d"))
+        F.when(
+            (F.col("_del") == 1) & (F.col("_ins") == 1), F.lit("u")
+        )
+        .when(F.col("_del") == 1, F.lit("d"))
         .when(F.col("_ins") == 1, F.lit("c"))
         .otherwise(F.lit("u"))
         .alias("op"),
@@ -333,22 +351,43 @@ def changelog_range_to_debezium(
     typed changelog for ``(since, until]`` as full Debezium envelopes
     (commit timestamps mapped per version, same driver-side O(versions)
     walk as :func:`feed_to_debezium`). Raises
-    ``ChangelogUnavailableError`` where ``row_changes`` does."""
+    ``ChangelogUnavailableError`` where ``row_changes`` does.
+
+    A DEFAULT-identity PartitionedTable (row identity = (partition,
+    key)) pairs images on the DERIVED partition value too — the same
+    key live in two partitions is two rows, and one global commit
+    touching both would otherwise merge their images into one corrupt
+    envelope. ``cross_partition_upsert`` sources keep key-only pairing
+    (identity is global); their mover retract pairs render as ``u``."""
     man = table.manifest()
     hi = man["version"] if until_version is None else until_version
     rc = table.row_changes(since_version, hi)
+    identity_cols = None
+    if (
+        getattr(table, "partition_col", None) is not None
+        and not getattr(table, "cross_partition_upsert", False)
+    ):
+        rc = rc.withColumn("_ident_part", table._part_expr())
+        identity_cols = ["_ident_part"]
     ts_pairs: list = []
     for v in range(since_version + 1, hi + 1):
-        ts_pairs += [
-            F.lit(v), F.lit(int(table._load_version(v)["commit_ts"] * 1000))
-        ]
+        # flat tables read the raw version file; routers (no
+        # _load_version) read the global manifest, which records the
+        # same commit_ts field
+        raw = (
+            table._load_version(v)
+            if hasattr(table, "_load_version")
+            else table.manifest(v)
+        )
+        ts_pairs += [F.lit(v), F.lit(int(raw["commit_ts"] * 1000))]
     ts_ms = (
         F.create_map(*ts_pairs)[F.col("_version")]
         if ts_pairs
         else F.lit(None).cast("long")
     )
     return changelog_to_debezium(
-        rc, list(table.key_cols), table_name=table_name, db=db, ts_ms=ts_ms
+        rc, list(table.key_cols), table_name=table_name, db=db, ts_ms=ts_ms,
+        identity_cols=identity_cols,
     )
 
 

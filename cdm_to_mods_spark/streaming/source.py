@@ -300,9 +300,13 @@ class _PartCDFPartition(_CDFPartition):
     the reader was first pickled would be invisible executor-side."""
 
     def __init__(self, path, schema_id, version, commit_ms, kind,
-                 schemas: list, renames: list) -> None:
+                 schema_json: str, renames: list) -> None:
         super().__init__(path, schema_id, version, commit_ms, kind)
-        self.schemas = schemas
+        # only the ONE schema this file set was written under rides along
+        # (read() resolves just schemas[schema_id]): shipping the whole
+        # append-only schema list duplicated O(schemas x file-sets)
+        # JSON through partition serialization every trigger
+        self.schema_json = schema_json
         self.renames = renames
 
 
@@ -378,16 +382,28 @@ class _CDFStreamReader(DataSourceStreamReader):
         if initial_snapshot:
             self._start = versions[-1]
         elif starting == "earliest":
-            # everything the retained ledger can serve. Flat: strictly
-            # after the floor below the earliest retained version (each
-            # version's cdf entries are self-contained). Partitioned: the
-            # earliest retained GLOBAL cut itself is the baseline — its
-            # sub-span expansion needs the PREVIOUS cut's parts, which
-            # retention removed — so the stream starts strictly after it
-            # (a create-cut v0 pins no parts, so nothing is skipped on a
-            # fresh table; after expiry the skipped cut's changes belong
-            # to the expired prefix).
-            self._start = versions[0] if self._partitioned else versions[0] - 1
+            # everything the retained ledger can serve CONTIGUOUSLY from
+            # the head. Retention pins tagged cuts and live-branch fork
+            # points, so the ledger can hold ISLANDS below an expired gap
+            # (e.g. {1, 4, 5} after a tag on 1) — starting at the raw
+            # minimum would walk the gap on first planning and raise
+            # SnapshotExpiredError on every fresh checkpoint, wedging the
+            # default option even though the tail is fully serveable.
+            # Flat: strictly after the floor below the earliest version
+            # of the contiguous tail (each version's cdf entries are
+            # self-contained). Partitioned: the earliest tail cut itself
+            # is the baseline — its sub-span expansion needs the
+            # PREVIOUS cut's parts, which retention removed — so the
+            # stream starts strictly after it (a create-cut v0 pins no
+            # parts, so nothing is skipped on a fresh table; after
+            # expiry the skipped cut's changes belong to the expired
+            # prefix).
+            tail = versions[-1]
+            for v in reversed(versions[:-1]):
+                if v != tail - 1:
+                    break
+                tail = v
+            self._start = tail if self._partitioned else tail - 1
         else:
             self._start = int(starting)
         if max_versions is not None and max_versions < 1:
@@ -548,16 +564,25 @@ class _CDFStreamReader(DataSourceStreamReader):
         # as an unmarked ArrowInvalid narrowing cast in read() — fail with
         # the marker so bounded drains restart-adopt, like the flat guard.
         # A partition NARROWER than the query schema is fine (another
-        # partition widened the union; the up-cast is lossless).
-        rank = {"integer": 0, "long": 1, "float": 0, "double": 1}
+        # partition widened the union; the up-cast is lossless) —
+        # "narrower" decided by the engine's own lattice
+        # (schemas.widen_type), NOT a subset rank table: the pre-fix
+        # table rejected legal short-under-long / date-under-timestamp
+        # layouts, and a restart re-derived the same verdict — a
+        # permanently wedged stream over a perfectly valid table.
+        from ..schemas import SchemaEvolutionError, widen_type
+
+        def _narrower_ok(part_t, query_t):
+            try:
+                return widen_type(part_t, query_t) == query_t
+            except SchemaEvolutionError:
+                return False
+
         mismatched = [
             f.name
             for f in canon.fields
             if f.dataType != query_types[f.name]
-            and not (
-                rank.get(f.dataType.typeName(), 99)
-                < rank.get(query_types[f.name].typeName(), -1)
-            )
+            and not _narrower_ok(f.dataType, query_types[f.name])
         ]
         if mismatched:
             raise RuntimeError(
@@ -638,7 +663,7 @@ class _CDFStreamReader(DataSourceStreamReader):
                             g,
                             commit_ms_by_g[g],
                             fs.get("kind"),
-                            pinned["schemas"],
+                            pinned["schemas"][fs["schema_id"]],
                             pinned["renames"],
                         )
                     )
@@ -755,13 +780,16 @@ class _CDFStreamReader(DataSourceStreamReader):
             const_type = "delete"
         sid = partition.schema_id
         # partitioned plans carry their sub-table's pinned state inside
-        # the partition object (see _PartCDFPartition)
-        schemas = getattr(partition, "schemas", None) or self._schemas
+        # the partition object (see _PartCDFPartition): just the ONE
+        # schema this file set was written under, plus the rename log
+        sj = getattr(partition, "schema_json", None)
+        if sj is None:
+            sj = self._schemas[sid]
         renames = getattr(partition, "renames", None)
         if renames is None:
             renames = self._renames
         stored_fields = set(
-            schema_from_json(schemas[sid]).fieldNames()
+            schema_from_json(sj).fieldNames()
         ) | {SEQ_COL, DELETED_COL, CHANGE_TYPE_COL}
         cols = {}
         for field in out_schema:
@@ -825,17 +853,34 @@ class LakeChangeFeedDataSource(DataSource):
             # and the last (widest) definition of a shared field wins.
             with open(os.path.join(path, "_spec.json")) as fh:
                 spec = json.load(fh)
-            # implicit evolution only widens along int→long / float→double
-            # (lake.py's batch-drift rules), so a name collision between
-            # partitions resolves to the WIDER type — last-partition-wins
+            # a name collision between partitions resolves to the WIDER
+            # type under the engine's OWN widening lattice
+            # (schemas.widen_type: short/int/long/float/double chains,
+            # int|long→double, date→timestamp) — first-partition-wins
             # would pin a narrowed type and fail the Arrow cast on the
-            # widened partition's data
-            _rank = {"integer": 0, "long": 1, "float": 0, "double": 1}
+            # widened partition's data, and a hand-rolled subset of the
+            # lattice (the pre-fix int/long/float/double rank table)
+            # wedged streams over long→double or date→timestamp
+            # evolutions permanently (restart re-derived the same
+            # narrow union)
+            from ..schemas import SchemaEvolutionError, widen_type
 
             def _wider(a, b):
-                ra = _rank.get(a.dataType.typeName(), -1)
-                rb = _rank.get(b.dataType.typeName(), -1)
-                return b if rb > ra else a
+                try:
+                    w = widen_type(a.dataType, b.dataType)
+                except SchemaEvolutionError:
+                    raise ValueError(
+                        f"column {a.name!r} has incompatible types "
+                        f"across partitions ({a.dataType.simpleString()} "
+                        f"vs {b.dataType.simpleString()}) — out-of-band "
+                        "per-partition surgery; repair the table before "
+                        "streaming it"
+                    ) from None
+                if w == a.dataType:
+                    return a
+                if w == b.dataType:
+                    return b
+                return T.StructField(a.name, w, True)
 
             fields_by_name: dict = {}
             order: list[str] = []
@@ -1115,22 +1160,43 @@ def publish_changelog_stream(
     from ..plans.feed import changelog_to_debezium
 
     register_lake_cdf(spark)
-    key_cols = list(
-        json.load(open(os.path.join(src_table_path, "_spec.json")))[
-            "key_cols"
-        ]
-        if _is_partitioned(src_table_path)
-        else _load_version(
-            src_table_path, _ledger_versions(src_table_path)[-1]
-        )["key_cols"]
-    )
+    part_expr = None
+    if _is_partitioned(src_table_path):
+        spec = json.load(
+            open(os.path.join(src_table_path, "_spec.json"))
+        )
+        key_cols = list(spec["key_cols"])
+        if not spec.get("cross_partition_upsert", False):
+            # DEFAULT identity is (partition, key): the same key live in
+            # two partitions is two rows, so the envelope pairing must
+            # group on the derived partition value too or one global
+            # commit touching both would merge their images into one
+            # corrupt envelope. cross_partition_upsert keeps key-only
+            # pairing (identity is global; its mover delete+insert pair
+            # renders as 'u' — see changelog_to_debezium).
+            from ..plans.partitioned import PartitionedTable
+
+            part_expr = PartitionedTable(
+                spark, src_table_path
+            )._part_expr()
+    else:
+        key_cols = list(
+            _load_version(
+                src_table_path, _ledger_versions(src_table_path)[-1]
+            )["key_cols"]
+        )
 
     def _on_batch(df, batch_id: int) -> None:
         if df.isEmpty():
             return
+        identity_cols = None
+        if part_expr is not None:
+            df = df.withColumn("_ident_part", part_expr)
+            identity_cols = ["_ident_part"]
         lines = changelog_to_debezium(
             df, key_cols, table_name=table_name, db=db,
             ts_ms=F.col(COMMIT_TS_COL),
+            identity_cols=identity_cols,
         )
         lines.write.mode("overwrite").text(
             os.path.join(out_dir, f"batch-{batch_id:08d}")
@@ -1174,14 +1240,31 @@ def _drain_to_head(src_table_path: str, start_fn):
         if _is_partitioned(src_table_path)
         else _ledger_versions(src_table_path)
     )[-1]
+    consecutive_evo_fails = 0
     while True:
         q = start_fn()
         try:
             q.awaitTermination()
         except Exception as exc:
             if is_schema_evolution_failure(exc):
+                # one restart cures a REAL mid-drain evolution (the next
+                # start re-pins the evolved schema); a failure that
+                # repeats with no committed progress is NOT evolution —
+                # it is a non-convergent schema state, and retrying
+                # forever would spin start/fail with no exit. Three
+                # consecutive no-progress failures fail loud instead.
+                consecutive_evo_fails += 1
+                if consecutive_evo_fails >= 3:
+                    raise RuntimeError(
+                        "schema-evolution restart failed 3 times in a "
+                        "row without committing a batch — the failure "
+                        "is not cured by re-pinning the schema "
+                        "(non-convergent schema state); inspect the "
+                        "table's per-partition schemas"
+                    ) from exc
                 continue
             raise
+        consecutive_evo_fails = 0
         prog = q.lastProgress
         if prog is None:  # no batch ran at all: already caught up
             return q

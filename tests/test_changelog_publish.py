@@ -163,3 +163,72 @@ def test_streaming_publisher_bounded_drain(spark, tmp_path):
     q.awaitTermination(120)
     dst = _mirror(spark, _read_bus(spark, out), str(tmp_path / "dst"))
     assert _state(dst) == _state(t)
+
+
+# ---------------------------------------------------- partitioned sources
+PART_DDL = (
+    "op string, seq long, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+
+
+def _mts(month):
+    import datetime as dt
+
+    return dt.datetime(2025, month, 5, 12, 0, 0)
+
+
+def test_partitioned_default_identity_pairs_per_partition(spark, tmp_path):
+    """DEFAULT-identity partitioned source: row identity is (partition,
+    key), so the same key live in two months is TWO rows — one global
+    commit updating both must emit TWO envelopes with each row's own
+    before/after pair. The pre-fix key-only pairing merged both rows'
+    images into one corrupt envelope (before from one month, after from
+    the other)."""
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    t = PartitionedTable(spark, str(tmp_path / "pt"), num_buckets=4,
+                         merge_mode="mor", changelog="lookup")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(spark.createDataFrame([
+        ("I", 1, "c1", 0, "user", "jan-old", None, _mts(1)),
+        ("I", 2, "c1", 0, "user", "feb-old", None, _mts(2)),
+    ], PART_DDL), batch_id=0)
+    t.apply_changes(spark.createDataFrame([
+        ("U", 3, "c1", 0, "user", "jan-new", None, _mts(1)),
+        ("U", 4, "c1", 0, "user", "feb-new", None, _mts(2)),
+    ], PART_DDL), batch_id=1)
+    envs = _envs(changelog_range_to_debezium(t, 0).collect())
+    v2 = [e for e in envs if e["source"]["lsn"] == 2]
+    assert len(v2) == 2 and all(e["op"] == "u" for e in v2)
+    pairs = {(e["before"]["text"], e["after"]["text"]) for e in v2}
+    assert pairs == {("jan-old", "jan-new"), ("feb-old", "feb-new")}
+    # v1: two distinct inserts, not one
+    v1 = [e for e in envs if e["source"]["lsn"] == 1]
+    assert len(v1) == 2 and all(e["op"] == "c" for e in v1)
+
+
+def test_cross_partition_move_envelope_is_update(spark, tmp_path):
+    """cross_partition_upsert: a MOVE is a delete at the old home plus an
+    insert at the new, in ONE global commit. Key identity is global, so
+    the envelope is ONE 'u' with old before / new after — the pre-fix op
+    precedence rendered 'd', telling every consumer to drop a row that
+    still exists."""
+    from cdm_to_mods_spark.plans.partitioned import PartitionedTable
+
+    t = PartitionedTable(spark, str(tmp_path / "xp"), num_buckets=4,
+                         merge_mode="mor", changelog="lookup",
+                         cross_partition_upsert=True, index_buckets=4)
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(spark.createDataFrame([
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+    ], PART_DDL), batch_id=0)
+    t.apply_changes(spark.createDataFrame([
+        ("U", 2, "c1", 0, "user", "moved", None, _mts(3)),
+    ], PART_DDL), batch_id=1)
+    envs = _envs(changelog_range_to_debezium(t, 0).collect())
+    move = [e for e in envs if e["source"]["lsn"] == 2]
+    assert len(move) == 1
+    (e,) = move
+    assert e["op"] == "u"
+    assert e["before"]["text"] == "jan" and e["after"]["text"] == "moved"

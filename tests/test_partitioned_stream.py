@@ -378,3 +378,65 @@ def test_partitioned_stream_schema_union_prefers_wider(spark, tmp_path):
     sch = (spark.readStream.format("lake_cdf")
            .option("path", t.path).load().schema)
     assert isinstance(sch["turn_idx"].dataType, T.LongType)
+
+
+def test_partitioned_stream_unions_widened_type_across_partitions(
+    spark, tmp_path
+):
+    """A column widened in ONE partition (long→double via per-sub DDL)
+    must pin the WIDER type in the stream's union schema under the
+    engine's own lattice (schemas.widen_type) — the pre-fix rank table
+    treated long/double as equal rank, pinned whichever partition sorted
+    first, and the widened partition then failed the evolution marker on
+    EVERY restart (a permanently wedged stream)."""
+    from pyspark.sql import functions as F
+
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(_ev(spark, [
+        ("I", 1, "c1", 0, "user", "jan", None, _mts(1)),
+        ("I", 2, "c2", 0, "user", "feb", None, _mts(2)),
+    ]), batch_id=0)
+    t.add_column("n", "long")
+    # diverge: feb's n widens to double; jan (sorts FIRST) stays long
+    t.part("2025-02").widen_column("n", "double")
+    t.apply_changes(
+        _ev(spark, [
+            ("U", 3, "c1", 0, "user", "jan2", None, _mts(1)),
+            ("U", 4, "c2", 0, "user", "feb2", None, _mts(2)),
+        ]).withColumn("n", F.lit(7).cast("long")),
+        batch_id=1,
+    )
+    rows = _drain(spark, t.path, str(tmp_path / "ck"))
+    assert {r.conv_id for r in rows} == {"c1", "c2"}
+    feb = [r for r in rows if r.conv_id == "c2" and r.n is not None]
+    assert feb and all(isinstance(r.n, float) for r in feb)
+    jan = [r for r in rows if r.conv_id == "c1" and r.n is not None]
+    assert jan and all(isinstance(r.n, float) for r in jan)  # up-cast
+
+
+def test_partitioned_stream_earliest_skips_pinned_islands(spark, tmp_path):
+    """Retention pins tagged cuts, so the ledger can hold an ISLAND below
+    an expired gap ({1, 3, 4} after a tag on 1 and keep_last=2).
+    startingVersion='earliest' (the default) must start at the CONTIGUOUS
+    retained tail — the pre-fix raw minimum walked the gap on first
+    planning and wedged every fresh checkpoint with the re-seed error."""
+    t = PartitionedTable(spark, str(tmp_path / "src"), num_buckets=4,
+                         merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    for b, (conv, month) in enumerate(
+        [("c1", 1), ("c2", 2), ("c3", 3), ("c4", 4)]
+    ):
+        t.apply_changes(_ev(spark, [
+            ("I", b + 1, conv, 0, "user", f"m{month}", None, _mts(month)),
+        ]), batch_id=b)
+    t.tag("keep", 1)
+    t.expire_snapshots(keep_last=2)
+    from cdm_to_mods_spark.streaming.source import _g_versions
+
+    kept = _g_versions(t.path)
+    assert 1 in kept and kept[-2:] == [3, 4] and 2 not in kept  # island
+    rows = _drain(spark, t.path, str(tmp_path / "ck"))
+    # the contiguous tail {3,4} starts the stream at 3: exactly v4's rows
+    assert {(r.conv_id, r._version) for r in rows} == {("c4", 4)}
