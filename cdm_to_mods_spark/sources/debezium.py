@@ -126,8 +126,13 @@ def parse_debezium(
     # JSON, so "parsed to something with no op" is the corruption signal —
     # a real envelope always carries op (FAILFAST would also catch this,
     # but with a generic MALFORMED_RECORD error that loses the raw line).
+    # empty/whitespace-only lines count as tombstones too: a text-format
+    # landing of a Kafka topic renders a null-value compaction marker
+    # (or a stray blank line) as '' — a NON-null empty string — which
+    # would otherwise parse to an all-null struct and fail the whole
+    # read as "corrupt" under on_corrupt='error'
     parsed = df.select(raw.alias("_raw"), env.alias("_env")).filter(
-        F.col("_raw").isNotNull()
+        F.col("_raw").isNotNull() & (F.trim(F.col("_raw")) != "")
     )
     corrupt = F.col("_env").isNull() | F.col("_env")["op"].isNull()
     if on_corrupt == "error":
@@ -231,7 +236,10 @@ def to_debezium(
     image = F.struct(*[F.col(n) for n in payload_names])
     src_table = F.col(table_col) if table_col else F.lit(table)
     envelope = F.struct(
-        F.when(F.col("op") == "D", image).alias("before"),
+        # U carries before=after=image per the contract above — standard
+        # Debezium u envelopes always ship a pre-image, and external
+        # consumers key on it (before=null read as an incomplete feed)
+        F.when(F.col("op") != "I", image).alias("before"),
         F.when(F.col("op") != "D", image).alias("after"),
         F.struct(
             F.col("seq").alias("lsn"),

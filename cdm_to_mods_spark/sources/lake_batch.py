@@ -458,6 +458,12 @@ class _LakeBatchReader(DataSourceReader):
 
     # --------------------------------------------------------------- read
     def read(self, partition: _BucketPartition):
+        if partition is None:
+            # partitions() returned [] (empty table, or a key/zone/
+            # partition prune eliminated every bucket) — Spark's Python
+            # data source worker substitutes [None] and still calls
+            # read(None); the scan's answer is simply zero rows
+            return
         import pyarrow.compute as pc
         from pyspark.sql.pandas.types import to_arrow_schema
 

@@ -379,6 +379,39 @@ def _plan_ctx_partitioned(options, input_schema, path: str) -> dict:
     }
 
 
+def _new_bucket_entry() -> dict:
+    return {"rows": 0, "min_seq": None, "max_seq": None,
+            "files": [], "zone": {}, "zone_poisoned": set()}
+
+
+def _fold_file_entry(e: dict, fpath: str, rows: int, mn, mx,
+                     zone: dict) -> None:
+    """Fold one staged file's footer stats into a per-bucket commit
+    entry — the ONE copy of the zone-poisoning rules both the flat and
+    the partitioned driver commits share (the rules are subtle: a column
+    missing from ANY file poisons the bucket's zone for that column,
+    because folding partial bounds would understate the range → false
+    skips; the ordering of the first-file vs later-file checks matters)."""
+    e["rows"] += rows
+    e["files"].append(fpath)
+    e["min_seq"] = mn if e["min_seq"] is None else min(e["min_seq"], mn)
+    e["max_seq"] = mx if e["max_seq"] is None else max(e["max_seq"], mx)
+    for c in list(e["zone"]):
+        if c not in zone:
+            e["zone_poisoned"].add(c)
+    for c, (zmn, zmx) in zone.items():
+        if c in e["zone_poisoned"]:
+            continue
+        if len(e["files"]) > 1 and c not in e["zone"]:
+            e["zone_poisoned"].add(c)
+            continue
+        if c in e["zone"]:
+            e["zone"][c] = [min(e["zone"][c][0], zmn),
+                            max(e["zone"][c][1], zmx)]
+        else:
+            e["zone"][c] = [zmn, zmx]
+
+
 class _LakeSinkBase:
     """Shared executor write + driver commit for the batch and streaming
     faces (they differ only in how the ledger batch id arrives)."""
@@ -587,31 +620,10 @@ class _LakeSinkBase:
             if m is None:
                 continue
             for _pname, b, fpath, rows, mn, mx, zone in m.files:
-                e = per_bucket.setdefault(
-                    b, {"rows": 0, "min_seq": None, "max_seq": None,
-                        "files": [], "zone": {}, "zone_poisoned": set()}
+                _fold_file_entry(
+                    per_bucket.setdefault(b, _new_bucket_entry()),
+                    fpath, rows, mn, mx, zone,
                 )
-                e["rows"] += rows
-                e["files"].append(fpath)
-                e["min_seq"] = mn if e["min_seq"] is None else min(e["min_seq"], mn)
-                e["max_seq"] = mx if e["max_seq"] is None else max(e["max_seq"], mx)
-                # a column missing from ANY file's zone poisons the bucket's
-                # zone for that column (folding partial bounds understates
-                # the range → false skips)
-                for c in list(e["zone"]):
-                    if c not in zone:
-                        e["zone_poisoned"].add(c)
-                for c, (zmn, zmx) in zone.items():
-                    if c in e["zone_poisoned"]:
-                        continue
-                    if len(e["files"]) > 1 and c not in e["zone"]:
-                        e["zone_poisoned"].add(c)
-                        continue
-                    if c in e["zone"]:
-                        e["zone"][c] = [min(e["zone"][c][0], zmn),
-                                        max(e["zone"][c][1], zmx)]
-                    else:
-                        e["zone"][c] = [zmn, zmx]
 
         handle = LakeTable(None, ctx["path"], branch=ctx["branch"])
         # layout drift since PLAN time: the handle re-adopts the manifest,
@@ -729,30 +741,12 @@ class _LakeSinkBase:
             for o, c in (m.op_counts or {}).items():
                 op_counts[o] = op_counts.get(o, 0) + c
             for pname, b, fpath, rows, mn, mx, zone in m.files:
-                e = per_part.setdefault(pname, {}).setdefault(
-                    b, {"rows": 0, "min_seq": None, "max_seq": None,
-                        "files": [], "zone": {}, "zone_poisoned": set()}
+                _fold_file_entry(
+                    per_part.setdefault(pname, {}).setdefault(
+                        b, _new_bucket_entry()
+                    ),
+                    fpath, rows, mn, mx, zone,
                 )
-                e["rows"] += rows
-                e["files"].append(fpath)
-                e["min_seq"] = (mn if e["min_seq"] is None
-                                else min(e["min_seq"], mn))
-                e["max_seq"] = (mx if e["max_seq"] is None
-                                else max(e["max_seq"], mx))
-                for c2 in list(e["zone"]):
-                    if c2 not in zone:
-                        e["zone_poisoned"].add(c2)
-                for c2, (zmn, zmx) in zone.items():
-                    if c2 in e["zone_poisoned"]:
-                        continue
-                    if len(e["files"]) > 1 and c2 not in e["zone"]:
-                        e["zone_poisoned"].add(c2)
-                        continue
-                    if c2 in e["zone"]:
-                        e["zone"][c2] = [min(e["zone"][c2][0], zmn),
-                                         max(e["zone"][c2][1], zmx)]
-                    else:
-                        e["zone"][c2] = [zmn, zmx]
         if not per_part:
             self._cleanup()
             return

@@ -162,6 +162,38 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return out
 
 
+def _find_top_keyword(s: str, kw: str) -> int:
+    """Index of the first word-bounded, case-insensitive occurrence of
+    ``kw`` at paren/quote nesting depth 0, or -1 — the structural
+    keyword locator (a bare regex split would match the keyword inside
+    a string literal: ``SET text = 'no where here' WHERE ...``)."""
+    pat = re.compile(rf"\b{kw}\b", re.I)
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"":
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == "\\" and i + 1 < n:
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and pat.match(s, i):
+            return i
+        i += 1
+    return -1
+
+
 def _parse_kv_list(body: str) -> dict:
     """``k 'v', k2 = 'v2', k3 'v3'`` → dict (OPTIONS/TBLPROPERTIES body)."""
     out = {}
@@ -513,13 +545,10 @@ class LakeCatalog:
     def _commit_txn(self) -> DataFrame:
         if self._txn is None:
             raise LakeSqlError("COMMIT outside a transaction")
+        # the catalog session leaves the transaction either way (a
+        # conflict abort already rolled the branches back)
         txn, self._txn = self._txn, None
-        try:
-            out = txn.commit()
-        except Exception:
-            # a conflict abort already rolled the branches back; either
-            # way the catalog session leaves the transaction
-            raise
+        out = txn.commit()
         return _metrics_df(self.spark, {
             "txn_id": out["txn_id"],
             "staged_tables": out.get("staged_tables", []),
@@ -643,9 +672,7 @@ class LakeCatalog:
         try:
             return self.spark.table(name)
         except Exception:
-            raise LakeSqlError(
-                f"unknown relation {name!r} in table function argument"
-            )
+            raise LakeSqlError(f"unknown relation {name!r}")
 
     def _rewrite_curation_tvfs(self, stmt: str) -> str:
         """Training-data curation ops as table-valued functions (round 5)
@@ -1019,6 +1046,8 @@ class LakeCatalog:
             r"EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(.*)$",
             stmt, re.I | re.S,
         )
+        if not m:  # bare "EXPLAIN" — same typed error as a bodyless one
+            raise LakeSqlError("EXPLAIN takes a SELECT/WITH/VALUES body")
         mode, body = (m.group(1) or "").strip(), m.group(2).strip()
         if not re.match(r"(SELECT|WITH|VALUES)\b", body, re.I):
             raise LakeSqlError("EXPLAIN takes a SELECT/WITH/VALUES body")
@@ -1160,14 +1189,36 @@ class LakeCatalog:
         name, action = body.group(1), body.group(2).strip()
         self._refuse_in_txn(name, "ALTER TABLE")
         t = self.table(name)
-        m = re.match(
-            rf"ADD\s+COLUMNS?\s*\(?\s*({_IDENT})\s+([A-Za-z0-9_<>,() ]+?)\s*\)?$",
-            action, re.I,
-        )
+        m = re.match(r"ADD\s+COLUMNS?\s+(.*)$", action, re.I | re.S)
         if m:
-            return _metrics_df(
-                self.spark, t.add_column(m.group(1), m.group(2).strip())
-            )
+            # both the single form (ADD COLUMN c type) and the plural
+            # parenthesized multi-column form (ADD COLUMNS (a int,
+            # b string)) — the pre-fix single-column regex matched the
+            # plural shape but shoved ', b string' into the TYPE string,
+            # producing a raw ParseException deep in add_column
+            cols_body = m.group(1).strip()
+            if cols_body.startswith("(") and cols_body.endswith(")"):
+                cols_body = cols_body[1:-1]
+            items = _split_top(cols_body)
+            parsed_cols = []
+            for item in items:
+                cm = re.match(
+                    rf"({_IDENT})\s+([A-Za-z0-9_<>,() ]+)$", item.strip()
+                )
+                if not cm:
+                    raise LakeSqlError(
+                        "cannot parse column definition "
+                        f"{item.strip()!r}: ADD COLUMNS takes "
+                        "'name type' items"
+                    )
+                parsed_cols.append((cm.group(1), cm.group(2).strip()))
+            if not parsed_cols:
+                raise LakeSqlError(
+                    "ADD COLUMNS needs at least one 'name type' item"
+                )
+            for cname, ctype in parsed_cols:
+                out = t.add_column(cname, ctype)
+            return _metrics_df(self.spark, out)
         m = re.match(rf"DROP\s+COLUMN\s+({_IDENT})$", action, re.I)
         if m:
             return _metrics_df(self.spark, t.drop_column(m.group(1)))
@@ -1331,14 +1382,16 @@ class LakeCatalog:
 
     def _update(self, stmt: str) -> DataFrame:
         m = re.match(
-            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
-            stmt, re.I | re.S,
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$", stmt, re.I | re.S
         )
-        if not m:
+        wi = _find_top_keyword(m.group(2), "WHERE") if m else -1
+        if not m or wi < 0:
             raise LakeSqlError(
                 "UPDATE shape: UPDATE t SET c = expr, ... WHERE pred"
             )
-        name, set_body, pred = m.groups()
+        name = m.group(1)
+        body = m.group(2)
+        set_body, pred = body[:wi].rstrip(), body[wi + 5:].strip()
         assignments = {}
         for item in _split_top(set_body):
             am = re.match(rf"({_IDENT})\s*=\s*(.+)$", item, re.S)
@@ -1509,10 +1562,12 @@ class LakeCatalog:
             src = self._select(src_ref[1:-1].strip())
             salias = salias or "s"
         else:
-            if src_ref in self._tables:
-                src = self.table(src_ref).read()
-            else:
-                src = self.spark.table(src_ref)  # temp view
+            # the same table/mview/view/temp-view binding order the
+            # statement rewriter uses — a bare spark.table() here (the
+            # pre-fix fallback) read a stored view's STALE last
+            # expansion (or raised a raw AnalysisException if it was
+            # never queried) instead of re-binding fresh state
+            src = self._relation(src_ref)
             salias = salias or src_ref
         # ON must be exactly key equality: the engine merges by key.
         on_keys = set()
@@ -1642,12 +1697,19 @@ class LakeCatalog:
         return _metrics_df(self.spark, out)
 
 
-def _coerce_ts(s: str):
+def _coerce_ts(s: str) -> float:
+    """Parse a TIMESTAMP AS OF literal to UNIX SECONDS —
+    ``version_as_of`` compares floats against manifest ``commit_ts``
+    values, so returning a datetime here (the pre-fix behavior) made
+    every date-string literal crash with TypeError; the shared
+    ``plans.lake._to_unix`` owns the naive-means-UTC rule."""
     from datetime import datetime
+
+    from .plans.lake import _to_unix
 
     for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
         try:
-            return datetime.strptime(s, fmt)
+            return _to_unix(datetime.strptime(s, fmt))
         except ValueError:
             continue
     try:

@@ -222,3 +222,34 @@ def test_payload_schema_evolution_through_feed(spark, tmp_path):
     assert "rating" in t.read().columns
     assert rows["new"].rating == 5
     assert rows["old"].rating is None
+
+
+def test_blank_lines_are_tombstones_not_corrupt(spark, tmp_path):
+    """A text-format landing renders a null-value compaction marker (or
+    a stray blank line) as '' — non-null, so the pre-fix tombstone
+    filter missed it and on_corrupt='error' failed the whole read."""
+    d = tmp_path / "bus"
+    d.mkdir()
+    (d / "a.txt").write_text(
+        _env("c") + "\n\n   \n" + _env("u", text="v2", lsn=5) + "\n"
+    )
+    out = read_events(spark, str(d), fmt="debezium")
+    assert out.count() == 2  # blank lines dropped, nothing corrupt
+
+
+def test_to_debezium_update_carries_before_image(spark):
+    """U envelopes ship before=after=image per the documented contract —
+    the pre-fix before=null broke external consumers that key on the
+    standard Debezium pre-image."""
+    import json
+
+    from cdm_to_mods_spark.sources.debezium import to_debezium
+
+    rows = spark.createDataFrame(
+        [("U", 7, "c1", 0, "user", "v2", None, None, None)],
+        "op string, seq long, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts_raw string, ingest_ts timestamp",
+    )
+    env = json.loads(to_debezium(rows).first().value)
+    assert env["op"] == "u"
+    assert env["before"]["text"] == "v2" and env["after"]["text"] == "v2"

@@ -314,3 +314,26 @@ def test_partitioned_version_as_of(spark, tmp_path):
         spark.read.format("lake").option("versionAsOf", 1).load(pt.path)
     )
     assert _sorted_rows(got) == _sorted_rows(pt.read(version=1))
+
+
+def test_fully_pruned_and_empty_scans_return_zero_rows(spark, tmp_path):
+    """partitions() returning [] (empty table, or a key prune that
+    eliminates every bucket) makes Spark's Python worker call
+    read(None) — the pre-fix reader crashed on partition.ctx instead of
+    answering zero rows."""
+    register_lake(spark)
+    t = LakeTable(spark, str(tmp_path / "empty"), num_buckets=4,
+                  merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    assert spark.read.format("lake").load(t.path).count() == 0
+    t.apply_changes(_events(spark, [
+        ("I", 1, "c1", 0, "user", "x", None, _ts(1)),
+    ]), batch_id=0)
+    df = spark.read.format("lake").load(t.path)
+    # probe many absent keys: at 4 buckets with ONE populated, most
+    # hash to absent buckets -> empty partitions list end-to-end
+    assert all(
+        df.where(df.conv_id == f"zz-absent-{i}").count() == 0
+        for i in range(6)
+    )
+    assert df.where(df.conv_id == "c1").count() == 1

@@ -1224,3 +1224,82 @@ def test_tvf_works_over_registered_lake_table(spark, cat, tmp_path):
 def test_tvf_unknown_relation_is_typed_error(spark, cat):
     with pytest.raises(LakeSqlError, match="unknown relation"):
         cat.sql("SELECT * FROM dedup_exact('no_such_rel')")
+
+
+# ---------------------------------------------- round-5 review fixes
+def test_timestamp_as_of_date_string(spark, cat, seeded):
+    """Date-string TIMESTAMP AS OF literals must work — the pre-fix
+    _coerce_ts returned a datetime that version_as_of compared against
+    float commit_ts values (TypeError on every documented shape; only
+    unix-epoch numeric strings worked)."""
+    import datetime as dt
+
+    seeded.delete_where("conv_id = 'c2'")
+    tomorrow = (
+        dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=1)
+    ).strftime("%Y-%m-%d")
+    got = cat.sql(
+        f"SELECT count(*) AS n FROM tr TIMESTAMP AS OF '{tomorrow}'"
+    ).first().n
+    assert got == 2  # latest state is at-or-before tomorrow
+    with pytest.raises(Exception, match="no snapshot"):
+        cat.sql("SELECT * FROM tr TIMESTAMP AS OF '2001-01-01 00:00:00'")
+
+
+def test_merge_using_stored_view_reads_fresh_state(spark, cat, tmp_path,
+                                                   seeded):
+    """MERGE INTO ... USING a stored view must re-bind the view's table
+    references at execution — the pre-fix spark.table() fallback read a
+    stale temp-view expansion (or raised raw AnalysisException when the
+    view was never queried first)."""
+    src = LakeTable(spark, str(tmp_path / "updates"), num_buckets=2,
+                    merge_mode="mor")
+    src.create(TRANSCRIPT_SCHEMA)
+    src.apply_changes(_events(spark, [
+        ("I", 1, "c1", 0, "user", "stale", None),
+    ]), batch_id=0)
+    cat.register("updates", src)
+    cat.sql("CREATE VIEW upd_v AS SELECT conv_id, turn_idx, text "
+            "FROM updates")
+    # mutate the base AFTER the view exists, WITHOUT querying it first:
+    # the merge must see this write
+    src.apply_changes(_events(spark, [
+        ("U", 2, "c1", 0, "user", "fresh", None),
+    ]), batch_id=1)
+    cat.sql(
+        "MERGE INTO tr t USING upd_v s "
+        "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+        "WHEN MATCHED THEN UPDATE SET text = s.text"
+    )
+    got = cat.sql(
+        "SELECT text FROM tr WHERE conv_id = 'c1' AND turn_idx = 0"
+    ).first().text
+    assert got == "fresh"
+
+
+def test_update_where_inside_string_literal(spark, cat, seeded):
+    """The structural WHERE must be found quote-aware — the pre-fix
+    regex split at the ' where ' INSIDE the literal, garbling both the
+    assignment and the predicate."""
+    cat.sql("UPDATE tr SET text = 'no where here' WHERE conv_id = 'c2'")
+    rows = {r.conv_id: r.text for r in cat.sql(
+        "SELECT conv_id, text FROM tr WHERE turn_idx = 0").collect()}
+    assert rows["c2"] == "no where here"
+    assert rows["c1"] == "hello"  # untouched
+
+
+def test_bare_explain_is_typed_error(cat):
+    with pytest.raises(LakeSqlError, match="EXPLAIN takes"):
+        cat.sql("EXPLAIN")
+
+
+def test_alter_add_columns_multi(spark, cat, seeded):
+    """The plural parenthesized form adds EVERY column — the pre-fix
+    single-column regex shoved ', b string' into the type string and
+    raised a raw ParseException."""
+    cat.sql("ALTER TABLE tr ADD COLUMNS (lang string, score double)")
+    cols = {f.name: f.dataType.simpleString()
+            for f in seeded.schema().fields}
+    assert cols["lang"] == "string" and cols["score"] == "double"
+    with pytest.raises(LakeSqlError, match="cannot parse column"):
+        cat.sql("ALTER TABLE tr ADD COLUMNS (x)")
