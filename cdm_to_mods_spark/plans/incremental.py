@@ -467,10 +467,14 @@ class AdditiveStatsView(ConversationStatsView):
                 try:
                     out = self._lookup_fold(applied, src_v)
                 except (ChangelogUnavailableError, SnapshotExpiredError,
-                        ValueError, AnalysisException):
+                        ValueError, AnalysisException, FileNotFoundError):
                     # ValueError: sources with no usable change feed (cow
                     # without cow_change_feed); AnalysisException: residual
-                    # cross-version shape mismatches — both reseed below
+                    # cross-version shape mismatches; FileNotFoundError:
+                    # the view's APPLIED snapshot itself was expired (flat
+                    # manifests surface a deleted version file as
+                    # FileNotFoundError, not SnapshotExpiredError) — all
+                    # reseed below instead of wedging refresh()
                     out = None
                 if out == "noop":
                     self._commit_marker(self._marker()["data"], src_v, 0, t0)

@@ -43,6 +43,7 @@ from ..functions.chain import apply_chain
 from ..plans.lake import LakeTable
 from ..schemas import EVENT_SCHEMA, TRANSCRIPT_SCHEMA
 from ..sources.events import read_events
+from .tail import _record_batch_metrics
 
 ROUTER_COL = "table"
 
@@ -88,9 +89,16 @@ def apply_multi(
         }
         unknown = {n: c for n, c in counts.items() if n not in tables}
         if unknown and unknown_tables == "error":
+            # a NULL discriminator lands here too (the batch's declared
+            # non-null column still reads null from JSON/CSV) — render it
+            # explicitly instead of letting sorted() TypeError on
+            # str-vs-None and mask the actionable error
+            names = sorted(
+                "<null>" if n is None else n for n in unknown
+            )
             raise UnknownTableError(
                 f"batch {batch_id} routes events to unconfigured tables "
-                f"{sorted(unknown)}; configured: {sorted(tables)} — pass "
+                f"{names}; configured: {sorted(tables)} — pass "
                 f"unknown_tables='ignore' to drop (reported in metrics)"
             )
         out: dict = {"batch_id": batch_id, "tables": {}, "unknown": unknown}
@@ -141,37 +149,54 @@ def _version_at_batch(table: LakeTable, cut: int) -> int:
     writes break."""
     from ..plans.lake import SnapshotExpiredError
 
+    squash_skipped = False
     for h in table.history():
         bid = h["batch_id"]
         op = h["operation"]
-        if op == "merge_into":
-            # even WITH a batch_id: merge_into is the upsert-tail's commit,
-            # not the router's apply — its batch ids live in a different
-            # numbering, so treating one as a bus commit would mislabel
-            # the cut
+        if op in ("merge_into", "quarantine_replay", "overwrite_where"):
+            # even WITH a batch_id (these surfaces accept one as their
+            # own idempotence token): they are not the router's apply —
+            # merge_into's ids live in a different numbering, and
+            # quarantine replays / predicate overwrites mutate rows
+            # outside the bus, so treating any of them as a bus commit
+            # would mislabel the cut. The op check must run BEFORE the
+            # bid early-return below for exactly that reason.
             raise ValueError(
                 f"table {table.path} has an out-of-band state change "
-                f"'merge_into' at version {h['version']}; consistent cuts "
+                f"{op!r} at version {h['version']}; consistent cuts "
                 "are defined only for stream-owned replicas"
             )
         if bid is not None:
             if bid <= cut:
+                if squash_skipped and bid != cut:
+                    # a publish/clone above folded batches (bid, cut]
+                    # into one squash this walk skipped — the prefix
+                    # <= cut exists ONLY inside that squash, so no
+                    # retained version can serve the cut exactly
+                    break
                 return h["version"]
             continue  # newer than the cut: read below it
         if op in _STATE_PRESERVING:
             continue
         if op in ("CREATE", "bootstrap"):
             # contain no stream batches at all: the pre-stream state
-            # serves every cut
+            # serves every cut — UNLESS a skipped squash above folded
+            # the very batches <= cut the cut read is asking for
+            if squash_skipped and cut >= 0:
+                break
             return h["version"]
         if op in ("publish", "clone"):
             # these squashes carry the exact bus prefix they folded in
             # last_batch_id: at or below the cut they ARE the cut state;
             # above it, look below (a publish folded past the cut still
-            # has the pre-fork main history under it)
+            # has the pre-fork main history under it) — but remember the
+            # skip: a cut STRICTLY INSIDE the folded window cannot be
+            # served by anything below (pre-fix this silently returned
+            # the pre-fork state, an empty read labeled as the cut)
             lb = table._load_version(h["version"]).get("last_batch_id", -1)
             if lb <= cut:
                 return h["version"]
+            squash_skipped = True
             continue
         raise ValueError(
             f"table {table.path} has an out-of-band state change "
@@ -305,11 +330,9 @@ class MultiTableReplay:
             unknown_tables=self.unknown_tables,
             source=f"stream:{self.events_dir}",
         )
-        metrics["wall_sec"] = round(time.monotonic() - t0, 3)
-        self.batch_metrics.append(metrics)
-        if self.metrics_path:
-            with open(self.metrics_path, "a") as fh:
-                fh.write(json.dumps(metrics) + "\n")
+        _record_batch_metrics(
+            self.batch_metrics, self.metrics_path, metrics, t0
+        )
 
     def _source(self) -> DataFrame:
         if self.source_format == "debezium":

@@ -34,6 +34,49 @@ from ..schemas import EVENT_SCHEMA, TRANSCRIPT_SCHEMA
 from ..sources.events import read_events
 
 
+def _record_batch_metrics(sink, metrics_path, metrics: dict,
+                          t0: float) -> None:
+    """Shared per-micro-batch metrics tail of every streaming consumer
+    (binlog tail, multi-table router, compacted-topic upsert): stamp
+    ``wall_sec``, append to the bounded in-memory deque, and append one
+    JSONL line to the durable sink when configured — ONE copy, so a
+    change to the metrics contract cannot silently diverge the tails."""
+    metrics["wall_sec"] = round(time.monotonic() - t0, 3)
+    sink.append(metrics)
+    if metrics_path:
+        with open(metrics_path, "a") as fh:
+            fh.write(json.dumps(metrics) + "\n")
+
+
+def _ensure_branch_fork(main_t, branch: str) -> None:
+    """WAP bootstrap shared by the flat and partitioned tails: create
+    the main table (empty) and the staging branch on first use, so a
+    branch tail is a one-liner; losing a concurrent create_branch race
+    is fine — create_branch is atomic-exclusive, so losing means the
+    branch now exists."""
+    if not main_t.exists():
+        main_t.create(TRANSCRIPT_SCHEMA)
+    if branch not in {m["name"] for m in main_t.branches()}:
+        try:
+            main_t.create_branch(branch)
+        except ValueError:
+            pass  # lost a TOCTOU race: the branch now exists
+
+
+def _make_sliding(spark, sliding_view_path):
+    """Optional sliding ingest-metrics view, same spec on both tail
+    paths: additive slice partials folded per micro-batch
+    (operators/slicing.py), exactly-once by batch_id."""
+    if sliding_view_path is None:
+        return None
+    from ..operators.slicing import SlidingWindowView
+
+    return SlidingWindowView(
+        spark, sliding_view_path, "ingest_ts", "2 hours", "1 hour",
+        {"n_events": ("count", "*")},
+    )
+
+
 class StreamingReplay:
     """Tail a directory of event files into a LakeTable."""
 
@@ -115,18 +158,15 @@ class StreamingReplay:
                 # as the flat path: fork (and the empty table under it) is
                 # created on first use; audit the branch router, then
                 # ``publish_branch`` on a main handle fast-forwards.
-                main_t = PartitionedTable(
-                    spark, table_path, granularity=partition_by,
-                    partition_col=partition_col, num_buckets=num_buckets,
-                    merge_mode=merge_mode, compact_deltas=compact_deltas,
+                _ensure_branch_fork(
+                    PartitionedTable(
+                        spark, table_path, granularity=partition_by,
+                        partition_col=partition_col,
+                        num_buckets=num_buckets, merge_mode=merge_mode,
+                        compact_deltas=compact_deltas,
+                    ),
+                    branch,
                 )
-                if not main_t.exists():
-                    main_t.create(TRANSCRIPT_SCHEMA)
-                if branch not in {m["name"] for m in main_t.branches()}:
-                    try:
-                        main_t.create_branch(branch)
-                    except ValueError:
-                        pass  # lost a TOCTOU race: the branch now exists
             self.table = PartitionedTable(
                 spark, table_path,
                 granularity=partition_by,
@@ -139,14 +179,7 @@ class StreamingReplay:
             if not self.table.exists():
                 self.table.create(TRANSCRIPT_SCHEMA)
             self.view = None
-            self.sliding = None
-            if sliding_view_path is not None:
-                from ..operators.slicing import SlidingWindowView
-
-                self.sliding = SlidingWindowView(
-                    spark, sliding_view_path, "ingest_ts", "2 hours",
-                    "1 hour", {"n_events": ("count", "*")},
-                )
+            self.sliding = _make_sliding(spark, sliding_view_path)
             from collections import deque
 
             self.batch_metrics: deque = deque(maxlen=10_000)
@@ -155,22 +188,14 @@ class StreamingReplay:
             # write-audit-publish tail: stage the whole stream on a branch
             # main readers never see, audit the branch handle, then
             # ``table.publish_branch`` on a main handle fast-forwards (or
-            # drop_branch abandons). The fork (and the empty table under
-            # it) is created on first use so streaming WAP is a one-liner.
-            main_t = LakeTable(
-                spark, table_path, num_buckets=num_buckets,
-                merge_mode=merge_mode, compact_deltas=compact_deltas,
+            # drop_branch abandons).
+            _ensure_branch_fork(
+                LakeTable(
+                    spark, table_path, num_buckets=num_buckets,
+                    merge_mode=merge_mode, compact_deltas=compact_deltas,
+                ),
+                branch,
             )
-            if not main_t.exists():
-                main_t.create(TRANSCRIPT_SCHEMA)
-            if branch not in {m["name"] for m in main_t.branches()}:
-                try:
-                    main_t.create_branch(branch)
-                except ValueError:
-                    # TOCTOU with a concurrent tail creating the same
-                    # branch — create_branch is atomic-exclusive, so losing
-                    # the race means the branch now exists: proceed.
-                    pass
         self.table = LakeTable(
             spark, table_path, num_buckets=num_buckets, merge_mode=merge_mode,
             branch=branch, quarantine_path=quarantine_path,
@@ -190,16 +215,7 @@ class StreamingReplay:
             if merge_mode == "cow":
                 self.table.cow_change_feed = True
             self.view = ConversationStatsView(spark, self.table, stats_view_path)
-        # optional sliding ingest metrics: additive slice partials folded
-        # per micro-batch (operators/slicing.py), exactly-once by batch_id.
-        self.sliding = None
-        if sliding_view_path is not None:
-            from ..operators.slicing import SlidingWindowView
-
-            self.sliding = SlidingWindowView(
-                spark, sliding_view_path, "ingest_ts", "2 hours", "1 hour",
-                {"n_events": ("count", "*")},
-            )
+        self.sliding = _make_sliding(spark, sliding_view_path)
         # bounded: continuous tails run indefinitely and metrics_path is
         # the durable sink — an unbounded list is a slow driver leak.
         from collections import deque
@@ -230,11 +246,9 @@ class StreamingReplay:
             if self._applies_since_maintain >= self.maintain_every:
                 self._applies_since_maintain = 0
                 metrics["maintain"] = self._run_maintain()
-        metrics["wall_sec"] = round(time.monotonic() - t0, 3)
-        self.batch_metrics.append(metrics)
-        if self.metrics_path:
-            with open(self.metrics_path, "a") as fh:
-                fh.write(json.dumps(metrics) + "\n")
+        _record_batch_metrics(
+            self.batch_metrics, self.metrics_path, metrics, t0
+        )
 
     def _run_maintain(self) -> dict:
         """One maintenance tick between micro-batches; returns a compact

@@ -46,6 +46,7 @@ from ..operators.dedup import latest_per_key
 from ..plans.lake import LakeTable
 from ..schemas import TRANSCRIPT_SCHEMA
 from ..sources.events import read_events
+from .tail import _record_batch_metrics
 
 
 class StreamingUpsert:
@@ -111,9 +112,9 @@ class StreamingUpsert:
         delete_cond = (
             F.expr(self.delete_when) if self.delete_when is not None else None
         )
-        table_cols = self.table._canonical_schema(
-            self.table.manifest()
-        ).fieldNames()  # driver-side; read() here would list/plan per batch
+        # the public accessor is equally driver-side (read() here would
+        # list/plan per batch)
+        table_cols = self.table.schema().fieldNames()
         payload = [
             c for c in src.columns
             if c not in self.table.key_cols and c in table_cols
@@ -134,11 +135,9 @@ class StreamingUpsert:
             batch_id=batch_id,
             note=f"upsert:{self.source_dir}",
         )
-        metrics["wall_sec"] = round(time.monotonic() - t0, 3)
-        self.batch_metrics.append(metrics)
-        if self.metrics_path:
-            with open(self.metrics_path, "a") as fh:
-                fh.write(json.dumps(metrics) + "\n")
+        _record_batch_metrics(
+            self.batch_metrics, self.metrics_path, metrics, t0
+        )
 
     def start(self, *, available_now: bool = True):
         rows = read_events(

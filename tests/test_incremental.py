@@ -360,3 +360,40 @@ def test_lookup_fold_reseeds_past_bucket_fraction(spark, tmp_path):
     assert res["strategy"] == "reseed_full", res
     rows = {r.role: (r.n, r.chars) for r in view.read().collect()}
     assert rows == {"user": (2_000, 8_000.0)}
+
+
+def test_lookup_fold_reseeds_when_applied_snapshot_expired(spark, tmp_path):
+    """The view's APPLIED snapshot itself can be expired while the feed
+    range (applied, head] stays fully retained: changes() succeeds but
+    the lookup fold's pre-image reads open the deleted v{applied}
+    manifest — FileNotFoundError, which must reseed like every other
+    retention failure instead of wedging refresh() (pre-fix it
+    propagated and every restart re-failed)."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.plans.incremental import GenericAdditiveView
+    from cdm_to_mods_spark.plans.lake import LakeTable
+    from cdm_to_mods_spark.schemas import TRANSCRIPT_SCHEMA
+
+    ev = ("op string, seq long, conv_id string, turn_idx int, "
+          "role string, text string, tool string")
+    t = LakeTable(spark, str(tmp_path / "exp"), num_buckets=4,
+                  merge_mode="mor")
+    t.create(TRANSCRIPT_SCHEMA)
+    t.apply_changes(spark.createDataFrame(
+        [("I", 1, "c1", 0, "user", "abc", None),
+         ("I", 2, "c2", 0, "user", "d", None)], ev), batch_id=0)
+    view = GenericAdditiveView(
+        spark, t, str(tmp_path / "view"), ["role"],
+        [("n", "count", None), ("chars", "sum", "length(text)")],
+    )
+    view.refresh()  # applied = v1
+    t.apply_changes(spark.createDataFrame(
+        [("U", 3, "c2", 0, "user", "dd", None)], ev), batch_id=1)
+    t.apply_changes(spark.createDataFrame(
+        [("I", 4, "c3", 0, "tool", "z", None)], ev), batch_id=2)
+    t.expire_snapshots(keep_last=2)  # v1 (applied) gone; feed (1,3] kept
+    res = view.refresh()
+    assert res["refreshed"], res
+    rows = {r.role: (r.n, r.chars) for r in view.read().collect()}
+    assert rows == {"user": (2, 5.0), "tool": (1, 1.0)}

@@ -311,3 +311,70 @@ def test_consistent_cut_resolves_publish_and_clone(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="merge_into"):
         consistent_cut({"alpha": pub}, assume_complete=True)
+
+
+def test_consistent_cut_inside_publish_squash_raises(spark, tmp_path):
+    """A cut STRICTLY INSIDE a publish's folded window (default
+    assume_complete=False: cut = last_batch_id - 1) is unservable — the
+    batches <= cut exist only inside the squash. Pre-fix the walk
+    silently descended to the pre-fork CREATE state and returned an
+    EMPTY read labeled as the cut."""
+    from cdm_to_mods_spark.plans.lake import SnapshotExpiredError
+    from cdm_to_mods_spark.streaming.router import consistent_cut
+
+    base = _fresh(spark, tmp_path, "alpha")
+    base.create_branch("audit")
+    staged = LakeTable(spark, str(tmp_path / "alpha"), branch="audit")
+    for b in range(2):
+        staged.apply_changes(
+            _ev_for(spark, "alpha",
+                    [("I", b + 1, f"a{b}", 0, "user", "x", None)])
+            .drop("table"),
+            batch_id=b,
+            transform=None,
+        )
+    base.publish_branch("audit")
+    pub = LakeTable(spark, str(tmp_path / "alpha"))
+    with pytest.raises(SnapshotExpiredError, match="cannot serve"):
+        consistent_cut({"alpha": pub})  # cut 0 folded inside lb=1 squash
+
+
+def test_consistent_cut_rejects_out_of_band_ops_with_batch_id(spark,
+                                                              tmp_path):
+    """overwrite_where / quarantine replays carry their own batch_id as
+    an idempotence token — pre-fix the bid short-circuit mislabeled them
+    as bus commits; they must disqualify like merge_into does."""
+    from cdm_to_mods_spark.streaming.router import consistent_cut
+
+    t = _fresh(spark, tmp_path, "alpha")
+    apply_multi(
+        {"alpha": t},
+        _ev_for(spark, "alpha", [("I", 1, "a0", 0, "user", "x", None)]),
+        0, transform=None,
+    )
+    t.overwrite_where(
+        spark.createDataFrame(
+            [("a0", 0, "user", "y", None, None)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        ),
+        "conv_id = 'a0'",
+        batch_id=50,
+    )
+    with pytest.raises(ValueError, match="overwrite_where"):
+        consistent_cut({"alpha": t}, assume_complete=True)
+
+
+def test_unknown_table_error_renders_null_discriminator(spark, tmp_path):
+    """A null table discriminator plus an unconfigured name must raise
+    the actionable UnknownTableError — pre-fix sorted() crashed with
+    TypeError on str-vs-None and masked it."""
+    t = _fresh(spark, tmp_path, "alpha")
+    ev = spark.createDataFrame(
+        [("I", 1, "a0", 0, "user", "x", None, "typo"),
+         ("I", 2, "a1", 0, "user", "y", None, None)],
+        "op string, seq long, conv_id string, turn_idx int, role string, "
+        "text string, tool string, table string",
+    )
+    with pytest.raises(UnknownTableError, match="<null>"):
+        apply_multi({"alpha": t}, ev, 0, transform=None)
