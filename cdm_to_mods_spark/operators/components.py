@@ -77,13 +77,30 @@ def connected_components(
     the minimum node id of the node's connected component. Covers every
     node incident to at least one edge (callers union isolated nodes as
     self-components if needed)."""
+    def _free_ckpt(df) -> None:
+        """Release one round's localCheckpoint blocks as soon as the next
+        round is materialized — without this, up to max_rounds full
+        copies of the edge set pin executor memory/disk until the JVM's
+        ContextCleaner happens to GC them (exactly on the long
+        chain-shaped inputs that need many rounds). The checkpointed RDD
+        is addressed through ITS OWN plan (LogicalRDD.rdd), never a
+        global persistent-RDD diff, so concurrent jobs' caches are
+        untouchable. Best-effort: the accessor is Spark-internal, so any
+        failure falls back to the GC behavior."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     e = _canon(edges.select("u", "v"))
     e = e.localCheckpoint(eager=True)
     sig = _signature(e)
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
         sig2 = _signature(e2)
-        e = e2
+        _free_ckpt(e)  # e2 is materialized; the previous round's copy
+        e = e2         # is dead weight (the LAST e stays live — the
+        # returned star graph reads from it)
         if sig2 == sig:
             break
         sig = sig2

@@ -27,7 +27,16 @@ from pyspark.sql import DataFrame, functions as F
 def _det_salt(df: DataFrame, exclude: Sequence[str], n_salt: int):
     """Deterministic per-row salt from the non-key columns (identical rows
     co-salt, which is fine — they still spread across n_salt buckets as a
-    population). Falls back to the key columns when nothing else exists."""
+    population). Falls back to the key columns when nothing else exists.
+
+    Determinism is load-bearing: a task retry must re-derive the SAME
+    salt or shuffled rows could duplicate/vanish — which rules out
+    random or row-position salts. The trade: when the non-key columns
+    are LOW-CARDINALITY (a constant or a boolean flag), the salt
+    degenerates to few values and the hot key stays on few reducers
+    while dim still pays n_salt replication; pre-derive a
+    higher-cardinality column (e.g. a stable row id from the source)
+    before salting such shapes."""
     cols = [c for c in df.columns if c not in exclude] or list(df.columns)
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)).cast("int")
 

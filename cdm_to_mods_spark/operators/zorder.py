@@ -93,6 +93,12 @@ def compute_boundaries(
     )
     if sample_fraction < 1.0:
         proxies = proxies.sample(fraction=sample_fraction, seed=seed)
+    # SAME clamp as zvalue_expr (the two must agree, or bin indexes
+    # overflow the interleave's per-column bit budget and scramble the
+    # sort): the z-value must fit a signed long, so many cluster columns
+    # trade bit depth per column
+    if cols and bits * len(cols) > 63:
+        bits = max(1, 63 // len(cols))
     bins = 1 << bits
     probs = [i / bins for i in range(1, bins)]
     quantiles = proxies.stat.approxQuantile(list(cols), probs, relative_error)
@@ -118,6 +124,15 @@ def zvalue_expr(
     at position ``i * ncols + j``.
     """
     cols = list(boundaries)
+    # the interleave must fit a signed 64-bit long: bit positions reach
+    # bits*ncols - 1, and position 63 is the SIGN (the top bins would
+    # sort before the bottom ones), while >= 64 wraps (Java shift mod
+    # 64) and, because interleaving uses addition, carries into
+    # neighboring bits — an arithmetically scrambled key that reports
+    # success while data skipping silently degrades. Degrade bit DEPTH
+    # instead: fewer bins per column, still a correct Morton order.
+    if cols and bits * len(cols) > 63:
+        bits = max(1, 63 // len(cols))
     dtypes = {f.name: f.dataType for f in schema.fields}
     bin_exprs: list[Column] = []
     for c in cols:

@@ -86,7 +86,14 @@ def maintain(
         # no table scan) and surface one typed error.
         try:
             probe = table.spark.range(1).select(bound.alias("b")).first()["b"]
-        except Exception:
+        except Exception as exc:
+            # under ANSI the unparsable cast throws — that IS the parse
+            # failure this probe exists to catch. Anything else (stopped
+            # session, Py4J failure) must propagate: swallowing it would
+            # tell the operator their perfectly valid bound "does not
+            # parse" and send them debugging the wrong thing.
+            if "CAST" not in str(exc).upper():
+                raise
             probe = None
         if probe is None:
             raise ValueError(
@@ -111,29 +118,50 @@ def maintain(
     recs: list[dict] = []
 
     chain_due = d["max_delta_chain"] >= max_delta_chain
-    # a table capped at target_file_rows can never exceed that per file —
-    # clamp the policy floor so the trigger can actually be satisfied
-    # (otherwise every run rewrites and re-triggers forever)
+    total_rows = d["base_rows"] + d["delta_rows"]
     floor = min_rows_per_file
     if table.target_file_rows is not None:
-        floor = min(floor, table.target_file_rows)
-    # mean rows/file over populated buckets; guard num_files > populated
-    # buckets so a naturally-small table (one tight file per bucket) never
-    # triggers an endless rewrite loop
-    smallfile_due = (
-        d["num_files"] > d["populated_buckets"] > 0
-        and (d["base_rows"] + d["delta_rows"]) / d["num_files"] < floor
-    )
+        # a capped table's files can never exceed target rows each, so a
+        # mean-rows-per-file trigger against any floor >= target would
+        # re-fire after every compact whenever a bucket's rows are not an
+        # exact multiple of the cap (2,2,2,1 from 7 rows means mean 1.75
+        # forever) — an endless full-table rewrite loop. Compare the file
+        # COUNT against the tightest achievable capped layout instead:
+        # at most one rounding file per populated bucket above the global
+        # ceil(rows/target).
+        import math
+
+        min_achievable = d["populated_buckets"] + math.ceil(
+            total_rows / table.target_file_rows
+        )
+        smallfile_due = (
+            d["populated_buckets"] > 0 and d["num_files"] > min_achievable
+        )
+        smallfile_reason = (
+            f"{d['num_files']} files > achievable "
+            f"{min_achievable} at target_file_rows="
+            f"{table.target_file_rows}"
+        )
+    else:
+        # mean rows/file over populated buckets; guard num_files >
+        # populated buckets so a naturally-small table (one tight file
+        # per bucket) never triggers an endless rewrite loop
+        smallfile_due = (
+            d["num_files"] > d["populated_buckets"] > 0
+            and total_rows / d["num_files"] < floor
+        )
+        smallfile_reason = (
+            f"mean rows/file "
+            f"{round(total_rows / d['num_files']) if d['num_files'] else 0} "
+            f"< {floor} over {d['num_files']} files"
+        )
     compact_reasons = []
     if chain_due:
         compact_reasons.append(
             f"max_delta_chain {d['max_delta_chain']} >= {max_delta_chain}"
         )
     if smallfile_due:
-        compact_reasons.append(
-            f"mean rows/file {round((d['base_rows'] + d['delta_rows']) / d['num_files'])} "
-            f"< {floor} over {d['num_files']} files"
-        )
+        compact_reasons.append(smallfile_reason)
     if purge_tombstones_before_seq is not None:
         # operator-supplied retention floor (a seq the source's binlog can
         # no longer emit under — never inferable from table state, so this

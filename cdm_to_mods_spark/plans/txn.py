@@ -198,6 +198,38 @@ class TableGroup:
                     "create it before grouping"
                 )
         os.makedirs(self.path, exist_ok=True)
+        # g0 FIRST: the ledger commit is link(2)-exclusive, so a racing
+        # create loses HERE — before any spec write. Spec-first (the
+        # pre-fix order) let two creators clobber each other's
+        # _group.json via rename while only one won g0, leaving the
+        # committed cut and the spec describing DIFFERENT member sets
+        # with no error on the surviving path.
+        try:
+            self._commit(
+                {
+                    "format_version": 1,
+                    "version": 0,
+                    "op": "create",
+                    "tables": {
+                        n: t.latest_version() for n, t in tables.items()
+                    },
+                    "txn_id": None,
+                    "metrics": {},
+                    "commit_ts": time.time(),
+                }
+            )
+        except RuntimeError:
+            # g0 already exists: a concurrent creator won, OR our own
+            # earlier create crashed between g0 and the spec write —
+            # resumable only when the member set matches that g0
+            if self.exists() or set(self.manifest(0)["tables"]) != set(
+                tables
+            ):
+                raise RuntimeError(
+                    f"group already exists at {self.path} (lost a "
+                    "concurrent create, or a crashed create left a "
+                    "different member set)"
+                ) from None
         _fsync_write(
             self._spec_path,
             {
@@ -207,19 +239,6 @@ class TableGroup:
                     n: member_strategy(t) for n, t in sorted(tables.items())
                 },
             },
-        )
-        self._commit(
-            {
-                "format_version": 1,
-                "version": 0,
-                "op": "create",
-                "tables": {
-                    n: t.latest_version() for n, t in tables.items()
-                },
-                "txn_id": None,
-                "metrics": {},
-                "commit_ts": time.time(),
-            }
         )
 
     # ------------------------------------------------------------ ledger
@@ -446,6 +465,16 @@ class TableGroup:
             man = self.manifest()
             if man.get("txn_id") == wal["txn_id"]:
                 return  # cut landed (before the crash, or by the racer)
+            # the head alone cannot prove the cut is MISSING: a different
+            # txn may have committed after ours landed (two pending WALs
+            # recovered out of order) — scan the retained cut history
+            # before re-committing, or recovery would duplicate the cut
+            if any(
+                self.manifest(v).get("txn_id") == wal["txn_id"]
+                for v in self._versions()
+                if v != man["version"]
+            ):
+                return
             tables = dict(man["tables"])
             for name in wal["tables"]:
                 tables[name] = self.table(name).latest_version()
@@ -559,7 +588,15 @@ class GroupTransaction:
         self.group._commit_cut(
             {"txn_id": self.txn_id, "tables": self._staged}
         )
-        os.unlink(self.group._wal_path(self.txn_id))
+        try:
+            os.unlink(self.group._wal_path(self.txn_id))
+        except FileNotFoundError:
+            # a concurrent recover() ("safe to run any time") picked up
+            # the WAL, finished this txn and unlinked it first — the
+            # transaction IS committed; raising here would make the
+            # caller treat a committed txn as failed (possible duplicate
+            # re-submission)
+            pass
         self._state = "committed"
         return {
             "txn_id": self.txn_id,

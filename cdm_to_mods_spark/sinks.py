@@ -76,11 +76,20 @@ def restriction_report(df: DataFrame, restricted_col: str, *cols: str) -> DataFr
     """Filtered projection of restricted records (the restriction-report
     sink, post_cdm_cleanup.py:186-217): rows whose ``restricted_col`` is
     non-empty, projected to the requested columns."""
+    from pyspark.sql import types as T
+
     keep = list(cols) if cols else df.columns
     # compare as STRING: against a non-string column the literal '' would
     # cast to null and null-propagate the predicate false for every row —
-    # an always-empty report with no error (int/bool restriction flags).
+    # an always-empty report with no error.
     as_str = F.col(restricted_col).cast("string")
-    return (
-        df.filter(as_str.isNotNull() & (as_str != "")).select(*keep)
-    )
+    pred = as_str.isNotNull() & (as_str != "")
+    if not isinstance(df.schema[restricted_col].dataType, T.StringType):
+        # int/bool restriction FLAGS additionally need their falsy forms
+        # excluded: 0 casts to '0' and false to 'false' — non-empty
+        # strings, so the null/empty-only filter would list every
+        # unrestricted record (the opposite failure). String columns
+        # keep the reference's any-non-empty-value-restricts rule (a
+        # literal "0" there is a value, not a flag).
+        pred = pred & ~F.lower(as_str).isin("0", "false")
+    return df.filter(pred).select(*keep)

@@ -175,3 +175,27 @@ def test_ttl_unparsable_bound_fails_loud(spark, tmp_path):
     _apply(spark, t, [("I", 1, "c1", 0, "user", "a", None)], 0)
     with pytest.raises(ValueError, match="does not parse"):
         maintain(t, ttl_col="ts", ttl_older_than="01/02/2024")
+
+
+def test_capped_table_quiesces_on_non_multiple_rows(spark, tmp_path):
+    """7 rows at target_file_rows=2 compact to 2,2,2,1 — mean 1.75 is
+    BELOW the cap forever, so the pre-fix mean-based trigger scheduled a
+    useless full rewrite on every maintain() run. The capped trigger now
+    compares file COUNT against the tightest achievable layout: a
+    genuinely fragmented table still compacts once, then quiesces."""
+    t = LakeTable(
+        spark, str(tmp_path / "cap7"), num_buckets=4, merge_mode="mor",
+        target_file_rows=2,
+    )
+    t.create(TRANSCRIPT_SCHEMA)
+    # 7 single-row applies: 7 delta files in one bucket — fragmented
+    for i in range(7):
+        _apply(spark, t, [("I", i + 1, "c1", i, "user", "x", None)], i)
+    res = maintain(t, min_rows_per_file=10_000)
+    assert "compact" in _actions(res)  # real fragmentation: compacts once
+    d = t.describe_detail()
+    assert d["num_files"] == 4  # ceil(7/2) — the tightest capped layout
+    # and now it QUIESCES: the 4-file/1.75-mean layout is as good as the
+    # cap allows (pre-fix: another full rewrite, forever)
+    assert maintain(t, min_rows_per_file=10_000)["actions"] == []
+    assert t.read().count() == 7

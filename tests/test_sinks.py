@@ -65,3 +65,28 @@ def test_restriction_report(spark):
     got = restriction_report(df, "dmaccess", "id", "dmaccess")
     assert {r.id for r in got.collect()} == {"a", "d"}
     assert got.columns == ["id", "dmaccess"]
+
+
+def test_restriction_report_bool_and_int_flags(spark):
+    """Flag-typed restriction columns: 0/false cast to non-empty strings
+    ('0'/'false'), so the pre-fix null/empty-only filter listed every
+    unrestricted record. String columns keep the reference's
+    any-non-empty-value rule (a literal '0' is a value there)."""
+    flags = spark.createDataFrame(
+        [("a", True), ("b", False), ("c", None)],
+        "id string, restricted boolean",
+    )
+    assert {r.id for r in restriction_report(flags, "restricted").collect()} \
+        == {"a"}
+    ints = spark.createDataFrame(
+        [("a", 1), ("b", 0), ("c", None), ("d", 2)],
+        "id string, restricted int",
+    )
+    assert {r.id for r in restriction_report(ints, "restricted").collect()} \
+        == {"a", "d"}
+    strings = spark.createDataFrame(
+        [("a", "0"), ("b", ""), ("c", None)], "id string, restricted string",
+    )
+    # string "0" is a VALUE, not a falsy flag — stays restricted
+    assert {r.id for r in restriction_report(strings, "restricted").collect()} \
+        == {"a"}

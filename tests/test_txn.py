@@ -442,3 +442,82 @@ def test_concurrent_recover_converges(spark, group):
     assert len(cuts) == 1
     assert group.read("tr").filter("conv_id = 't40'").count() == 1
     assert group.pending_transactions() == []
+
+
+def test_create_race_and_crash_resume(spark, tmp_path):
+    """g0 commits BEFORE the spec write (link-exclusive), so a losing
+    concurrent create errors cleanly instead of clobbering the winner's
+    member spec; a create that crashed between g0 and the spec write is
+    resumable with the same member set."""
+    import os
+
+    from cdm_to_mods_spark.plans.txn import TableGroup
+
+    a = LakeTable(spark, str(tmp_path / "a"), num_buckets=2)
+    a.create(TRANSCRIPT_SCHEMA)
+    g = TableGroup(spark, str(tmp_path / "grp"))
+    g.create({"a": a})
+    # a second create (concurrent loser) fails cleanly, spec intact
+    with pytest.raises(RuntimeError, match="already exists"):
+        TableGroup(spark, str(tmp_path / "grp")).create({"a": a})
+    assert TableGroup(spark, str(tmp_path / "grp")).read("a").count() >= 0
+    # crashed create: g0 landed, spec missing -> same-member retry finishes
+    g2path = str(tmp_path / "grp2")
+    g2 = TableGroup(spark, g2path)
+    g2.create({"a": a})
+    os.unlink(os.path.join(g2path, "_group.json"))
+    TableGroup(spark, g2path).create({"a": a})  # resumes, no error
+    assert TableGroup(spark, g2path).read("a").count() >= 0
+    # ...but a DIFFERENT member set does not silently adopt
+    b = LakeTable(spark, str(tmp_path / "b"), num_buckets=2)
+    b.create(TRANSCRIPT_SCHEMA)
+    g3path = str(tmp_path / "grp3")
+    TableGroup(spark, g3path).create({"a": a})
+    os.unlink(os.path.join(g3path, "_group.json"))
+    with pytest.raises(RuntimeError, match="different member set"):
+        TableGroup(spark, g3path).create({"a": a, "b": b})
+
+
+def test_recover_skips_cut_already_in_history(spark, tmp_path):
+    """A pending WAL whose cut already landed BELOW head (another txn
+    committed after it) must not re-commit a duplicate cut — the
+    idempotence check scans retained history, not just the head."""
+    import json as _json
+    import os
+
+    from cdm_to_mods_spark.plans.txn import TableGroup
+
+    a = LakeTable(spark, str(tmp_path / "a"), num_buckets=2)
+    a.create(TRANSCRIPT_SCHEMA)
+    g = TableGroup(spark, str(tmp_path / "grp"))
+    g.create({"a": a})
+    with g.transaction() as txn:
+        txn.table("a").apply_changes(spark.createDataFrame(
+            [("I", 1, "c1", 0, "user", "x", None, None)],
+            "op string, seq long, conv_id string, turn_idx int, "
+            "role string, text string, tool string, ts timestamp",
+        ), batch_id=0)
+        txn.commit()
+    committed_txn = g.manifest()["txn_id"]
+    with g.transaction() as txn2:
+        txn2.table("a").apply_changes(spark.createDataFrame(
+            [("I", 2, "c2", 0, "user", "y", None, None)],
+            "op string, seq long, conv_id string, turn_idx int, "
+            "role string, text string, tool string, ts timestamp",
+        ), batch_id=1)
+        txn2.commit()
+    v_head = g.latest_version()
+    # resurrect txn1's WAL (crash-before-unlink with a later head); the
+    # branch was already dropped by publish, so recover()'s publish redo
+    # no-ops and only the cut idempotence check is exercised
+    wal = {
+        "txn_id": committed_txn,
+        "tables": {"a": {"branch": committed_txn, "forked_at": 0}},
+    }
+    os.makedirs(os.path.join(str(tmp_path / "grp"), "_txn"), exist_ok=True)
+    with open(g._wal_path(committed_txn), "w") as fh:
+        _json.dump(wal, fh)
+    g.recover()
+    # no duplicate cut: head unchanged, WAL consumed
+    assert g.latest_version() == v_head
+    assert not os.path.exists(g._wal_path(committed_txn))

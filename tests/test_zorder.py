@@ -231,3 +231,35 @@ def test_zorder_refusals(ztab):
         ztab.compact(cluster_by=["ts"], layout="hilbert")
     with pytest.raises(ValueError, match="not in schema"):
         ztab.compact(cluster_by=["nope"], layout="zorder")
+
+
+def test_zvalue_many_columns_fits_signed_long(spark):
+    """bits*ncols past 63 must degrade bit DEPTH, not wrap: Java shifts
+    are mod 64 and the interleave uses addition, so overflowing bit
+    positions carried into neighbors (a scrambled key reporting
+    success), while bit 63 flipped the sign (top bins sorting first)."""
+    from pyspark.sql import functions as F
+
+    from cdm_to_mods_spark.operators.zorder import (
+        compute_boundaries,
+        zvalue_expr,
+    )
+
+    ncols = 11
+    cols = [f"c{i}" for i in range(ncols)]
+    df = spark.range(200).select(
+        *[
+            (F.col("id") * (i + 1) % 97).cast("double").alias(c)
+            for i, c in enumerate(cols)
+        ]
+    )
+    bounds = compute_boundaries(df, cols, bits=6, sample_fraction=1.0)
+    z = df.select(
+        zvalue_expr(bounds, df.schema, bits=6).alias("z"), *cols
+    )
+    rows = z.collect()
+    assert all(r.z >= 0 for r in rows)  # sign bit never set
+    # monotone sanity: the all-max row must not sort below the all-min row
+    lo = min(rows, key=lambda r: sum(r[c] for c in cols))
+    hi = max(rows, key=lambda r: sum(r[c] for c in cols))
+    assert lo.z <= hi.z
