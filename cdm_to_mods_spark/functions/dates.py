@@ -44,8 +44,11 @@ def _canonical_date_str(s: pd.Series) -> pd.Series:
         out[s.index[todo]] = values[todo]
         s = s[~todo]
 
-    # 1. ISO datetime: YYYY-MM-DD[ HH:MM[:SS]]
-    m = s.str.extract(r"^(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2})(?::(\d{2}))?$")
+    # 1. ISO datetime: YYYY-MM-DD[ HH:MM[:SS]] — seconds restricted to
+    # [0-5]\d: strptime's %S tolerates leap-seconds (60/61) and ROLLS
+    # them over (07:19:61 → 07:20:01) where the JVM and arrow paths null;
+    # unclaimed here means NaT, matching them (differential-fuzz find)
+    m = s.str.extract(r"^(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2})(?::([0-5]\d))?$")
     fill(
         m[0].notna(),
         m[0] + "-" + m[1] + "-" + m[2] + " " + m[3] + ":" + m[4] + ":" + m[5].fillna("00"),
@@ -55,7 +58,7 @@ def _canonical_date_str(s: pd.Series) -> pd.Series:
     fill(m[0].notna(), m[0] + "-" + m[1] + "-" + m[2] + " 00:00:00")
     # 3. US date, optionally 1-digit month/day: M/D/YYYY[ H:M[:S]]
     m = s.str.extract(
-        rf"^{_MONTH_PAD}/{_MONTH_PAD}/(\d{{4}})(?:\s+(\d{{1,2}}):(\d{{2}})(?::(\d{{2}}))?)?$"
+        rf"^{_MONTH_PAD}/{_MONTH_PAD}/(\d{{4}})(?:\s+(\d{{1,2}}):(\d{{2}})(?::([0-5]\d))?)?$"
     )
     fill(
         m[0].notna(),
@@ -238,7 +241,25 @@ def canonicalize_ts_col(c: Column) -> Column:
     mask = F.translate(t_sep, "0123456789", "##########")
     handled, fast = _mask_dispatch(s, t_sep, mask)
     residue = F.when(handled, F.lit(None).cast("string")).otherwise(s)
-    return F.when(handled, fast).otherwise(canonicalize_ts(residue))
+    return _clamp_pandas_range(
+        F.when(handled, fast).otherwise(canonicalize_ts(residue))
+    )
+
+
+def _clamp_pandas_range(ts: Column) -> Column:
+    """Null timestamps outside pandas' ``datetime64[ns]`` range — the
+    semantics ALL cascade forms share: the pandas UDF coerces
+    out-of-range years to NaT (``pd.Timestamp.min``/``max`` bound the ns
+    epoch), the Arrow cascade clamps to it explicitly for parity, and a
+    pandas UDF physically cannot return a wider value over Arrow anyway
+    (datetime64[ns] serialization). The JVM fast paths CAN parse
+    year-6810 strings, so without this gate the hybrid forms diverge
+    from the residue path on exactly the garbage years the clamp is the
+    data-quality gate for (found by differential fuzz; pinned in
+    tests/test_transforms.py)."""
+    lo = F.lit("1677-09-21 00:12:43.145225").cast("timestamp")
+    hi = F.lit("2262-04-11 23:47:16.854775").cast("timestamp")
+    return F.when((ts >= lo) & (ts <= hi), ts)
 
 
 def _mask_dispatch(s: Column, t_sep: Column, mask: Column):
@@ -367,7 +388,7 @@ def with_canonical_ts(df, src_col: str, out_col: str = "ts", drop_src: bool = Tr
     handled_ext, fast_ext = _mask_dispatch_ext(F.col("__cts_q"), F.col("__cts_mq"))
     claimed = handled | handled_ext
     residue = F.when(claimed, F.lit(None).cast("string")).otherwise(s)
-    out = (
+    out = _clamp_pandas_range(
         F.when(handled, fast)
         .when(handled_ext, fast_ext)
         .otherwise(canonicalize_ts(residue))

@@ -166,6 +166,49 @@ def test_date_cascade_arrow_parity(spark):
         assert p == a, f"{inp!r}: pandas {p}, arrow {a}"
 
 
+def test_date_cascade_range_and_leap_second_parity(spark):
+    """Two divergence classes found by differential fuzz (session 19),
+    pinned across ALL FOUR cascade forms (pandas UDF, arrow UDF, hybrid
+    Column form, hybrid DataFrame form):
+
+    - out-of-datetime64[ns]-range years (6810, 1506, 2550-via-decade):
+      the pandas UDF coerces them to NaT and a pandas UDF physically
+      cannot return wider values over Arrow, so the JVM fast paths must
+      clamp instead of returning year-6810 timestamps;
+    - leap-second inputs (:60/:61): strptime's %S tolerates them and
+      pandas ROLLED 07:19:61 over to 07:20:01 where the JVM/arrow paths
+      null — the pandas cascade now restricts seconds to [0-5]\\d."""
+    from cdm_to_mods_spark.functions.dates import canonicalize_ts_arrow
+
+    cases = [
+        # ns-range overflow: every family's fast path must null these
+        "6810-01-02", "circa 6810", "ca. 5153", "[7179]", "1290s",
+        "255-", " 1506-04-06 ", "04/13/7621 7:41", "between 5256 and 5261",
+        "5225?", "3619 -3620", "9333-07-28 11:22:33", "1676-12-31",
+        "2263-01-01", "1677-09-22", "2262-04-11",
+        # leap seconds: rollover is not canonicalization
+        "1950-11-13 07:19:61", "1950-11-13 07:19:60", "2000-06-30 23:59:60",
+        "7/4/1999 9:30:61", "07/04/1999 9:30:60", "1950-11-13T07:19:61",
+        # in-range neighbours stay parsed
+        "1950-11-13 07:19:59", "7/4/1999 9:30:59",
+    ]
+    got_p = _apply(spark, canonicalize_ts, cases)
+    got_a = _apply(spark, canonicalize_ts_arrow, cases)
+    got_h = _apply(spark, canonicalize_ts_col, cases)
+    df = spark.createDataFrame([Row(v=v) for v in cases])
+    got_d = [
+        r.out for r in with_canonical_ts(df, "v", "out", drop_src=False).collect()
+    ]
+    for inp, p, a, h, d in zip(cases, got_p, got_a, got_h, got_d):
+        assert p == a == h == d, (
+            f"{inp!r}: pandas {p}, arrow {a}, hybrid {h}, df-form {d}"
+        )
+    assert got_p[-2:] == [
+        datetime.datetime(1950, 11, 13, 7, 19, 59),
+        datetime.datetime(1999, 7, 4, 9, 30, 59),
+    ]
+
+
 def test_ts_qualifier(spark):
     got = _apply(spark, ts_qualifier, ["ca. 1920", "[1936]", "1972?", "1999"])
     assert got == ["approximate", "inferred", "questionable", None]
