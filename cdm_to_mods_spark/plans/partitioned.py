@@ -1647,19 +1647,30 @@ class PartitionedTable:
         mid-fan-out replays through ``_stage_first_ctx``'s replay check →
         legacy path → per-sub ledgers dedupe, converging identically.
 
-        Shuffle sizing: the touched-pair count is unknown pre-write, so
-        the pair repartition uses ``max(64, defaultParallelism*4)`` slots
-        — MORE slots than pairs costs only empty tasks, while fewer
-        would collide pairs onto shared tasks and serialize the write's
-        critical path (each (part,bucket) pair lands whole on one task
-        either way, so the one-file-per-directory layout is preserved)."""
+        Shuffle sizing: the touched-pair count is unknown pre-write, but
+        ``existing partitions × num_buckets`` bounds it from above for
+        any batch that stays inside the known layout, and slots beyond
+        the possible pair count are pure scheduling waste — measured
+        ~20% of the stage-write wall on a 125k-row batch over a
+        12-month × 8-bucket table (128 vs 96 slots: 1.48 s vs 1.17 s).
+        So the width is that bound clamped to [defaultParallelism,
+        max(64, defaultParallelism*4)]. Partitions BORN this batch push
+        the true pair count past the bound; colliding those extra pairs
+        onto shared tasks is correctness-neutral (``partitionBy`` still
+        writes one file per directory per task) and only matters for
+        parallelism when a batch births many partitions at once — the
+        empty-table bootstrap, which keeps the uncapped width because
+        ``subs`` is empty there."""
         from .lake import _apply_conf_scope
 
         g0, man0, spec = ctx["g0"], ctx["man0"], ctx["spec"]
         subs, mans = dict(ctx["subs"]), ctx["mans"]
-        n_shuffle = max(
-            64, self.spark.sparkContext.defaultParallelism * 4
-        )
+        dp = self.spark.sparkContext.defaultParallelism
+        n_shuffle = max(64, dp * 4)
+        if subs:
+            n_shuffle = min(
+                n_shuffle, max(dp, len(subs) * g0.num_buckets)
+            )
         with _apply_conf_scope(self.spark):
             changes, canon, evolved = self._fused_changes(
                 ev, g0, man0, n_shuffle, skip_collapse
