@@ -35,7 +35,8 @@ Usage:
     python tools/scaling_bench.py --control CPUS N    # child: one control level
     python tools/scaling_bench.py --control-shuffle CPUS N  # shuffle+write ceiling
     python tools/scaling_bench.py --fleet K CPUS N    # K-process executor fleet
-    python tools/scaling_bench.py --fleet-child CPUS EVDIR TABLEDIR  # internal
+    python tools/scaling_bench.py --fleet-router K CPUS N  # routed fleet
+    python tools/scaling_bench.py --fleet-child CPUS EVDIR TABLEDIR [routed]  # internal
 """
 
 from __future__ import annotations
@@ -304,9 +305,14 @@ def control_shuffle(cpus: int, n_rows: int) -> None:
     )
 
 
-def fleet_child(cpus: int, ev_dir: str, table_dir: str) -> None:
+def fleet_child(
+    cpus: int, ev_dir: str, table_dir: str, routed: bool = False
+) -> None:
     """One emulated executor: replay the pre-partitioned event shard in
-    ``ev_dir`` (4 contiguous-seq segments) into a table shard."""
+    ``ev_dir`` (4 contiguous-seq segments) into a table shard — a flat
+    64-bucket table, or (``routed``) the production ``months(ts) x
+    8-bucket`` partition router (the shard's events carry a typed
+    conversation-derived ``ts``, written by the routed prep)."""
     import time
 
     from cdm_to_mods_spark.functions.chain import apply_chain
@@ -320,21 +326,36 @@ def fleet_child(cpus: int, ev_dir: str, table_dir: str) -> None:
         master=f"local[{cpus}]",
         extra_conf={"spark.local.dir": f"{table_dir}-local"},
     )
-    # warmup (untimed)
-    replay_in_batches(
-        spark,
-        synth_events(spark, 5_000, 100, seed=7),
-        os.path.join(table_dir, "warmup"),
-        n_batches=1,
-        max_seq=5_000,
-        num_buckets=8,
-        merge_mode="mor",
-    ).read().count()
+    part_by = "month" if routed else None
+    # warmup (untimed): the same table shape the timed region uses; the
+    # routed warmup pays two applies so both the empty-table and the
+    # steady-state fused plan shapes compile (see router_child)
+    warm_ev = synth_events(spark, 5_000, 100, seed=7)
+    if routed:
+        from pyspark.sql import functions as F
+
+        warm_ev = warm_ev.drop("ts_raw").withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1735689600)
+                + F.pmod(F.xxhash64(F.lit(7), "conv_id", "turn_idx"),
+                         F.lit(365 * 86400))
+            ),
+        )
+    warm = replay_in_batches(
+        spark, warm_ev, os.path.join(table_dir, "warmup"),
+        n_batches=2 if routed else 1, max_seq=5_000,
+        num_buckets=8, merge_mode="mor", partition_by=part_by,
+    )
+    warm.read().count()
     segs = sorted(
         os.path.join(ev_dir, d) for d in os.listdir(ev_dir) if d.startswith("batch-")
     )
     t0 = time.monotonic()
-    table = open_or_create(spark, os.path.join(table_dir, "t"), 64, "mor")
+    table = open_or_create(
+        spark, os.path.join(table_dir, "t"),
+        8 if routed else 64, "mor", partition_by=part_by,
+    )
     for b, seg in enumerate(segs):
         table.apply_changes(
             spark.read.parquet(seg), batch_id=b, transform=apply_chain, source=seg
@@ -343,9 +364,15 @@ def fleet_child(cpus: int, ev_dir: str, table_dir: str) -> None:
     print(json.dumps({"elapsed_sec": round(time.monotonic() - t0, 3), "rows": rows}))
 
 
-def fleet(k: int, cpus: int, n_events: int) -> None:
+def fleet(k: int, cpus: int, n_events: int, routed: bool = False) -> None:
     """K emulated executors over hash(conv_id)-partitioned shards of the
-    same input; compare against one executor on the full input."""
+    same input; compare against one executor on the full input.
+    ``routed``: each executor replays its shard through the production
+    ``months(ts) x bucket`` partition router instead of a flat table —
+    ts derives from the conversation (the transcripts workload's shape),
+    so sharding by conv_id keeps every conversation's partitions wholly
+    on its owning executor, the work distribution of a real cluster's
+    (partition, bucket)-hashed write tasks."""
     import tempfile
     import time
 
@@ -362,6 +389,15 @@ def fleet(k: int, cpus: int, n_events: int) -> None:
                      extra_conf={"spark.local.dir": f"{base}/prep-local"})
     events = synth_events(prep, n_events, max(1_000, n_events // 100),
                           seed=42, hot_frac=0.05)
+    if routed:
+        events = events.drop("ts_raw").withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1735689600)  # 2025-01-01 UTC
+                + F.pmod(F.xxhash64(F.lit(7), "conv_id", "turn_idx"),
+                         F.lit(365 * 86400))
+            ),
+        )
     per = (n_events + 3) // 4
     shard = F.pmod(F.xxhash64("conv_id"), F.lit(k))
     seg_id = F.floor(F.col("seq") / F.lit(per)).cast("int")
@@ -383,7 +419,8 @@ def fleet(k: int, cpus: int, n_events: int) -> None:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--fleet-child",
-             str(cpus), f"{base}/shard-{s}", f"{base}/tab-{s}"],
+             str(cpus), f"{base}/shard-{s}", f"{base}/tab-{s}"]
+            + (["routed"] if routed else []),
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
         )
         for s in range(k)
@@ -448,8 +485,15 @@ def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--fleet":
         fleet(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--fleet-router":
+        fleet(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+              routed=True)
+        return
     if len(sys.argv) >= 2 and sys.argv[1] == "--fleet-child":
-        fleet_child(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        fleet_child(
+            int(sys.argv[2]), sys.argv[3], sys.argv[4],
+            routed=len(sys.argv) > 5 and sys.argv[5] == "routed",
+        )
         return
 
     args = [a for a in sys.argv[1:] if a != "--router"]
