@@ -117,6 +117,48 @@ def test_row_changes_is_the_state_diff(spark, tmp_table, mode):
     _check_changelog_bridges(t, 0, head)
 
 
+def test_row_changes_bridges_randomized_op_mix(spark, tmp_table):
+    """The bridge invariant under a RANDOMIZED interleaving of applies
+    with delete_where / update_where / compact (session-19 fuzz find:
+    none — this pins the walk the one-off fuzz ran, so the interleaved
+    surfaces stay covered). Seeded, so the sequence is deterministic."""
+    import random
+
+    rng = random.Random(31)
+    t = _table(spark, tmp_table)
+    seq = 0
+    bid = 0
+    for step in range(4):
+        rows = []
+        for _ in range(12):
+            seq += 1
+            conv = f"c{rng.randint(0, 5)}"
+            turn = rng.randint(0, 2)
+            op = rng.choice(["I", "U", "U", "D"])
+            rows.append(
+                _ev(op, seq, conv, turn,
+                    role=rng.choice(["user", "assistant"]),
+                    text=f"t{seq}" if op != "D" else None,
+                    tool=rng.choice([None, "search"]))
+            )
+        _apply(t, rows, batch_id=bid)
+        bid += 1
+        side = rng.choice(["none", "delete", "update", "compact"])
+        if side == "delete":
+            t.delete_where("tool = 'search'")
+        elif side == "update":
+            t.update_where("role = 'user'", {"text": "concat(text, '!')"})
+        elif side == "compact":
+            t.compact()
+    head = t.latest_version()
+    for v in range(1, head + 1):
+        try:
+            _check_changelog_bridges(t, v - 1, v)
+        except ChangelogUnavailableError:
+            continue  # maintenance-only version without changelog coverage
+    _check_changelog_bridges(t, 0, head)
+
+
 def test_noop_late_event_emits_nothing(spark, tmp_table):
     t = _table(spark, tmp_table)
     _apply(t, [_ev("I", 5, "c1", 0, text="v5")], 0)
